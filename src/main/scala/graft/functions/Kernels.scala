@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Shared column kernels — pure `Column => Column` builders (never UDFs, so
+  * Catalyst folds/pushes/codegens through them; SURVEY.md §7 design stance).
+  *
+  * Reference citations: dbt_utils.generate_surrogate_key expansion at
+  * reference models/marts/commerce/facts/fct_orders.sql:163 and
+  * fct_order_items.sql:131-134; null normalization at
+  * models/staging/stg_addresses.sql:13-32; clamps at
+  * models/staging/stg_items.sql:34-42; order-id normalizer at
+  * models/staging/stg_transactions.sql:52-61; calendar-month datediff at
+  * models/marts/commerce/facts/fct_customer_monthly_revenue.sql:24-28.
+  */
+object Kernels {
+
+  /** Sentinel dbt_utils uses for nulls inside surrogate keys. */
+  val SkNullSentinel = "_dbt_utils_surrogate_key_null_"
+
+  /** md5 surrogate key, byte-identical to dbt_utils.generate_surrogate_key
+    * (md5 of '-'-joined, null-coalesced string casts) so keys hash-match
+    * across engines. Reference fct_orders.sql:163. */
+  def surrogateKey(cols: Column*): Column =
+    md5(concat_ws("-", cols.map(c => coalesce(c.cast("string"), lit(SkNullSentinel))): _*))
+
+  /** `nullif(trim(x), '')` — blank-string normalization
+    * (reference stg_addresses.sql:13-32). */
+  def nullifTrim(c: Column): Column = {
+    val t = trim(c)
+    when(t === "", null).otherwise(t)
+  }
+
+  /** Clamp into [lo, hi] via least/greatest (reference stg_items.sql:34-42,
+    * fct_order_items.sql:97-105). */
+  def clamp(c: Column, lo: Column, hi: Column): Column = least(greatest(c, lo), hi)
+  def clampPct100(c: Column): Column = clamp(c, lit(0), lit(100))
+
+  /** Geo validation: out-of-range coordinates → null
+    * (reference stg_customers.sql:104-117, stg_addresses.sql:130-131). */
+  def validLat(c: Column): Column = when(c.between(-90, 90), c)
+  def validLon(c: Column): Column = when(c.between(-180, 180), c)
+
+  /** Snowflake datediff('month', b, a) counts month-boundary crossings —
+    * NOT Spark's months_between. Reference
+    * fct_customer_monthly_revenue.sql:24-28; SURVEY.md §4.3#4. */
+  def monthsBetweenCalendar(a: Column, b: Column): Column =
+    (year(a) - year(b)) * 12 + (month(a) - month(b))
+
+  /** Order-id normalizer: uppercase, strip non-alphanumerics, strip leading
+    * SO/ORD prefixes (reference stg_transactions.sql:52-61). */
+  def normalizeOrderId(c: Column): Column =
+    regexp_replace(regexp_replace(upper(c), "[^A-Z0-9]", ""), "^(SO|ORD)", "")
+
+  /** Exact money domain used by all fact math: decimal(38,6)
+    * (reference fct_order_items.sql:9-10,56-71). */
+  val Money: DecimalType = DecimalType(38, 6)
+  def money(c: Column): Column = c.cast(Money)
+  /** Narrow operand domain so products stay inside decimal(38) without
+    * precision loss on either engine. */
+  def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Cross-engine deterministic double average: exact decimal sum cast to
+    * double, divided by count — bit-identical IEEE ops on both engines. */
+  def exactAvg(sum: Column, count: Column): Column =
+    sum.cast("double") / count
+
+  // ---- md5-derived integer hashes (cross-engine deterministic) ----------
+  // DuckDB's md5_number_lower(s) is the LAST 8 digest bytes read
+  // little-endian; md5_number_upper(s) the FIRST 8, little-endian
+  // (empirically verified against DuckDB 1.0). Reproducing them exactly
+  // gives us a deterministic 64-bit hash both engines agree on — the
+  // foundation for MinHash/SimHash oracles.
+
+  private def revHex(h: Column, hexPositions: Seq[Int]): Column =
+    concat(hexPositions.map(p => substring(h, p, 2)): _*)
+
+  /** u64 equal to DuckDB md5_number_lower(s), as decimal(20,0). */
+  def md5Lower64(c: Column): Column = {
+    val h = md5(c)
+    conv(revHex(h, Seq(31, 29, 27, 25, 23, 21, 19, 17)), 16, 10).cast(DecimalType(20, 0))
+  }
+
+  /** Low 32 bits of md5_number_lower(s), as long (bitwise-op friendly). */
+  def md5Lower64Lo32(c: Column): Column = {
+    val h = md5(c)
+    conv(revHex(h, Seq(31, 29, 27, 25)), 16, 10).cast(LongType)
+  }
+
+  /** High 32 bits of md5_number_lower(s), as long. */
+  def md5Lower64Hi32(c: Column): Column = {
+    val h = md5(c)
+    conv(revHex(h, Seq(23, 21, 19, 17)), 16, 10).cast(LongType)
+  }
+}
