@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Kernels._
+import graft.operators.IncrementalMerge
+import graft.sources.Tables
+
+/** Window sequences, the exact-decimal fact-math pipeline, incremental
+  * merge materialization, global sort / top-k. SURVEY.md §2.4 / §2.5 /
+  * §2.1-S5 / §2.6.
+  */
+object MatQueries {
+
+  private val one = lit(1).cast(DecimalType(18, 6))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §2.4 W2: per-customer order sequence + is_first_order flag
+    // (reference dim_orders.sql:32-40,56-57).
+    QueryDef(
+      "q18_order_sequence",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(to_date(col("o_orderdate")).asc, col("o_orderkey").asc)
+        o.select(
+            col("o_orderkey"), col("o_custkey").as("customer_id"),
+            row_number().over(w).cast("long").as("order_rank_for_customer"))
+          .withColumn("is_first_order", col("order_rank_for_customer") === 1)
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey AS customer_id,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS order_rank_for_customer,
+               row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey) = 1 AS is_first_order
+        FROM orders
+        ORDER BY o_orderkey""")),
+
+    // §2.5 + §4.1: the exact-decimal discount/VAT line-math pipeline with
+    // per-step scale pinning (reference fct_order_items.sql:91-127: clamp
+    // pct, discount, conditionally add VAT on top, round) — TPC-H fractions
+    // stand in for furchild percentages.
+    QueryDef(
+      "q19_money_math",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val gross    = dec6(col("l_extendedprice"))
+        val discFrac = clamp(dec6(col("l_discount")), lit(0).cast(DecimalType(18, 6)), one)
+        val hasVat   = col("l_tax") > 0
+        val afterDisc = (gross * (one - discFrac)).cast(DecimalType(18, 6))
+        val taxAmt = when(hasVat, (afterDisc * dec6(col("l_tax"))).cast(DecimalType(18, 6)))
+          .otherwise(lit(0).cast(DecimalType(18, 6)))
+        val lineTotal = (afterDisc + taxAmt).cast(DecimalType(18, 6))
+        li.select(
+            col("l_orderkey"), col("l_linenumber"),
+            money(gross).as("gross_amount"),
+            money(discFrac).as("discount_fraction"),
+            hasVat.as("has_vat"),
+            money(afterDisc).as("amount_after_discount"),
+            money(taxAmt).as("tax_amount"),
+            money(lineTotal).as("line_total"),
+            money(round(lineTotal, 2)).as("line_total_rounded"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(l_extendedprice AS DECIMAL(18,6)) AS gross,
+                 least(greatest(CAST(l_discount AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))), CAST(1 AS DECIMAL(18,6))) AS disc_frac,
+                 l_tax > 0 AS has_vat,
+                 CAST(l_tax AS DECIMAL(18,6)) AS tax_frac
+          FROM lineitem),
+        step1 AS (
+          SELECT *, CAST(gross * (CAST(1 AS DECIMAL(18,6)) - disc_frac) AS DECIMAL(18,6)) AS after_disc FROM base),
+        step2 AS (
+          SELECT *, CASE WHEN has_vat THEN CAST(after_disc * tax_frac AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS tax_amt FROM step1)
+        SELECT l_orderkey, l_linenumber,
+               CAST(gross AS DECIMAL(38,6)) AS gross_amount,
+               CAST(disc_frac AS DECIMAL(38,6)) AS discount_fraction,
+               has_vat,
+               CAST(after_disc AS DECIMAL(38,6)) AS amount_after_discount,
+               CAST(tax_amt AS DECIMAL(38,6)) AS tax_amount,
+               CAST(CAST(after_disc + tax_amt AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS line_total,
+               CAST(round(CAST(after_disc + tax_amt AS DECIMAL(18,6)), 2) AS DECIMAL(38,6)) AS line_total_rounded
+        FROM step2
+        ORDER BY l_orderkey, l_linenumber""")),
+
+    // §2.1 S5: incremental merge (anti-join + union) with 7-day lookback —
+    // dbt incremental materialization semantics (reference
+    // fct_orders.sql:1-5,23-25; SURVEY §4.3#1).
+    QueryDef(
+      "q20_incremental_merge",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val anchor = lit("1998-06-01").cast("timestamp")
+        val existing = o.filter(col("o_orderdate") < anchor)
+          .select(col("o_orderkey"), lit("old").as("batch"), money(dec6(col("o_totalprice"))).as("total"))
+        val fresh = o.filter(col("o_orderdate") >= anchor - expr("INTERVAL 7 DAYS"))
+          .select(col("o_orderkey"), lit("new").as("batch"), money(dec6(col("o_totalprice"))).as("total"))
+        IncrementalMerge.merge(existing, fresh, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH existing AS (
+          SELECT o_orderkey, 'old' AS batch, CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS total
+          FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+        fresh AS (
+          SELECT o_orderkey, 'new' AS batch, CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS total
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01' - INTERVAL 7 DAY)
+        SELECT * FROM (
+          SELECT e.* FROM existing e WHERE NOT EXISTS (SELECT 1 FROM fresh f WHERE f.o_orderkey = e.o_orderkey)
+          UNION ALL
+          SELECT * FROM fresh)
+        ORDER BY o_orderkey""")),
+
+    // §2.6: the one global sort (reference first_channel_ltv.sql:26) +
+    // top-k extension — total order with deterministic tiebreak.
+    QueryDef(
+      "q23_top_revenue_customers",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.groupBy(col("o_custkey"))
+          .agg(money(sum(dec6(col("o_totalprice")))).as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("revenue").desc, col("o_custkey"))
+          .limit(100)
+      },
+      Some("""
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY revenue DESC, o_custkey
+        LIMIT 100""")))
+}
