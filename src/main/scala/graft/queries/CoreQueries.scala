@@ -29,20 +29,20 @@ object CoreQueries {
         li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            money(sum(dec6(col("l_quantity")))).as("sum_qty"),
-            money(sum(dec6(col("l_extendedprice")))).as("sum_base_price"),
-            money(sum(discPrice)).as("sum_disc_price"),
-            money(sum(charge)).as("sum_charge"),
+            moneyOut(sum(dec6(col("l_quantity")))).as("sum_qty"),
+            moneyOut(sum(dec6(col("l_extendedprice")))).as("sum_base_price"),
+            moneyOut(sum(discPrice)).as("sum_disc_price"),
+            moneyOut(sum(charge)).as("sum_charge"),
             exactAvg(sum(dec6(col("l_quantity"))), count(lit(1))).as("avg_qty"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-          CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_base_price,
+          CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+          CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) + CAST(l_tax AS DECIMAL(18,6))) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
           COUNT(*) AS count_order
         FROM lineitem
@@ -62,9 +62,9 @@ object CoreQueries {
           .agg(
             count(lit(1)).as("line_count"),
             countDistinct(col("l_partkey")).as("distinct_parts"),
-            money(sum(dec6(col("l_quantity")))).as("total_qty"),
-            money(sum(dec6(col("l_extendedprice")))).as("gross_amount"),
-            money(sum(discAmt)).as("discount_amount"),
+            moneyOut(sum(dec6(col("l_quantity")))).as("total_qty"),
+            moneyOut(sum(dec6(col("l_extendedprice")))).as("gross_amount"),
+            moneyOut(sum(discAmt)).as("discount_amount"),
             min(col("l_shipdate")).as("first_ship_ts"))
           .orderBy(col("l_orderkey"))
       },
@@ -72,9 +72,9 @@ object CoreQueries {
         SELECT l_orderkey,
           COUNT(*) AS line_count,
           COUNT(DISTINCT l_partkey) AS distinct_parts,
-          CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_qty,
-          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS gross_amount,
-          CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS discount_amount,
+          CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_qty,
+          CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS gross_amount,
+          CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS discount_amount,
           MIN(l_shipdate) AS first_ship_ts
         FROM lineitem
         GROUP BY l_orderkey
@@ -109,7 +109,7 @@ object CoreQueries {
           .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
           .agg(
             countDistinct(col("o_orderkey")).as("n_orders"),
-            money(sum(dec6(col("o_totalprice")))).as("total_spend"),
+            moneyOut(sum(dec6(col("o_totalprice")))).as("total_spend"),
             exactAvg(sum(dec6(col("o_totalprice"))), count(lit(1))).as("avg_order_value"),
             to_date(min(col("o_orderdate"))).as("first_order_date"),
             to_date(max(col("o_orderdate"))).as("last_order_date"),
@@ -120,7 +120,7 @@ object CoreQueries {
       Some("""
         SELECT c_custkey, c_name, c_mktsegment,
           COUNT(DISTINCT o_orderkey) AS n_orders,
-          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spend,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS total_spend,
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_order_value,
           CAST(MIN(o_orderdate) AS DATE) AS first_order_date,
           CAST(MAX(o_orderdate) AS DATE) AS last_order_date,

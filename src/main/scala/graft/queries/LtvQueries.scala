@@ -101,15 +101,36 @@ object LtvQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Terminal money columns leave as double (one exact-decimal→IEEE
+    // conversion, identical on both engines — the driver's hash contract);
+    // the internal monthly/ltv chains stay decimal(38,6) for exactness.
     QueryDef(
       "q05_monthly_revenue",
-      (s, dir) => monthly(s, dir).orderBy(col("customer_id"), col("month_start")),
-      Some(monthlySql + "\n    ORDER BY customer_id, month_start")),
+      (s, dir) => monthly(s, dir)
+        .withColumn("month_revenue", moneyOut(col("month_revenue")))
+        .orderBy(col("customer_id"), col("month_start")),
+      Some(s"""
+        SELECT customer_id, first_order_date, month_start, months_since_acq,
+               CAST(month_revenue AS DOUBLE) AS month_revenue
+        FROM ($monthlySql)
+        ORDER BY customer_id, month_start""")),
 
     QueryDef(
       "q06_customer_ltv",
-      (s, dir) => ltv(s, dir).orderBy(col("customer_id")),
-      Some(ltvSql + "\n    ORDER BY 1")),
+      (s, dir) => ltv(s, dir)
+        .withColumn("revenue_to_date", moneyOut(col("revenue_to_date")))
+        .withColumn("ltv_revenue_6m", moneyOut(col("ltv_revenue_6m")))
+        .withColumn("ltv_revenue_12m", moneyOut(col("ltv_revenue_12m")))
+        .withColumn("ltv_revenue_24m", moneyOut(col("ltv_revenue_24m")))
+        .orderBy(col("customer_id")),
+      Some(s"""
+        SELECT customer_id, first_order_date, orders_count,
+               CAST(revenue_to_date AS DOUBLE) AS revenue_to_date,
+               CAST(ltv_revenue_6m  AS DOUBLE) AS ltv_revenue_6m,
+               CAST(ltv_revenue_12m AS DOUBLE) AS ltv_revenue_12m,
+               CAST(ltv_revenue_24m AS DOUBLE) AS ltv_revenue_24m
+        FROM ($ltvSql)
+        ORDER BY 1""")),
 
     // cohort_revenue_ltv (reference lines 1-19): per-cohort avg + exact
     // interpolated percentiles (percentile_cont semantics).

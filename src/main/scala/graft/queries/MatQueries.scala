@@ -57,13 +57,13 @@ object MatQueries {
         val lineTotal = (afterDisc + taxAmt).cast(DecimalType(18, 6))
         li.select(
             col("l_orderkey"), col("l_linenumber"),
-            money(gross).as("gross_amount"),
-            money(discFrac).as("discount_fraction"),
+            moneyOut(gross).as("gross_amount"),
+            moneyOut(discFrac).as("discount_fraction"),
             hasVat.as("has_vat"),
-            money(afterDisc).as("amount_after_discount"),
-            money(taxAmt).as("tax_amount"),
-            money(lineTotal).as("line_total"),
-            money(round(lineTotal, 2)).as("line_total_rounded"))
+            moneyOut(afterDisc).as("amount_after_discount"),
+            moneyOut(taxAmt).as("tax_amount"),
+            moneyOut(lineTotal).as("line_total"),
+            moneyOut(round(lineTotal, 2)).as("line_total_rounded"))
           .orderBy(col("l_orderkey"), col("l_linenumber"))
       },
       Some("""
@@ -79,13 +79,13 @@ object MatQueries {
         step2 AS (
           SELECT *, CASE WHEN has_vat THEN CAST(after_disc * tax_frac AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END AS tax_amt FROM step1)
         SELECT l_orderkey, l_linenumber,
-               CAST(gross AS DECIMAL(38,6)) AS gross_amount,
-               CAST(disc_frac AS DECIMAL(38,6)) AS discount_fraction,
+               CAST(gross AS DOUBLE) AS gross_amount,
+               CAST(disc_frac AS DOUBLE) AS discount_fraction,
                has_vat,
-               CAST(after_disc AS DECIMAL(38,6)) AS amount_after_discount,
-               CAST(tax_amt AS DECIMAL(38,6)) AS tax_amount,
-               CAST(CAST(after_disc + tax_amt AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS line_total,
-               CAST(round(CAST(after_disc + tax_amt AS DECIMAL(18,6)), 2) AS DECIMAL(38,6)) AS line_total_rounded
+               CAST(after_disc AS DOUBLE) AS amount_after_discount,
+               CAST(tax_amt AS DOUBLE) AS tax_amount,
+               CAST(CAST(after_disc + tax_amt AS DECIMAL(18,6)) AS DOUBLE) AS line_total,
+               CAST(round(CAST(after_disc + tax_amt AS DECIMAL(18,6)), 2) AS DOUBLE) AS line_total_rounded
         FROM step2
         ORDER BY l_orderkey, l_linenumber""")),
 
@@ -98,18 +98,18 @@ object MatQueries {
         val o = Tables.orders(s, dir)
         val anchor = lit("1998-06-01").cast("timestamp")
         val existing = o.filter(col("o_orderdate") < anchor)
-          .select(col("o_orderkey"), lit("old").as("batch"), money(dec6(col("o_totalprice"))).as("total"))
+          .select(col("o_orderkey"), lit("old").as("batch"), moneyOut(dec6(col("o_totalprice"))).as("total"))
         val fresh = o.filter(col("o_orderdate") >= anchor - expr("INTERVAL 7 DAYS"))
-          .select(col("o_orderkey"), lit("new").as("batch"), money(dec6(col("o_totalprice"))).as("total"))
+          .select(col("o_orderkey"), lit("new").as("batch"), moneyOut(dec6(col("o_totalprice"))).as("total"))
         IncrementalMerge.merge(existing, fresh, Seq("o_orderkey"))
           .orderBy(col("o_orderkey"))
       },
       Some("""
         WITH existing AS (
-          SELECT o_orderkey, 'old' AS batch, CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS total
+          SELECT o_orderkey, 'old' AS batch, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS total
           FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'),
         fresh AS (
-          SELECT o_orderkey, 'new' AS batch, CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS total
+          SELECT o_orderkey, 'new' AS batch, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS total
           FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01' - INTERVAL 7 DAY)
         SELECT * FROM (
           SELECT e.* FROM existing e WHERE NOT EXISTS (SELECT 1 FROM fresh f WHERE f.o_orderkey = e.o_orderkey)
@@ -124,14 +124,14 @@ object MatQueries {
       (s, dir) => {
         val o = Tables.orders(s, dir)
         o.groupBy(col("o_custkey"))
-          .agg(money(sum(dec6(col("o_totalprice")))).as("revenue"),
+          .agg(moneyOut(sum(dec6(col("o_totalprice")))).as("revenue"),
             count(lit(1)).as("n_orders"))
           .orderBy(col("revenue").desc, col("o_custkey"))
           .limit(100)
       },
       Some("""
         SELECT o_custkey,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS revenue,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
                COUNT(*) AS n_orders
         FROM orders
         GROUP BY o_custkey

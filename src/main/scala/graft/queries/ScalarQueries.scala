@@ -153,7 +153,10 @@ object ScalarQueries {
         ev.agg(max(col("ts")).as("max_loaded_at"))
           .select(
             col("max_loaded_at"),
-            expr("(unix_micros(TIMESTAMP '2024-02-01 00:00:00') - unix_micros(max_loaded_at)) div 3600000000")
+            // floor (not truncate-toward-zero) division so negative
+            // staleness agrees with DuckDB's `//`; the µs difference is
+            // far below 2^53 so the double division is exact enough.
+            expr("CAST(floor((unix_micros(TIMESTAMP '2024-02-01 00:00:00') - unix_micros(max_loaded_at)) / 3600000000.0) AS BIGINT)")
               .as("hours_stale"))
           .select(
             col("max_loaded_at"), col("hours_stale"),
@@ -168,7 +171,7 @@ object ScalarQueries {
                     ELSE 'error' END AS freshness_status
         FROM (
           SELECT MAX(ts) AS max_loaded_at,
-                 (epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(MAX(ts))) // 3600000000 AS hours_stale
+                 CAST(floor((epoch_us(TIMESTAMP '2024-02-01 00:00:00') - epoch_us(MAX(ts))) / 3600000000.0) AS BIGINT) AS hours_stale
           FROM events) t""")),
 
     // §2.6 set ops: select distinct (reference stg_delivery_slots.sql:20-22).

@@ -21,6 +21,9 @@ object Tables {
     // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     // rejects; read as epoch-nanos long and rebuild the timestamp (integer
     // `div` — a double division would lose precision on ~1e18 nanos).
+    // Oracle parity: DuckDB also reads TIMESTAMP_NS as µs TIMESTAMP
+    // (truncating, same direction for post-1970 data), so both engines see
+    // identical µs values by construction — no oracle-side trunc needed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) {
