@@ -91,14 +91,16 @@ object Kernels {
     conv(revHex(h, Seq(31, 29, 27, 25, 23, 21, 19, 17)), 16, 10).cast(DecimalType(20, 0))
   }
 
-  /** Low 32 bits of md5_number_lower(s), as long (bitwise-op friendly). */
-  def md5Lower64Lo32(c: Column): Column = {
+  /** High 32 bits of md5_number_lower(s), as long (bitwise-op friendly).
+    * Positions 31..25 are the most-significant bytes of the little-endian
+    * u64 (the digest's LAST byte is the value's top byte). */
+  def md5Lower64Hi32(c: Column): Column = {
     val h = md5(c)
     conv(revHex(h, Seq(31, 29, 27, 25)), 16, 10).cast(LongType)
   }
 
-  /** High 32 bits of md5_number_lower(s), as long. */
-  def md5Lower64Hi32(c: Column): Column = {
+  /** Low 32 bits of md5_number_lower(s), as long. */
+  def md5Lower64Lo32(c: Column): Column = {
     val h = md5(c)
     conv(revHex(h, Seq(23, 21, 19, 17)), 16, 10).cast(LongType)
   }

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Dedup, IncrementalMerge}
+
+/** Operator semantics on tiny in-memory frames: dedup ties, as-of joins
+  * with and without candidates, incremental-merge overlap. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("Dedup.keepLatest breaks recency ties by tiebreak desc") {
+    val df = Seq(
+      (1L, "a", ts("2024-01-01 00:00:00")),
+      (1L, "b", ts("2024-01-01 00:00:00")), // same recency, higher tiebreak
+      (1L, "c", ts("2023-12-31 00:00:00")),
+      (2L, "d", ts("2024-01-01 00:00:00"))).toDF("k", "v", "t")
+    val got = Dedup.keepLatest(df, Seq(col("k")), col("t"), col("v"))
+      .orderBy("k").select("v").as[String].collect().toSeq
+    assert(got == Seq("b", "d"))
+  }
+
+  test("Dedup.keepLatest puts null recency last") {
+    val df = Seq(
+      (1L, "a", Option.empty[Timestamp]),
+      (1L, "b", Some(ts("2020-01-01 00:00:00")))).toDF("k", "v", "t")
+    val got = Dedup.keepLatest(df, Seq(col("k")), col("t"), col("v"))
+      .select("v").as[String].head()
+    assert(got == "b")
+  }
+
+  test("Dedup.duplicateKeys returns only keys with count > 1") {
+    val df = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    val got = Dedup.duplicateKeys(df, Seq(col("k"))).collect()
+    assert(got.length == 1 && got(0).getInt(0) == 1 && got(0).getLong(1) == 2L)
+  }
+
+  test("AsOfJoin.bestAtTime prefers at-or-before, else nearest after; keeps no-candidate rows") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-05 00:00:00")),
+      (11L, 2L, ts("2024-01-05 00:00:00")), // candidates only after
+      (12L, 3L, ts("2024-01-05 00:00:00"))) // no candidates at all
+      .toDF("pk", "k", "t")
+    val right = Seq(
+      (100L, 1L, ts("2024-01-04 00:00:00")), // best: latest at-or-before
+      (101L, 1L, ts("2024-01-01 00:00:00")),
+      (102L, 1L, ts("2024-01-05 00:00:01")), // nearer in abs time but after
+      (200L, 2L, ts("2024-01-06 00:00:00")),
+      (201L, 2L, ts("2024-01-07 00:00:00")))
+      .toDF("cand", "k", "ct")
+    val got = AsOfJoin.bestAtTime(left, right, Seq("k"),
+        leftPk = col("pk"), leftTs = col("t"), rightTs = col("ct"), tiebreak = col("cand"))
+      .orderBy("pk").select("pk", "cand").collect()
+    assert(got.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq((10L, 100L), (11L, 200L), (12L, -1L)))
+  }
+
+  test("AsOfJoin.bestAtTime equal-timestamp candidate counts as at-or-before") {
+    val left = Seq((1L, 1L, ts("2024-01-05 00:00:00"))).toDF("pk", "k", "t")
+    val right = Seq(
+      (7L, 1L, ts("2024-01-05 00:00:00")),
+      (8L, 1L, ts("2024-01-04 23:59:59"))).toDF("cand", "k", "ct")
+    val got = AsOfJoin.bestAtTime(left, right, Seq("k"),
+        col("pk"), col("t"), col("ct"), col("cand"))
+      .select("cand").as[Long].head()
+    assert(got == 7L)
+  }
+
+  test("IncrementalMerge.merge: fresh wins on key overlap, keeps disjoint existing") {
+    val existing = Seq((1L, "old1"), (2L, "old2")).toDF("k", "v")
+    val fresh = Seq((2L, "new2"), (3L, "new3")).toDF("k", "v")
+    val got = IncrementalMerge.merge(existing, fresh, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "old1"), (2L, "new2"), (3L, "new3")))
+  }
+
+  test("IncrementalMerge.mergeWithLookback filters fresh side first") {
+    val existing = Seq((1L, 10, "old1"), (2L, 20, "old2")).toDF("k", "d", "v")
+    val source = Seq((2L, 99, "new2"), (3L, 5, "too_old")).toDF("k", "d", "v")
+    val got = IncrementalMerge.mergeWithLookback(existing, source, Seq("k"), col("d") >= 50)
+      .orderBy("k").select("v").as[String].collect().toSeq
+    assert(got == Seq("old1", "new2"))
+  }
+}
