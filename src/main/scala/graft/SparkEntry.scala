@@ -10,7 +10,8 @@ import graft.queries._
 object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
-    CoreQueries.defs ++ LtvQueries.defs ++ ScalarQueries.defs ++ MatQueries.defs
+    CoreQueries.defs ++ LtvQueries.defs ++ ScalarQueries.defs ++ MatQueries.defs ++
+      TextQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

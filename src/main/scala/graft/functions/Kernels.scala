@@ -85,23 +85,38 @@ object Kernels {
   private def revHex(h: Column, hexPositions: Seq[Int]): Column =
     concat(hexPositions.map(p => substring(h, p, 2)): _*)
 
-  /** u64 equal to DuckDB md5_number_lower(s), as decimal(20,0). */
-  def md5Lower64(c: Column): Column = {
-    val h = md5(c)
-    conv(revHex(h, Seq(31, 29, 27, 25, 23, 21, 19, 17)), 16, 10).cast(DecimalType(20, 0))
-  }
+  // The *Hex* variants take an ALREADY-COMPUTED md5 hex column. Hot paths
+  // (sketch builders) materialize the md5 in its own projection and feed the
+  // attribute here: substring-of-attribute is cheap to duplicate, while
+  // inlining md5 into 4-8 substrings re-evaluates the digest each time
+  // (CollapseProject keeps the stages separate precisely because md5 is
+  // non-cheap and multiply-referenced).
 
-  /** High 32 bits of md5_number_lower(s), as long (bitwise-op friendly).
-    * Positions 31..25 are the most-significant bytes of the little-endian
-    * u64 (the digest's LAST byte is the value's top byte). */
-  def md5Lower64Hi32(c: Column): Column = {
-    val h = md5(c)
-    conv(revHex(h, Seq(31, 29, 27, 25)), 16, 10).cast(LongType)
-  }
+  /** Byte-reversed last-8-bytes hex (16 lowercase chars). Lexicographic
+    * order on this fixed-width string == numeric order of the u64, so it's
+    * safe to MIN/MAX before a single final conv. */
+  def md5HexRev64(hex: Column): Column = revHex(hex, Seq(31, 29, 27, 25, 23, 21, 19, 17))
+
+  /** u64 equal to DuckDB md5_number_lower for this digest, as decimal(20,0). */
+  def md5HexU64(hex: Column): Column =
+    conv(md5HexRev64(hex), 16, 10).cast(DecimalType(20, 0))
+
+  /** High 32 bits of the u64, as long (positions 31..25 are the
+    * most-significant bytes of the little-endian u64 — the digest's LAST
+    * byte is the value's top byte). */
+  def md5HexHi32(hex: Column): Column =
+    conv(revHex(hex, Seq(31, 29, 27, 25)), 16, 10).cast(LongType)
+
+  /** Low 32 bits of the u64, as long. */
+  def md5HexLo32(hex: Column): Column =
+    conv(revHex(hex, Seq(23, 21, 19, 17)), 16, 10).cast(LongType)
+
+  /** u64 equal to DuckDB md5_number_lower(s), as decimal(20,0). */
+  def md5Lower64(c: Column): Column = md5HexU64(md5(c))
+
+  /** High 32 bits of md5_number_lower(s), as long (bitwise-op friendly). */
+  def md5Lower64Hi32(c: Column): Column = md5HexHi32(md5(c))
 
   /** Low 32 bits of md5_number_lower(s), as long. */
-  def md5Lower64Lo32(c: Column): Column = {
-    val h = md5(c)
-    conv(revHex(h, Seq(23, 21, 19, 17)), 16, 10).cast(LongType)
-  }
+  def md5Lower64Lo32(c: Column): Column = md5HexLo32(md5(c))
 }

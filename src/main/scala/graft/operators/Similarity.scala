@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `Array[Float]` columns: brute-force
+  * cosine top-k (the exact baseline) and a sign-LSH bucketed variant (the
+  * scale path — candidates only within a bucket, never all-pairs).
+  *
+  * Determinism: all arithmetic is float→double casts followed by a
+  * left-to-right sequential double fold — the same op order DuckDB's
+  * `list_reduce(list_transform(..))` produces, so cosines are
+  * bit-identical across engines and safe to hash-compare.
+  *
+  * Scale design: brute-force is a broadcast of the (small) query set
+  * against a partitioned candidate scan — no shuffle of the big side; the
+  * per-query top-k window is a partial top-k under AQE. The LSH variant
+  * buckets both sides first (8-D sign sketch → 256 buckets), shuffling
+  * only on bucket id, so a 1000-executor run probes ~1/256 of the corpus
+  * per query at equal recall-per-probe tradeoffs (classic SRP-LSH).
+  */
+object Similarity {
+
+  /** Sequential dot product: Σ a_i·b_i with double casts, left-to-right
+    * (init 0.0 — identical fold to DuckDB list_reduce since 0.0+x == x). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k neighbours for each query vector by brute-force cosine.
+    * `queries`/`candidates` carry (idCol, vecCol); queries are broadcast. */
+  def bruteForceTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.select(col("q_id"), col("n_id"), col("cos"), row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component (j-th plane, d-th
+    * dim) — pure integer arithmetic then one exact double division, so the
+    * oracle can regenerate the identical plane without literal tables. */
+  def planeComponent(j: Column, d: Column): Column =
+    (((j * 97 + d * 31) % 13) - 6).cast("double") / lit(6.0d)
+
+  /** Signed-random-projection bucket id: bit j = sign(v · plane_j). */
+  def srpBucket(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { j =>
+      val proj = aggregate(
+        sequence(lit(0), lit(dim - 1)), lit(0.0d),
+        (acc, d) => acc +
+          element_at(vec, d + 1).cast("double") * planeComponent(lit(j), d))
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k: candidates share the query's SRP bucket; exact cosine is
+    * computed only inside the bucket. Equi-join on bucket → one hash
+    * shuffle on a low-cardinality key; AQE splits hot buckets. */
+  def lshTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      srpBucket(col(vecCol), planes, dim).as("bucket"))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      srpBucket(col(vecCol), planes, dim).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.select(col("q_id"), col("n_id"), col("cos"), row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+  }
+}

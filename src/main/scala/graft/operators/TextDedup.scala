@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels
+
+/** Near-duplicate detection for document corpora — MinHash+banded-LSH and
+  * SimHash, the two standard sketches for web-scale training-data dedup.
+  *
+  * Scale design (the whole point):
+  *  - Sketch building is explode → flat codegen'd projection → partial
+  *    min/sum aggregation. Deliberately NOT higher-order-function lambdas:
+  *    `transform`/`aggregate` are CodegenFallback in Spark (interpreted
+  *    per element, no common-subexpression elimination — measured 100×
+  *    slower here), while an exploded projection is whole-stage codegen'd
+  *    with CSE, and the min/sum agg is map-side partial, so the shuffle
+  *    carries one sketch row per (doc, partition), not the token stream.
+  *  - Candidate generation is a BUCKET join — docs explode to
+  *    (band, bucketKey) and self-join on the key, so cost is
+  *    O(docs × bands + Σ bucket²), never O(docs²). AQE splits hot buckets.
+  *
+  * Hash parity: all sketch hashes are DuckDB-`md5_number_lower`-compatible
+  * u64s (Kernels.md5Lower64), so every stage is oracle-checkable.
+  */
+object TextDedup {
+
+  /** Universal-hash MinHash parameters: base = md5 u64 mod p (p = 2³¹−1
+    * prime), perm_i(h) = (aᵢ·h + bᵢ) mod p. aᵢ·h ≤ ~2⁵⁵ so the arithmetic
+    * is exact in int64 on both engines; the mod WRAPS (unlike a too-small
+    * multiplier, which would make every perm order-preserving and collapse
+    * the signature to a function of one shingle). */
+  val MinhashP = 2147483647L
+  def permA(i: Int): Long = 999983L * i + 1000003L
+  def permB(i: Int): Long = 998244353L * i
+
+  /** Flat (doc, shingle) rows from (doc, token-array) rows via posexplode +
+    * window leads. Duplicates are kept — min/agg consumers don't care, and
+    * Jaccard consumers collect_set afterwards.
+    *
+    * Why not build the shingle array per row with `transform(sequence…)`?
+    * Higher-order functions are CodegenFallback (interpreted per element) —
+    * measured ~8× slower than this exploded form at sf0.1. The cost here is
+    * one hash shuffle of the token stream on idCol; every downstream
+    * groupBy(idCol) then reuses that partitioning, so the sketch pipeline
+    * stays at exactly one exchange end-to-end. */
+  def shingleRows(docs: DataFrame, idCol: String, tokCol: String, k: Int): DataFrame = {
+    val t = docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("_pos", "_w")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val parts = (1 until k).map(o => lead(col("_w"), o).over(w))
+    t.select(col(idCol), concat_ws(" ", col("_w") +: parts: _*).as("_sh"),
+        parts.last.isNotNull.as("_full"))
+      .where(col("_full"))
+      .select(col(idCol), col("_sh"))
+  }
+
+  /** Per-doc MinHash signature from flat (idCol, shCol) shingle rows: ONE
+    * md5 per shingle (staged so the digest is computed once), then
+    * `numHashes` affine permutations and a map-side partial min
+    * aggregation. Output (idCol, sig: array<long>). */
+  def minhashSignatures(shingles: DataFrame, idCol: String, shCol: String,
+      numHashes: Int): DataFrame = {
+    val hexed = shingles.select(col(idCol), md5(col(shCol)).as("_x"))
+    val based = hexed.select(col(idCol),
+      (Kernels.md5HexU64(col("_x")) % MinhashP).cast("long").as("_h"))
+    val perms = based.select(
+      col(idCol) +: (0 until numHashes).map(i =>
+        ((lit(permA(i)) * col("_h") + lit(permB(i))) % MinhashP).as(s"_p$i")): _*)
+    val mins = perms.groupBy(col(idCol))
+      .agg(min(col("_p0")).as("_m0"),
+        (1 until numHashes).map(i => min(col(s"_p$i")).as(s"_m$i")): _*)
+    mins.select(col(idCol),
+      array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** Banded LSH keys: split the signature into bands of `rowsPerBand` and
+    * md5 each band's joined values. Two docs share a band key iff that
+    * whole band of minhashes agrees → P(candidate) = 1-(1-J^r)^b. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r =>
+          element_at(sig, b * rowsPerBand + r + 1).cast("string")): _*))
+    }: _*)
+
+  /** Candidate near-dup pairs from banded LSH, with the estimated Jaccard
+    * (matching-minhash fraction). `docs` must carry (idCol, sigCol: array).
+    * Output: id_a < id_b, est_jaccard. The two join inputs share the same
+    * aggregate subplan, so ReuseExchange computes the signatures once. */
+  def lshCandidatePairs(
+      docs: DataFrame, idCol: String, sigCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val withBands = docs.select(
+      col(idCol), col(sigCol),
+      posexplode(bandKeys(col(sigCol), bands, rowsPerBand)).as(Seq("band", "bkey")))
+    val a = withBands.select(col("band"), col("bkey"),
+      col(idCol).as("id_a"), col(sigCol).as("sig_a"))
+    val b = withBands.select(col("band"), col("bkey"),
+      col(idCol).as("id_b"), col(sigCol).as("sig_b"))
+    // Shuffle join on (band,bkey): each bucket is tiny (docs agreeing on a
+    // whole band), so the join output ≈ true near-dup pairs, not O(n²).
+    a.join(b, Seq("band", "bkey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / lit(bands * rowsPerBand)).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Per-doc 64-bit SimHash over the token multiset, as (hi32, lo32) longs.
+    * Bit b of the sketch is set iff Σ_tokens (±1 by token-hash bit b) > 0.
+    * Input carries (idCol, tokCol: array of tokens); docs with zero tokens
+    * drop out (inner explode). 2 md5s per token; the 64 per-bit vote sums
+    * partial-aggregate map-side, so the shuffle is 64 longs per doc. */
+  def simhashes(docs: DataFrame, idCol: String, tokCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(col(tokCol)).as("_t"))
+    val hexed = toks.select(col(idCol), md5(col("_t")).as("_x"))
+    val hashed = hexed.select(col(idCol),
+      Kernels.md5HexHi32(col("_x")).as("_hi"),
+      Kernels.md5HexLo32(col("_x")).as("_lo"))
+    def vote(c: Column, b: Int): Column =
+      sum(shiftright(c, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+    val votes = hashed.groupBy(col(idCol)).agg(
+      vote(col("_hi"), 0).as("_vh0"),
+      ((1 until 32).map(b => vote(col("_hi"), b).as(s"_vh$b")) ++
+        (0 until 32).map(b => vote(col("_lo"), b).as(s"_vl$b"))): _*)
+    def half(prefix: String): Column =
+      (0 until 32).map(b =>
+        when(col(s"_$prefix$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    votes.select(col(idCol), half("vh").as("simhash_hi"), half("vl").as("simhash_lo"))
+  }
+
+  /** Per-doc winnowing-style fingerprint from flat shingle rows: min u64
+    * shingle hash (robust to local edits — the MOSS/winnowing min-sampling
+    * trick). Same staged-hash/agg shape as the other sketches. */
+  def minShingleFingerprints(shingles: DataFrame, idCol: String, shCol: String): DataFrame =
+    shingles
+      .select(col(idCol), md5(col(shCol)).as("_x"))
+      // min over the byte-reversed fixed-width hex == numeric u64 min, so
+      // the expensive conv happens once per DOC, not once per shingle.
+      .select(col(idCol), Kernels.md5HexRev64(col("_x")).as("_r"))
+      .groupBy(col(idCol))
+      .agg(min(col("_r")).as("_rm"))
+      .select(col(idCol),
+        conv(col("_rm"), 16, 10)
+          .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+          .cast("string").as("winnow_fp"))
+
+  /** Exact n-gram Jaccard for (already-blocked) candidate pairs. */
+  def jaccard(shA: Column, shB: Column): Column =
+    size(array_intersect(shA, shB)).cast("double") /
+      size(array_union(shA, shB))
+}

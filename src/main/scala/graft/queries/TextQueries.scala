@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextKernels._
+import graft.operators.TextDedup
+import graft.sources.Tables
+
+/** LLM-training-data text pipeline over the `documents` corpus: quality
+  * stats, language-ID heuristic, fingerprints, MinHash+LSH near-dup,
+  * SimHash sketches, and exact n-gram Jaccard verification.
+  *
+  * All sketch hashes are DuckDB-`md5_number_lower`-parity u64s so every
+  * stage is oracle-checkable. Every query is linear in corpus size except
+  * the LSH bucket self-join, which touches only same-bucket candidates.
+  */
+object TextQueries {
+
+  private val Stops   = Seq("the", "a")
+  private val QryWords = Seq("query", "scan", "filter", "join")
+  private val DatWords = Seq("data", "table", "row", "column")
+  private val PrfWords = Seq("fast", "slow", "batch", "hash")
+
+  // Shared oracle CTEs (DuckDB): whitespace tokens and distinct 3-shingles.
+  private val ToksCte =
+    "toks AS (SELECT doc_id, lang, source, text, string_split(text, ' ') ws FROM documents)"
+  private val ShCte =
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1), " +
+      "i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) s FROM toks)"
+  private val MhCte = // universal-hash minhash: base = md5 u64 mod (2^31-1), 16 affine perms
+    "hs AS (SELECT doc_id, list_transform(s, x -> (md5_number_lower(x) % 2147483647)::BIGINT) hv FROM sh), " +
+      "mh AS (SELECT doc_id, list_transform(range(0,16), " +
+      "i -> list_min(list_transform(hv, h -> ((999983*i + 1000003)*h + 998244353*i) % 2147483647))) sig FROM hs)"
+  private val BandsCte = // 4 bands x 4 rows
+    "bands AS (SELECT doc_id, sig, b, md5(sig[b*4+1]::VARCHAR || '|' || sig[b*4+2]::VARCHAR || " +
+      "'|' || sig[b*4+3]::VARCHAR || '|' || sig[b*4+4]::VARCHAR) bkey " +
+      "FROM mh, (SELECT unnest(range(0,4)) b))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Text analysis: token counting, repetition/stopword ratios, composite
+    // quality score — the standard pre-training corpus filters.
+    QueryDef(
+      "q24_text_stats",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val ws = tokens(col("text"))
+        val nTok = tokenCount(ws)
+        val dRat = distinctRatio(ws)
+        val sRat = stopwordRatio(ws, Stops)
+        d.select(
+            col("doc_id"), col("lang"), col("source"),
+            nTok.as("n_tokens"),
+            size(array_distinct(ws)).cast("long").as("n_distinct"),
+            avgTokenLen(col("text"), ws).as("avg_token_len"),
+            dRat.as("distinct_ratio"),
+            sRat.as("stop_ratio"),
+            qualityScore(nTok, dRat, sRat).as("quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $ToksCte,
+        stats AS (
+          SELECT doc_id, lang, source,
+                 len(ws)::BIGINT AS n_tokens,
+                 len(list_distinct(ws))::BIGINT AS n_distinct,
+                 (length(text) - (len(ws) - 1))::DOUBLE / len(ws) AS avg_token_len,
+                 len(list_distinct(ws))::DOUBLE / len(ws) AS distinct_ratio,
+                 len(list_filter(ws, w -> w = 'the' OR w = 'a'))::DOUBLE / len(ws) AS stop_ratio
+          FROM toks)
+        SELECT doc_id, lang, source, n_tokens, n_distinct, avg_token_len,
+               distinct_ratio, stop_ratio,
+               (CASE WHEN n_tokens >= 20 THEN 1.0::DOUBLE ELSE n_tokens::DOUBLE / 20.0::DOUBLE END)
+                 * distinct_ratio
+                 * (CASE WHEN stop_ratio BETWEEN 0.01::DOUBLE AND 0.5::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                 AS quality
+        FROM stats
+        ORDER BY doc_id""")),
+
+    // Language-ID heuristic (marker-word n-gram scoring, deterministic
+    // argmax) + per-(label, prediction) corpus profile.
+    QueryDef(
+      "q25_lang_profile",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val ws = tokens(col("text"))
+        val (cq, cd, cp) =
+          (markerCount(ws, QryWords), markerCount(ws, DatWords), markerCount(ws, PrfWords))
+        val predicted = when(cq >= cd && cq >= cp && cq > 0, "query")
+          .when(cd >= cp && cd > 0, "data")
+          .when(cp > 0, "perf")
+          .otherwise("other")
+        d.select(col("lang"), predicted.as("predicted_lang"), tokenCount(ws).as("n_tokens"))
+          .groupBy(col("lang"), col("predicted_lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+          .orderBy(col("lang"), col("predicted_lang"))
+      },
+      Some(s"""
+        WITH $ToksCte,
+        scored AS (
+          SELECT lang,
+                 len(list_filter(ws, w -> w = 'query' OR w = 'scan' OR w = 'filter' OR w = 'join'))::BIGINT AS cq,
+                 len(list_filter(ws, w -> w = 'data' OR w = 'table' OR w = 'row' OR w = 'column'))::BIGINT AS cd,
+                 len(list_filter(ws, w -> w = 'fast' OR w = 'slow' OR w = 'batch' OR w = 'hash'))::BIGINT AS cp,
+                 len(ws)::BIGINT AS n_tokens
+          FROM toks)
+        SELECT lang,
+               CASE WHEN cq >= cd AND cq >= cp AND cq > 0 THEN 'query'
+                    WHEN cd >= cp AND cd > 0 THEN 'data'
+                    WHEN cp > 0 THEN 'perf'
+                    ELSE 'other' END AS predicted_lang,
+               COUNT(*) AS n_docs,
+               SUM(n_tokens)::DOUBLE / COUNT(*) AS avg_tokens
+        FROM scored
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // Document fingerprinting: exact-content u64 + winnowing-style
+    // min-shingle fingerprint, with dup-group sizes.
+    QueryDef(
+      "q26_doc_fingerprint",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val ws = tokens(col("text"))
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), ws.as("ws")), "doc_id", "ws", 3)
+        val winnow = TextDedup.minShingleFingerprints(shRows, "doc_id", "_sh")
+        val fp = d.select(col("doc_id"), contentFingerprint(col("text")).as("content_fp"))
+          .join(winnow, "doc_id")
+        fp.select(col("doc_id"), col("content_fp"), col("winnow_fp"),
+            count(lit(1)).over(Window.partitionBy(col("content_fp"))).as("exact_dup_group"),
+            count(lit(1)).over(Window.partitionBy(col("winnow_fp"))).as("near_dup_group"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $ToksCte, $ShCte,
+        fp AS (
+          SELECT t.doc_id,
+                 md5_number_lower(t.text)::VARCHAR AS content_fp,
+                 list_min(list_transform(sh.s, x -> md5_number_lower(x)))::VARCHAR AS winnow_fp
+          FROM toks t JOIN sh ON sh.doc_id = t.doc_id)
+        SELECT doc_id, content_fp, winnow_fp,
+               COUNT(*) OVER (PARTITION BY content_fp) AS exact_dup_group,
+               COUNT(*) OVER (PARTITION BY winnow_fp) AS near_dup_group
+        FROM fp
+        ORDER BY doc_id""")),
+
+    // MinHash (16 perms) + banded LSH (4x4): candidate near-dup pairs with
+    // estimated Jaccard. The self-join is on (band, bucket) — never
+    // all-pairs; the identical banding survives a 100 TB corpus.
+    QueryDef(
+      "q27_minhash_lsh",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val sig = TextDedup.minhashSignatures(shRows, "doc_id", "_sh", 16)
+        TextDedup.lshCandidatePairs(sig, "doc_id", "sig", bands = 4, rowsPerBand = 4)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH $ToksCte, $ShCte, $MhCte, $BandsCte,
+        pairs AS (
+          SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, a.sig sa, b.sig sb
+          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               len(list_filter(range(1,17), i -> sa[i] = sb[i]))::DOUBLE / 16 AS est_jaccard
+        FROM pairs
+        ORDER BY id_a, id_b""")),
+
+    // SimHash 64-bit sketches (hi/lo 32-bit halves) over the token
+    // multiset — the other classic near-dup sketch (hamming-ball lookup).
+    QueryDef(
+      "q28_simhash",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        TextDedup.simhashes(
+            d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $ToksCte,
+        h AS (SELECT doc_id,
+                list_transform(ws, t -> ((md5_number_lower(t) >> 32))::BIGINT) his,
+                list_transform(ws, t -> ((md5_number_lower(t) & 4294967295))::BIGINT) los
+              FROM toks)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0,32), b ->
+            CASE WHEN list_sum(list_transform(his, h2 -> ((h2 >> b) & 1)*2 - 1)) > 0
+                 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash_hi,
+          CAST(list_sum(list_transform(range(0,32), b ->
+            CASE WHEN list_sum(list_transform(los, h2 -> ((h2 >> b) & 1)*2 - 1)) > 0
+                 THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS simhash_lo
+        FROM h
+        ORDER BY doc_id""")),
+
+    // Exact n-gram Jaccard verification of the LSH candidates → the final
+    // verified near-duplicate pair list (est from sketches, exact on the
+    // candidate set only).
+    QueryDef(
+      "q29_ngram_jaccard",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val sig  = TextDedup.minhashSignatures(shRows, "doc_id", "_sh", 16)
+        val cands = TextDedup.lshCandidatePairs(sig, "doc_id", "sig", 4, 4)
+          .select(col("id_a"), col("id_b"))
+        // Exact shingle SETS only for the (few) candidate docs.
+        val shSets = shRows.groupBy(col("doc_id")).agg(collect_set(col("_sh")).as("sh"))
+        val shA = shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+        val shB = shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+        cands.join(shA, "id_a").join(shB, "id_b")
+          .select(col("id_a"), col("id_b"),
+            TextDedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+          .where(col("jaccard") >= 0.5d)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH $ToksCte, $ShCte, $MhCte, $BandsCte,
+        pairs AS (
+          SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        j AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+          FROM pairs JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b)
+        SELECT id_a, id_b, jaccard
+        FROM j
+        WHERE jaccard >= 0.5::DOUBLE
+        ORDER BY id_a, id_b""")))
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextKernels
+import graft.operators.{Similarity, TextDedup}
+
+/** Unit fixtures for the text/vector pipeline operators (DuckDB-parity
+  * values precomputed with duckdb 1.x md5_number_lower). */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: k-gram count and content") {
+    val df = Seq("a b c d").toDF("text")
+      .select(TextKernels.shingles(TextKernels.tokens(col("text")), 3).as("s"))
+    assert(df.head.getSeq[String](0) === Seq("a b c", "b c d"))
+  }
+
+  test("minhash seed-hash matches DuckDB md5_number_lower('0|shingle')") {
+    val df = Seq("spark scan fast").toDF("sh")
+      .select(functions.Kernels.md5Lower64(concat(lit("0"), lit("|"), col("sh"))).as("h"))
+    assert(df.head.getDecimal(0).toBigInteger.toString === "1141047023951936527")
+  }
+
+  test("simhash halves match DuckDB bit split of md5_number_lower('hello')") {
+    val df = Seq("hello").toDF("t").select(
+      functions.Kernels.md5Lower64Hi32(col("t")).as("hi"),
+      functions.Kernels.md5Lower64Lo32(col("t")).as("lo"))
+    val r = df.head
+    assert(r.getLong(0) === 2462390032L && r.getLong(1) === 2443014585L)
+  }
+
+  test("simhashes: single-token doc yields the token's own bit pattern") {
+    // With one token the majority vote per bit IS that token's bit:
+    // md5_number_lower('hello') splits to (2462390032, 2443014585).
+    val docs = Seq((1L, Seq("hello"))).toDF("doc_id", "ws")
+    val r = TextDedup.simhashes(docs, "doc_id", "ws").head
+    assert(r.getLong(1) === 2462390032L && r.getLong(2) === 2443014585L)
+  }
+
+  test("lshCandidatePairs finds identical docs, skips disjoint ones") {
+    val docs = Seq(
+      (1L, "x y z w v u t s r q p o"),
+      (2L, "x y z w v u t s r q p o"),
+      (3L, "aa bb cc dd ee ff gg hh ii jj kk ll")).toDF("doc_id", "text")
+    val sig = TextDedup.minhashSignatures(
+      TextDedup.shingleRows(
+        docs.select(col("doc_id"), TextKernels.tokens(col("text")).as("ws")),
+        "doc_id", "ws", 3),
+      "doc_id", "_sh", 16)
+    val pairs = TextDedup.lshCandidatePairs(sig, "doc_id", "sig", 4, 4).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getLong(0) === 1L && pairs.head.getLong(1) === 2L)
+    assert(pairs.head.getDouble(2) === 1.0)
+  }
+
+  test("jaccard: exact set overlap") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(TextDedup.jaccard(col("x"), col("y")).as("j"))
+    assert(df.head.getDouble(0) === 0.5)
+  }
+
+  test("cosine: identical vectors → 1.0; orthogonal → 0.0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("c")).as("orth")).head
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.1f)),
+      (3L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.where(col("vec_id") === 1), vecs, "vec_id", "embedding", 2).collect()
+    assert(top.map(r => (r.getLong(1), r.getInt(3))).toSeq === Seq((2L, 1), (3L, 2)))
+  }
+
+  test("srpBucket is deterministic and within [0, 2^planes)") {
+    val vecs = Seq((1L, (0 until 64).map(i => (i - 32) / 64.0f)))
+      .toDF("vec_id", "embedding")
+    val b1 = vecs.select(Similarity.srpBucket(col("embedding"), 8, 64)).head.getLong(0)
+    val b2 = vecs.select(Similarity.srpBucket(col("embedding"), 8, 64)).head.getLong(0)
+    assert(b1 === b2 && b1 >= 0 && b1 < 256)
+  }
+}
