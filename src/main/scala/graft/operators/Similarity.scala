@@ -76,9 +76,11 @@ object Similarity {
       srpBucket(col(vecCol), planes, dim).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), cosine(col("q_vec"), col("n_vec")).as("cos"))
+      .select(col("q_id"), col("bucket"), col("n_id"),
+        cosine(col("q_vec"), col("n_vec")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.select(col("q_id"), col("n_id"), col("cos"), row_number().over(w).as("rnk"))
+    scored.select(col("q_id"), col("bucket"), col("n_id"), col("cos"),
+        row_number().over(w).as("rnk"))
       .where(col("rnk") <= k)
   }
 }

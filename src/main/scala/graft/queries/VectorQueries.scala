@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, Similarity}
+import graft.sources.Tables
+
+/** Embedding similarity search over `embeddings` (FLOAT[64]) and the
+  * multimodal binary-column surface. Cosines are sequential double folds
+  * on both engines, so results hash-compare bit-for-bit.
+  */
+object VectorQueries {
+
+  // Sequential dot product CTE fragment (DuckDB): identical op order to
+  // Similarity.dot (float→double casts, left-to-right fold).
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1,65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y)->x+y)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force exact cosine top-k: the ANN baseline. Query set (10
+    // vectors) broadcast against the candidate scan; per-query top-k via
+    // rank window.
+    QueryDef(
+      "q30_knn_cosine",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.where(col("vec_id") < 10)
+        Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 5)
+          .select(col("q_id"), col("n_id"), col("cos"), col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 10),
+        dots AS (
+          SELECT q_id, e.vec_id n_id,
+                 ${dotSql("q_vec", "e.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+          FROM embeddings e, q WHERE e.vec_id <> q_id),
+        ranked AS (
+          SELECT q_id, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM dots)
+        SELECT q_id, n_id, cos, rnk FROM ranked WHERE rnk <= 5
+        ORDER BY q_id, rnk""")),
+
+    // Signed-random-projection LSH ANN: 4 deterministic hyperplanes → 16
+    // buckets; exact cosine only inside the query's bucket (the scale
+    // path — probes ~1/16 of the corpus per query).
+    QueryDef(
+      "q31_ann_lsh",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.where(col("vec_id") < 10)
+        Similarity.lshTopK(q, e, "vec_id", "embedding", 3, planes = 4, dim = 64)
+          .select(col("q_id"), col("bucket"), col("n_id"), col("cos"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding,
+                 CAST(list_sum(list_transform(range(0,4), j ->
+                   CASE WHEN list_reduce(list_transform(range(0,64), d ->
+                          embedding[d+1]::DOUBLE * ((((j*97 + d*31) % 13) - 6)::DOUBLE / 6.0::DOUBLE)), (x,y)->x+y) > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id q_id, embedding q_vec, bucket FROM b WHERE vec_id < 10),
+        dots AS (
+          SELECT q_id, q.bucket, c.vec_id n_id,
+                 ${dotSql("q_vec", "c.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, bucket, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM dots)
+        SELECT q_id, bucket, n_id, cos, rnk FROM ranked WHERE rnk <= 3
+        ORDER BY q_id, rnk""")),
+
+    // Multimodal binary plumbing: payload as opaque binary + typed
+    // metadata, column-level feature extraction (size / head signature /
+    // sampled-byte checksum). The mapPartitions decode stub is exercised
+    // in unit tests; this query is the oracle-checkable column surface.
+    QueryDef(
+      "q32_multimodal_features",
+      (s, dir) => {
+        val media = Multimodal.fromDocuments(Tables.documents(s, dir))
+        media.select(
+            Seq(col("media_id"), col("media_type"), col("width").cast("long").as("width"),
+              col("height").cast("long").as("height"),
+              col("n_frames").cast("long").as("n_frames")) ++
+              Multimodal.fakeFeatures(col("content"), Seq(1, 5, 9, 13)): _*)
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        SELECT doc_id AS media_id,
+               'image/fake' AS media_type,
+               (n_chars % 640 + 64) AS width,
+               ((n_chars * 7) % 480 + 48) AS height,
+               (n_chars % 16 + 1) AS n_frames,
+               octet_length(encode(text)) AS n_bytes,
+               to_base64(encode(substring(text, 1, 16))) AS head_b64,
+               (ascii(substring(text,1,1)) + ascii(substring(text,5,1))
+                + ascii(substring(text,9,1)) + ascii(substring(text,13,1))) AS sample_checksum
+        FROM documents
+        ORDER BY media_id""")))
+}

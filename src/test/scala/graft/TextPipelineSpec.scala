@@ -84,4 +84,25 @@ class TextPipelineSpec extends SparkSpec {
     val b2 = vecs.select(Similarity.srpBucket(col("embedding"), 8, 64)).head.getLong(0)
     assert(b1 === b2 && b1 >= 0 && b1 < 256)
   }
+
+  test("multimodal: decodeFrames stub emits n_frames rows with in-range bytes") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image/fake", "hello world".getBytes("UTF-8"), 64, 48, 4),
+      Multimodal.MediaRow(2L, "image/fake", "xy".getBytes("UTF-8"), 64, 48, 1)
+    ).toDS()
+    val frames = Multimodal.decodeFrames(media).collect().sortBy(f => (f.media_id, f.frame_idx))
+    assert(frames.count(_.media_id == 1L) === 4)
+    assert(frames.count(_.media_id == 2L) === 1)
+    assert(frames.forall(f => f.sample_value >= 0 && f.sample_value <= 255))
+    assert(frames.head.byte_offset === 0L)
+  }
+
+  test("multimodal: byteAt matches ascii of the UTF-8 payload") {
+    import graft.operators.Multimodal
+    val df = Seq("Abc").toDF("t")
+      .select(Multimodal.byteAt(encode(col("t"), "UTF-8"), 2).as("b"))
+    assert(df.head.getLong(0) === 'b'.toLong)
+  }
 }
