@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Kernels._
+import graft.functions.{PipelineVars, SlotParser}
+import graft.sources.Tables
+
+/** Reference-parity surface round 2: structured JSON extraction with a
+  * declared schema, the delivery-slot text parser, timezone conversion,
+  * and the ex-VAT back-out price path with typed config.
+  */
+object ParityQueries {
+
+  // --- q33 helpers: deterministic invoice JSON built from orders --------
+  // (both engines build the identical string, then each parses with its
+  // own JSON machinery — the parse is the operator under test)
+  private val InvoiceJsonSql = """
+    '{"invoice_id":"' || o_orderkey ||
+    '","customer_id":"' || o_custkey ||
+    '","date":"' || strftime(o_orderdate, '%Y-%m-%d') ||
+    '","due_date":"' || CASE WHEN o_orderkey % 7 = 0 THEN '' ELSE strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') END ||
+    '","last_payment_date":"' || CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE strftime(o_orderdate + INTERVAL 10 DAY, '%Y-%m-%d') END ||
+    '","currency_code":"aed","status":"' ||
+    CASE o_orderkey % 6 WHEN 0 THEN 'PAID' WHEN 1 THEN 'Partially_Paid' WHEN 2 THEN 'draft'
+                        WHEN 3 THEN 'void' WHEN 4 THEN 'unpaid' ELSE 'overdue' END ||
+    '","total_cents":' || CAST(round(o_totalprice * 100) AS BIGINT) ||
+    ',"balance_cents":' || CASE WHEN o_orderkey % 3 = 0 THEN 0
+                                ELSE CAST(round(o_totalprice * 100) AS BIGINT) % 10000 END || '}'"""
+
+  private def invoiceJsonSpark = {
+    val totalCents = round(col("o_totalprice") * 100).cast("long")
+    concat(
+      lit("{\"invoice_id\":\""), col("o_orderkey"),
+      lit("\",\"customer_id\":\""), col("o_custkey"),
+      lit("\",\"date\":\""), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      lit("\",\"due_date\":\""),
+      when(col("o_orderkey") % 7 === 0, "")
+        .otherwise(date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")),
+      lit("\",\"last_payment_date\":\""),
+      when(col("o_orderkey") % 5 === 0, "")
+        .otherwise(date_format(date_add(col("o_orderdate"), 10), "yyyy-MM-dd")),
+      lit("\",\"currency_code\":\"aed\",\"status\":\""),
+      when(col("o_orderkey") % 6 === 0, "PAID")
+        .when(col("o_orderkey") % 6 === 1, "Partially_Paid")
+        .when(col("o_orderkey") % 6 === 2, "draft")
+        .when(col("o_orderkey") % 6 === 3, "void")
+        .when(col("o_orderkey") % 6 === 4, "unpaid")
+        .otherwise("overdue"),
+      lit("\",\"total_cents\":"), totalCents,
+      lit(",\"balance_cents\":"),
+      when(col("o_orderkey") % 3 === 0, lit(0L)).otherwise(totalCents % 10000),
+      lit("}"))
+  }
+
+  private val invoiceSchema = StructType(Seq(
+    StructField("invoice_id", StringType), StructField("customer_id", StringType),
+    StructField("date", StringType), StructField("due_date", StringType),
+    StructField("last_payment_date", StringType), StructField("currency_code", StringType),
+    StructField("status", StringType), StructField("total_cents", LongType),
+    StructField("balance_cents", LongType)))
+
+  // --- q34 helpers: slot text corpus derived from orders ----------------
+  private val SlotCaseSql = """CASE o_orderkey % 10
+      WHEN 0 THEN '8am - 10am'      WHEN 1 THEN '10:30 - 12:30 PM'
+      WHEN 2 THEN '2  PM – 4  PM'   WHEN 3 THEN 'Morning 9 - 11'
+      WHEN 4 THEN 'evening 6—8'     WHEN 5 THEN '18:00–20:00'
+      WHEN 6 THEN '30-60 min'       WHEN 7 THEN '12pm - 2pm'
+      WHEN 8 THEN '12am - 1:15am'   ELSE NULL END"""
+
+  private def slotCaseSpark = {
+    val k = col("o_orderkey") % 10
+    when(k === 0, "8am - 10am").when(k === 1, "10:30 - 12:30 PM")
+      .when(k === 2, "2  PM – 4  PM").when(k === 3, "Morning 9 - 11")
+      .when(k === 4, "evening 6—8").when(k === 5, "18:00–20:00")
+      .when(k === 6, "30-60 min").when(k === 7, "12pm - 2pm")
+      .when(k === 8, "12am - 1:15am")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §2.7 JSON: from_json with a DECLARED StructType reproducing the
+    // invoice extraction incl. nullif(f,'')::date, status
+    // canonicalization, amount_paid/payment_date derivation and the
+    // paid-only filter (reference stg_invoice_payments.sql:17-48,57-77).
+    QueryDef(
+      "q33_json_struct_invoices",
+      (s, dir) => {
+        val o  = Tables.orders(s, dir)
+        val j  = from_json(invoiceJsonSpark, invoiceSchema)
+        val withJ = o.select(j.as("j"))
+          .select(col("j.*"))
+        val srcStatus = lower(col("status"))
+        val canonical = when(srcStatus === "paid" && col("balance_cents") === 0, "paid")
+          .when(srcStatus.isin("paid", "partially_paid") && col("balance_cents") > 0, "partially_paid")
+          .when(srcStatus === "draft", "draft")
+          .when(srcStatus === "void", "void")
+          .when(srcStatus.isin("unpaid", "overdue"), "unpaid")
+          .otherwise(coalesce(srcStatus, lit("unknown")))
+        val invoiceDate = to_date(col("date"))
+        val paidCents   = greatest(col("total_cents") - col("balance_cents"), lit(0L))
+        val paymentDate = coalesce(
+          when(col("last_payment_date") === "", null)
+            .otherwise(to_date(col("last_payment_date"))),
+          when(col("total_cents") - col("balance_cents") > 0, invoiceDate))
+        withJ.select(
+            col("invoice_id"), col("customer_id"),
+            invoiceDate.as("invoice_date"),
+            when(col("due_date") === "", null).otherwise(to_date(col("due_date"))).as("due_date"),
+            paymentDate.as("payment_date"),
+            canonical.as("status_canonical"),
+            (col("total_cents").cast("double") / 100.0d).as("total_amount"),
+            (paidCents.cast("double") / 100.0d).as("amount_paid"),
+            (col("balance_cents").cast("double") / 100.0d).as("balance"),
+            upper(col("currency_code")).as("currency_code"),
+            surrogateKey(lit("zoho_invoice"), col("invoice_id"),
+              coalesce(date_format(paymentDate, "yyyy-MM-dd"),
+                date_format(invoiceDate, "yyyy-MM-dd"))).as("payment_id"))
+          .where(col("status_canonical").isin("paid", "partially_paid"))
+          .orderBy(col("invoice_id").cast("long"))
+      },
+      Some(s"""
+        WITH j AS (SELECT $InvoiceJsonSql AS js FROM orders),
+        base AS (
+          SELECT json_extract_string(js,'$$.invoice_id') AS invoice_id,
+                 json_extract_string(js,'$$.customer_id') AS customer_id,
+                 CAST(json_extract_string(js,'$$.date') AS DATE) AS invoice_date,
+                 CAST(NULLIF(json_extract_string(js,'$$.due_date'),'') AS DATE) AS due_date,
+                 NULLIF(json_extract_string(js,'$$.last_payment_date'),'') AS last_pay_raw,
+                 upper(json_extract_string(js,'$$.currency_code')) AS currency_code,
+                 lower(json_extract_string(js,'$$.status')) AS src_status,
+                 CAST(json_extract_string(js,'$$.total_cents') AS BIGINT) AS total_cents,
+                 CAST(json_extract_string(js,'$$.balance_cents') AS BIGINT) AS balance_cents
+          FROM j),
+        norm AS (
+          SELECT *,
+            CASE WHEN src_status = 'paid' AND balance_cents = 0 THEN 'paid'
+                 WHEN src_status IN ('paid','partially_paid') AND balance_cents > 0 THEN 'partially_paid'
+                 WHEN src_status = 'draft' THEN 'draft'
+                 WHEN src_status = 'void' THEN 'void'
+                 WHEN src_status IN ('unpaid','overdue') THEN 'unpaid'
+                 ELSE COALESCE(src_status,'unknown') END AS status_canonical,
+            GREATEST(total_cents - balance_cents, 0) AS paid_cents,
+            COALESCE(CAST(last_pay_raw AS DATE),
+                     CASE WHEN total_cents - balance_cents > 0 THEN invoice_date END) AS payment_date
+          FROM base)
+        SELECT invoice_id, customer_id, invoice_date, due_date, payment_date,
+               status_canonical,
+               total_cents::DOUBLE / 100.0::DOUBLE AS total_amount,
+               paid_cents::DOUBLE / 100.0::DOUBLE AS amount_paid,
+               balance_cents::DOUBLE / 100.0::DOUBLE AS balance,
+               currency_code,
+               md5('zoho_invoice' || '-' || invoice_id || '-' ||
+                   COALESCE(strftime(payment_date,'%Y-%m-%d'), strftime(invoice_date,'%Y-%m-%d'))) AS payment_id
+        FROM norm
+        WHERE status_canonical IN ('paid','partially_paid')
+        ORDER BY CAST(invoice_id AS BIGINT)""")),
+
+    // §2.7 the delivery-slot parser: nth-occurrence regexp extraction,
+    // group extraction, lpad, am/pm inference, 24h clamp, period buckets
+    // (reference stg_delivery_slots.sql:23-119).
+    QueryDef(
+      "q34_delivery_slots",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val raw = o.select(slotCaseSpark.as("dt"))
+          .where(col("dt").isNotNull && trim(col("dt")) =!= "")
+        val norm = raw.select(SlotParser.normalizeSlotText(col("dt")).as("slot_txt")).distinct()
+        val parsed = norm.select(col("slot_txt") +: SlotParser.parse(col("slot_txt")): _*)
+        parsed.where(!col("is_duration"))
+          .select(
+            surrogateKey(col("delivery_slot")).as("delivery_slot_id"),
+            col("slot_txt"), col("delivery_slot"),
+            col("start_time"), col("end_time"), col("slot_period"))
+          .orderBy(col("slot_txt"))
+      },
+      Some(s"""
+        WITH raw AS (SELECT $SlotCaseSql AS dt FROM orders),
+        norm AS (
+          SELECT DISTINCT lower(trim(regexp_replace(replace(replace(dt,'–','-'),'—','-'), '\\s+', ' ', 'g'))) AS slot_txt
+          FROM raw WHERE dt IS NOT NULL AND trim(dt) <> ''),
+        parsed AS (
+          SELECT slot_txt,
+                 (slot_txt LIKE '%am%') AS has_am, (slot_txt LIKE '%pm%') AS has_pm,
+                 (slot_txt LIKE '%morning%') AS has_morning,
+                 (slot_txt LIKE '%afternoon%') AS has_afternoon,
+                 (slot_txt LIKE '%evening%') AS has_evening,
+                 COALESCE(TRY_CAST(regexp_extract_all(slot_txt,'\\d{1,2}')[1] AS INT), 0) AS t1,
+                 COALESCE(TRY_CAST(regexp_extract_all(slot_txt,'\\d{1,2}')[2] AS INT), 0) AS t2,
+                 COALESCE(regexp_extract_all(slot_txt,':(\\d{2})',1)[1], '00') AS m1,
+                 COALESCE(regexp_extract_all(slot_txt,':(\\d{2})',1)[2], '00') AS m2
+          FROM norm),
+        hinted AS (
+          SELECT *,
+            CASE WHEN has_am AND NOT has_pm THEN 'am'
+                 WHEN has_pm AND NOT has_am THEN 'pm'
+                 WHEN has_morning THEN 'am'
+                 WHEN has_evening OR has_afternoon THEN 'pm' END AS hint
+          FROM parsed),
+        to24 AS (
+          SELECT *,
+            lpad(CAST(CASE WHEN hint='am' THEN (CASE WHEN t1=12 THEN 0 ELSE t1 END)
+                           WHEN hint='pm' THEN (CASE WHEN t1<12 THEN t1+12 ELSE t1 END)
+                           ELSE LEAST(GREATEST(t1,0),23) END AS VARCHAR), 2, '0') AS t1h,
+            lpad(CAST(CASE WHEN hint='am' THEN (CASE WHEN t2=12 THEN 0 ELSE t2 END)
+                           WHEN hint='pm' THEN (CASE WHEN t2<12 THEN t2+12 ELSE t2 END)
+                           ELSE LEAST(GREATEST(t2,0),23) END AS VARCHAR), 2, '0') AS t2h,
+            (has_am OR has_pm) AS has_ampm,
+            (slot_txt LIKE '%min%') AS has_min_word
+          FROM hinted),
+        canon AS (
+          SELECT slot_txt,
+            CASE WHEN len(regexp_extract_all(slot_txt,'\\d')) >= 2
+                      AND (has_ampm OR slot_txt LIKE '%:%')
+                 THEN t1h||':'||lpad(m1,2,'0')||'-'||t2h||':'||lpad(m2,2,'0') END AS delivery_slot,
+            CASE WHEN regexp_matches(t1h, '^(0\\d|1\\d|2[0-3]|\\d)$$')
+                 THEN t1h||':'||lpad(m1,2,'0')||':00' END AS start_time,
+            CASE WHEN regexp_matches(t2h, '^(0\\d|1\\d|2[0-3]|\\d)$$')
+                 THEN t2h||':'||lpad(m2,2,'0')||':00' END AS end_time
+          FROM to24
+          WHERE NOT (has_min_word AND NOT has_ampm AND strpos(slot_txt, ':') = 0))
+        SELECT md5(COALESCE(delivery_slot, '$SkNullSentinel')) AS delivery_slot_id,
+               slot_txt, delivery_slot, start_time, end_time,
+               CASE WHEN TRY_CAST(substring(start_time,1,2) AS INT) BETWEEN 5 AND 11 THEN 'morning'
+                    WHEN TRY_CAST(substring(start_time,1,2) AS INT) BETWEEN 12 AND 16 THEN 'afternoon'
+                    WHEN TRY_CAST(substring(start_time,1,2) AS INT) BETWEEN 17 AND 21 THEN 'evening'
+                    ELSE 'other' END AS slot_period
+        FROM canon
+        ORDER BY slot_txt""")),
+
+    // §2.7 timezone conversion with coalesce fallback (reference
+    // stg_orders.sql:17-21: convert_timezone('Asia/Dubai','UTC', ts)).
+    QueryDef(
+      "q35_timezone_utc",
+      (s, dir) => {
+        val ev  = Tables.events(s, dir)
+        val tsn = when(col("event_id") % 97 === 0, null).otherwise(col("ts"))
+        val anchor = lit("2024-02-01 00:00:00").cast("timestamp")
+        val utc = coalesce(to_utc_timestamp(tsn, "Asia/Dubai"), anchor)
+        ev.select(col("event_type"), tsn.as("tsn"), utc.as("utc"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            min(col("utc")).as("min_utc"), max(col("utc")).as("max_utc"),
+            sum(when(col("tsn").isNull, 1L).otherwise(0L)).as("n_fallback"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type,
+                 CASE WHEN event_id % 97 = 0 THEN NULL ELSE ts END AS tsn,
+                 COALESCE(timezone('UTC', timezone('Asia/Dubai',
+                            CASE WHEN event_id % 97 = 0 THEN NULL ELSE ts END)),
+                          TIMESTAMP '2024-02-01 00:00:00') AS utc
+          FROM events)
+        SELECT event_type, COUNT(*) AS n,
+               MIN(utc) AS min_utc, MAX(utc) AS max_utc,
+               CAST(SUM(CASE WHEN tsn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback
+        FROM t GROUP BY event_type ORDER BY event_type""")),
+
+    // §2.2 ex-VAT back-out price path with typed config (reference
+    // stg_items.sql:29-42: price/(1+var('vat_rate')), clamped discount pct).
+    QueryDef(
+      "q36_exvat_prices",
+      (s, dir) => {
+        val vars = PipelineVars.default
+        val li = Tables.lineitem(s, dir)
+        val hasVat = col("l_partkey") % 2 === 1
+        li.select(
+            col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+            hasVat.as("has_vat"),
+            when(hasVat, col("l_extendedprice") / lit(1.0d + vars.vatRate))
+              .otherwise(col("l_extendedprice")).as("unit_price_ex_vat"),
+            least(lit(1.0d), greatest(lit(0.0d),
+              (coalesce(col("l_discount"), lit(0.0d)) * 100 +
+                coalesce(col("l_tax"), lit(0.0d)) * 100) / 100.0d)).as("total_discount_pct"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""
+        SELECT l_orderkey,
+               CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               (l_partkey % 2 = 1) AS has_vat,
+               CASE WHEN l_partkey % 2 = 1 THEN l_extendedprice / 1.05::DOUBLE
+                    ELSE l_extendedprice END AS unit_price_ex_vat,
+               LEAST(1.0::DOUBLE, GREATEST(0.0::DOUBLE,
+                 (COALESCE(l_discount, 0.0::DOUBLE) * 100 + COALESCE(l_tax, 0.0::DOUBLE) * 100) / 100.0::DOUBLE)) AS total_discount_pct
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber""")))
+}
