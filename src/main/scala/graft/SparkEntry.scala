@@ -11,7 +11,8 @@ object SparkEntry {
 
   val allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ LtvQueries.defs ++ ScalarQueries.defs ++ MatQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs ++ ParityQueries.defs
+      TextQueries.defs ++ VectorQueries.defs ++ ParityQueries.defs ++
+      CheckQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Checks
+import graft.sources.{Materialize, Tables}
+
+/** Data-quality check battery (q37) and the view-sink / schema-name /
+  * SQL-surface demonstration (q38).
+  */
+object CheckQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // The reference's whole test surface as one summary: per-column tests,
+    // expression_is_true, unique_combination_of_columns, relationships,
+    // and the singular-test shapes (email shape, lat/lon range,
+    // delivered-after-shipped). Checks that pass AND checks that catch
+    // seeded violations, so both outcomes are exercised.
+    QueryDef(
+      "q37_quality_checks",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val ord  = Tables.orders(s, dir)
+        val li   = Tables.lineitem(s, dir)
+        val ev   = Tables.events(s, dir)
+
+        // synthesized messy columns (same derivations in the oracle)
+        val withEmail = cust.withColumn("email",
+          when(col("c_custkey") % 11 === 0, lit("@broken"))
+            .otherwise(concat(lit("c"), col("c_custkey"), lit("@example.com"))))
+        val withGeo = cust
+          .withColumn("latitude", (col("c_custkey") % 200 - 100).cast("double"))
+          .withColumn("longitude", (col("c_custkey") % 400 - 200).cast("double"))
+        val shipments = li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").as("shipped_at"),
+          expr("date_add(l_shipdate, CAST(l_partkey % 5 AS INT) - 1)").as("delivered_at"))
+
+        val battery = Seq(
+          Checks.Check("not_null_customer_name", "error",
+            Checks.notNull(cust, "c_name")),
+          Checks.Check("unique_order_key", "error",
+            Checks.unique(ord, "o_orderkey")),
+          Checks.Check("unique_combo_cust_orderdate", "warn",
+            Checks.uniqueCombination(ord, Seq("o_custkey", "o_orderdate"))),
+          Checks.Check("expr_extendedprice_nonneg", "error",
+            Checks.expressionIsTrue(li, col("l_extendedprice") >= 0)),
+          Checks.Check("expr_discount_in_range", "warn",
+            Checks.expressionIsTrue(li, col("l_discount").between(0.0d, 0.08d))),
+          Checks.Check("email_shape", "warn",
+            withEmail.where(col("email").isNotNull && instr(col("email"), "@") <= 1)),
+          Checks.Check("latlon_range", "warn",
+            withGeo.where(
+              (col("latitude").isNotNull && !col("latitude").between(-90, 90)) ||
+                (col("longitude").isNotNull && !col("longitude").between(-180, 180)))),
+          Checks.Check("fk_orders_customer", "error",
+            Checks.relationships(ord, "o_custkey", cust, "c_custkey")),
+          Checks.Check("fk_events_user_customer", "warn",
+            Checks.relationships(ev, "user_id", cust, "c_custkey")),
+          Checks.Check("delivered_after_shipped", "warn",
+            shipments.where(col("delivered_at").isNotNull &&
+              col("shipped_at").isNotNull && col("delivered_at") < col("shipped_at"))),
+          Checks.Check("accepted_order_status", "error",
+            Checks.acceptedValues(ord, "o_orderstatus", Seq("O", "F", "P"))))
+
+        Checks.summarize(battery)
+      },
+      Some("""
+        WITH c AS (SELECT * FROM customer), o AS (SELECT * FROM orders),
+        l AS (SELECT * FROM lineitem), e AS (SELECT * FROM events)
+        SELECT * FROM (
+          SELECT 'not_null_customer_name' AS check_name, 'error' AS severity,
+                 (SELECT COUNT(*) FROM c WHERE c_name IS NULL) AS n_violations
+          UNION ALL
+          SELECT 'unique_order_key', 'error',
+                 (SELECT COUNT(*) FROM (SELECT o_orderkey FROM o GROUP BY 1 HAVING COUNT(*) > 1))
+          UNION ALL
+          SELECT 'unique_combo_cust_orderdate', 'warn',
+                 (SELECT COUNT(*) FROM (SELECT o_custkey, o_orderdate FROM o GROUP BY 1,2 HAVING COUNT(*) > 1))
+          UNION ALL
+          SELECT 'expr_extendedprice_nonneg', 'error',
+                 (SELECT COUNT(*) FROM l WHERE NOT (l_extendedprice >= 0))
+          UNION ALL
+          SELECT 'expr_discount_in_range', 'warn',
+                 (SELECT COUNT(*) FROM l WHERE NOT (l_discount BETWEEN 0.0::DOUBLE AND 0.08::DOUBLE))
+          UNION ALL
+          SELECT 'email_shape', 'warn',
+                 (SELECT COUNT(*) FROM (
+                    SELECT CASE WHEN c_custkey % 11 = 0 THEN '@broken'
+                                ELSE 'c' || c_custkey || '@example.com' END AS email FROM c)
+                  WHERE email IS NOT NULL AND strpos(email, '@') <= 1)
+          UNION ALL
+          SELECT 'latlon_range', 'warn',
+                 (SELECT COUNT(*) FROM (
+                    SELECT (c_custkey % 200 - 100)::DOUBLE AS latitude,
+                           (c_custkey % 400 - 200)::DOUBLE AS longitude FROM c)
+                  WHERE (latitude IS NOT NULL AND NOT (latitude BETWEEN -90 AND 90))
+                     OR (longitude IS NOT NULL AND NOT (longitude BETWEEN -180 AND 180)))
+          UNION ALL
+          SELECT 'fk_orders_customer', 'error',
+                 (SELECT COUNT(*) FROM o WHERE o_custkey IS NOT NULL
+                    AND o_custkey NOT IN (SELECT c_custkey FROM c))
+          UNION ALL
+          SELECT 'fk_events_user_customer', 'warn',
+                 (SELECT COUNT(*) FROM e WHERE user_id IS NOT NULL
+                    AND user_id NOT IN (SELECT c_custkey FROM c))
+          UNION ALL
+          SELECT 'delivered_after_shipped', 'warn',
+                 (SELECT COUNT(*) FROM (
+                    SELECT l_shipdate AS shipped_at,
+                           l_shipdate + (CAST(l_partkey % 5 AS INT) - 1) * INTERVAL 1 DAY AS delivered_at
+                    FROM l)
+                  WHERE delivered_at IS NOT NULL AND shipped_at IS NOT NULL
+                    AND delivered_at < shipped_at)
+          UNION ALL
+          SELECT 'accepted_order_status', 'error',
+                 (SELECT COUNT(*) FROM o WHERE o_orderstatus IS NOT NULL
+                    AND o_orderstatus NOT IN ('O','F','P'))
+        ) ORDER BY check_name""")),
+
+    // View sink + verbatim schema-name resolution + spark.sql surface:
+    // register documents/embeddings as SILVER views, query them with SQL
+    // (S4/S8 + J-join across the registered views).
+    QueryDef(
+      "q38_view_sink_sql",
+      (s, dir) => {
+        Materialize.view(Tables.documents(s, dir), "SILVER", "documents")
+        Materialize.view(Tables.embeddings(s, dir), "SILVER", "embeddings")
+        s.sql("""
+          SELECT d.lang,
+                 COUNT(*) AS n_docs,
+                 COUNT(e.vec_id) AS n_vecs,
+                 CAST(SUM(e.label) AS BIGINT) AS sum_label,
+                 CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+          FROM silver__documents d
+          LEFT JOIN silver__embeddings e ON e.vec_id = d.doc_id
+          GROUP BY d.lang
+          ORDER BY d.lang""")
+      },
+      Some("""
+        SELECT d.lang,
+               COUNT(*) AS n_docs,
+               COUNT(e.vec_id) AS n_vecs,
+               CAST(SUM(e.label) AS BIGINT) AS sum_label,
+               CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        FROM documents d
+        LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+        GROUP BY d.lang
+        ORDER BY d.lang""")))
+}
