@@ -6,43 +6,76 @@ import org.apache.spark.sql.functions._
 
 /** As-of style "best match at time T" join, generalizing the reference's
   * best-shipping-address-at-order-time pick (reference
-  * models/marts/commerce/facts/fct_orders.sql:115-141): equi-join on an
-  * entity key, then rank candidates by (candidate_ts <= anchor_ts first,
-  * then smallest |Δt|), keep rank 1.
+  * models/marts/commerce/facts/fct_orders.sql:115-141): for each left row,
+  * the candidate at-or-before the anchor that is closest in time — else the
+  * closest after — with a deterministic tiebreak.
   *
-  * Scale: composed of an equi-join (hash-partitioned on the entity key —
-  * broadcast when the candidate side is small) and a window over the left
-  * key. Candidate fan-out is bounded by candidates-per-entity, not by table
-  * size; for genuinely huge candidate sides, pre-reduce candidates with a
-  * coarse time-bucket filter before ranking.
+  * Scale design: implemented as UNION + per-key ordered window scan, NOT
+  * as an equi-join followed by ranking. The join form materializes
+  * O(left/key × candidates/key) rows before the rank-1 filter — a 10,000×
+  * intermediate blowup on hot keys at 100× event volume. The union form
+  * is linear: one hash exchange on the key, two local sorts (one per scan
+  * direction), zero fan-out. Both sides stream; skewed keys split fine
+  * because the window is per-key ordered state, not a product.
   */
 object AsOfJoin {
 
-  /** Left row + best matching right row (nulls if none).
+  /** Left rows + the fields of their best-matching right row (nulls when
+    * the key has no candidates).
     *
-    * @param leftTs  anchor timestamp on the left
-    * @param rightTs candidate timestamp on the right
-    * @param leftPk  unique left key to rank within
-    * @param tiebreak deterministic final tiebreak from the right side
+    * Semantics (identical to the reference's rank ordering): prefer the
+    * at-or-before candidate with max ts, else the after candidate with
+    * min ts; equal-distance ties resolve to the smallest `tiebreakCol`.
+    * A candidate with ts == anchor counts as at-or-before.
+    *
+    * Non-key column names of `left` and `right` must be disjoint.
+    *
+    * @param tiebreakCol right-side column resolving equal-ts ties
     */
   def bestAtTime(
       left: DataFrame,
       right: DataFrame,
       joinKeys: Seq[String],
-      leftPk: Column,
       leftTs: Column,
       rightTs: Column,
-      tiebreak: Column): DataFrame = {
-    val joined = left.join(right, joinKeys, "left")
-    // Prefer candidates at-or-before the anchor (case ts<=anchor then 0
-    // else 1), then minimal absolute distance — exact reference ordering
-    // (fct_orders.sql:131-136), micros for exactness.
-    val pref    = when(rightTs <= leftTs, 0).otherwise(1)
-    val absDiff = abs(unix_micros(rightTs) - unix_micros(leftTs))
-    val w = Window.partitionBy(leftPk).orderBy(pref.asc, absDiff.asc, tiebreak.asc)
-    joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      tiebreakCol: String): DataFrame = {
+    val leftCols  = left.columns.filterNot(joinKeys.contains).toSeq
+    val rightCols = right.columns.filterNot(joinKeys.contains).toSeq
+
+    val lTagged = left.select(
+      joinKeys.map(col) ++ Seq(
+        leftTs.as("__ts"), lit(1).as("__tag"),
+        struct(leftCols.map(col): _*).as("__l")): _*)
+    val rTagged = right.select(
+      joinKeys.map(col) ++ Seq(
+        rightTs.as("__ts"), lit(0).as("__tag"),
+        col(tiebreakCol).as("__tb"),
+        struct(rightCols.map(col): _*).as("__r")): _*)
+    // allowMissingColumns: __l/__r/__tb become typed nulls on the other side
+    val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    // Sort order: ts, then candidates-before-anchors (equal ts counts as
+    // at-or-before). The backward scan orders ties by tiebreak DESC so
+    // `last` lands on the smallest; the forward scan orders ASC so
+    // `first` does.
+    val keys = joinKeys.map(col)
+    val wPrev = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val best = coalesce(
+      last(col("__r"), ignoreNulls = true).over(wPrev),
+      first(col("__r"), ignoreNulls = true).over(wNext))
+
+    u.select(
+        (joinKeys.map(col) :+ col("__tag") :+ col("__l") :+ best.as("__best")): _*)
+      .where(col("__tag") === 1)
+      .select(
+        joinKeys.map(col) ++
+          leftCols.map(c => col("__l").getField(c).as(c)) ++
+          rightCols.map(c => col("__best").getField(c).as(c)): _*)
   }
 }

@@ -145,8 +145,8 @@ object CoreQueries {
         AsOfJoin
           .bestAtTime(
             purchases, candidates, Seq("user_id"),
-            leftPk = col("event_id"), leftTs = col("ts"),
-            rightTs = col("cand_ts"), tiebreak = col("cand_event_id"))
+            leftTs = col("ts"), rightTs = col("cand_ts"),
+            tiebreakCol = "cand_event_id")
           .select(col("event_id"), col("user_id"), col("cand_event_id"), col("cand_type"))
           .orderBy(col("event_id"))
       },

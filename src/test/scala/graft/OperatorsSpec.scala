@@ -51,7 +51,7 @@ class OperatorsSpec extends SparkSpec {
       (201L, 2L, ts("2024-01-07 00:00:00")))
       .toDF("cand", "k", "ct")
     val got = AsOfJoin.bestAtTime(left, right, Seq("k"),
-        leftPk = col("pk"), leftTs = col("t"), rightTs = col("ct"), tiebreak = col("cand"))
+        leftTs = col("t"), rightTs = col("ct"), tiebreakCol = "cand")
       .orderBy("pk").select("pk", "cand").collect()
     assert(got.map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
       Seq((10L, 100L), (11L, 200L), (12L, -1L)))
@@ -63,7 +63,7 @@ class OperatorsSpec extends SparkSpec {
       (7L, 1L, ts("2024-01-05 00:00:00")),
       (8L, 1L, ts("2024-01-04 23:59:59"))).toDF("cand", "k", "ct")
     val got = AsOfJoin.bestAtTime(left, right, Seq("k"),
-        col("pk"), col("t"), col("ct"), col("cand"))
+        col("t"), col("ct"), "cand")
       .select("cand").as[Long].head()
     assert(got == 7L)
   }
