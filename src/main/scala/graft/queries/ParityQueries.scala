@@ -167,11 +167,16 @@ object ParityQueries {
           .where(col("dt").isNotNull && trim(col("dt")) =!= "")
         val norm = raw.select(SlotParser.normalizeSlotText(col("dt")).as("slot_txt")).distinct()
         val parsed = norm.select(col("slot_txt") +: SlotParser.parse(col("slot_txt")): _*)
+        def minutes(t: org.apache.spark.sql.Column) =
+          substring(t, 1, 2).try_cast(LongType) * 60 + substring(t, 4, 2).try_cast(LongType)
         parsed.where(!col("is_duration"))
           .select(
             surrogateKey(col("delivery_slot")).as("delivery_slot_id"),
             col("slot_txt"), col("delivery_slot"),
-            col("start_time"), col("end_time"), col("slot_period"))
+            col("start_time"), col("end_time"),
+            minutes(col("start_time")).as("start_minutes"),
+            minutes(col("end_time")).as("end_minutes"),
+            col("slot_period"))
           .orderBy(col("slot_txt"))
       },
       Some(s"""
@@ -221,6 +226,8 @@ object ParityQueries {
           WHERE NOT (has_min_word AND NOT has_ampm AND strpos(slot_txt, ':') = 0))
         SELECT md5(COALESCE(delivery_slot, '$SkNullSentinel')) AS delivery_slot_id,
                slot_txt, delivery_slot, start_time, end_time,
+               TRY_CAST(substring(start_time,1,2) AS BIGINT) * 60 + TRY_CAST(substring(start_time,4,2) AS BIGINT) AS start_minutes,
+               TRY_CAST(substring(end_time,1,2) AS BIGINT) * 60 + TRY_CAST(substring(end_time,4,2) AS BIGINT) AS end_minutes,
                CASE WHEN TRY_CAST(substring(start_time,1,2) AS INT) BETWEEN 5 AND 11 THEN 'morning'
                     WHEN TRY_CAST(substring(start_time,1,2) AS INT) BETWEEN 12 AND 16 THEN 'afternoon'
                     WHEN TRY_CAST(substring(start_time,1,2) AS INT) BETWEEN 17 AND 21 THEN 'evening'

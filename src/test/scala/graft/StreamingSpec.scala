@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Structured-Streaming operator fixtures driven through MemoryStream —
+  * covers watermarked dedup, tumbling-window aggregation, custom
+  * mapGroupsWithState, and the foreachBatch incremental-merge sink. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dedupStream: first arrival per key wins within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val deduped = Streams.dedupStream(
+      in.toDF.toDF("k", "ts", "v"), "ts", "10 minutes", Seq("k"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    in.addData((1L, ts("2024-01-01 00:00:00"), "first"),
+      (1L, ts("2024-01-01 00:00:30"), "dup"),
+      (2L, ts("2024-01-01 00:01:00"), "other"))
+    q.processAllAvailable()
+    val got = spark.table("dedup_out").orderBy("k").as[(Long, Timestamp, String)].collect()
+    q.stop()
+    assert(got.map(r => (r._1, r._3)).toSeq === Seq((1L, "first"), (2L, "other")))
+  }
+
+  test("windowedRevenue: watermarked tumbling windows with exact decimal sums") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = Streams.windowedRevenue(
+      in.toDF.toDF("ts", "event_type", "value"), "ts", "10 minutes", "5 minutes",
+      col("value"))
+    val q = agg.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    in.addData(
+      (ts("2024-01-01 00:01:00"), "purchase", 10.10),
+      (ts("2024-01-01 00:02:00"), "purchase", 0.20),
+      (ts("2024-01-01 00:07:00"), "purchase", 5.00),
+      (ts("2024-01-01 00:03:00"), "click", 1.00))
+    q.processAllAvailable()
+    val got = spark.table("win_out").orderBy("window_start", "event_type")
+      .select(col("event_type"), col("n"), col("revenue").cast("string")).collect()
+    q.stop()
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq === Seq(
+      ("click", 1L, "1.000000"), ("purchase", 2L, "10.300000"), ("purchase", 1L, "5.000000")))
+  }
+
+  test("sessionState: running per-user count/total/last-seen via mapGroupsWithState") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Evt]
+    val st = Streams.sessionState(in.toDS())
+    val q = st.writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    in.addData(
+      Streams.Evt(1L, ts("2024-01-01 00:00:00"), 2.0),
+      Streams.Evt(1L, ts("2024-01-01 00:05:00"), 3.0),
+      Streams.Evt(2L, ts("2024-01-01 00:01:00"), 7.0))
+    q.processAllAvailable()
+    in.addData(Streams.Evt(1L, ts("2024-01-01 00:09:00"), 1.0))
+    q.processAllAvailable()
+    // memory sink in update mode appends updated rows; take the LAST state per user
+    val got = spark.table("sess_out").as[Streams.UserState].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+    q.stop()
+    assert(got(1L).n_events === 3 && got(1L).total_value === 6.0 &&
+      got(1L).last_seen === ts("2024-01-01 00:09:00"))
+    assert(got(2L).n_events === 1 && got(2L).total_value === 7.0)
+  }
+
+  test("mergeSink: micro-batches merge into the parquet target, fresh wins") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val target = s"$dir/target"; val ckpt = s"$dir/ckpt"
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.mergeSink(in.toDF.toDF("k", "v"), spark, target, Seq("k"), ckpt)
+    in.addData((1L, "a1"), (2L, "b1")); q.processAllAvailable()
+    in.addData((2L, "b2"), (3L, "c1")); q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(target).orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got === Seq((1L, "a1"), (2L, "b2"), (3L, "c1")))
+  }
+}
