@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.Md5Lower64Bits
+
+/** Session extensions: registers the native graft expressions for SQL
+  * users. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * standard plug-in point, so a cluster picks the functions up from
+  * config alone (no code changes in notebooks/jobs).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("md5_lower64_bits"),
+      new ExpressionInfo(classOf[Md5Lower64Bits].getName, "md5_lower64_bits"),
+      (children: Seq[Expression]) => Md5Lower64Bits(children.head)))
+  }
+}

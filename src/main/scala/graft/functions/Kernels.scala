@@ -119,4 +119,39 @@ object Kernels {
 
   /** Low 32 bits of md5_number_lower(s), as long. */
   def md5Lower64Lo32(c: Column): Column = md5HexLo32(md5(c))
+
+  // ---- native-expression variants (no hex round-trip) -------------------
+  // Backed by the codegen'd Md5Lower64Bits expression: one digest, one
+  // long. The *bits* value is the signed reinterpretation of the u64;
+  // derivations below recover unsigned semantics with cheap long ops.
+
+  /** Raw 64 hash bits as signed long (codegen'd native expression). */
+  def md5Bits(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      Md5Lower64Bits(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** Unsigned u64 from the bit pattern, as decimal(20,0) — equals
+    * md5Lower64 / DuckDB md5_number_lower. */
+  def md5BitsU64(bits: Column): Column = {
+    val dec = bits.cast(DecimalType(20, 0))
+    when(bits < 0, dec + lit(BigDecimal(2).pow(64)).cast(DecimalType(20, 0)))
+      .otherwise(dec)
+  }
+
+  /** Unsigned hi/lo 32-bit halves from the bit pattern. */
+  def md5BitsHi32(bits: Column): Column = shiftrightunsigned(bits, 32)
+  def md5BitsLo32(bits: Column): Column = bits.bitwiseAND(lit(0xFFFFFFFFL))
+
+  /** Unsigned u64 mod p (p = 2³¹−1) in pure long arithmetic:
+    * u64 = bits + 2⁶⁴·[bits<0] and 2⁶⁴ ≡ 4 (mod 2³¹−1), so
+    * u64 mod p = pmod(pmod(bits,p) + 4·[bits<0], p). */
+  def md5BitsMod31(bits: Column): Column = {
+    val p = lit(2147483647L)
+    pmod(pmod(bits, p) + when(bits < 0, lit(4L)).otherwise(lit(0L)), p)
+  }
+
+  /** Order-preserving signed image of the unsigned u64 (sign-bit flip):
+    * min/max over this equals unsigned min/max over the u64. */
+  def md5BitsOrderable(bits: Column): Column =
+    bits.bitwiseXOR(lit(Long.MinValue))
 }

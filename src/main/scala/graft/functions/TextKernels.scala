@@ -59,5 +59,5 @@ object TextKernels {
   /** Exact-content fingerprint: DuckDB-parity md5 u64 of the raw text,
     * emitted as digit string (avoids decimal-vs-ubigint repr drift). */
   def contentFingerprint(text: Column): Column =
-    Kernels.md5Lower64(text).cast("string")
+    Kernels.md5BitsU64(Kernels.md5Bits(text)).cast("string")
 }

@@ -55,14 +55,13 @@ object TextDedup {
   }
 
   /** Per-doc MinHash signature from flat (idCol, shCol) shingle rows: ONE
-    * md5 per shingle (staged so the digest is computed once), then
+    * codegen'd digest per shingle (native Md5Lower64Bits expression), then
     * `numHashes` affine permutations and a map-side partial min
     * aggregation. Output (idCol, sig: array<long>). */
   def minhashSignatures(shingles: DataFrame, idCol: String, shCol: String,
       numHashes: Int): DataFrame = {
-    val hexed = shingles.select(col(idCol), md5(col(shCol)).as("_x"))
-    val based = hexed.select(col(idCol),
-      (Kernels.md5HexU64(col("_x")) % MinhashP).cast("long").as("_h"))
+    val based = shingles.select(col(idCol),
+      Kernels.md5BitsMod31(Kernels.md5Bits(col(shCol))).as("_h"))
     val perms = based.select(
       col(idCol) +: (0 until numHashes).map(i =>
         ((lit(permA(i)) * col("_h") + lit(permB(i))) % MinhashP).as(s"_p$i")): _*)
@@ -114,10 +113,10 @@ object TextDedup {
     * partial-aggregate map-side, so the shuffle is 64 longs per doc. */
   def simhashes(docs: DataFrame, idCol: String, tokCol: String): DataFrame = {
     val toks = docs.select(col(idCol), explode(col(tokCol)).as("_t"))
-    val hexed = toks.select(col(idCol), md5(col("_t")).as("_x"))
-    val hashed = hexed.select(col(idCol),
-      Kernels.md5HexHi32(col("_x")).as("_hi"),
-      Kernels.md5HexLo32(col("_x")).as("_lo"))
+    val bitted = toks.select(col(idCol), Kernels.md5Bits(col("_t")).as("_b"))
+    val hashed = bitted.select(col(idCol),
+      Kernels.md5BitsHi32(col("_b")).as("_hi"),
+      Kernels.md5BitsLo32(col("_b")).as("_lo"))
     def vote(c: Column, b: Int): Column =
       sum(shiftright(c, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
     val votes = hashed.groupBy(col(idCol)).agg(
@@ -135,15 +134,14 @@ object TextDedup {
     * trick). Same staged-hash/agg shape as the other sketches. */
   def minShingleFingerprints(shingles: DataFrame, idCol: String, shCol: String): DataFrame =
     shingles
-      .select(col(idCol), md5(col(shCol)).as("_x"))
-      // min over the byte-reversed fixed-width hex == numeric u64 min, so
-      // the expensive conv happens once per DOC, not once per shingle.
-      .select(col(idCol), Kernels.md5HexRev64(col("_x")).as("_r"))
+      // sign-flip makes signed min == unsigned u64 min, so the aggregate
+      // runs on raw longs and the decimal conversion happens once per DOC
+      .select(col(idCol),
+        Kernels.md5BitsOrderable(Kernels.md5Bits(col(shCol))).as("_r"))
       .groupBy(col(idCol))
       .agg(min(col("_r")).as("_rm"))
       .select(col(idCol),
-        conv(col("_rm"), 16, 10)
-          .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+        Kernels.md5BitsU64(Kernels.md5BitsOrderable(col("_rm")))
           .cast("string").as("winnow_fp"))
 
   /** Exact n-gram Jaccard for (already-blocked) candidate pairs. */
