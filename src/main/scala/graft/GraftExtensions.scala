@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.Md5Lower64Bits
+import graft.functions.{Md5Lower64Bits, VectorDot}
 
 /** Session extensions: registers the native graft expressions for SQL
   * users. Enable with
@@ -17,5 +17,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_lower64_bits"),
       new ExpressionInfo(classOf[Md5Lower64Bits].getName, "md5_lower64_bits"),
       (children: Seq[Expression]) => Md5Lower64Bits(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => VectorDot(children.head, children(1))))
   }
 }

@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential dot product: Σ a_i·b_i with double casts, left-to-right
-    * (init 0.0 — identical fold to DuckDB list_reduce since 0.0+x == x). */
+    * (init 0.0 — identical fold to DuckDB list_reduce since 0.0+x == x).
+    * Native codegen'd expression; the HOF `aggregate(zip_with(..))` form
+    * is interpreted per element and was ~10× slower on pairwise queries. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.VectorDot(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -50,19 +53,35 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component (j-th plane, d-th
     * dim) — pure integer arithmetic then one exact double division, so the
-    * oracle can regenerate the identical plane without literal tables. */
-  def planeComponent(j: Column, d: Column): Column =
-    (((j * 97 + d * 31) % 13) - 6).cast("double") / lit(6.0d)
+    * oracle regenerates the identical plane without literal tables (the
+    * JVM computes the same IEEE value the SQL formula does). */
+  def planeComponent(j: Int, d: Int): Double =
+    (((j * 97 + d * 31) % 13) - 6) / 6.0d
 
-  /** Signed-random-projection bucket id: bit j = sign(v · plane_j). */
+  /** Signed-random-projection bucket id: bit j = sign(v · plane_j), with
+    * planes materialized as literal arrays so the projections run through
+    * the codegen'd VectorDot. */
   def srpBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { j =>
-      val proj = aggregate(
-        sequence(lit(0), lit(dim - 1)), lit(0.0d),
-        (acc, d) => acc +
-          element_at(vec, d + 1).cast("double") * planeComponent(lit(j), d))
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+      val plane = array((0 until dim).map(d => lit(planeComponent(j, d))): _*)
+      when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Embedding-cosine near-duplicate pairs: SRP-bucket blocking (same
+    * bucket only — never all-pairs), exact cosine inside the bucket,
+    * threshold filter. LSH recall is partial by construction; raise
+    * `planes` for precision, add band rotations for recall. */
+  def nearDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, planes: Int, dim: Int): DataFrame = {
+    val b = vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      srpBucket(col(vecCol), planes, dim).as("bucket"))
+    val a = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val c = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(c, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
 
   /** ANN top-k: candidates share the query's SRP bucket; exact cosine is
     * computed only inside the bucket. Equi-join on bucket → one hash

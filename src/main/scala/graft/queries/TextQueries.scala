@@ -195,6 +195,31 @@ object TextQueries {
         FROM h
         ORDER BY doc_id""")),
 
+    // Token counting, BPE-ish: regex word/number/punctuation classes vs
+    // whitespace counting (the two standard corpus token estimators).
+    // Punctuated suffix derived from doc_id exercises the class split.
+    QueryDef(
+      "q42_token_regex",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val rt = concat(col("text"), lit(" v"), col("doc_id") % 10, lit(".2, end!"))
+        val bpe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+        d.select(
+            col("doc_id"),
+            tokenCount(tokens(col("text"))).as("n_ws_tokens"),
+            size(regexp_extract_all(rt, lit(bpe), lit(0))).cast("long").as("n_bpe_tokens"),
+            size(regexp_extract_all(rt, lit("[^a-z0-9 ]"), lit(0))).cast("long").as("n_punct"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, text, text || ' v' || (doc_id % 10) || '.2, end!' AS rt FROM documents)
+        SELECT doc_id,
+               len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+               len(regexp_extract_all(rt, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens,
+               len(regexp_extract_all(rt, '[^a-z0-9 ]'))::BIGINT AS n_punct
+        FROM t
+        ORDER BY doc_id""")),
+
     // Exact n-gram Jaccard verification of the LSH candidates → the final
     // verified near-duplicate pair list (est from sketches, exact on the
     // candidate set only).

@@ -77,6 +77,35 @@ object VectorQueries {
         SELECT q_id, bucket, n_id, cos, rnk FROM ranked WHERE rnk <= 3
         ORDER BY q_id, rnk""")),
 
+    // Embedding-cosine near-duplicate detection: SRP-bucket blocking +
+    // exact cosine + threshold — the embedding flavor of the dedup
+    // family (LSH recall is partial by construction; both engines apply
+    // the identical blocking so results hash-match).
+    QueryDef(
+      "q41_embed_neardup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Similarity.nearDupPairs(e, "vec_id", "embedding",
+            minCosine = 0.4, planes = 4, dim = 64)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding,
+                 CAST(list_sum(list_transform(range(0,4), j ->
+                   CASE WHEN list_reduce(list_transform(range(0,64), d ->
+                          embedding[d+1]::DOUBLE * ((((j*97 + d*31) % 13) - 6)::DOUBLE / 6.0::DOUBLE)), (x,y)->x+y) > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+          FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id id_a, c.vec_id id_b,
+                 ${dotSql("a.embedding", "c.embedding")}
+                   / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+        SELECT id_a, id_b, cos FROM pairs
+        WHERE cos >= 0.4::DOUBLE
+        ORDER BY id_a, id_b""")),
+
     // Multimodal binary plumbing: payload as opaque binary + typed
     // metadata, column-level feature extraction (size / head signature /
     // sampled-byte checksum). The mapPartitions decode stub is exercised
