@@ -12,7 +12,8 @@ object SparkEntry {
   val allDefs: Seq[QueryDef] =
     CoreQueries.defs ++ LtvQueries.defs ++ ScalarQueries.defs ++ MatQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ ParityQueries.defs ++
-      CheckQueries.defs ++ PipelineQueries.defs ++ StagingQueries.defs
+      CheckQueries.defs ++ PipelineQueries.defs ++ StagingQueries.defs ++
+      ScaleQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -67,6 +67,41 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style cell-probed ANN: a coarse quantizer (here: the first
+    * `numCells` vectors as deterministic centroids — a trained k-means
+    * would slot in identically) assigns every vector to its max-dot
+    * cell; queries probe only their own cell. Assignment is a broadcast
+    * of the tiny centroid set against the corpus scan + a rank window —
+    * O(N·cells) map-side work, one shuffle; probing is an equi-join on
+    * cell. The standard inverted-file layout: probe cost = corpus/cells
+    * per query, recall tunable by probing neighbor cells. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, numCells: Int): DataFrame = {
+    val cent = candidates.where(col(idCol) < numCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    def assign(df: DataFrame): DataFrame = {
+      val scored = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .crossJoin(broadcast(cent))
+        .select(col("id"), col("v"), col("cid"), dot(col("v"), col("cvec")).as("d"))
+      val w = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cid"))
+      scored.select(col("id"), col("v"), col("cid"),
+          row_number().over(w).as("__rn"))
+        .where(col("__rn") === 1)
+        .select(col("id"), col("v"), col("cid").as("cell"))
+    }
+    val assigned = assign(candidates)
+    val q = assign(queries)
+      .select(col("id").as("q_id"), col("v").as("q_vec"), col("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("cell"), col("id").as("n_id"),
+        cosine(col("q_vec"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.select(col("q_id"), col("cell"), col("n_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket blocking (same
     * bucket only — never all-pairs), exact cosine inside the bucket,
     * threshold filter. LSH recall is partial by construction; raise

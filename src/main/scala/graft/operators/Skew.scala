@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities: salted two-stage aggregation and bucketed
+  * range joins — the two manual techniques that matter when AQE's runtime
+  * skew handling isn't enough (extreme hot keys, or join shapes AQE can't
+  * split).
+  */
+object Skew {
+
+  /** Two-stage salted aggregation: partial-aggregate on (key, salt) —
+    * spreading a hot key over `saltBuckets` reducers — then final-combine
+    * on key. `partials` are (aggCol → partialExpr); `finals` combine the
+    * partial columns. The salt must be deterministic for oracle parity,
+    * so it derives from a hash of the full row's grouping-independent
+    * content — here a column the caller supplies.
+    *
+    * For algebraic aggregates (sum/count/min/max) the result is exactly
+    * the unsalted aggregate; the salted form only changes the exchange
+    * topology: stage 1 shuffles (key, salt) — bounded fan-in per reducer —
+    * stage 2 shuffles `saltBuckets` rows per key.
+    */
+  def saltedAggregate(
+      df: DataFrame,
+      key: Column,
+      saltSource: Column,
+      saltBuckets: Int,
+      partials: Seq[(String, Column)],
+      finals: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(saltSource, lit(saltBuckets)))
+    val stage1 = salted.groupBy(key.as("__key"), col("__salt"))
+      .agg(partials.head._2.as(partials.head._1),
+        partials.tail.map { case (n, c) => c.as(n) }: _*)
+    stage1.groupBy(col("__key"))
+      .agg(finals.head, finals.tail: _*)
+  }
+
+  /** Bucketed range join: match left rows to right intervals
+    * [startCol, endCol] on a shared time axis WITHOUT a nested-loop join.
+    * Intervals explode to the integer buckets they overlap (width
+    * `bucketWidth`, same unit as the columns); points bucket once; the
+    * join runs as an equi-join on (bucket) plus the exact range filter.
+    * Right intervals must be bounded (end - start bounded) for the
+    * explode to stay small — the standard range-join optimization Spark
+    * lacks natively (a raw inequality join plans as BroadcastNestedLoop).
+    */
+  def rangeJoin(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    val pB = points.withColumn("__bucket", (col(pointCol) / bucketWidth).cast("long"))
+    val iB = intervals.withColumn("__bucket",
+      explode(sequence((col(startCol) / bucketWidth).cast("long"),
+        (col(endCol) / bucketWidth).cast("long"))))
+    pB.join(iB, Seq("__bucket"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels._
+import graft.operators.{Similarity, Skew}
+import graft.sources.Tables
+
+/** Scale-path operators: salted skew-safe aggregation, bucketed range
+  * join (Spark's missing native range join), and IVF-style cell-probed
+  * ANN. Each oracle is the naive/exact form — proving the optimized
+  * topology returns identical results.
+  */
+object ScaleQueries {
+
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1,65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y)->x+y)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Salted two-stage aggregation over an extremely hot key space
+    // (l_returnflag has 3 values → 3 reducers unsalted). The oracle is
+    // the plain single-stage aggregate: algebraic aggs are exactly
+    // salt-invariant.
+    QueryDef(
+      "q43_salted_agg",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        Skew.saltedAggregate(
+            li, key = col("l_returnflag"),
+            saltSource = col("l_orderkey"), saltBuckets = 16,
+            partials = Seq(
+              "p_cnt" -> count(lit(1)),
+              "p_qty" -> money(sum(dec6(col("l_quantity")))),
+              "p_rev" -> money(sum(dec6(col("l_extendedprice")))),
+              "p_min" -> min(col("l_shipdate")),
+              "p_max" -> max(col("l_shipdate"))),
+            finals = Seq(
+              sum(col("p_cnt")).cast("long").as("n_items"),
+              moneyOut(sum(col("p_qty"))).as("sum_qty"),
+              moneyOut(sum(col("p_rev"))).as("sum_revenue"),
+              min(col("p_min")).as("first_ship"),
+              max(col("p_max")).as("last_ship")))
+          .withColumnRenamed("__key", "l_returnflag")
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_revenue,
+               MIN(l_shipdate) AS first_ship,
+               MAX(l_shipdate) AS last_ship
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // Bucketed range join: ship-date points against 30-day order windows
+    // as an equi-join on overlap buckets + exact filter (a naive
+    // inequality join plans as BroadcastNestedLoop). Oracle IS the naive
+    // inequality join.
+    QueryDef(
+      "q44_range_join",
+      (s, dir) => {
+        val anchor = lit("1990-01-01").cast("date")
+        val points = Tables.lineitem(s, dir)
+          .where(col("l_orderkey") % 997 === 0)
+          .select(col("l_orderkey").as("item_order"), col("l_linenumber").cast("long").as("item_line"),
+            datediff(col("l_shipdate"), anchor).cast("long").as("ship_day"))
+        val intervals = Tables.orders(s, dir)
+          .where(col("o_orderkey") % 503 === 0)
+          .select(col("o_orderkey").as("window_order"),
+            datediff(col("o_orderdate"), anchor).cast("long").as("start_day"))
+          .withColumn("end_day", col("start_day") + 30)
+        Skew.rangeJoin(points, "ship_day", intervals, "start_day", "end_day", 32L)
+          .select(col("item_order"), col("item_line"), col("window_order"),
+            col("ship_day"), col("start_day"))
+          .orderBy(col("item_order"), col("item_line"), col("window_order"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT l_orderkey AS item_order, CAST(l_linenumber AS BIGINT) AS item_line,
+                 date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS ship_day
+          FROM lineitem WHERE l_orderkey % 997 = 0),
+        i AS (
+          SELECT o_orderkey AS window_order,
+                 date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS start_day
+          FROM orders WHERE o_orderkey % 503 = 0)
+        SELECT item_order, item_line, window_order, ship_day, start_day
+        FROM p JOIN i ON p.ship_day >= i.start_day AND p.ship_day <= i.start_day + 30
+        ORDER BY item_order, item_line, window_order""")),
+
+    // IVF-style ANN: 8 deterministic centroids (first 8 vectors), every
+    // vector assigned to its max-cosine cell, queries probe ONLY their
+    // own cell. The coarse quantizer is the standard IVF scale path —
+    // probe cost is corpus/cells per query.
+    QueryDef(
+      "q45_ann_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.where(col("vec_id") < 10)
+        Similarity.ivfTopK(q, e, "vec_id", "embedding", k = 3, numCells = 8)
+          .select(col("q_id"), col("cell"), col("n_id"), col("cos"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${dotSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+            FROM embeddings e, cent c) t WHERE rn = 1),
+        q AS (SELECT vec_id q_id, embedding q_vec, cell FROM assign WHERE vec_id < 10),
+        dots AS (
+          SELECT q_id, q.cell, a.vec_id n_id,
+                 ${dotSql("q_vec", "a.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("a.embedding", "a.embedding")})) AS cos
+          FROM assign a JOIN q ON a.cell = q.cell AND a.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, cell, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM dots)
+        SELECT q_id, cell, n_id, cos, rnk FROM ranked WHERE rnk <= 3
+        ORDER BY q_id, rnk""")))
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAggregate equals the unsalted aggregate for algebraic aggs") {
+    val df = Seq.tabulate(200)(i => ("k" + (i % 2), i.toLong, i * 1.5))
+      .toDF("k", "id", "v")
+    val salted = Skew.saltedAggregate(df, col("k"), col("id"), 8,
+        partials = Seq("p_cnt" -> count(lit(1)), "p_sum" -> sum(col("v")),
+          "p_min" -> min(col("id"))),
+        finals = Seq(sum(col("p_cnt")).cast("long").as("n"),
+          sum(col("p_sum")).as("total"), min(col("p_min")).as("first")))
+      .orderBy("__key").collect()
+    val plain = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"), min(col("id")).as("first"))
+      .orderBy("k").collect()
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq ===
+      plain.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq)
+  }
+
+  test("rangeJoin equals the naive inequality join, incl. bucket-boundary spans") {
+    val points = Seq((1L, 5L), (2L, 31L), (3L, 64L), (4L, 100L)).toDF("pid", "x")
+    val intervals = Seq((10L, 0L, 6L), (11L, 30L, 65L), (12L, 90L, 95L))
+      .toDF("iid", "lo", "hi")
+    val got = Skew.rangeJoin(points, "x", intervals, "lo", "hi", 32L)
+      .select("pid", "iid").orderBy("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // naive: 1∈[0,6]; 2∈[30,65]; 3∈[30,65]; 4∉ anything ([90,95] misses 100)
+    assert(got === Seq((1L, 10L), (2L, 11L), (3L, 11L)))
+  }
+}
