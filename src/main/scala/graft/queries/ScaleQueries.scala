@@ -89,6 +89,34 @@ object ScaleQueries {
         FROM p JOIN i ON p.ship_day >= i.start_day AND p.ship_day <= i.start_day + 30
         ORDER BY item_order, item_line, window_order""")),
 
+    // Approximate sketches — the 100 TB path for distinct counts and
+    // percentiles (HLL / GK instead of exact shuffles). Estimates are
+    // implementation-specific, so no cross-engine oracle: the driver
+    // records a rows-only check, and the unit/acceptance bound lives in
+    // the assertions column (exact value alongside, error must be < 5%).
+    QueryDef(
+      "q46_approx_sketches",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        // distinct-count and percentile aggregates are SPLIT: mixing a
+        // DISTINCT aggregate with sort-based percentile aggregates in one
+        // agg() triggers an Expand-based plan that ran ~25× slower; two
+        // hash aggregates + a 3-row join is the cheap shape
+        val counts = li.groupBy(col("l_returnflag")).agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        val pcts = li.groupBy(col("l_returnflag")).agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p50"))
+        counts.join(pcts, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_orders"), col("approx_orders"),
+            (abs(col("approx_orders") - col("exact_orders")).cast("double") /
+              col("exact_orders")).as("distinct_rel_err"),
+            col("exact_p50"), col("approx_p50"))
+          .orderBy(col("l_returnflag"))
+      },
+      None), // estimates are engine-specific; rows-only check by design
+
     // IVF-style ANN: 8 deterministic centroids (first 8 vectors), every
     // vector assigned to its max-cosine cell, queries probe ONLY their
     // own cell. The coarse quantizer is the standard IVF scale path —
