@@ -61,6 +61,21 @@ object Streams {
       }
   }
 
+  /** Streaming corpus dedup — the streaming twin of exact-content
+    * fingerprint dedup (TextKernels.contentFingerprint): documents are
+    * keyed by their md5-u64 content fingerprint (native codegen'd
+    * expression) and deduplicated within the watermark horizon. This is
+    * the shape of an incremental training-data ingest: state is one
+    * fingerprint per unique document, hash-partitioned and
+    * watermark-evicted. */
+  def dedupDocumentsStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("content_fp",
+        graft.functions.TextKernels.contentFingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_fp")
+
   /** Streaming incremental-merge sink: every micro-batch merges into the
     * parquet target with the batch IncrementalMerge operator (latest
     * batch wins on key overlap) — the streaming twin of the reference's

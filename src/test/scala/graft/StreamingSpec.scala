@@ -73,6 +73,24 @@ class StreamingSpec extends SparkSpec {
     assert(got(2L).n_events === 1 && got(2L).total_value === 7.0)
   }
 
+  test("dedupDocumentsStream: same-content docs collapse to one by fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = Streams.dedupDocumentsStream(
+      in.toDF.toDF("doc_id", "ingested_at", "text"), "ingested_at", "text", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("docdedup_out")
+      .outputMode("append").start()
+    in.addData(
+      (1L, ts("2024-01-01 00:00:00"), "the same document"),
+      (2L, ts("2024-01-01 00:01:00"), "the same document"),   // dup content
+      (3L, ts("2024-01-01 00:02:00"), "a different document"))
+    q.processAllAvailable()
+    val got = spark.table("docdedup_out").orderBy("doc_id")
+      .select("doc_id", "text").collect()
+    q.stop()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
   test("mergeSink: micro-batches merge into the parquet target, fresh wins") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
