@@ -58,14 +58,21 @@ object CoreQueries {
         val li = Tables.lineitem(s, dir)
         val discAmt =
           (dec6(col("l_extendedprice")) * dec6(col("l_discount"))).cast(DecimalType(18, 6))
-        li.groupBy(col("l_orderkey"))
+        // DISTINCT aggregate split from the sums (Expand-plan lesson, see
+        // q46/q47): two hash aggs + a same-key join beats one Expand agg
+        val sums = li.groupBy(col("l_orderkey"))
           .agg(
             count(lit(1)).as("line_count"),
-            countDistinct(col("l_partkey")).as("distinct_parts"),
             moneyOut(sum(dec6(col("l_quantity")))).as("total_qty"),
             moneyOut(sum(dec6(col("l_extendedprice")))).as("gross_amount"),
             moneyOut(sum(discAmt)).as("discount_amount"),
             min(col("l_shipdate")).as("first_ship_ts"))
+        val dp = li.groupBy(col("l_orderkey"))
+          .agg(countDistinct(col("l_partkey")).as("distinct_parts"))
+        sums.join(dp, Seq("l_orderkey"))
+          .select(col("l_orderkey"), col("line_count"), col("distinct_parts"),
+            col("total_qty"), col("gross_amount"), col("discount_amount"),
+            col("first_ship_ts"))
           .orderBy(col("l_orderkey"))
       },
       Some("""
