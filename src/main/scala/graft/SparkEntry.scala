@@ -15,9 +15,11 @@ object SparkEntry {
       CheckQueries.defs ++ PipelineQueries.defs ++ StagingQueries.defs ++
       ScaleQueries.defs ++ FactQueries.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q47 is the full fct_orders composite — line math, rollup, joins,
+    * as-of address pick, surrogate keys — the widest single-query surface. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q47_fct_orders")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -220,6 +220,40 @@ object TextQueries {
         FROM t
         ORDER BY doc_id""")),
 
+    // Transitive dup clusters: LSH pairs → connected components →
+    // canonical-document selection (keep the min doc_id per cluster) —
+    // the last stage of a corpus-dedup pipeline. Spark side is iterative
+    // min-label propagation; the oracle is a recursive CTE.
+    QueryDef(
+      "q48_dedup_clusters",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val sig = TextDedup.minhashSignatures(shRows, "doc_id", "_sh", 16)
+        val pairs = TextDedup.lshCandidatePairs(sig, "doc_id", "sig", 4, 4)
+          .select(col("id_a"), col("id_b"))
+        TextDedup.connectedComponents(pairs, "id_a", "id_b")
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"), min(col("node")).as("keep_doc"),
+            max(col("node")).as("drop_up_to"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $ToksCte, $ShCte, $MhCte, $BandsCte,
+        pairs AS (
+          SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u AS node, u AS reachable FROM edges
+          UNION
+          SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.reachable),
+        labels AS (SELECT node, MIN(reachable) AS cluster_id FROM reach GROUP BY node)
+        SELECT cluster_id, COUNT(*) AS n_docs, MIN(node) AS keep_doc, MAX(node) AS drop_up_to
+        FROM labels GROUP BY cluster_id
+        ORDER BY cluster_id""")),
+
     // Exact n-gram Jaccard verification of the LSH candidates → the final
     // verified near-duplicate pair list (est from sketches, exact on the
     // candidate set only).

@@ -105,4 +105,15 @@ class TextPipelineSpec extends SparkSpec {
       .select(Multimodal.byteAt(encode(col("t"), "UTF-8"), 2).as("b"))
     assert(df.head.getLong(0) === 'b'.toLong)
   }
+
+  test("connectedComponents: chains, triangles and disjoint pairs get min-label clusters") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),          // chain 1-2-3
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L)                   // disjoint pair
+    ).toDF("id_a", "id_b")
+    val got = TextDedup.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L,1L),(2L,1L),(3L,1L),(10L,10L),(11L,10L),(12L,10L),(20L,20L),(21L,20L)))
+  }
 }
