@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.{Materialize, Tables}
+
+/** Table-sink roundtrip (q49) and gap-based sessionization (q50). */
+object SinkQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S3 table sink exercised end-to-end INSIDE the gate: materialize a
+    // date-partitioned mart to parquet, read it back, aggregate. The
+    // oracle computes the same aggregate straight from the source — so
+    // the check proves the sink round-trips values and partitioning
+    // drops nothing.
+    QueryDef(
+      "q49_table_sink_roundtrip",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val mart = o.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          to_date(col("o_orderdate")).as("order_date"),
+          year(col("o_orderdate")).cast("int").as("order_year"))
+        val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+        Materialize.table(mart, out, "GOLD", "orders_mart", partitionBy = Seq("order_year"))
+        s.read.parquet(s"$out/GOLD/orders_mart")
+          .groupBy(col("order_year").cast("long").as("order_year"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            min(col("order_date")).as("first_date"),
+            max(col("order_date")).as("last_date"))
+          .orderBy(col("order_year"), col("o_orderstatus"))
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year, o_orderstatus,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               MIN(CAST(o_orderdate AS DATE)) AS first_date,
+               MAX(CAST(o_orderdate AS DATE)) AS last_date
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // Gap-based sessionization: per-user event stream split into
+    // sessions wherever the inter-event gap exceeds 30 minutes (lag →
+    // gap flag → running sum = session number), then per-session
+    // rollup. One shuffle on user_id; both windows share the sort.
+    QueryDef(
+      "q50_sessionize",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val gapUs  = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser))
+        val newSession = when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L).otherwise(0L)
+        val sessioned = ev.select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"),
+            sum(newSession).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("session_no"))
+        sessioned.groupBy(col("user_id"), col("session_no"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"),
+            (sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)"))
+              .cast("double").as("session_value"))
+          .orderBy(col("user_id"), col("session_no"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+          FROM events),
+        flagged AS (
+          SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000 THEN 1 ELSE 0 END AS new_session
+          FROM g),
+        sess AS (
+          SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM flagged)
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS session_value
+        FROM sess
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")))
+}
