@@ -68,8 +68,8 @@ object FactQueries {
 
         // ---- synthetic two-version address book + as-of pick (:82-141) ----
         val addr = c.select(col("c_custkey").as("customer_id"),
-            col("c_mktsegment").as("segment"))
-          .crossJoin(spark_explode_versions)
+            col("c_mktsegment").as("segment"),
+            explode(array(lit(0), lit(1))).as("v"))
           .select(col("customer_id"),
             concat(col("segment"), lit("#v"), col("v")).as("ship_area"),
             (col("customer_id") * 2 + col("v")).as("addr_id"),
@@ -164,8 +164,4 @@ object FactQueries {
                p.ship_area, p.ship_addr_id
         FROM joined j LEFT JOIN picked p ON p.order_id = j.order_id
         ORDER BY j.order_id""")))
-
-  /** Two address versions per customer (a tiny inline frame). */
-  private def spark_explode_versions =
-    org.apache.spark.sql.SparkSession.active.range(2).select(col("id").cast("int").as("v"))
 }
