@@ -13,7 +13,8 @@ object SparkEntry {
     CoreQueries.defs ++ LtvQueries.defs ++ ScalarQueries.defs ++ MatQueries.defs ++
       TextQueries.defs ++ VectorQueries.defs ++ ParityQueries.defs ++
       CheckQueries.defs ++ PipelineQueries.defs ++ StagingQueries.defs ++
-      ScaleQueries.defs ++ FactQueries.defs ++ SinkQueries.defs
+      ScaleQueries.defs ++ FactQueries.defs ++ SinkQueries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q47 is the full fct_orders composite — line math, rollup, joins,
