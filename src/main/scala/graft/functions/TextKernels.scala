@@ -60,4 +60,18 @@ object TextKernels {
     * emitted as digit string (avoids decimal-vs-ubigint repr drift). */
   def contentFingerprint(text: Column): Column =
     Kernels.md5BitsU64(Kernels.md5Bits(text)).cast("string")
+
+  /** Rabin-Karp polynomial rolling hash of the whole text:
+    * h = Σ ascii(cᵢ)·B^(n-i) mod M, folded left-to-right as
+    * h = (h·B + c) mod M with B=131, M=2³¹−1. h·B ≤ ~2³⁸ so the fold is
+    * exact in int64 on both engines (DuckDB twin:
+    * list_reduce over ascii codes). The per-window variant (subtract the
+    * outgoing term) shares the same arithmetic; content-defined chunking
+    * at 100 TB builds on exactly this fold. */
+  val RollB = 131L
+  val RollM = 2147483647L
+  def rollingHash(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), ch => ascii(ch).cast("long")),
+      lit(0L), (acc, c) => (acc * RollB + c) % RollM)
 }

@@ -70,6 +70,23 @@ object Multimodal {
   def byteAt(bin: Column, pos: Int): Column =
     conv(hex(substring(bin, pos, 1)), 16, 10).cast("long")
 
+  /** STUB resize: deterministic nearest-neighbour downsample of the fake
+    * frame grid — metadata transforms exactly as a real resize would
+    * (target dims, scale factors, byte budget), payload handling stays
+    * opaque. A real build maps pixels here. */
+  def resizeStub(media: Dataset[MediaRow], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.map { m =>
+      val sx = math.max(1, m.width / targetW)
+      val sy = math.max(1, m.height / targetH)
+      // nearest-neighbour: keep every (sx·sy)-th byte of the payload
+      val kept = m.content.grouped(sx * sy).map(_.head).toArray
+      m.copy(content = kept, width = math.min(m.width, targetW),
+        height = math.min(m.height, targetH))
+    }
+  }
+
   /** Column-level feature extraction on the payload (oracle-checkable
     * fake: size, head-of-file signature, sampled-byte checksum — the
     * shape of a real perceptual hash pipeline). */

@@ -126,9 +126,11 @@ object TextQueries {
         val shRows = TextDedup.shingleRows(
           d.select(col("doc_id"), ws.as("ws")), "doc_id", "ws", 3)
         val winnow = TextDedup.minShingleFingerprints(shRows, "doc_id", "_sh")
-        val fp = d.select(col("doc_id"), contentFingerprint(col("text")).as("content_fp"))
+        val fp = d.select(col("doc_id"),
+            contentFingerprint(col("text")).as("content_fp"),
+            rollingHash(col("text")).as("rolling_fp"))
           .join(winnow, "doc_id")
-        fp.select(col("doc_id"), col("content_fp"), col("winnow_fp"),
+        fp.select(col("doc_id"), col("content_fp"), col("rolling_fp"), col("winnow_fp"),
             count(lit(1)).over(Window.partitionBy(col("content_fp"))).as("exact_dup_group"),
             count(lit(1)).over(Window.partitionBy(col("winnow_fp"))).as("near_dup_group"))
           .orderBy(col("doc_id"))
@@ -138,9 +140,11 @@ object TextQueries {
         fp AS (
           SELECT t.doc_id,
                  md5_number_lower(t.text)::VARCHAR AS content_fp,
+                 list_reduce(list_transform(range(1, len(t.text)+1), i -> ascii(t.text[i])::BIGINT),
+                   (a,c) -> (a*131 + c) % 2147483647) AS rolling_fp,
                  list_min(list_transform(sh.s, x -> md5_number_lower(x)))::VARCHAR AS winnow_fp
           FROM toks t JOIN sh ON sh.doc_id = t.doc_id)
-        SELECT doc_id, content_fp, winnow_fp,
+        SELECT doc_id, content_fp, rolling_fp, winnow_fp,
                COUNT(*) OVER (PARTITION BY content_fp) AS exact_dup_group,
                COUNT(*) OVER (PARTITION BY winnow_fp) AS near_dup_group
         FROM fp

@@ -116,4 +116,21 @@ class TextPipelineSpec extends SparkSpec {
       .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((1L,1L),(2L,1L),(3L,1L),(10L,10L),(11L,10L),(12L,10L),(20L,20L),(21L,20L)))
   }
+
+  test("rollingHash matches the Rabin-Karp reference fold") {
+    // h('abc') with B=131, M=2^31-1, computed independently = 1677554
+    val df = Seq("abc").toDF("t").select(TextKernels.rollingHash(col("t")).as("h"))
+    assert(df.head.getLong(0) === 1677554L)
+  }
+
+  test("multimodal resizeStub shrinks dims and payload deterministically") {
+    import graft.operators.Multimodal
+    implicit val s = spark
+    val media = Seq(Multimodal.MediaRow(1L, "image/fake",
+      Array.tabulate(64)(_.toByte), 640, 480, 2)).toDS()
+    val r = Multimodal.resizeStub(media, 320, 240).head()
+    assert(r.width === 320 && r.height === 240)
+    assert(r.content.length === 64 / 4)        // sx=2, sy=2 -> every 4th byte
+    assert(r.content(1) === 4.toByte)          // head of the 2nd group
+  }
 }
