@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Md5Lower64Bits, VectorDot}
+import graft.functions.{Md5Lower64Bits, RollingHash64, TextKernels, VectorDot}
 
 /** Session extensions: registers the native graft expressions for SQL
   * users. Enable with
@@ -21,5 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (children: Seq[Expression]) =>
+        RollingHash64(children.head, TextKernels.RollB, TextKernels.RollM)))
   }
 }

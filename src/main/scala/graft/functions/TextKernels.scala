@@ -71,7 +71,7 @@ object TextKernels {
   val RollB = 131L
   val RollM = 2147483647L
   def rollingHash(text: Column): Column =
-    aggregate(
-      transform(split(text, ""), ch => ascii(ch).cast("long")),
-      lit(0L), (acc, c) => (acc * RollB + c) % RollM)
+    org.apache.spark.sql.GraftSqlBridge.column(
+      RollingHash64(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), RollB, RollM))
 }
