@@ -61,6 +61,37 @@ object Streams {
       }
   }
 
+  /** Completed-session records via flatMapGroupsWithState: events update
+    * per-user state; when a processing-time timeout fires (no events for
+    * `gap`), the closed session is EMITTED and the state cleared — the
+    * standard session-window-with-custom-payload shape that
+    * mapGroupsWithState (exactly one output per invocation) can't
+    * express. */
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  def closedSessions(events: Dataset[Evt], gap: String)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout()) {
+        (uid: Long, evts: Iterator[Evt], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.n_events, s.total_value))
+          } else {
+            val prev = state.getOption.getOrElse(UserState(uid, 0L, 0.0, null))
+            val next = evts.foldLeft(prev)((s, e) =>
+              s.copy(n_events = s.n_events + 1, total_value = s.total_value + e.value,
+                last_seen = e.ts))
+            state.update(next)
+            state.setTimeoutDuration(gap)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming corpus dedup — the streaming twin of exact-content
     * fingerprint dedup (TextKernels.contentFingerprint): documents are
     * keyed by their md5-u64 content fingerprint (native codegen'd

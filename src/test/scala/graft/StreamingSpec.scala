@@ -103,4 +103,29 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(target).orderBy("k").as[(Long, String)].collect().toSeq
     assert(got === Seq((1L, "a1"), (2L, "b2"), (3L, "c1")))
   }
+
+  test("closedSessions: flatMapGroupsWithState emits the session on timeout") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Evt]
+    val out = Streams.closedSessions(in.toDS(), "500 milliseconds")
+    // explicit trigger interval: with ProcessingTimeTimeout the engine
+    // schedules empty batches to fire timeouts — at the default
+    // as-fast-as-possible trigger that livelocks processAllAvailable, so
+    // poll the sink with a deadline instead
+    val q = out.writeStream.format("memory").queryName("closed_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    in.addData(Streams.Evt(1L, ts("2024-01-01 00:00:00"), 2.0),
+      Streams.Evt(1L, ts("2024-01-01 00:01:00"), 3.0))
+    val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+    var rows = Array.empty[Streams.SessionOut]
+    while (rows.isEmpty && System.nanoTime < deadline) {
+      Thread.sleep(200)
+      rows = spark.table("closed_out").as[Streams.SessionOut].collect()
+    }
+    q.stop()
+    assert(rows.exists(r => r.user_id == 1L && r.n_events == 2 && r.total_value == 5.0))
+  }
 }
