@@ -46,13 +46,15 @@ object Multimodal {
 
   /** STUB decode: fabricate a frame record per (media, frame) from byte
     * arithmetic. A real implementation decodes `m.content` here. */
-  private def stubDecode(m: MediaRow): Iterator[FrameRow] = {
-    val len = m.content.length.max(1)
-    (0 until m.n_frames).iterator.map { f =>
-      val off = (f.toLong * len) / m.n_frames
-      FrameRow(m.media_id, f, off, m.content(math.min(off.toInt, len - 1)) & 0xff)
+  private def stubDecode(m: MediaRow): Iterator[FrameRow] =
+    if (m.content.isEmpty) Iterator.empty // empty payload decodes to 0 frames
+    else {
+      val len = m.content.length
+      (0 until m.n_frames).iterator.map { f =>
+        val off = (f.toLong * len) / m.n_frames
+        FrameRow(m.media_id, f, off, m.content(math.min(off.toInt, len - 1)) & 0xff)
+      }
     }
-  }
 
   /** Decode frames with one "codec" per partition (mapPartitions keeps
     * the partitioning and lets a real codec init once per task). */

@@ -89,6 +89,7 @@ object TextDedup {
   def lshCandidatePairs(
       docs: DataFrame, idCol: String, sigCol: String,
       bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands > 0 && rowsPerBand > 0, "bands and rowsPerBand must be positive")
     val withBands = docs.select(
       col(idCol), col(sigCol),
       posexplode(bandKeys(col(sigCol), bands, rowsPerBand)).as(Seq("band", "bkey")))
@@ -98,11 +99,14 @@ object TextDedup {
       col(idCol).as("id_b"), col(sigCol).as("sig_b"))
     // Shuffle join on (band,bkey): each bucket is tiny (docs agreeing on a
     // whole band), so the join output ≈ true near-dup pairs, not O(n²).
+    // denominator from the signature itself, not bands*rowsPerBand: a
+    // caller whose numHashes exceeds the banded prefix would otherwise get
+    // a silently-deflated estimate
     a.join(b, Seq("band", "bkey"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
-          .cast("double") / lit(bands * rowsPerBand)).as("est_jaccard"))
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
       .distinct()
   }
 

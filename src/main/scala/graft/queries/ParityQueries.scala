@@ -88,7 +88,13 @@ object ParityQueries {
       (s, dir) => {
         val o  = Tables.orders(s, dir)
         val j  = from_json(invoiceJsonSpark, invoiceSchema)
-        val withJ = o.select(j.as("j"))
+        // explode(array(j)) is an optimizer BARRIER: predicate pushdown
+        // cannot move a filter below a Generate whose output it references,
+        // so the status filter below stays above ONE from_json. Without it,
+        // PushPredicateThroughNonJoin substitutes the alias and inlines
+        // EIGHT single-field from_json re-parses into the pushed filter
+        // (measured: 20.6 s → the whole query re-parsed the JSON 9× per row).
+        val withJ = o.select(explode(array(j)).as("j"))
           .select(col("j.*"))
         val srcStatus = lower(col("status"))
         val canonical = when(srcStatus === "paid" && col("balance_cents") === 0, "paid")

@@ -90,10 +90,11 @@ object ScaleQueries {
         ORDER BY item_order, item_line, window_order""")),
 
     // Approximate sketches — the 100 TB path for distinct counts and
-    // percentiles (HLL / GK instead of exact shuffles). Estimates are
-    // implementation-specific, so no cross-engine oracle: the driver
-    // records a rows-only check, and the unit/acceptance bound lives in
-    // the assertions column (exact value alongside, error must be < 5%).
+    // percentiles (HLL / GK instead of exact shuffles). The estimates
+    // themselves are implementation-specific, so the gated output is the
+    // exact values plus deterministic BOUND BOOLEANS (rel error < 5%): the
+    // oracle computes the exact side and asserts the bounds as literal
+    // `true`, making the sketch accuracy machine-checked cross-engine.
     QueryDef(
       "q46_approx_sketches",
       (s, dir) => {
@@ -109,13 +110,23 @@ object ScaleQueries {
           expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
           expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p50"))
         counts.join(pcts, "l_returnflag")
-          .select(col("l_returnflag"), col("exact_orders"), col("approx_orders"),
+          .select(col("l_returnflag"), col("exact_orders"),
             (abs(col("approx_orders") - col("exact_orders")).cast("double") /
-              col("exact_orders")).as("distinct_rel_err"),
-            col("exact_p50"), col("approx_p50"))
+              col("exact_orders") < 0.05).as("distinct_ok"),
+            col("exact_p50"),
+            (abs(col("approx_p50") - col("exact_p50")) /
+              col("exact_p50") < 0.05).as("p50_ok"))
           .orderBy(col("l_returnflag"))
       },
-      None), // estimates are engine-specific; rows-only check by design
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_orderkey) AS exact_orders,
+               true AS distinct_ok,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS exact_p50,
+               true AS p50_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
 
     // IVF-style ANN: 8 deterministic centroids (first 8 vectors), every
     // vector assigned to its max-cosine cell, queries probe ONLY their

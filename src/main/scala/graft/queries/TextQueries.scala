@@ -126,10 +126,13 @@ object TextQueries {
         val shRows = TextDedup.shingleRows(
           d.select(col("doc_id"), ws.as("ws")), "doc_id", "ws", 3)
         val winnow = TextDedup.minShingleFingerprints(shRows, "doc_id", "_sh")
+        // left join: docs with < k tokens produce no shingle rows, but the
+        // oracle's per-doc shingle LIST still yields a row (winnow_fp NULL) —
+        // an inner join would silently drop them on the Spark side only
         val fp = d.select(col("doc_id"),
             contentFingerprint(col("text")).as("content_fp"),
             rollingHash(col("text")).as("rolling_fp"))
-          .join(winnow, "doc_id")
+          .join(winnow, Seq("doc_id"), "left")
         fp.select(col("doc_id"), col("content_fp"), col("rolling_fp"), col("winnow_fp"),
             count(lit(1)).over(Window.partitionBy(col("content_fp"))).as("exact_dup_group"),
             count(lit(1)).over(Window.partitionBy(col("winnow_fp"))).as("near_dup_group"))
