@@ -26,6 +26,195 @@ object FactQueries {
   private val zero6 = lit(0).cast(DecimalType(18, 6))
 
   val defs: Seq[QueryDef] = Seq(
+
+    // q52: the reference's LINE-level money path (reference
+    // models/marts/commerce/facts/fct_order_items.sql:80-127) — the part
+    // q47's order rollup does not cover: an effective discount stacked from
+    // THREE sources (item, friendbuy, bulk), where percentage inputs count
+    // only when their application type is 'PERCENTAGE' (:84-86), the
+    // stacked sum is clamped to [0,100] THEN rounded to 2 (:97-105), and
+    // the ORDER-level vat_percentage (joined from orders, :46-52,71) is
+    // applied to net-before-tax only when the line has_vat (:107,125).
+    // Discount sources/types are synthesized deterministically from keys so
+    // both engines build identical inputs; the math below keeps the
+    // reference's exact cast discipline (every step lands back in the one
+    // decimal domain before the next).
+    QueryDef(
+      "q52_order_item_money",
+      (s, dir) => {
+        val D = DecimalType(18, 6)
+        def d(c: org.apache.spark.sql.Column) = c.cast(D)
+        val z    = lit(0).cast(D)
+        val c100 = lit(100).cast(D)
+
+        val li = Tables.lineitem(s, dir)
+        val o  = Tables.orders(s, dir)
+
+        // ---- items (:14-43): raw inputs + application types ----
+        val items = li.select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("order_item_id"),
+          col("l_orderkey").as("order_id"),
+          col("l_partkey").as("product_id"),
+          d(col("l_quantity")).as("qty"),
+          d(col("l_extendedprice")).as("price"),
+          // reference: has_vat_raw in (1,'1','true','TRUE') → boolean (:61)
+          when(col("l_partkey") % 4 === 0, "1").when(col("l_partkey") % 4 === 1, "true")
+            .when(col("l_partkey") % 4 === 2, "0").otherwise("false").as("has_vat_raw"),
+          // three discount sources; item discount nullable (coalesce→0, :67)
+          when(col("l_suppkey") % 11 === 0, null)
+            .otherwise(d(col("l_discount") * 100)).as("disc_in_raw"),
+          d((col("l_orderkey") % 7) - 3).as("friendbuy_in_raw"),
+          d((col("l_partkey") % 5) * 30).as("bulk_in_raw"),
+          // application types: null → 'PERCENTAGE', lowercase → upper (:32,35)
+          upper(coalesce(
+            when(col("l_linenumber") % 3 === 0, "PERCENTAGE")
+              .when(col("l_linenumber") % 3 === 1, "amount"),
+            lit("PERCENTAGE"))).as("discount_application_type"),
+          upper(when(col("l_orderkey") % 2 === 0, "percentage")
+            .otherwise("AMOUNT")).as("friendbuy_discount_application_type"))
+
+        // ---- orders join: ORDER-level VAT percentage (:46-52,71) ----
+        val ord = o.select(col("o_orderkey").as("order_id"),
+          col("o_orderdate").as("created_at_utc"),
+          when(col("o_orderkey") % 13 === 0, null)
+            .otherwise(d((col("o_orderkey") % 3) * 5)).as("vat_pct_raw"))
+        val typed = items.join(ord, Seq("order_id"), "left")
+          .withColumn("has_vat", col("has_vat_raw").isin("1", "true", "TRUE"))
+          .withColumn("disc_in", coalesce(col("disc_in_raw"), z))
+          .withColumn("friendbuy_in", coalesce(col("friendbuy_in_raw"), z))
+          .withColumn("bulk_in", coalesce(col("bulk_in_raw"), z))
+          .withColumn("vat_pct", coalesce(col("vat_pct_raw"), z))
+
+        // ---- percentage-type gating (:84-86) ----
+        val pct = typed
+          .withColumn("disc_pct",
+            when(col("discount_application_type") === "PERCENTAGE", col("disc_in")).otherwise(z))
+          .withColumn("friendbuy_pct",
+            when(col("friendbuy_discount_application_type") === "PERCENTAGE",
+              col("friendbuy_in")).otherwise(z))
+          .withColumn("bulk_pct", col("bulk_in"))
+
+        // ---- amounts (:91-108): clamp BEFORE round, vat fraction ----
+        val discSum = col("disc_pct") + col("friendbuy_pct") + col("bulk_pct")
+        val amt = pct
+          .withColumn("line_gross", d(col("qty") * col("price")))
+          .withColumn("disc_pct_eff",
+            d(when(discSum < z, z).when(discSum > c100, c100).otherwise(round(discSum, 2))))
+          .withColumn("vat_frac", d(col("vat_pct") / c100))
+
+        // ---- two-step line math (:112-126): net-before-tax from the
+        // UNROUNDED product, tax only when has_vat ----
+        val math = amt
+          .withColumn("disc_frac", d(col("disc_pct_eff") / c100))
+          .withColumn("line_net_bt", d(col("line_gross") - col("line_gross") * col("disc_frac")))
+          .withColumn("line_discount", d(col("line_gross") * col("disc_frac")))
+          .withColumn("line_tax",
+            when(col("has_vat"), d(col("line_net_bt") * col("vat_frac"))).otherwise(z))
+
+        // ---- final projection (:129-163): SKs, rounded money outputs ----
+        math.select(
+            surrogateKey(col("order_id"), col("product_id"), col("order_item_id")).as("order_item_sk"),
+            surrogateKey(col("order_id")).as("order_sk"),
+            col("order_item_id"), col("order_id"), col("product_id"),
+            to_date(col("created_at_utc")).as("order_date"),
+            col("has_vat"),
+            moneyOut(round(col("qty"), 2)).as("quantity"),
+            moneyOut(round(col("price"), 2)).as("unit_price"),
+            moneyOut(round(col("line_gross"), 2)).as("line_gross"),
+            moneyOut(round(col("disc_pct_eff"), 2)).as("discount_pct_effective"),
+            moneyOut(round(col("line_discount"), 2)).as("line_discount_amt"),
+            moneyOut(round(col("vat_pct"), 2)).as("vat_pct"),
+            moneyOut(round(col("line_tax"), 2)).as("line_tax_amt"),
+            moneyOut(round(col("line_net_bt") + col("line_tax"), 2)).as("line_net_amt"))
+          // the synthetic lineitem contains duplicate (orderkey, linenumber)
+          // rows (q11's dup corpus) — order_item_id alone is not a total
+          // order, so tiebreak on the columns dup rows differ in
+          .orderBy(col("order_item_id"), col("product_id"),
+            col("line_net_amt"), col("line_discount_amt"), col("quantity"))
+      },
+      Some("""
+        WITH items AS (
+          SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS order_item_id,
+                 l_orderkey AS order_id, l_partkey AS product_id,
+                 CAST(l_quantity AS DECIMAL(18,6)) AS qty,
+                 CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+                 CASE l_partkey % 4 WHEN 0 THEN '1' WHEN 1 THEN 'true'
+                                    WHEN 2 THEN '0' ELSE 'false' END AS has_vat_raw,
+                 CASE WHEN l_suppkey % 11 = 0 THEN NULL
+                      ELSE CAST(l_discount * 100 AS DECIMAL(18,6)) END AS disc_in_raw,
+                 CAST((l_orderkey % 7) - 3 AS DECIMAL(18,6)) AS friendbuy_in_raw,
+                 CAST((l_partkey % 5) * 30 AS DECIMAL(18,6)) AS bulk_in_raw,
+                 upper(COALESCE(CASE l_linenumber % 3 WHEN 0 THEN 'PERCENTAGE'
+                                                      WHEN 1 THEN 'amount' END,
+                                'PERCENTAGE')) AS discount_application_type,
+                 upper(CASE WHEN l_orderkey % 2 = 0 THEN 'percentage'
+                            ELSE 'AMOUNT' END) AS friendbuy_discount_application_type
+          FROM lineitem),
+        ord AS (
+          SELECT o_orderkey AS order_id, o_orderdate AS created_at_utc,
+                 CASE WHEN o_orderkey % 13 = 0 THEN NULL
+                      ELSE CAST((o_orderkey % 3) * 5 AS DECIMAL(18,6)) END AS vat_pct_raw
+          FROM orders),
+        typed AS (
+          SELECT i.*, o.created_at_utc,
+                 (i.has_vat_raw IN ('1','true','TRUE')) AS has_vat,
+                 COALESCE(i.disc_in_raw,      CAST(0 AS DECIMAL(18,6))) AS disc_in,
+                 COALESCE(i.friendbuy_in_raw, CAST(0 AS DECIMAL(18,6))) AS friendbuy_in,
+                 COALESCE(i.bulk_in_raw,      CAST(0 AS DECIMAL(18,6))) AS bulk_in,
+                 COALESCE(o.vat_pct_raw,      CAST(0 AS DECIMAL(18,6))) AS vat_pct
+          FROM items i LEFT JOIN ord o USING (order_id)),
+        pct AS (
+          SELECT t.*,
+                 CASE WHEN t.discount_application_type = 'PERCENTAGE'
+                      THEN t.disc_in ELSE CAST(0 AS DECIMAL(18,6)) END AS disc_pct,
+                 CASE WHEN t.friendbuy_discount_application_type = 'PERCENTAGE'
+                      THEN t.friendbuy_in ELSE CAST(0 AS DECIMAL(18,6)) END AS friendbuy_pct,
+                 t.bulk_in AS bulk_pct
+          FROM typed t),
+        amt AS (
+          SELECT p.*,
+                 -- DuckDB decimal multiply keeps max operand WIDTH (scale
+                 -- adds): (18,6)*(18,6)->(18,12) overflows at 10^6, so the
+                 -- left operand widens to (28,6) -> exact (38,12) product
+                 CAST(CAST(p.qty AS DECIMAL(28,6)) * p.price AS DECIMAL(18,6)) AS line_gross,
+                 CAST(CASE WHEN p.disc_pct + p.friendbuy_pct + p.bulk_pct < 0 THEN 0
+                           WHEN p.disc_pct + p.friendbuy_pct + p.bulk_pct > 100 THEN 100
+                           ELSE round(p.disc_pct + p.friendbuy_pct + p.bulk_pct, 2)
+                      END AS DECIMAL(18,6)) AS disc_pct_eff,
+                 CAST(p.vat_pct / 100 AS DECIMAL(18,6)) AS vat_frac
+          FROM pct p),
+        math1 AS (
+          SELECT a.*,
+                 CAST(a.disc_pct_eff / 100 AS DECIMAL(18,6)) AS disc_frac
+          FROM amt a),
+        math2 AS (
+          SELECT m.*,
+                 CAST(m.line_gross - CAST(m.line_gross AS DECIMAL(28,6)) * m.disc_frac AS DECIMAL(18,6)) AS line_net_bt,
+                 CAST(CAST(m.line_gross AS DECIMAL(28,6)) * m.disc_frac AS DECIMAL(18,6)) AS line_discount
+          FROM math1 m),
+        math AS (
+          SELECT m2.*,
+                 CASE WHEN m2.has_vat
+                      THEN CAST(CAST(m2.line_net_bt AS DECIMAL(28,6)) * m2.vat_frac AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END AS line_tax
+          FROM math2 m2)
+        SELECT md5(COALESCE(CAST(order_id AS VARCHAR), '_dbt_utils_surrogate_key_null_') || '-' ||
+                   COALESCE(CAST(product_id AS VARCHAR), '_dbt_utils_surrogate_key_null_') || '-' ||
+                   COALESCE(CAST(order_item_id AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS order_item_sk,
+               md5(COALESCE(CAST(order_id AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS order_sk,
+               order_item_id, order_id, product_id,
+               CAST(created_at_utc AS DATE) AS order_date,
+               has_vat,
+               CAST(CAST(round(qty, 2) AS DECIMAL(38,6)) AS DOUBLE) AS quantity,
+               CAST(CAST(round(price, 2) AS DECIMAL(38,6)) AS DOUBLE) AS unit_price,
+               CAST(CAST(round(line_gross, 2) AS DECIMAL(38,6)) AS DOUBLE) AS line_gross,
+               CAST(CAST(round(disc_pct_eff, 2) AS DECIMAL(38,6)) AS DOUBLE) AS discount_pct_effective,
+               CAST(CAST(round(line_discount, 2) AS DECIMAL(38,6)) AS DOUBLE) AS line_discount_amt,
+               CAST(CAST(round(vat_pct, 2) AS DECIMAL(38,6)) AS DOUBLE) AS vat_pct,
+               CAST(CAST(round(line_tax, 2) AS DECIMAL(38,6)) AS DOUBLE) AS line_tax_amt,
+               CAST(CAST(round(line_net_bt + line_tax, 2) AS DECIMAL(38,6)) AS DOUBLE) AS line_net_amt
+        FROM math
+        ORDER BY order_item_id, product_id, line_net_amt, line_discount_amt, quantity""")),
     QueryDef(
       "q47_fct_orders",
       (s, dir) => {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.Kernels._
 import graft.operators.IncrementalMerge
-import graft.sources.Tables
+import graft.sources.{SchemaEvolution, Tables}
 
 /** Window sequences, the exact-decimal fact-math pipeline, incremental
   * merge materialization, global sort / top-k. SURVEY.md §2.4 / §2.5 /
@@ -115,6 +115,44 @@ object MatQueries {
           SELECT e.* FROM existing e WHERE NOT EXISTS (SELECT 1 FROM fresh f WHERE f.o_orderkey = e.o_orderkey)
           UNION ALL
           SELECT * FROM fresh)
+        ORDER BY o_orderkey""")),
+
+    // §2.1 schema evolution THROUGH the incremental merge — the
+    // `on_schema_change='append_new_columns'` contract (reference
+    // dbt_project.yml:34, stg_invoice_payments.sql:4) composed with the
+    // q20 merge: the fresh batch ADDS a column (old rows null-fill) and
+    // DROPS one (fresh rows null-fill the survivor) in the same merge.
+    QueryDef(
+      "q54_schema_evolution_merge",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val anchor = lit("1998-06-01").cast("timestamp")
+        val existing = o.filter(col("o_orderdate") < anchor)
+          .select(col("o_orderkey"), lit("old").as("batch"),
+            moneyOut(dec6(col("o_totalprice"))).as("total"))
+        // fresh drops `batch` and adds `priority`
+        val fresh = o.filter(col("o_orderdate") >= anchor - expr("INTERVAL 7 DAYS"))
+          .select(col("o_orderkey"),
+            moneyOut(dec6(col("o_totalprice"))).as("total"),
+            col("o_orderpriority").as("priority"))
+        val (alignedExisting, alignedFresh) =
+          SchemaEvolution.appendNewColumns(existing, fresh)
+        IncrementalMerge.merge(alignedExisting, alignedFresh, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH existing AS (
+          SELECT o_orderkey, 'old' AS batch, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS total
+          FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+        fresh AS (
+          SELECT o_orderkey, CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS total,
+                 o_orderpriority AS priority
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01' - INTERVAL 7 DAY)
+        SELECT * FROM (
+          SELECT e.o_orderkey, e.batch, e.total, CAST(NULL AS VARCHAR) AS priority
+          FROM existing e WHERE NOT EXISTS (SELECT 1 FROM fresh f WHERE f.o_orderkey = e.o_orderkey)
+          UNION ALL
+          SELECT o_orderkey, CAST(NULL AS VARCHAR) AS batch, total, priority FROM fresh)
         ORDER BY o_orderkey""")),
 
     // §2.6: the one global sort (reference first_channel_ltv.sql:26) +

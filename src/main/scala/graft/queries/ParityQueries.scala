@@ -60,6 +60,61 @@ object ParityQueries {
     StructField("status", StringType), StructField("total_cents", LongType),
     StructField("balance_cents", LongType)))
 
+  // --- q53 helpers: deterministic shipment JSON built from orders -------
+  // 13 typed fields (reference stg_shipments.sql:13-26); shipment_id pairs
+  // consecutive orderkeys so dedup-keep-latest has real duplicates to
+  // resolve; status cycles through the 5 canonical values plus
+  // 'dispatched' and '' to exercise the default-'shipped' else-branch.
+  private val ShipmentJsonSql = """
+    '{"shipment_id":"' || (o_orderkey - o_orderkey % 2) ||
+    '","package_id":"PKG' || o_orderkey ||
+    '","package_number":"PN-' || (o_orderkey % 1000) ||
+    '","status":"' ||
+    CASE o_orderkey % 7 WHEN 0 THEN 'shipped' WHEN 1 THEN 'in_transit'
+                        WHEN 2 THEN 'Delivered' WHEN 3 THEN 'failed'
+                        WHEN 4 THEN 'returned' WHEN 5 THEN 'dispatched' ELSE '' END ||
+    '","tracking_number":"TRK' || (o_orderkey * 7919 % 100000) ||
+    '","shipping_date":"' || CASE WHEN o_orderkey % 5 = 0 THEN '' ELSE strftime(o_orderdate + INTERVAL 2 DAY, '%Y-%m-%d') END ||
+    '","delivery_date":"' || CASE WHEN o_orderkey % 4 = 0 THEN '' ELSE strftime(o_orderdate + INTERVAL 5 DAY, '%Y-%m-%d') END ||
+    '","delivery_method":"' || CASE o_orderkey % 3 WHEN 0 THEN 'courier' WHEN 1 THEN 'pickup' ELSE 'locker' END ||
+    '","date":"' || strftime(o_orderdate + (o_orderkey % 2) * INTERVAL 1 DAY, '%Y-%m-%d') ||
+    '","customer_id":"' || o_custkey ||
+    '","customer_name":"Cust ' || o_custkey ||
+    '","salesorder_id":"' || o_orderkey ||
+    '","salesorder_number":"SO-' || o_orderkey || '"}'"""
+
+  private def shipmentJsonSpark = concat(
+    lit("{\"shipment_id\":\""), col("o_orderkey") - col("o_orderkey") % 2,
+    lit("\",\"package_id\":\"PKG"), col("o_orderkey"),
+    lit("\",\"package_number\":\"PN-"), col("o_orderkey") % 1000,
+    lit("\",\"status\":\""),
+    when(col("o_orderkey") % 7 === 0, "shipped").when(col("o_orderkey") % 7 === 1, "in_transit")
+      .when(col("o_orderkey") % 7 === 2, "Delivered").when(col("o_orderkey") % 7 === 3, "failed")
+      .when(col("o_orderkey") % 7 === 4, "returned").when(col("o_orderkey") % 7 === 5, "dispatched")
+      .otherwise(""),
+    lit("\",\"tracking_number\":\"TRK"), col("o_orderkey") * 7919 % 100000,
+    lit("\",\"shipping_date\":\""),
+    when(col("o_orderkey") % 5 === 0, "")
+      .otherwise(date_format(date_add(col("o_orderdate"), 2), "yyyy-MM-dd")),
+    lit("\",\"delivery_date\":\""),
+    when(col("o_orderkey") % 4 === 0, "")
+      .otherwise(date_format(date_add(col("o_orderdate"), 5), "yyyy-MM-dd")),
+    lit("\",\"delivery_method\":\""),
+    when(col("o_orderkey") % 3 === 0, "courier").when(col("o_orderkey") % 3 === 1, "pickup")
+      .otherwise("locker"),
+    lit("\",\"date\":\""),
+    date_format(expr("date_add(o_orderdate, cast(o_orderkey % 2 as int))"), "yyyy-MM-dd"),
+    lit("\",\"customer_id\":\""), col("o_custkey"),
+    lit("\",\"customer_name\":\"Cust "), col("o_custkey"),
+    lit("\",\"salesorder_id\":\""), col("o_orderkey"),
+    lit("\",\"salesorder_number\":\"SO-"), col("o_orderkey"), lit("\"}"))
+
+  private val shipmentSchema = StructType(Seq(
+    "shipment_id", "package_id", "package_number", "status", "tracking_number",
+    "shipping_date", "delivery_date", "delivery_method", "date",
+    "customer_id", "customer_name", "salesorder_id", "salesorder_number")
+    .map(StructField(_, StringType)))
+
   // --- q34 helpers: slot text corpus derived from orders ----------------
   private val SlotCaseSql = """CASE o_orderkey % 10
       WHEN 0 THEN '8am - 10am'      WHEN 1 THEN '10:30 - 12:30 PM'
@@ -161,6 +216,89 @@ object ParityQueries {
         FROM norm
         WHERE status_canonical IN ('paid','partially_paid')
         ORDER BY CAST(invoice_id AS BIGINT)""")),
+
+    // §2.7 JSON shape #2: the shipments extraction (reference
+    // stg_shipments.sql:13-66) — 13 typed fields, `nullif(f,'')::date` on
+    // the two shipping dates, a status decode whose else-branch DEFAULTS
+    // to 'shipped' (:29-40, the one default-else canonicalization in the
+    // reference), and dedup-keep-latest on shipment_id (:43-49).
+    QueryDef(
+      "q53_json_shipments",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val j = from_json(shipmentJsonSpark, shipmentSchema)
+        // same Generate barrier as q33: keeps exactly ONE from_json even
+        // with the window + final sort referencing parsed fields
+        val base = o.select(explode(array(j)).as("j")).select(col("j.*"))
+        def nulldate(c: org.apache.spark.sql.Column) =
+          when(c === "", null).otherwise(to_date(c))
+        val srcStatus = lower(coalesce(col("status"), lit("")))
+        val norm = base.select(
+          col("shipment_id"), col("package_id"), col("package_number"),
+          when(srcStatus === "shipped", "shipped")
+            .when(srcStatus === "in_transit", "in_transit")
+            .when(srcStatus === "delivered", "delivered")
+            .when(srcStatus === "failed", "failed")
+            .when(srcStatus === "returned", "returned")
+            .otherwise("shipped").as("status_canonical"),
+          col("tracking_number"),
+          nulldate(col("shipping_date")).as("shipped_at"),
+          nulldate(col("delivery_date")).as("delivered_at"),
+          col("delivery_method"),
+          to_date(col("date")).as("shipment_created_date"),
+          col("customer_id"), col("customer_name"),
+          col("salesorder_id"), col("salesorder_number"))
+        // keep-latest; salesorder_id breaks created/shipped/delivered-date
+        // ties so the winner is total-ordered on both engines (the
+        // reference's row_number has no tiebreak — underdetermined there)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shipment_id"))
+          .orderBy(col("shipment_created_date").desc_nulls_last,
+            col("shipped_at").desc_nulls_last, col("delivered_at").desc_nulls_last,
+            col("salesorder_id").cast("long").desc)
+        norm.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).drop("rn")
+          .orderBy(col("shipment_id").cast("long"))
+      },
+      Some(s"""
+        WITH src AS (SELECT $ShipmentJsonSql AS js FROM orders),
+        base AS (
+          SELECT json_extract_string(js,'$$.shipment_id')   AS shipment_id,
+                 json_extract_string(js,'$$.package_id')    AS package_id,
+                 json_extract_string(js,'$$.package_number') AS package_number,
+                 json_extract_string(js,'$$.status')        AS src_status,
+                 json_extract_string(js,'$$.tracking_number') AS tracking_number,
+                 CAST(NULLIF(json_extract_string(js,'$$.shipping_date'),'') AS DATE) AS shipped_at,
+                 CAST(NULLIF(json_extract_string(js,'$$.delivery_date'),'') AS DATE) AS delivered_at,
+                 json_extract_string(js,'$$.delivery_method') AS delivery_method,
+                 CAST(json_extract_string(js,'$$.date') AS DATE) AS shipment_created_date,
+                 json_extract_string(js,'$$.customer_id')   AS customer_id,
+                 json_extract_string(js,'$$.customer_name') AS customer_name,
+                 json_extract_string(js,'$$.salesorder_id') AS salesorder_id,
+                 json_extract_string(js,'$$.salesorder_number') AS salesorder_number
+          FROM src),
+        norm AS (
+          SELECT *,
+            CASE lower(COALESCE(src_status,''))
+              WHEN 'shipped'    THEN 'shipped'
+              WHEN 'in_transit' THEN 'in_transit'
+              WHEN 'delivered'  THEN 'delivered'
+              WHEN 'failed'     THEN 'failed'
+              WHEN 'returned'   THEN 'returned'
+              ELSE 'shipped' END AS status_canonical
+          FROM base),
+        dedup AS (
+          SELECT *, row_number() OVER (PARTITION BY shipment_id ORDER BY
+                      shipment_created_date DESC NULLS LAST,
+                      shipped_at DESC NULLS LAST, delivered_at DESC NULLS LAST,
+                      CAST(salesorder_id AS BIGINT) DESC) AS rn
+          FROM norm)
+        SELECT shipment_id, package_id, package_number, status_canonical,
+               tracking_number, shipped_at, delivered_at, delivery_method,
+               shipment_created_date, customer_id, customer_name,
+               salesorder_id, salesorder_number
+        FROM dedup WHERE rn = 1
+        ORDER BY CAST(shipment_id AS BIGINT)""")),
 
     // §2.7 the delivery-slot parser: nth-occurrence regexp extraction,
     // group extraction, lpad, am/pm inference, 24h clamp, period buckets

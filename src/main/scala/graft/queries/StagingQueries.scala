@@ -63,5 +63,39 @@ object StagingQueries {
                c_nationkey AS nation_id,
                (name_raw ILIKE '%furchild%') AS is_vip
         FROM messy
-        ORDER BY customer_id""")))
+        ORDER BY customer_id""")),
+
+    // §4.3#5 TimestampNTZ end-to-end: the reference carries a LOCAL
+    // wall-clock timestamp alongside UTC (reference stg_orders.sql:16-21
+    // `convert_timezone('Asia/Dubai', created_at)` + `::timestamp_ntz`).
+    // o_orderdate is parquet TIMESTAMP (isAdjustedToUTC=false) → Spark
+    // reads TimestampNTZType natively; convert_timezone on NTZ yields the
+    // Dubai wall time as NTZ, round-trips through parquet as NTZ, and
+    // DuckDB's TIMESTAMP (NTZ-natural) is the oracle twin.
+    QueryDef(
+      "q55_timestamp_ntz_local",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val local = convert_timezone(lit("UTC"), lit("Asia/Dubai"), col("o_orderdate"))
+        o.select(
+            col("o_orderkey").as("order_id"),
+            col("o_orderdate").as("created_at_utc"),
+            local.as("created_at_local"),
+            to_date(local).as("order_date_local"),
+            hour(local).cast("long").as("local_hour"),
+            (to_date(local) =!= to_date(col("o_orderdate"))).as("crosses_midnight"))
+          .orderBy(col("order_id"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey AS order_id,
+                 o_orderdate AS created_at_utc,
+                 timezone('Asia/Dubai', timezone('UTC', o_orderdate)) AS created_at_local
+          FROM orders)
+        SELECT order_id, created_at_utc, created_at_local,
+               CAST(created_at_local AS DATE) AS order_date_local,
+               CAST(extract(hour FROM created_at_local) AS BIGINT) AS local_hour,
+               (CAST(created_at_local AS DATE) <> CAST(created_at_utc AS DATE)) AS crosses_midnight
+        FROM t
+        ORDER BY order_id""")))
 }
