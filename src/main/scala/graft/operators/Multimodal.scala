@@ -7,13 +7,13 @@ import org.apache.spark.sql.functions._
   * with a typed metadata struct, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * The Spark-side plumbing — schema, partition-preserving batch iteration,
-  * operator signatures — is real and tested. The codec itself is a
-  * clearly-marked DETERMINISTIC STUB (this environment has no image/audio
-  * libraries): `decodeFramesStub` fabricates frame records from byte
-  * arithmetic where a real build would call a JNI/FFI decoder per
-  * partition. Swapping in a real codec changes only the body of
-  * `stubDecode` below.
+  * The decode path is REAL for `image/ppm` payloads: `PpmCodec` is a
+  * pure-JVM binary P6 (PPM) parser/encoder — header tokenizer with
+  * comment handling, raw RGB24 pixel access — and `resize` does true
+  * nearest-neighbour pixel resampling, re-encoding a valid PPM. Formats
+  * this sandbox has no decoder for (`image/fake` placeholders) fall back
+  * to the clearly-marked deterministic stub, preserving the operator
+  * shape a JNI/FFI decoder would plug into.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no driver
   * collect); `decodeFrames` is `mapPartitions` so one codec instance is
@@ -22,6 +22,75 @@ import org.apache.spark.sql.functions._
   * thanks to parquet column pruning.
   */
 object Multimodal {
+
+  /** Pure-JVM codec for binary PPM (P6): `P6 <w> <h> <maxval>` header
+    * (whitespace/`#`-comment tolerant, maxval ≤ 255) followed by raw RGB
+    * triplets. The one raster format decodable byte-exactly with no
+    * native libraries. */
+  object PpmCodec {
+
+    /** Decoded raster: dims + row-major RGB24 bytes (3·w·h). */
+    final case class Image(width: Int, height: Int, rgb: Array[Byte])
+
+    /** None if the payload is not a well-formed P6 PPM. */
+    def decode(bytes: Array[Byte]): Option[Image] = {
+      var i = 0
+      def skipWs(): Unit = {
+        var in = true
+        while (in && i < bytes.length) {
+          val c = bytes(i)
+          if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+          else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+          else in = false
+        }
+      }
+      def int(): Option[Int] = {
+        skipWs()
+        val start = i
+        while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
+        if (i == start) None
+        else Some(new String(bytes, start, i - start, "US-ASCII").toInt)
+      }
+      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+      i = 2
+      for {
+        w <- int(); h <- int(); maxval <- int()
+        if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+        // exactly ONE whitespace byte separates header from raster
+        if i < bytes.length && { i += 1; bytes.length - i >= 3L * w * h }
+      } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + 3 * w * h))
+    }
+
+    def encode(img: Image): Array[Byte] = {
+      require(img.rgb.length == 3 * img.width * img.height, "rgb length mismatch")
+      val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + img.rgb.length)
+      System.arraycopy(header, 0, out, 0, header.length)
+      System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+      out
+    }
+
+    /** True nearest-neighbour resample (the classic src-index mapping
+      * sx = x·srcW/dstW), producing a valid RGB24 raster. */
+    def resizeNearest(img: Image, dstW: Int, dstH: Int): Image = {
+      require(dstW > 0 && dstH > 0, "target dims must be positive")
+      val out = new Array[Byte](3 * dstW * dstH)
+      var y = 0
+      while (y < dstH) {
+        val sy = (y.toLong * img.height / dstH).toInt
+        var x = 0
+        while (x < dstW) {
+          val sx = (x.toLong * img.width / dstW).toInt
+          val s = 3 * (sy * img.width + sx)
+          val d = 3 * (y * dstW + x)
+          out(d) = img.rgb(s); out(d + 1) = img.rgb(s + 1); out(d + 2) = img.rgb(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      Image(dstW, dstH, out)
+    }
+  }
 
   /** One media row: payload + typed metadata (what a real ingest would
     * carry for image/audio/video blobs). */
@@ -45,7 +114,8 @@ object Multimodal {
       (col("n_chars") % 16 + 1).cast("int").as("n_frames"))
 
   /** STUB decode: fabricate a frame record per (media, frame) from byte
-    * arithmetic. A real implementation decodes `m.content` here. */
+    * arithmetic — the fallback for payload formats this sandbox cannot
+    * really decode (`image/fake`). */
   private def stubDecode(m: MediaRow): Iterator[FrameRow] =
     if (m.content.isEmpty) Iterator.empty // empty payload decodes to 0 frames
     else {
@@ -56,13 +126,47 @@ object Multimodal {
       }
     }
 
-  /** Decode frames with one "codec" per partition (mapPartitions keeps
-    * the partitioning and lets a real codec init once per task). */
+  /** REAL decode for PPM payloads: parse the raster, then emit one frame
+    * per requested sample — frame f samples the scanline at f·h/n_frames,
+    * byte_offset is the pixel's offset into the raster, sample_value the
+    * red channel of that scanline's first pixel. */
+  private def ppmDecode(m: MediaRow): Iterator[FrameRow] =
+    PpmCodec.decode(m.content) match {
+      case None => Iterator.empty // malformed payload → 0 frames, not a crash
+      case Some(img) =>
+        (0 until m.n_frames.max(1).min(img.height)).iterator.map { f =>
+          val row = (f.toLong * img.height) / m.n_frames.max(1)
+          val off = 3L * row * img.width
+          FrameRow(m.media_id, f, off, img.rgb(off.toInt) & 0xff)
+        }
+    }
+
+  /** Decode frames with one codec dispatch per partition (mapPartitions
+    * keeps the partitioning and lets a real codec init once per task). */
   def decodeFrames(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[FrameRow] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // real build: val codec = Codec.open(); rows.flatMap(codec.decode)
-      rows.flatMap(stubDecode)
+      rows.flatMap { m =>
+        if (m.media_type == "image/ppm") ppmDecode(m) else stubDecode(m)
+      }
+    }
+  }
+
+  /** Real resize for PPM payloads: decode → nearest-neighbour resample →
+    * re-encode a valid PPM, with metadata updated to the actual new dims.
+    * Non-PPM rows fall back to the stub path. */
+  def resize(media: Dataset[MediaRow], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.map { m =>
+      if (m.media_type == "image/ppm") {
+        PpmCodec.decode(m.content) match {
+          case Some(img) =>
+            val r = PpmCodec.resizeNearest(img, targetW, targetH)
+            m.copy(content = PpmCodec.encode(r), width = r.width, height = r.height)
+          case None => m // undecodable: pass through untouched
+        }
+      } else stubResizeRow(m, targetW, targetH)
     }
   }
 
@@ -72,21 +176,27 @@ object Multimodal {
   def byteAt(bin: Column, pos: Int): Column =
     conv(hex(substring(bin, pos, 1)), 16, 10).cast("long")
 
-  /** STUB resize: deterministic nearest-neighbour downsample of the fake
-    * frame grid — metadata transforms exactly as a real resize would
+  /** STUB resize for non-raster payloads: deterministic downsample of the
+    * fake byte grid — metadata transforms exactly as a real resize would
     * (target dims, scale factors, byte budget), payload handling stays
-    * opaque. A real build maps pixels here. */
+    * opaque. */
+  private def stubResizeRow(m: MediaRow, targetW: Int, targetH: Int): MediaRow = {
+    val sx = math.max(1, m.width / targetW)
+    val sy = math.max(1, m.height / targetH)
+    // nearest-neighbour analog: keep every (sx·sy)-th byte of the payload
+    val kept =
+      if (m.content.isEmpty) m.content
+      else m.content.grouped(sx * sy).map(_.head).toArray
+    m.copy(content = kept, width = math.min(m.width, targetW),
+      height = math.min(m.height, targetH))
+  }
+
+  /** Backwards-compatible stub-only entry point (see `resize` for the
+    * format-dispatching version). */
   def resizeStub(media: Dataset[MediaRow], targetW: Int, targetH: Int)(
       implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
-    media.map { m =>
-      val sx = math.max(1, m.width / targetW)
-      val sy = math.max(1, m.height / targetH)
-      // nearest-neighbour: keep every (sx·sy)-th byte of the payload
-      val kept = m.content.grouped(sx * sy).map(_.head).toArray
-      m.copy(content = kept, width = math.min(m.width, targetW),
-        height = math.min(m.height, targetH))
-    }
+    media.map(stubResizeRow(_, targetW, targetH))
   }
 
   /** Column-level feature extraction on the payload (oracle-checkable

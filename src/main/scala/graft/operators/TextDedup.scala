@@ -163,7 +163,7 @@ object TextDedup {
     * large-star/small-star optimization or GraphFrames — the semantics
     * here are identical. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      rounds: Int = 8): DataFrame = {
+      maxRounds: Int = 32): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
@@ -173,21 +173,38 @@ object TextDedup {
     // referenced exactly once — a formulation where labels appears twice
     // per round (join + fallback union) doubles the logical plan every
     // round (2^rounds analysis blowup, measured 125 s); this one grows
-    // linearly and runs as one lazy job.
+    // linearly.
     val selfLoops = edges.select(col("u")).distinct()
       .select(col("u"), col("u").as("v"))
     val edgesPlus = edges.unionByName(selfLoops).persist(StorageLevel.MEMORY_AND_DISK)
-    // Fixed rounds, no per-round action: a convergence-checked loop costs
-    // a full job per round (overhead-dominated). `rounds` bounds the
-    // component diameter it can collapse — near-dup clusters are tiny
-    // chains, and the oracle gate hash-fails if a corpus ever exceeds it,
-    // so the bound is checked, not silent.
+    // Convergence-checked loop: each round materializes labels (persist +
+    // count) then probes whether any label still decreased — min-label
+    // propagation is monotone, so `label < prev` is the complete change
+    // test. Near-dup clusters converge in 2-3 rounds, so paying one small
+    // job per round beats the previous fixed-8 lazily-chained plan
+    // (measured 15.9 s at sf0.1, mostly the unconditional round floor);
+    // the probe reads two PERSISTED frames, never the full lineage. At
+    // `maxRounds` (diameter bound, far above any near-dup chain) the loop
+    // exits with the best labels so far — the oracle gate hash-fails
+    // rather than silently accepting an unconverged clustering.
     var labels = edgesPlus.groupBy(col("u").as("node")).agg(min(col("v")).as("label"))
-    (1 until rounds).foreach { _ =>
-      labels = edgesPlus
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    var converged = false
+    var round = 1
+    while (!converged && round < maxRounds) {
+      val next = edgesPlus
         .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u").as("node"))
         .agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      converged = next
+        .join(labels.select(col("node"), col("label").as("prev")), Seq("node"))
+        .where(col("label") < col("prev")).limit(1).isEmpty
+      labels.unpersist()
+      labels = next
+      round += 1
     }
     labels.select(col("node"), col("label").as("cluster_id"))
   }

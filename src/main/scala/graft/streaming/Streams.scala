@@ -107,27 +107,58 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_fp")
 
-  /** Streaming incremental-merge sink: every micro-batch merges into the
-    * parquet target with the batch IncrementalMerge operator (latest
-    * batch wins on key overlap) — the streaming twin of the reference's
-    * incremental materialization. */
+  /** Streaming incremental-merge sink: every micro-batch merges into a
+    * `partitionCol`-partitioned parquet target with the batch
+    * IncrementalMerge operator (latest batch wins on key overlap) — the
+    * streaming twin of the reference's incremental materialization.
+    *
+    * Scale shape: per batch, only the partitions PRESENT IN THE BATCH are
+    * read (partition-pruned scan), merged and rewritten via dynamic
+    * partition overwrite — untouched partitions are never read or
+    * rewritten (the previous whole-table read→tmp→overwrite double write
+    * was a per-batch full-table rewrite, a scale-killer and a crash
+    * hazard: a failure mid-overwrite destroyed the live target). The
+    * merged slice stages to a per-batch dir first because Spark cannot
+    * overwrite the files a job is still reading; the staging slice is
+    * touched-partitions-sized, not table-sized, and is deleted after the
+    * dynamic overwrite commits.
+    *
+    * `partitionCol` must be non-null on every row (the usual date column
+    * of an incremental model); keys should be unique per batch. */
   def mergeSink(stream: DataFrame, spark: SparkSession, targetPath: String,
-      keys: Seq[String], checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      keys: Seq[String], partitionCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val existing =
-          try spark.read.parquet(targetPath)
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
-        val merged = IncrementalMerge.merge(existing, batch, keys)
-        // write to a temp dir then swap would be the production move; for
-        // the operator surface a direct overwrite after materializing is
-        // enough (merged is collected into the write, not the driver)
-        val tmp = targetPath + "__tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(targetPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val touched = b.select(col(partitionCol)).distinct()
+            .collect().map(_.get(0)).filter(_ != null) // bounded: dates per batch
+          if (touched.nonEmpty) {
+            val existingSlice =
+              try spark.read.parquet(targetPath)
+                // partition-inferred col (e.g. DATE from dirname) cast back
+                // to the batch's type so the key anti-join lines up
+                .withColumn(partitionCol,
+                  col(partitionCol).cast(b.schema(partitionCol).dataType))
+                .where(col(partitionCol).isin(touched: _*))
+              catch { case _: Exception => spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema) }
+            val stage = s"${targetPath}__stage_$batchId"
+            IncrementalMerge.merge(existingSlice, b, keys)
+              .write.mode("overwrite").parquet(stage)
+            spark.read.parquet(stage)
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy(partitionCol)
+              .parquet(targetPath)
+            val p = new org.apache.hadoop.fs.Path(stage)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+            ()
+          }
+        } finally b.unpersist()
       }
       .start()
 }

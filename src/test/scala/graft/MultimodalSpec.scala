@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal.PpmCodec
+
+/** Real-codec coverage: the pure-JVM P6/PPM parser, nearest-neighbour
+  * resize, and the format-dispatching Dataset operators. */
+class MultimodalSpec extends SparkSpec {
+
+  // 2x2 RGB: red, green / blue, white
+  private val px = Array[Byte](
+    255.toByte, 0, 0,   0, 255.toByte, 0,
+    0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte)
+  private val img22 = PpmCodec.Image(2, 2, px)
+
+  test("PpmCodec encode→decode round-trips byte-exactly") {
+    val bytes = PpmCodec.encode(img22)
+    assert(new String(bytes.take(2), "US-ASCII") === "P6")
+    val back = PpmCodec.decode(bytes).get
+    assert(back.width === 2 && back.height === 2)
+    assert(back.rgb.toSeq === px.toSeq)
+  }
+
+  test("PpmCodec decode tolerates comments and extra whitespace in the header") {
+    val header = "P6\n# a comment line\n 2\t2 \n# another\n255\n".getBytes("US-ASCII")
+    val bytes = header ++ px
+    val got = PpmCodec.decode(bytes).get
+    assert(got.width === 2 && got.height === 2 && got.rgb.toSeq === px.toSeq)
+  }
+
+  test("PpmCodec rejects malformed payloads instead of crashing") {
+    assert(PpmCodec.decode(Array[Byte]()) === None)
+    assert(PpmCodec.decode("P5\n2 2\n255\n".getBytes ++ px) === None) // P5 ≠ P6
+    assert(PpmCodec.decode("P6\n2 2\n255\n".getBytes ++ px.take(5)) === None) // truncated raster
+    assert(PpmCodec.decode("P6\n2 2\n65535\n".getBytes ++ px) === None) // 16-bit maxval unsupported
+  }
+
+  test("resizeNearest 4x4 → 2x2 picks the exact nearest-neighbour source pixels") {
+    // 4x4 grid where pixel (x,y) has rgb (x, y, x+y): nearest for dst (x,y)
+    // is src (2x, 2y)
+    val rgb = Array.tabulate(4 * 4 * 3) { i =>
+      val p = i / 3; val x = p % 4; val y = p / 4
+      (i % 3 match { case 0 => x; case 1 => y; case 2 => x + y }).toByte
+    }
+    val out = PpmCodec.resizeNearest(PpmCodec.Image(4, 4, rgb), 2, 2)
+    val expected = for (y <- Seq(0, 2); x <- Seq(0, 2); c <- Seq(x, y, x + y)) yield c.toByte
+    assert(out.rgb.toSeq === expected)
+  }
+
+  test("decodeFrames really decodes image/ppm payloads (scanline red-channel samples)") {
+    implicit val s = spark
+    import s.implicits._
+    // 1x3 image, rows colored red=10, red=20, red=30
+    val rgb = Array[Byte](10, 0, 0, 20, 0, 0, 30, 0, 0)
+    val payload = PpmCodec.encode(PpmCodec.Image(1, 3, rgb))
+    val media = Seq(Multimodal.MediaRow(7L, "image/ppm", payload, 1, 3, 3)).toDS()
+    val frames = Multimodal.decodeFrames(media).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.sample_value).toSeq === Seq(10, 20, 30))
+    assert(frames.map(_.byte_offset).toSeq === Seq(0L, 3L, 6L))
+    // malformed ppm → zero frames, not an exception
+    val bad = Seq(Multimodal.MediaRow(8L, "image/ppm", Array[Byte](1, 2, 3), 1, 1, 1)).toDS()
+    assert(Multimodal.decodeFrames(bad).count() === 0)
+  }
+
+  test("resize re-encodes a valid smaller PPM with updated metadata") {
+    implicit val s = spark
+    import s.implicits._
+    val rgb = Array.tabulate(4 * 4 * 3)(i => (i % 127).toByte)
+    val payload = PpmCodec.encode(PpmCodec.Image(4, 4, rgb))
+    val media = Seq(Multimodal.MediaRow(9L, "image/ppm", payload, 4, 4, 1)).toDS()
+    val out = Multimodal.resize(media, 2, 2).head()
+    assert(out.width === 2 && out.height === 2)
+    val back = PpmCodec.decode(out.content).get // still a decodable PPM
+    assert(back.width === 2 && back.height === 2)
+    assert(back.rgb.toSeq ===
+      PpmCodec.resizeNearest(PpmCodec.Image(4, 4, rgb), 2, 2).rgb.toSeq)
+  }
+}

@@ -26,6 +26,24 @@ class PipelineSpec extends SparkSpec {
     p.unpersistAll()
   }
 
+  test("ModelCatalog: the full reference DAG builds by model name, one scan per shared node") {
+    val p = graft.plans.ModelCatalog(spark, "/root/testdata/sf0.001")
+    val built = p.buildAll()
+    assert(built.keySet === graft.plans.ModelCatalog.modelNames.toSet)
+    // every model materializes at least one row at sf0.001
+    graft.plans.ModelCatalog.modelNames.foreach { n =>
+      assert(built(n).limit(1).count() === 1L, s"model $n produced no rows")
+    }
+    // stg_orders feeds five consumers (fct_order_items, fct_orders,
+    // fct_orders_revenue, first_channel_ltv, dim_orders) → persisted, so
+    // the orders scan runs once per pipeline run, not once per consumer
+    assert(built("stg_orders").storageLevel.useMemory ||
+      built("stg_orders").storageLevel.useDisk)
+    // leaves stay lazy (inlined into consumers by Catalyst)
+    assert(!built("cohort_revenue_ltv").storageLevel.useMemory)
+    p.unpersistAll()
+  }
+
   test("cycle detection and unknown nodes fail fast") {
     val p = new Pipeline
     p.register("x", Seq("y"))(d => d("y"))

@@ -91,17 +91,33 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === Seq(1L, 3L))
   }
 
-  test("mergeSink: micro-batches merge into the parquet target, fresh wins") {
+  test("mergeSink: fresh wins per key; untouched partitions are not rewritten") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
     val target = s"$dir/target"; val ckpt = s"$dir/ckpt"
-    val in = MemoryStream[(Long, String)]
-    val q = Streams.mergeSink(in.toDF.toDF("k", "v"), spark, target, Seq("k"), ckpt)
-    in.addData((1L, "a1"), (2L, "b1")); q.processAllAvailable()
-    in.addData((2L, "b2"), (3L, "c1")); q.processAllAvailable()
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.mergeSink(
+      in.toDF.toDF("k", "v", "dt"), spark, target, Seq("k"), "dt", ckpt)
+    in.addData((1L, "a1", "2024-01-01"), (2L, "b1", "2024-01-02"))
+    q.processAllAvailable()
+    def partFiles(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$target/dt=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val d1Before = partFiles("2024-01-01")
+    assert(d1Before.nonEmpty)
+    // batch 2 touches only dt=2024-01-02: update key 2, insert key 3
+    in.addData((2L, "b2", "2024-01-02"), (3L, "c1", "2024-01-02"))
+    q.processAllAvailable()
     q.stop()
-    val got = spark.read.parquet(target).orderBy("k").as[(Long, String)].collect().toSeq
-    assert(got === Seq((1L, "a1"), (2L, "b2"), (3L, "c1")))
+    assert(partFiles("2024-01-01") === d1Before,
+      "untouched partition files must survive byte-identical (same names + mtimes)")
+    val got = spark.read.parquet(target)
+      .select(col("k"), col("v"), col("dt").cast("string"))
+      .orderBy("k").as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a1", "2024-01-01"), (2L, "b2", "2024-01-02"),
+      (3L, "c1", "2024-01-02")))
   }
 
   test("closedSessions: flatMapGroupsWithState emits the session on timeout") {
