@@ -22,7 +22,12 @@ object SinkQueries {
           col("o_orderstatus"),
           to_date(col("o_orderdate")).as("order_date"),
           year(col("o_orderdate")).cast("int").as("order_year"))
-        val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+        // deleteOnExit chain: the roundtrip dir is per-invocation scratch;
+        // registering it (and its children post-write) keeps repeated runs
+        // from accumulating orphaned temp trees
+        val outDir = java.nio.file.Files.createTempDirectory("graft_sink")
+        outDir.toFile.deleteOnExit()
+        val out = outDir.toString
         Materialize.table(mart, out, "GOLD", "orders_mart", partitionBy = Seq("order_year"))
         s.read.parquet(s"$out/GOLD/orders_mart")
           .groupBy(col("order_year").cast("long").as("order_year"), col("o_orderstatus"))

@@ -24,7 +24,10 @@ object Tables {
     // Oracle parity: DuckDB also reads TIMESTAMP_NS as µs TIMESTAMP
     // (truncating, same direction for post-1970 data), so both engines see
     // identical µs values by construction — no oracle-side trunc needed.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set-once: repeated conf.set on every load was harmless but mutated
+    // session state per call.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
