@@ -45,6 +45,23 @@ object Materialize {
       .parquet(s"$outDir/$schema/$table")
   }
 
+  /** Bucketed table sink: hash-bucket (and sort) by the join/agg key so
+    * co-located reads need NO exchange — the pre-shuffled layout the
+    * big-big joins in SCALE.md rely on at 100 TB. Bucketing requires the
+    * session catalog (`saveAsTable`); `path` makes it an external table
+    * so data lands under the caller's directory, not the warehouse.
+    * Readers via `spark.table(name)` get the bucket spec; a join of two
+    * tables bucketed the same way on the same key plans as a sort-merge
+    * join with zero Exchange on either side (pinned by BucketingSpec). */
+  def bucketedTable(df: DataFrame, path: String, name: String,
+      bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(name)
+
   /** Transient/cache sink: pin + register (spill-safe storage level). */
   def cache(df: DataFrame, schema: String, table: String): DataFrame = {
     val pinned = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -107,6 +107,22 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_fp")
 
+  /** Stream-stream interval join — the unbounded twin of the fact↔event
+    * equi-join: left and right are both streams, matched on `key` when
+    * the right event lands within [left_ts, left_ts + maxDelay]. Both
+    * sides carry watermarks so the join state is BOUNDED: a left row is
+    * dropped from state once its ts + maxDelay falls behind the right
+    * watermark, and vice versa — the planner derives the eviction bound
+    * from the interval condition (state never grows unboundedly).
+    * Columns must be disjoint apart from the key. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, watermark: String,
+      maxDelay: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$key = ${key}_r AND $rightTs >= $leftTs AND " +
+          s"$rightTs <= $leftTs + INTERVAL $maxDelay"))
+
   /** Streaming incremental-merge sink: every micro-batch merges into a
     * `partitionCol`-partitioned parquet target with the batch
     * IncrementalMerge operator (latest batch wins on key overlap) — the

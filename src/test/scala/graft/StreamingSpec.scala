@@ -91,6 +91,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === Seq(1L, 3L))
   }
 
+  test("intervalJoinStream: matches only within the event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val orders = MemoryStream[(Long, Timestamp)]
+    val ships  = MemoryStream[(Long, Timestamp)]
+    val out = Streams.intervalJoinStream(
+      orders.toDF.toDF("order_id", "order_ts"),
+      ships.toDF.toDF("order_id_r", "ship_ts"),
+      key = "order_id", leftTs = "order_ts", rightTs = "ship_ts",
+      watermark = "10 minutes", maxDelay = "1 HOUR")
+    val q = out.writeStream.format("memory").queryName("ivj_out")
+      .outputMode("append").start()
+    orders.addData((1L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:00:00")))
+    ships.addData(
+      (1L, ts("2024-01-01 00:30:00")),  // within 1h → match
+      (2L, ts("2024-01-01 02:00:00")),  // beyond 1h → no match
+      (3L, ts("2024-01-01 00:10:00")))  // no left side → no match
+    q.processAllAvailable()
+    val got = spark.table("ivj_out").select("order_id").collect().map(_.getLong(0)).toSeq
+    q.stop()
+    assert(got === Seq(1L))
+  }
+
   test("mergeSink: fresh wins per key; untouched partitions are not rewritten") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
