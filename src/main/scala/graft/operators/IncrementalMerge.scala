@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Incremental upsert-by-key without Delta: keep existing rows whose key is
   * absent from the fresh batch, then append the fresh batch — exactly dbt's
@@ -26,4 +27,44 @@ object IncrementalMerge {
       keys: Seq[String],
       lookbackPredicate: Column): DataFrame =
     merge(existing, source.filter(lookbackPredicate), keys)
+
+  /** The on-disk 100 TB shape this operator's scaladoc prescribes: merge
+    * `fresh` into a `partitionCol`-partitioned parquet target touching
+    * ONLY the partitions present in `fresh` — partition-pruned read,
+    * anti-join+union merge, dynamic partition overwrite. Untouched
+    * partitions are never read or rewritten. The merged slice stages to
+    * `stagePath` first (Spark cannot overwrite files a job still reads);
+    * the staging dir is touched-partitions-sized and deleted after the
+    * overwrite commits. `partitionCol` must be non-null on every row.
+    * Used by both the batch path and the streaming foreachBatch sink. */
+  def mergeIntoPartitionedTarget(spark: SparkSession, targetPath: String,
+      fresh: DataFrame, keys: Seq[String], partitionCol: String,
+      stagePath: String): Unit = {
+    val b = fresh.persist()
+    try {
+      val touched = b.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).filter(_ != null) // bounded: dates per batch
+      if (touched.nonEmpty) {
+        val existingSlice =
+          try spark.read.parquet(targetPath)
+            // partition-inferred col (e.g. DATE from dirname) cast back to
+            // the fresh side's type so the key anti-join lines up
+            .withColumn(partitionCol,
+              col(partitionCol).cast(b.schema(partitionCol).dataType))
+            .where(col(partitionCol).isin(touched: _*))
+          catch { case _: Exception => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema) }
+        merge(existingSlice, b, keys)
+          .write.mode("overwrite").parquet(stagePath)
+        spark.read.parquet(stagePath)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCol)
+          .parquet(targetPath)
+        val p = new org.apache.hadoop.fs.Path(stagePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      }
+    } finally { b.unpersist(); () }
+  }
 }

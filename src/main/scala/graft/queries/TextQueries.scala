@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Kernels.md5Lower64
 import graft.functions.TextKernels._
 import graft.operators.TextDedup
 import graft.sources.Tables
@@ -295,5 +296,88 @@ object TextQueries {
         SELECT id_a, id_b, jaccard
         FROM j
         WHERE jaccard >= 0.5::DOUBLE
-        ORDER BY id_a, id_b""")))
+        ORDER BY id_a, id_b""")),
+
+    // PII-style redaction — the standard pre-training scrub pass: count
+    // then redact email / URL / phone shapes with patterns in the
+    // Java-regex ∩ RE2 common subset so both engines agree byte-for-byte.
+    // PII-ish suffixes are synthesized deterministically from doc_id
+    // (the corpus itself has none). Redaction order matters and is fixed:
+    // email → URL → phone, so earlier replacements can't feed later
+    // patterns.
+    QueryDef(
+      "q57_pii_redact",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val url   = "https?://[^ ]+"
+        val phone = "\\+?[0-9][0-9-]{7,}"
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +9715"),
+          pmod(col("doc_id") * 7919, lit(10000000)), lit(" visit https://site"),
+          col("doc_id"), lit(".example/path now"))
+        d.select(col("doc_id"), pii.as("t"))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
+            regexp_count(col("t"), lit(url)).cast("long").as("n_urls"),
+            regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("t"), email, "[EMAIL]"),
+                url, "[URL]"),
+              phone, "[PHONE]").as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH pii AS (
+          SELECT doc_id,
+                 text || ' contact user' || doc_id || '@example.com or +9715' ||
+                 (doc_id * 7919) % 10000000 || ' visit https://site' ||
+                 doc_id || '.example/path now' AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(t, '\+?[0-9][0-9-]{7,}')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                 'https?://[^ ]+', '[URL]', 'g'),
+                 '\+?[0-9][0-9-]{7,}', '[PHONE]', 'g') AS redacted
+        FROM pii
+        ORDER BY doc_id""")),
+
+    // Deterministic hash split + sampling — reproducible train/val/test
+    // assignment and subsampling by content-independent key hash
+    // (md5-u64 mod 100, cross-engine exact via md5_number_lower parity).
+    // No RNG anywhere: re-running on a grown corpus keeps every existing
+    // doc's assignment — the property that matters for training-data
+    // lineage. Per-row map + one partial-agg shuffle; scales linearly.
+    QueryDef(
+      "q58_hash_split",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val bucket = (md5Lower64(concat(lit("split:"), col("doc_id"))) % 100)
+          .cast("long")
+        val split = when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test")
+        d.select(col("source"), bucket.as("bucket"))
+          .select(col("source"), split.as("split"), col("bucket"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("bucket") < 10, 1L).otherwise(0L)).as("n_sample_10pct"))
+          .orderBy(col("source"), col("split"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT source,
+                 CAST(md5_number_lower('split:' || doc_id) % 100 AS BIGINT) AS bucket
+          FROM documents)
+        SELECT source,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample_10pct
+        FROM b
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")))
 }

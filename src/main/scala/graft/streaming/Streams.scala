@@ -148,33 +148,8 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.persist()
-        try {
-          val touched = b.select(col(partitionCol)).distinct()
-            .collect().map(_.get(0)).filter(_ != null) // bounded: dates per batch
-          if (touched.nonEmpty) {
-            val existingSlice =
-              try spark.read.parquet(targetPath)
-                // partition-inferred col (e.g. DATE from dirname) cast back
-                // to the batch's type so the key anti-join lines up
-                .withColumn(partitionCol,
-                  col(partitionCol).cast(b.schema(partitionCol).dataType))
-                .where(col(partitionCol).isin(touched: _*))
-              catch { case _: Exception => spark.createDataFrame(
-                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema) }
-            val stage = s"${targetPath}__stage_$batchId"
-            IncrementalMerge.merge(existingSlice, b, keys)
-              .write.mode("overwrite").parquet(stage)
-            spark.read.parquet(stage)
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy(partitionCol)
-              .parquet(targetPath)
-            val p = new org.apache.hadoop.fs.Path(stage)
-            p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-            ()
-          }
-        } finally b.unpersist()
+        IncrementalMerge.mergeIntoPartitionedTarget(spark, targetPath, batch,
+          keys, partitionCol, stagePath = s"${targetPath}__stage_$batchId")
       }
       .start()
 }

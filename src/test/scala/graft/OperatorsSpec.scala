@@ -76,6 +76,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq((1L, "old1"), (2L, "new2"), (3L, "new3")))
   }
 
+  test("IncrementalMerge.mergeIntoPartitionedTarget creates, upserts, and prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val target = s"$dir/t"
+    def fresh(rows: (Long, String, String)*) =
+      rows.toDF("k", "v", "dt")
+    // first merge: target does not exist yet → plain create
+    IncrementalMerge.mergeIntoPartitionedTarget(spark, target,
+      fresh((1L, "a1", "d1"), (2L, "b1", "d2")), Seq("k"), "dt", s"$dir/s1")
+    // second merge touches only d2: update key 2, add key 3
+    val d1Files = new java.io.File(s"$target/dt=d1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    IncrementalMerge.mergeIntoPartitionedTarget(spark, target,
+      fresh((2L, "b2", "d2"), (3L, "c1", "d2")), Seq("k"), "dt", s"$dir/s2")
+    val got = spark.read.parquet(target)
+      .select(col("k"), col("v"), col("dt").cast("string"))
+      .orderBy("k").as[(Long, String, String)].collect().toSeq
+    assert(got === Seq((1L, "a1", "d1"), (2L, "b2", "d2"), (3L, "c1", "d2")))
+    val d1After = new java.io.File(s"$target/dt=d1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    assert(d1After === d1Files, "untouched partition rewritten")
+    assert(!new java.io.File(s"$dir/s2").exists(), "staging dir must be cleaned")
+  }
+
   test("IncrementalMerge.mergeWithLookback filters fresh side first") {
     val existing = Seq((1L, 10, "old1"), (2L, 20, "old2")).toDF("k", "d", "v")
     val source = Seq((2L, 99, "new2"), (3L, 5, "too_old")).toDF("k", "d", "v")
