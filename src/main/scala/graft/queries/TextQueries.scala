@@ -379,5 +379,89 @@ object TextQueries {
                CAST(SUM(CASE WHEN bucket < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample_10pct
         FROM b
         GROUP BY 1, 2
-        ORDER BY 1, 2""")))
+        ORDER BY 1, 2""")),
+
+    // Within-document repetition stats — the Gopher-style quality filter:
+    // fraction of duplicated 3-grams and the hottest 3-gram's count per
+    // doc. Two-level aggregation (per-(doc,shingle) count → per-doc
+    // rollup) — NEVER count + countDistinct in one agg (the Expand trap);
+    // the second groupBy reuses the first's hash partitioning on doc_id.
+    QueryDef(
+      "q59_repetition_stats",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val perShingle = shRows.groupBy(col("doc_id"), col("_sh"))
+          .agg(count(lit(1)).as("cnt"))
+        perShingle.groupBy(col("doc_id"))
+          .agg(sum(col("cnt")).cast("long").as("n_shingles"),
+            count(lit(1)).as("n_distinct_shingles"),
+            max(col("cnt")).cast("long").as("max_shingle_count"))
+          .select(col("doc_id"), col("n_shingles"), col("n_distinct_shingles"),
+            ((col("n_shingles") - col("n_distinct_shingles")).cast("double") /
+              col("n_shingles")).as("dup_shingle_ratio"),
+            col("max_shingle_count"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $ToksCte,
+        shall AS (
+          SELECT doc_id, list_transform(range(1, len(ws)-1),
+                   i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) s
+          FROM toks),
+        stats AS (
+          SELECT doc_id,
+                 len(s)::BIGINT AS n_shingles,
+                 len(list_distinct(s))::BIGINT AS n_distinct_shingles,
+                 list_max(list_transform(list_distinct(s),
+                   x -> len(list_filter(s, y -> y = x))))::BIGINT AS max_shingle_count
+          FROM shall WHERE len(s) > 0)
+        SELECT doc_id, n_shingles, n_distinct_shingles,
+               (n_shingles - n_distinct_shingles)::DOUBLE / n_shingles AS dup_shingle_ratio,
+               max_shingle_count
+        FROM stats
+        ORDER BY doc_id""")),
+
+    // Train/test contamination detection — compose the deterministic hash
+    // split (q58) with the winnowing NEAR-dup fingerprint (q26): a test
+    // doc whose min-shingle fingerprint matches any train doc leaks eval
+    // data through a near-duplicate (the corpus has no exact duplicates —
+    // real leakage rarely is exact). Equi-join on the 64-bit fingerprint,
+    // never all-pairs; the train side pre-aggregates to (fp → one
+    // representative), keeping the join skew-free at 100 TB.
+    QueryDef(
+      "q60_split_contamination",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val wfp = TextDedup.minShingleFingerprints(shRows, "doc_id", "_sh")
+          .withColumn("bucket",
+            (md5Lower64(concat(lit("split:"), col("doc_id"))) % 100).cast("long"))
+        val train = wfp.where(col("bucket") < 80)
+          .groupBy(col("winnow_fp"))
+          .agg(min(col("doc_id")).as("train_doc"), count(lit(1)).as("n_train_dups"))
+        val test = wfp.where(col("bucket") >= 90)
+          .select(col("doc_id").as("test_doc"), col("winnow_fp"))
+        test.join(train, Seq("winnow_fp"))
+          .select(col("test_doc"), col("train_doc"), col("n_train_dups"),
+            col("winnow_fp"))
+          .orderBy(col("test_doc"), col("train_doc"))
+      },
+      Some(s"""
+        WITH $ToksCte, $ShCte,
+        fp AS (
+          SELECT sh.doc_id,
+                 list_min(list_transform(s, x -> md5_number_lower(x)))::VARCHAR AS winnow_fp,
+                 CAST(md5_number_lower('split:' || sh.doc_id) % 100 AS BIGINT) AS bucket
+          FROM sh),
+        train AS (
+          SELECT winnow_fp, MIN(doc_id) AS train_doc, COUNT(*) AS n_train_dups
+          FROM fp WHERE bucket < 80 GROUP BY 1),
+        test AS (
+          SELECT doc_id AS test_doc, winnow_fp FROM fp WHERE bucket >= 90)
+        SELECT test_doc, train_doc, n_train_dups, winnow_fp
+        FROM test JOIN train USING (winnow_fp)
+        ORDER BY test_doc, train_doc""")))
 }
