@@ -74,4 +74,21 @@ object TextKernels {
     org.apache.spark.sql.GraftSqlBridge.column(
       RollingHash64(
         org.apache.spark.sql.GraftSqlBridge.expression(text), RollB, RollM))
+
+  // ---- PII-style redaction (q57) ----------------------------------------
+  // Patterns restricted to the Java-regex ∩ RE2 common subset so Spark and
+  // DuckDB agree byte-for-byte. Redaction order is FIXED (email → URL →
+  // phone): earlier replacement tokens ([EMAIL] etc.) contain no chars the
+  // later patterns match, which also makes the full scrub idempotent
+  // (redactPii(redactPii(x)) == redactPii(x), property-tested).
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe   = "https?://[^ ]+"
+  val PhoneRe = "\\+?[0-9][0-9-]{7,}"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        UrlRe, "[URL]"),
+      PhoneRe, "[PHONE]")
 }

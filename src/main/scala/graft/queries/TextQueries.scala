@@ -309,23 +309,16 @@ object TextQueries {
       "q57_pii_redact",
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-        val url   = "https?://[^ ]+"
-        val phone = "\\+?[0-9][0-9-]{7,}"
         val pii = concat(col("text"),
           lit(" contact user"), col("doc_id"), lit("@example.com or +9715"),
           pmod(col("doc_id") * 7919, lit(10000000)), lit(" visit https://site"),
           col("doc_id"), lit(".example/path now"))
         d.select(col("doc_id"), pii.as("t"))
           .select(col("doc_id"),
-            regexp_count(col("t"), lit(email)).cast("long").as("n_emails"),
-            regexp_count(col("t"), lit(url)).cast("long").as("n_urls"),
-            regexp_count(col("t"), lit(phone)).cast("long").as("n_phones"),
-            regexp_replace(
-              regexp_replace(
-                regexp_replace(col("t"), email, "[EMAIL]"),
-                url, "[URL]"),
-              phone, "[PHONE]").as("redacted"))
+            regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+            regexp_count(col("t"), lit(UrlRe)).cast("long").as("n_urls"),
+            regexp_count(col("t"), lit(PhoneRe)).cast("long").as("n_phones"),
+            redactPii(col("t")).as("redacted"))
           .orderBy(col("doc_id"))
       },
       Some("""

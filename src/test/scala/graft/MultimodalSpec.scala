@@ -62,6 +62,24 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeFrames(bad).count() === 0)
   }
 
+  test("PpmCodec roundtrip property: 200 random images survive encode→decode byte-exactly") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      w <- Gen.choose(1, 20); h <- Gen.choose(1, 20)
+      bytes <- Gen.listOfN(3 * w * h, Gen.choose(0, 255))
+    } yield PpmCodec.Image(w, h, bytes.map(_.toByte).toArray)
+    val imgs = Gen.listOfN(200, gen).apply(Gen.Parameters.default, Seed(42L)).get
+    imgs.foreach { img =>
+      val back = PpmCodec.decode(PpmCodec.encode(img)).get
+      assert(back.width === img.width && back.height === img.height)
+      assert(back.rgb.toSeq === img.rgb.toSeq)
+      // resize never exceeds source work and stays decodable
+      val r = PpmCodec.resizeNearest(img, (img.width + 1) / 2, (img.height + 1) / 2)
+      assert(PpmCodec.decode(PpmCodec.encode(r)).get.rgb.toSeq === r.rgb.toSeq)
+    }
+  }
+
   test("resize re-encodes a valid smaller PPM with updated metadata") {
     implicit val s = spark
     import s.implicits._

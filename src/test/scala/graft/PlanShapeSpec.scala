@@ -1,0 +1,45 @@
+package graft
+
+/** Pins the plan shapes the scale arguments in SCALE.md depend on —
+  * regressions here are silent performance cliffs, not correctness
+  * failures, so the oracle gate would never catch them:
+  *  - mixed distinct/plain aggregates planning through Expand (doubles
+  *    the aggregate input; the round-2 25× q46 incident)
+  *  - predicate pushdown inlining duplicate from_json parses (the
+  *    round-2 9×-per-row q33 incident)
+  *  - LSH / range joins degrading to nested-loop or cartesian plans
+  *  - the line-money fact losing its broadcast join
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q52 broadcasts the orders side and shuffles only for the contract sort") {
+    val p = plan("q52_order_item_money")
+    assert(p.contains("BroadcastHashJoin"), s"orders side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "line side must not shuffle for the join")
+  }
+
+  test("distinct aggregates never plan through Expand") {
+    Seq("q02_order_rollup", "q46_approx_sketches", "q47_fct_orders").foreach { q =>
+      assert(!plan(q).contains("Expand"), s"$q: Expand doubles the aggregate input")
+    }
+  }
+
+  test("JSON queries parse with exactly one from_json despite pushed filters") {
+    Seq("q33_json_struct_invoices", "q53_json_shipments").foreach { q =>
+      val n = "from_json".r.findAllIn(plan(q)).size
+      assert(n === 1, s"$q: expected 1 from_json, found $n (pushdown re-parse)")
+    }
+  }
+
+  test("sketch and range joins never degrade to nested-loop or cartesian") {
+    Seq("q27_minhash_lsh", "q29_ngram_jaccard", "q44_range_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q: candidate generation must stay an equi-join")
+    }
+  }
+}

@@ -106,6 +106,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(df.head.getLong(0) === 'b'.toLong)
   }
 
+  test("redactPii is idempotent and leaves no redactable matches behind") {
+    val docs = Seq(
+      "mail a.user+tag@sub.example.org now",
+      "call +971-5012-3456-789 or visit https://x.example/a?b=c end",
+      "clean text with no pii at all",
+      "edge overlap: u1@a.co https://u2@b.co +12345678 done").toDF("t")
+    val once  = docs.select(TextKernels.redactPii(col("t")).as("r"))
+    val twice = once.select(col("r"), TextKernels.redactPii(col("r")).as("r2"))
+    assert(twice.where(col("r") =!= col("r2")).isEmpty, "redaction must be idempotent")
+    val leftovers = once.where(
+      regexp_count(col("r"), lit(TextKernels.EmailRe)) > 0 ||
+      regexp_count(col("r"), lit(TextKernels.UrlRe)) > 0 ||
+      regexp_count(col("r"), lit(TextKernels.PhoneRe)) > 0)
+    assert(leftovers.isEmpty, "no pattern may survive redaction")
+  }
+
   test("connectedComponents: chains, triangles and disjoint pairs get min-label clusters") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L),          // chain 1-2-3
