@@ -23,9 +23,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit =
+    def run(name: String): Unit = {
+      // clear leftovers persisted by PREVIOUS queries (CC edge frames,
+      // catalog nodes): accumulated pins otherwise grow memory pressure
+      // through the suite and make late queries measure earlier ones' state
+      spark.catalog.clearCache()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    }
 
     // Warmup: one query per operator family, so first-touch class loading
     // (JsonToStructs, window exec, regex, native sketch expressions) and

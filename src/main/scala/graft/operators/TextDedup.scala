@@ -206,6 +206,10 @@ object TextDedup {
       labels = next
       round += 1
     }
+    // labels is materialized (counted); its parents can release their pins —
+    // consumers read the persisted labels, recomputing only on eviction
+    edges.unpersist()
+    edgesPlus.unpersist()
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 }
