@@ -155,6 +155,47 @@ object MatQueries {
           SELECT o_orderkey, CAST(NULL AS VARCHAR) AS batch, total, priority FROM fresh)
         ORDER BY o_orderkey""")),
 
+    // §2.1 the OTHER schema-evolution policy through the merge:
+    // `sync_all_columns` (reference dim_customer.sql:6) — the incoming
+    // schema wins entirely: the batch's dropped column disappears from
+    // surviving existing rows, its new column arrives, and its type
+    // changes take effect (total re-typed long→double here).
+    QueryDef(
+      "q61_schema_sync_merge",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val anchor = lit("1998-06-01").cast("timestamp")
+        val existing = o.filter(col("o_orderdate") < anchor)
+          .select(col("o_orderkey"), lit("old").as("batch"),
+            round(col("o_totalprice")).cast("long").as("total"))
+        // fresh: drops `batch`, re-types `total` to exact-decimal double,
+        // adds `priority`
+        val fresh = o.filter(col("o_orderdate") >= anchor - expr("INTERVAL 7 DAYS"))
+          .select(col("o_orderkey"),
+            moneyOut(dec6(col("o_totalprice"))).as("total"),
+            col("o_orderpriority").as("priority"))
+        val (alignedExisting, alignedFresh) =
+          SchemaEvolution.syncAllColumns(existing, fresh)
+        IncrementalMerge.merge(alignedExisting, alignedFresh, Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        WITH existing AS (
+          SELECT o_orderkey,
+                 CAST(CAST(round(o_totalprice) AS BIGINT) AS DOUBLE) AS total,
+                 CAST(NULL AS VARCHAR) AS priority
+          FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'),
+        fresh AS (
+          SELECT o_orderkey,
+                 CAST(CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS DECIMAL(38,6)) AS DOUBLE) AS total,
+                 o_orderpriority AS priority
+          FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01' - INTERVAL 7 DAY)
+        SELECT * FROM (
+          SELECT e.* FROM existing e WHERE NOT EXISTS (SELECT 1 FROM fresh f WHERE f.o_orderkey = e.o_orderkey)
+          UNION ALL
+          SELECT * FROM fresh)
+        ORDER BY o_orderkey""")),
+
     // §2.6: the one global sort (reference first_channel_ltv.sql:26) +
     // top-k extension — total order with deterministic tiebreak.
     QueryDef(

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Kernels.{dec6, moneyOut}
 import graft.sources.{Materialize, Tables}
 
 /** Table-sink roundtrip (q49) and gap-based sessionization (q50). */
@@ -46,6 +47,89 @@ object SinkQueries {
         FROM orders
         GROUP BY 1, 2
         ORDER BY 1, 2""")),
+
+    // JSON-lines file format exercised as BOTH sink and source: write a
+    // projection as .json lines, read it back with a DECLARED schema (no
+    // inference — the 100 TB stance: schema-on-read inference is a full
+    // extra scan), aggregate; the oracle computes the same aggregate from
+    // the parquet source, so the check proves the JSONL roundtrip loses
+    // nothing (Jackson doubles round-trip exactly; dates travel as
+    // strings).
+    QueryDef(
+      "q62_jsonl_roundtrip",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val outDir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+        outDir.toFile.deleteOnExit()
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_totalprice"))
+          .write.mode("overwrite").json(outDir.toString)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_orderstatus",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("order_date",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType)))
+        s.read.schema(schema).json(outDir.toString)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_orders"),
+            moneyOut(sum(dec6(col("o_totalprice")))).as("revenue"),
+            min(col("order_date")).as("first_date"),
+            max(col("order_date")).as("last_date"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+               MIN(strftime(o_orderdate, '%Y-%m-%d')) AS first_date,
+               MAX(strftime(o_orderdate, '%Y-%m-%d')) AS last_date
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1""")),
+
+    // CSV sibling of q62 — header + declared schema (inference off), the
+    // other ubiquitous landing format. Doubles round-trip because Spark's
+    // CSV writer emits shortest-repr doubles and the declared-schema read
+    // parses them back exactly.
+    QueryDef(
+      "q63_csv_roundtrip",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val outDir = java.nio.file.Files.createTempDirectory("graft_csv")
+        outDir.toFile.deleteOnExit()
+        o.select(col("o_orderkey"), col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+            col("o_totalprice"))
+          .write.mode("overwrite").option("header", "true").csv(outDir.toString)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("o_orderkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o_custkey",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("order_date",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("o_totalprice",
+            org.apache.spark.sql.types.DoubleType)))
+        s.read.schema(schema).option("header", "true").csv(outDir.toString)
+          .groupBy(substring(col("order_date"), 1, 4).as("order_year"))
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            moneyOut(sum(dec6(col("o_totalprice")))).as("revenue"))
+          .orderBy(col("order_year"))
+      },
+      Some("""
+        SELECT substring(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) AS order_year,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1""")),
 
     // Gap-based sessionization: per-user event stream split into
     // sessions wherever the inter-event gap exceeds 30 minutes (lag →
