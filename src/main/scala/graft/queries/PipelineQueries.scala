@@ -124,5 +124,111 @@ object PipelineQueries {
                CAST(CAST(SUM(ltv_12m) AS DECIMAL(38,6)) AS DOUBLE) AS cohort_ltv_12m
         FROM ltv
         GROUP BY 1
-        ORDER BY cohort_month""")))
+        ORDER BY cohort_month""")),
+
+    // The catalog's FLAGSHIP model gated end-to-end: fct_orders built by
+    // name pulls five upstream models (fct_order_items line math with
+    // PERCENTAGE-gated discounts, stg_orders status/channel decodes,
+    // stg_transactions payment methods, stg_users mapping, stg_addresses
+    // as-of pick). The oracle recomputes the whole five-model lineage.
+    QueryDef(
+      "q64_catalog_fct_orders",
+      (s, dir) => {
+        val p = graft.plans.ModelCatalog(s, dir)
+        p.build("fct_orders")
+          .select(col("order_sk"), col("order_id"), col("customer_id"),
+            col("user_id"), col("order_date"), col("status_canonical"),
+            col("channel"), col("payment_method"), col("item_count"),
+            moneyOut(col("order_gross")).as("order_gross"),
+            moneyOut(col("order_net_before_tax")).as("order_net_before_tax"),
+            moneyOut(col("order_tax")).as("order_tax"),
+            moneyOut(col("order_net")).as("order_net"),
+            col("ship_area"), col("ship_addr_id"))
+          .orderBy(col("order_id"))
+      },
+      Some("""
+        WITH items AS (
+          SELECT l_orderkey AS order_id,
+                 CAST(l_quantity AS DECIMAL(18,6)) AS quantity,
+                 CAST(l_extendedprice AS DECIMAL(18,6)) AS unit_price,
+                 (l_partkey % 2 = 1) AS has_vat,
+                 COALESCE(CAST(l_discount * 100 AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS discount_pct,
+                 upper(COALESCE(CASE l_linenumber % 3 WHEN 0 THEN 'PERCENTAGE'
+                                                     WHEN 1 THEN 'amount' END,
+                                'PERCENTAGE')) AS dat
+          FROM lineitem),
+        stg_o AS (
+          SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+                 o_orderdate AS created_at_utc,
+                 CAST(o_orderdate AS DATE) AS order_date,
+                 CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'fulfilled'
+                                    WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_canonical,
+                 CAST((o_orderkey % 3) * 5 AS DECIMAL(18,6)) AS vat_pct,
+                 CASE o_orderkey % 5 WHEN 0 THEN 'web' WHEN 1 THEN 'app'
+                                     WHEN 2 THEN 'phone' WHEN 3 THEN 'store'
+                                     ELSE 'partner' END AS channel
+          FROM orders),
+        lines AS (
+          SELECT i.order_id,
+                 CAST(CAST(i.quantity AS DECIMAL(28,6)) * i.unit_price AS DECIMAL(18,6)) AS line_gross,
+                 CAST(CASE WHEN i.dat = 'PERCENTAGE'
+                           THEN LEAST(GREATEST(i.discount_pct, 0), 100)
+                           ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(18,6)) AS disc_eff,
+                 i.has_vat, o.vat_pct
+          FROM items i LEFT JOIN stg_o o USING (order_id)),
+        math AS (
+          SELECT order_id,
+                 line_gross,
+                 CAST(line_gross - CAST(line_gross AS DECIMAL(28,6)) * CAST(disc_eff / 100 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS line_net_bt,
+                 has_vat, vat_pct
+          FROM lines),
+        math2 AS (
+          SELECT order_id, line_gross, line_net_bt,
+                 CASE WHEN has_vat
+                      THEN CAST(CAST(line_net_bt AS DECIMAL(28,6)) * CAST(vat_pct / 100 AS DECIMAL(18,6)) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END AS line_tax
+          FROM math),
+        rollup AS (
+          SELECT order_id, COUNT(*) AS item_count,
+                 CAST(SUM(line_gross) AS DECIMAL(38,6)) AS order_gross,
+                 CAST(SUM(line_net_bt) AS DECIMAL(38,6)) AS order_net_before_tax,
+                 CAST(SUM(line_tax) AS DECIMAL(38,6)) AS order_tax,
+                 CAST(SUM(CAST(line_net_bt + line_tax AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS order_net
+          FROM math2 GROUP BY 1),
+        txn AS (
+          SELECT o_orderkey AS order_id,
+                 CASE o_orderkey % 4 WHEN 0 THEN 'card' WHEN 1 THEN 'cash'
+                                     WHEN 2 THEN 'wallet' ELSE 'cod' END AS payment_method
+          FROM orders),
+        users AS (
+          SELECT c_custkey + 500000 AS user_id, c_custkey AS customer_id FROM customer),
+        addr AS (
+          SELECT c_custkey AS customer_id,
+                 c_mktsegment || '#v' || v AS ship_area,
+                 c_custkey * 2 + v AS addr_id,
+                 CAST(DATE '1993-01-01' + ((c_custkey % 200) + v * 1200) * INTERVAL 1 DAY AS TIMESTAMP) AS valid_from
+          FROM customer, (SELECT unnest([0, 1]) AS v)),
+        picked AS (
+          SELECT order_id, ship_area, addr_id AS ship_addr_id FROM (
+            SELECT o.order_id, a.ship_area, a.addr_id,
+                   row_number() OVER (PARTITION BY o.order_id ORDER BY
+                     CASE WHEN a.valid_from <= o.created_at_utc THEN 0 ELSE 1 END,
+                     abs(epoch_us(a.valid_from) - epoch_us(o.created_at_utc)), a.addr_id) AS rn
+            FROM stg_o o LEFT JOIN addr a ON a.customer_id = o.customer_id) t
+          WHERE rn = 1)
+        SELECT md5(COALESCE(CAST(o.order_id AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS order_sk,
+               o.order_id, o.customer_id, u.user_id, o.order_date,
+               o.status_canonical, o.channel, t.payment_method,
+               r.item_count,
+               CAST(r.order_gross AS DOUBLE) AS order_gross,
+               CAST(r.order_net_before_tax AS DOUBLE) AS order_net_before_tax,
+               CAST(r.order_tax AS DOUBLE) AS order_tax,
+               CAST(r.order_net AS DOUBLE) AS order_net,
+               p.ship_area, p.ship_addr_id
+        FROM stg_o o
+        LEFT JOIN rollup r USING (order_id)
+        LEFT JOIN txn t USING (order_id)
+        LEFT JOIN users u USING (customer_id)
+        LEFT JOIN picked p USING (order_id)
+        ORDER BY o.order_id""")))
 }
