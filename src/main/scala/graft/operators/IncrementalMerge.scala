@@ -35,8 +35,16 @@ object IncrementalMerge {
     * partitions are never read or rewritten. The merged slice stages to
     * `stagePath` first (Spark cannot overwrite files a job still reads);
     * the staging dir is touched-partitions-sized and deleted after the
-    * overwrite commits. `partitionCol` must be non-null on every row.
-    * Used by both the batch path and the streaming foreachBatch sink. */
+    * overwrite commits.
+    *
+    * Contract: `partitionCol` must be non-null on every row, and a key's
+    * partition value must be STABLE across batches (the usual incremental
+    * contract where the partition derives from the key's creation date) —
+    * a late row that MOVES a key to a new partition leaves the stale row
+    * in the old, untouched partition behind (the same semantics as Hive
+    * dynamic partition overwrite); rows that genuinely migrate partitions
+    * need a full-table merge instead. Used by both the batch path and the
+    * streaming foreachBatch sink. */
   def mergeIntoPartitionedTarget(spark: SparkSession, targetPath: String,
       fresh: DataFrame, keys: Seq[String], partitionCol: String,
       stagePath: String): Unit = {
@@ -45,15 +53,21 @@ object IncrementalMerge {
       val touched = b.select(col(partitionCol)).distinct()
         .collect().map(_.get(0)).filter(_ != null) // bounded: dates per batch
       if (touched.nonEmpty) {
+        // explicit existence probe, NOT a catch-all: swallowing a transient
+        // read failure (corrupt footer, FS hiccup) as "empty target" would
+        // silently overwrite touched partitions with fresh-only rows
+        val tp = new org.apache.hadoop.fs.Path(targetPath)
+        val targetExists =
+          tp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(tp)
         val existingSlice =
-          try spark.read.parquet(targetPath)
+          if (targetExists) spark.read.parquet(targetPath)
             // partition-inferred col (e.g. DATE from dirname) cast back to
             // the fresh side's type so the key anti-join lines up
             .withColumn(partitionCol,
               col(partitionCol).cast(b.schema(partitionCol).dataType))
             .where(col(partitionCol).isin(touched: _*))
-          catch { case _: Exception => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema) }
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
         merge(existingSlice, b, keys)
           .write.mode("overwrite").parquet(stagePath)
         spark.read.parquet(stagePath)

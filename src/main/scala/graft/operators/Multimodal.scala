@@ -48,16 +48,21 @@ object Multimodal {
         skipWs()
         val start = i
         while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') i += 1
-        if (i == start) None
+        // >9 digits overflows Int — malformed header, not a crash
+        if (i == start || i - start > 9) None
         else Some(new String(bytes, start, i - start, "US-ASCII").toInt)
       }
+      def isWs(b: Byte): Boolean =
+        b == ' ' || b == '\t' || b == '\r' || b == '\n'
       if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
       i = 2
       for {
         w <- int(); h <- int(); maxval <- int()
         if w > 0 && h > 0 && maxval > 0 && maxval <= 255
-        // exactly ONE whitespace byte separates header from raster
-        if i < bytes.length && { i += 1; bytes.length - i >= 3L * w * h }
+        // exactly ONE whitespace byte separates header from raster; a
+        // non-whitespace byte here means the raster would misalign by one
+        if i < bytes.length && isWs(bytes(i)) &&
+          { i += 1; bytes.length - i >= 3L * w * h }
       } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + 3 * w * h))
     }
 

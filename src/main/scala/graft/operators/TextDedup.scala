@@ -154,7 +154,10 @@ object TextDedup {
       size(array_union(shA, shB))
 
   /** Connected components over an undirected dup-pair list → (node,
-    * cluster_id = min node in component). Iterative min-label
+    * cluster_id = min node in component). The RETURNED frame is persisted
+    * (its materialized labels are the loop's result; its parents release
+    * their pins) — library callers should `unpersist()` it when done, or
+    * clear the cache between runs as Bench/Verify do. Iterative min-label
     * propagation, the standard Pregel-style loop: each round joins labels
     * across edges and takes the neighborhood min; rounds needed = graph
     * diameter (near-dup clusters are tiny chains, so 2-4). Each round is

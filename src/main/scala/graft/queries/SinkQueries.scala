@@ -5,8 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.functions.Kernels.{dec6, moneyOut}
 import graft.sources.{Materialize, Tables}
 
-/** Table-sink roundtrip (q49) and gap-based sessionization (q50). */
+/** Table-sink roundtrip (q49), file-format roundtrips (q62/q63), and
+  * gap-based sessionization (q50). */
 object SinkQueries {
+
+  /** Fixed, per-name scratch dir under java.io.tmpdir: write modes are
+    * Overwrite, so repeated runs reuse one tree instead of accumulating. */
+  private def scratchDir(name: String): String =
+    java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), name).toString
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -23,12 +30,10 @@ object SinkQueries {
           col("o_orderstatus"),
           to_date(col("o_orderdate")).as("order_date"),
           year(col("o_orderdate")).cast("int").as("order_year"))
-        // deleteOnExit chain: the roundtrip dir is per-invocation scratch;
-        // registering it (and its children post-write) keeps repeated runs
-        // from accumulating orphaned temp trees
-        val outDir = java.nio.file.Files.createTempDirectory("graft_sink")
-        outDir.toFile.deleteOnExit()
-        val out = outDir.toString
+        // fixed scratch dir, overwritten per run: repeated invocations
+        // reuse the same tree instead of accumulating orphaned temp dirs
+        // (deleteOnExit can't remove non-empty directories)
+        val out = scratchDir("graft_sink")
         Materialize.table(mart, out, "GOLD", "orders_mart", partitionBy = Seq("order_year"))
         s.read.parquet(s"$out/GOLD/orders_mart")
           .groupBy(col("order_year").cast("long").as("order_year"), col("o_orderstatus"))
@@ -59,12 +64,11 @@ object SinkQueries {
       "q62_jsonl_roundtrip",
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        val outDir = java.nio.file.Files.createTempDirectory("graft_jsonl")
-        outDir.toFile.deleteOnExit()
+        val out = scratchDir("graft_jsonl")
         o.select(col("o_orderkey"), col("o_orderstatus"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
             col("o_totalprice"))
-          .write.mode("overwrite").json(outDir.toString)
+          .write.mode("overwrite").json(out)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("o_orderkey",
             org.apache.spark.sql.types.LongType),
@@ -74,7 +78,7 @@ object SinkQueries {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("o_totalprice",
             org.apache.spark.sql.types.DoubleType)))
-        s.read.schema(schema).json(outDir.toString)
+        s.read.schema(schema).json(out)
           .groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n_orders"),
             moneyOut(sum(dec6(col("o_totalprice")))).as("revenue"),
@@ -100,12 +104,11 @@ object SinkQueries {
       "q63_csv_roundtrip",
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        val outDir = java.nio.file.Files.createTempDirectory("graft_csv")
-        outDir.toFile.deleteOnExit()
+        val out = scratchDir("graft_csv")
         o.select(col("o_orderkey"), col("o_custkey"),
             date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
             col("o_totalprice"))
-          .write.mode("overwrite").option("header", "true").csv(outDir.toString)
+          .write.mode("overwrite").option("header", "true").csv(out)
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("o_orderkey",
             org.apache.spark.sql.types.LongType),
@@ -115,7 +118,7 @@ object SinkQueries {
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("o_totalprice",
             org.apache.spark.sql.types.DoubleType)))
-        s.read.schema(schema).option("header", "true").csv(outDir.toString)
+        s.read.schema(schema).option("header", "true").csv(out)
           .groupBy(substring(col("order_date"), 1, 4).as("order_year"))
           .agg(count(lit(1)).as("n_orders"),
             countDistinct(col("o_custkey")).as("n_customers"),

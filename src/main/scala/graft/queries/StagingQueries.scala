@@ -76,26 +76,36 @@ object StagingQueries {
       "q55_timestamp_ntz_local",
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        val local = convert_timezone(lit("UTC"), lit("Asia/Dubai"), col("o_orderdate"))
+        // o_orderdate is midnight-only in the testdata — synthesize
+        // intra-day times from the key so the UTC+4 conversion actually
+        // crosses midnight (hours 20-23 roll to the next local day);
+        // without this the gate would pass even with broken day-rollover
+        val utc = expr("o_orderdate + make_interval(0, 0, 0, 0, " +
+          "cast(o_orderkey % 24 as int), cast((o_orderkey * 7) % 60 as int), 0)")
+        val local = convert_timezone(lit("UTC"), lit("Asia/Dubai"), utc)
         o.select(
             col("o_orderkey").as("order_id"),
-            col("o_orderdate").as("created_at_utc"),
+            utc.as("created_at_utc"),
             local.as("created_at_local"),
             to_date(local).as("order_date_local"),
             hour(local).cast("long").as("local_hour"),
-            (to_date(local) =!= to_date(col("o_orderdate"))).as("crosses_midnight"))
+            (to_date(local) =!= to_date(utc)).as("crosses_midnight"))
           .orderBy(col("order_id"))
       },
       Some("""
         WITH t AS (
           SELECT o_orderkey AS order_id,
-                 o_orderdate AS created_at_utc,
-                 timezone('Asia/Dubai', timezone('UTC', o_orderdate)) AS created_at_local
-          FROM orders)
+                 o_orderdate + (o_orderkey % 24) * INTERVAL 1 HOUR
+                             + ((o_orderkey * 7) % 60) * INTERVAL 1 MINUTE AS created_at_utc
+          FROM orders),
+        c AS (
+          SELECT order_id, created_at_utc,
+                 timezone('Asia/Dubai', timezone('UTC', created_at_utc)) AS created_at_local
+          FROM t)
         SELECT order_id, created_at_utc, created_at_local,
                CAST(created_at_local AS DATE) AS order_date_local,
                CAST(extract(hour FROM created_at_local) AS BIGINT) AS local_hour,
                (CAST(created_at_local AS DATE) <> CAST(created_at_utc AS DATE)) AS crosses_midnight
-        FROM t
+        FROM t JOIN c USING (order_id, created_at_utc)
         ORDER BY order_id""")))
 }

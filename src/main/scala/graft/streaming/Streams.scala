@@ -108,20 +108,26 @@ object Streams {
       .dropDuplicatesWithinWatermark("content_fp")
 
   /** Stream-stream interval join — the unbounded twin of the fact↔event
-    * equi-join: left and right are both streams, matched on `key` when
-    * the right event lands within [left_ts, left_ts + maxDelay]. Both
-    * sides carry watermarks so the join state is BOUNDED: a left row is
-    * dropped from state once its ts + maxDelay falls behind the right
-    * watermark, and vice versa — the planner derives the eviction bound
-    * from the interval condition (state never grows unboundedly).
-    * Columns must be disjoint apart from the key. */
-  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+    * equi-join: left and right are both streams, matched on `leftKey` =
+    * `rightKey` when the right event lands within
+    * [left_ts, left_ts + maxDelay]. Both sides carry watermarks so the
+    * join state is BOUNDED: a left row is dropped from state once its
+    * ts + maxDelay falls behind the right watermark, and vice versa —
+    * the planner derives the eviction bound from the interval condition
+    * (state never grows unboundedly). The two key columns must have
+    * DISTINCT names (rename one side before calling) and all other
+    * columns must be disjoint. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
       leftTs: String, rightTs: String, watermark: String,
-      maxDelay: String): DataFrame =
+      maxDelay: String): DataFrame = {
+    require(leftKey != rightKey,
+      "leftKey and rightKey must have distinct column names")
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
-        expr(s"$key = ${key}_r AND $rightTs >= $leftTs AND " +
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
           s"$rightTs <= $leftTs + INTERVAL $maxDelay"))
+  }
 
   /** Streaming incremental-merge sink: every micro-batch merges into a
     * `partitionCol`-partitioned parquet target with the batch

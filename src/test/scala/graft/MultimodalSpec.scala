@@ -33,6 +33,8 @@ class MultimodalSpec extends SparkSpec {
     assert(PpmCodec.decode("P5\n2 2\n255\n".getBytes ++ px) === None) // P5 ≠ P6
     assert(PpmCodec.decode("P6\n2 2\n255\n".getBytes ++ px.take(5)) === None) // truncated raster
     assert(PpmCodec.decode("P6\n2 2\n65535\n".getBytes ++ px) === None) // 16-bit maxval unsupported
+    assert(PpmCodec.decode("P6\n99999999999 1\n255\n".getBytes ++ px) === None) // dims overflow Int
+    assert(PpmCodec.decode("P6 2 2 255".getBytes ++ Array(0xFF.toByte) ++ px) === None) // no ws terminator
   }
 
   test("resizeNearest 4x4 → 2x2 picks the exact nearest-neighbour source pixels") {

@@ -97,8 +97,9 @@ class StreamingSpec extends SparkSpec {
     val ships  = MemoryStream[(Long, Timestamp)]
     val out = Streams.intervalJoinStream(
       orders.toDF.toDF("order_id", "order_ts"),
-      ships.toDF.toDF("order_id_r", "ship_ts"),
-      key = "order_id", leftTs = "order_ts", rightTs = "ship_ts",
+      ships.toDF.toDF("ship_order_id", "ship_ts"),
+      leftKey = "order_id", rightKey = "ship_order_id",
+      leftTs = "order_ts", rightTs = "ship_ts",
       watermark = "10 minutes", maxDelay = "1 HOUR")
     val q = out.writeStream.format("memory").queryName("ivj_out")
       .outputMode("append").start()
