@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 merge — dbt's `snapshot` materialization
+  * (timestamp + check strategy combined: a new version opens only when the
+  * payload actually changed AND the batch is newer). The reference project
+  * ships the snapshots/ directory (empty — dbt's standard layout); this is
+  * the operator a dbt user expects behind it.
+  *
+  * Row states after a merge:
+  *  - history rows (valid_to set) pass through untouched
+  *  - current rows whose key is absent from the batch, or whose payload is
+  *    unchanged, stay current
+  *  - current rows with a CHANGED payload close (valid_to = batch
+  *    updated_at) and a new current version opens (valid_from = updated_at)
+  *  - brand-new keys open their first version
+  *
+  * Scale: one shuffle on the key — the join and both anti-joins all key on
+  * the same column, so the exchange is planned once and reused; history
+  * never rewrites (at 100 TB the output appends closed+new versions to a
+  * key-partitioned snapshot table).
+  */
+object Scd2 {
+
+  /** `existing`: (key, payloadCols..., validFrom, validTo) — validTo null
+    * marks the current version. `fresh`: (key, payloadCols...,
+    * updatedAtCol). Returns the full post-merge version history. */
+  def merge(existing: DataFrame, fresh: DataFrame, key: String,
+      payloadCols: Seq[String], updatedAtCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    val history = existing.filter(col(validToCol).isNotNull)
+    val current = existing.filter(col(validToCol).isNull)
+
+    val joined = current.alias("cur").join(fresh.alias("b"),
+      col(s"cur.$key") === col(s"b.$key"))
+    // null-safe payload inequality (dbt check strategy) + newer-batch guard
+    val differs = payloadCols.map(c => !(col(s"cur.$c") <=> col(s"b.$c")))
+      .reduce(_ || _)
+    val changedKeys = joined
+      .where(differs && col(s"b.$updatedAtCol") > col(s"cur.$validFromCol"))
+      .select(col(s"cur.$key").as(key), col(s"b.$updatedAtCol").as("__close_at"))
+
+    // close superseded versions; unchanged/absent keys stay current
+    val closed = current.join(changedKeys, Seq(key))
+      .withColumn(validToCol, col("__close_at")).drop("__close_at")
+    val stillCurrent = current.join(changedKeys.select(key), Seq(key), "left_anti")
+    // new versions for changed keys + first versions for brand-new keys
+    val inserts = fresh.join(changedKeys.select(key), Seq(key))
+      .unionByName(fresh.join(current.select(key), Seq(key), "left_anti"))
+      .withColumn(validFromCol, col(updatedAtCol))
+      .withColumn(validToCol,
+        lit(null).cast(existing.schema(validToCol).dataType))
+      .drop(updatedAtCol)
+
+    history.unionByName(stillCurrent).unionByName(closed).unionByName(inserts)
+  }
+}

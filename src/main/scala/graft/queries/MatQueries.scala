@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.Kernels._
-import graft.operators.IncrementalMerge
+import graft.operators.{IncrementalMerge, Scd2}
 import graft.sources.{SchemaEvolution, Tables}
 
 /** Window sequences, the exact-decimal fact-math pipeline, incremental
@@ -195,6 +195,76 @@ object MatQueries {
           UNION ALL
           SELECT * FROM fresh)
         ORDER BY o_orderkey""")),
+
+    // dbt `snapshot` materialization (SCD2) — the reference ships the
+    // snapshots/ directory; this gates the full version-history semantics:
+    // changed payloads close the old version and open a new one, unchanged
+    // payloads do NOT version (check strategy), stale batches are ignored,
+    // and brand-new keys open their first version.
+    QueryDef(
+      "q65_scd2_snapshot",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+        val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+        val existing = o.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"),
+          t1.as("valid_from"), lit(null).cast("timestamp").as("valid_to"))
+        // batch: keys %3==0 arrive again — half with a real change, half
+        // byte-identical (must NOT version); keys %7==0 arrive shifted as
+        // brand-new keys
+        val revisits = o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 6 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")).as("status"),
+            col("o_orderpriority").as("prio"), t2.as("updated_at"))
+        val newKeys = o.where(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 1000000).as("k"),
+            lit("N").as("status"), col("o_orderpriority").as("prio"),
+            t2.as("updated_at"))
+        val fresh = revisits.unionByName(newKeys)
+        Scd2.merge(existing, fresh, "k", Seq("status", "prio"), "updated_at")
+          .orderBy(col("k"), col("valid_from"))
+      },
+      Some("""
+        WITH existing AS (
+          SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio,
+                 TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                 CAST(NULL AS TIMESTAMP) AS valid_to
+          FROM orders),
+        fresh AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 6 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+                 o_orderpriority AS prio,
+                 TIMESTAMP '2024-02-01 00:00:00' AS updated_at
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000, 'N', o_orderpriority,
+                 TIMESTAMP '2024-02-01 00:00:00'
+          FROM orders WHERE o_orderkey % 7 = 0),
+        changed AS (
+          SELECT e.k, f.updated_at AS close_at
+          FROM existing e JOIN fresh f USING (k)
+          WHERE (e.status IS DISTINCT FROM f.status OR e.prio IS DISTINCT FROM f.prio)
+            AND f.updated_at > e.valid_from),
+        closed AS (
+          SELECT e.k, e.status, e.prio, e.valid_from, c.close_at AS valid_to
+          FROM existing e JOIN changed c USING (k)),
+        still_current AS (
+          SELECT e.* FROM existing e
+          WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.k = e.k)),
+        inserts AS (
+          SELECT f.k, f.status, f.prio, f.updated_at AS valid_from,
+                 CAST(NULL AS TIMESTAMP) AS valid_to
+          FROM fresh f
+          WHERE EXISTS (SELECT 1 FROM changed c WHERE c.k = f.k)
+             OR NOT EXISTS (SELECT 1 FROM existing e WHERE e.k = f.k))
+        SELECT * FROM (
+          SELECT * FROM still_current
+          UNION ALL SELECT * FROM closed
+          UNION ALL SELECT * FROM inserts)
+        ORDER BY k, valid_from""")),
 
     // §2.6: the one global sort (reference first_channel_ltv.sql:26) +
     // top-k extension — total order with deterministic tiebreak.

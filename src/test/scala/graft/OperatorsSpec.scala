@@ -99,6 +99,37 @@ class OperatorsSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/s2").exists(), "staging dir must be cleaned")
   }
 
+  test("Scd2.merge: change versions, no-change skips, stale batch ignored, history untouched") {
+    val ts0 = Timestamp.valueOf("2023-12-01 00:00:00")
+    val t1  = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2  = Timestamp.valueOf("2024-02-01 00:00:00")
+    val existing = Seq(
+      (1L, "a", ts0, t1: Timestamp),   // history row (closed earlier)
+      (1L, "b", t1, null: Timestamp),  // current, will change
+      (2L, "c", t1, null: Timestamp),  // current, batch identical → no version
+      (3L, "d", t1, null: Timestamp),  // current, batch STALE → ignored
+      (4L, "e", t1, null: Timestamp)   // current, absent from batch
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val fresh = Seq(
+      (1L, "b2", t2),  // changed
+      (2L, "c", t2),   // identical payload
+      (3L, "d2", ts0), // older than current valid_from → stale
+      (9L, "z", t2)    // brand-new key
+    ).toDF("k", "v", "updated_at")
+    val got = graft.operators.Scd2.merge(existing, fresh, "k", Seq("v"), "updated_at")
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).toSeq
+    assert(got === Seq(
+      (1L, "a", ts0, Some(t1)),   // history passes through
+      (1L, "b", t1, Some(t2)),    // closed at batch time
+      (1L, "b2", t2, None),       // new current version
+      (2L, "c", t1, None),        // unchanged → still current, NOT versioned
+      (3L, "d", t1, None),        // stale batch ignored
+      (4L, "e", t1, None),        // untouched key stays current
+      (9L, "z", t2, None)))       // first version of a new key
+  }
+
   test("IncrementalMerge.mergeWithLookback filters fresh side first") {
     val existing = Seq((1L, 10, "old1"), (2L, 20, "old2")).toDF("k", "d", "v")
     val source = Seq((2L, 99, "new2"), (3L, 5, "too_old")).toDF("k", "d", "v")
