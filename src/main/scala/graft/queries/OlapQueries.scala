@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels._
+import graft.sources.Tables
+
+/** OLAP-completeness surface: the generator/pivot/grouping-set/unpivot
+  * operators every analytics-engine user expects even though the
+  * reference's dbt models never spell them (dim_date.sql ships as an
+  * empty placeholder — q66 is the model behind it).
+  */
+object OlapQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Source-less date-spine generator — the dim_date the reference
+    // stubs out: sequence() → explode, calendar parts, ISO weeks.
+    // Cross-engine traps handled: Spark dayofweek is 1=Sunday..7 while
+    // DuckDB's is 0=Sunday..6 (offset by one); both weekofyear are ISO.
+    QueryDef(
+      "q66_date_dim",
+      (s, dir) => {
+        val spine = s.range(1).select(explode(sequence(
+          lit("1995-01-01").cast("date"), lit("1996-12-31").cast("date"),
+          expr("interval 1 day"))).as("d"))
+        spine.select(col("d"),
+            year(col("d")).cast("long").as("y"),
+            month(col("d")).cast("long").as("m"),
+            dayofmonth(col("d")).cast("long").as("day_of_month"),
+            (dayofweek(col("d")) - 1).cast("long").as("dow"),
+            weekofyear(col("d")).cast("long").as("iso_week"),
+            quarter(col("d")).cast("long").as("q"),
+            dayofweek(col("d")).isin(1, 7).as("is_weekend"))
+          .orderBy(col("d"))
+      },
+      Some("""
+        SELECT CAST(d AS DATE) AS d,
+               CAST(year(d) AS BIGINT) AS y,
+               CAST(month(d) AS BIGINT) AS m,
+               CAST(day(d) AS BIGINT) AS day_of_month,
+               CAST(dayofweek(d) AS BIGINT) AS dow,
+               CAST(weekofyear(d) AS BIGINT) AS iso_week,
+               CAST(quarter(d) AS BIGINT) AS q,
+               dayofweek(d) IN (0, 6) AS is_weekend
+        FROM generate_series(DATE '1995-01-01', DATE '1996-12-31', INTERVAL 1 DAY) t(d)
+        ORDER BY d""")),
+
+    // PIVOT: status categories become revenue columns. Values are
+    // declared explicitly (no extra distinct-scan pass — the 100 TB
+    // stance) and each cell is an exact decimal sum.
+    QueryDef(
+      "q67_pivot",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.select(year(col("o_orderdate")).cast("long").as("y"),
+            col("o_orderstatus"), dec6(col("o_totalprice")).as("p"))
+          .groupBy(col("y")).pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(moneyOut(sum(col("p"))))
+          .orderBy(col("y"))
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS F,
+               CAST(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS O,
+               CAST(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,6)) END) AS DECIMAL(38,6)) AS DOUBLE) AS P
+        FROM orders
+        GROUP BY 1
+        ORDER BY y""")),
+
+    // ROLLUP grouping sets with grouping_id — subtotal and grand-total
+    // rows in one pass (no union of aggregates).
+    QueryDef(
+      "q68_rollup",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.select(year(col("o_orderdate")).cast("long").as("y"),
+            col("o_orderstatus").as("status"), dec6(col("o_totalprice")).as("p"))
+          .rollup(col("y"), col("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            moneyOut(sum(col("p"))).as("revenue"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("y").asc_nulls_first,
+            col("status").asc_nulls_first)
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               o_orderstatus AS status,
+               COUNT(*) AS n_orders,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+               CAST(GROUPING(year(o_orderdate), o_orderstatus) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+        ORDER BY gid, y ASC NULLS FIRST, status ASC NULLS FIRST""")),
+
+    // UNPIVOT (melt): wide metric columns → (metric, value) rows.
+    QueryDef(
+      "q69_unpivot",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val wide = li.groupBy(col("l_orderkey")).agg(
+          moneyOut(sum(dec6(col("l_quantity")))).as("qty"),
+          moneyOut(sum(dec6(col("l_extendedprice")))).as("gross"),
+          moneyOut(sum((dec6(col("l_extendedprice")) * dec6(col("l_discount")))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))).as("discount"))
+        wide.unpivot(Array(col("l_orderkey")),
+            Array(col("qty"), col("gross"), col("discount")),
+            "metric", "value")
+          .orderBy(col("l_orderkey"), col("metric"))
+      },
+      Some("""
+        WITH wide AS (
+          SELECT l_orderkey,
+                 CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS qty,
+                 CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS gross,
+                 CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6)) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS discount
+          FROM lineitem GROUP BY 1)
+        SELECT l_orderkey, metric, value
+        FROM (UNPIVOT wide ON qty, gross, discount INTO NAME metric VALUE value)
+        ORDER BY l_orderkey, metric""")))
+}
