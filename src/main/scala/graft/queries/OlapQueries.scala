@@ -116,5 +116,74 @@ object OlapQueries {
           FROM lineitem GROUP BY 1)
         SELECT l_orderkey, metric, value
         FROM (UNPIVOT wide ON qty, gross, discount INTO NAME metric VALUE value)
-        ORDER BY l_orderkey, metric""")))
+        ORDER BY l_orderkey, metric""")),
+
+    // RANGE-framed moving window: per-customer trailing-90-day order
+    // revenue. The frame is VALUE-based (days-since-epoch), not row-based
+    // — prior coverage only exercised row frames. One shuffle on
+    // customer_id; the frame scan is a single ordered pass per key.
+    QueryDef(
+      "q70_range_frame",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("day_no"))
+          .rangeBetween(-90, 0)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            datediff(to_date(col("o_orderdate")), lit("1990-01-01").cast("date"))
+              .cast("long").as("day_no"),
+            dec6(col("o_totalprice")).as("p"))
+          .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+            moneyOut(sum(col("p")).over(w)).as("trailing_90d_revenue"),
+            count(lit(1)).over(w).as("trailing_90d_orders"))
+          .orderBy(col("o_custkey"), col("day_no"), col("o_orderkey"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_custkey, o_orderkey,
+                 CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day_no,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS p
+          FROM orders)
+        SELECT o_custkey, o_orderkey, day_no,
+               CAST(CAST(SUM(p) OVER w AS DECIMAL(38,6)) AS DOUBLE) AS trailing_90d_revenue,
+               COUNT(*) OVER w AS trailing_90d_orders
+        FROM t
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+                     RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, day_no, o_orderkey""")),
+
+    // Analytic rank family in one pass: ntile buckets, percent_rank,
+    // cume_dist, dense_rank — all over one shared (key, order) sort so
+    // the window exchange and sort run once.
+    QueryDef(
+      "q71_rank_family",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("status"))
+          .orderBy(col("p"), col("o_orderkey"))
+        o.select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            dec6(col("o_totalprice")).as("p"))
+          .select(col("o_orderkey"), col("status"), moneyOut(col("p")).as("price"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"),
+            dense_rank().over(w).cast("long").as("drank"))
+          .orderBy(col("status"), col("price"), col("o_orderkey"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT o_orderkey, o_orderstatus AS status,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS p
+          FROM orders)
+        SELECT o_orderkey, status,
+               CAST(CAST(p AS DECIMAL(38,6)) AS DOUBLE) AS price,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume,
+               CAST(dense_rank() OVER w AS BIGINT) AS drank
+        FROM t
+        WINDOW w AS (PARTITION BY status ORDER BY p, o_orderkey)
+        ORDER BY status, price, o_orderkey""")))
 }
