@@ -185,5 +185,59 @@ object OlapQueries {
                CAST(dense_rank() OVER w AS BIGINT) AS drank
         FROM t
         WINDOW w AS (PARTITION BY status ORDER BY p, o_orderkey)
-        ORDER BY status, price, o_orderkey""")))
+        ORDER BY status, price, o_orderkey""")),
+
+    // LEFT SEMI join — the positive EXISTS twin of q10's anti-join:
+    // customers WITH at least one purchase event, no event columns leaked
+    // and no row duplication however many events match.
+    QueryDef(
+      "q73_semi_join",
+      (s, dir) => {
+        val c  = Tables.customer(s, dir)
+        val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+          .select((col("user_id") % 1500 + 1).as("c_custkey"))
+        c.join(ev, Seq("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM events e
+                      WHERE e.event_type = 'purchase'
+                        AND e.user_id % 1500 + 1 = c.c_custkey)
+        ORDER BY c_custkey""")),
+
+    // INTERSECT / EXCEPT set operators (distinct semantics on both
+    // engines): segments that both high-balance and recent-buyer
+    // customers occupy, and segments exclusive to high-balance.
+    QueryDef(
+      "q74_set_ops",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val highBal = c.where(col("c_acctbal") > 7500)
+          .select(col("c_mktsegment").as("segment"))
+        val recent = c.join(
+            o.where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+              .select(col("o_custkey").as("c_custkey")).distinct(),
+            Seq("c_custkey"))
+          .select(col("c_mktsegment").as("segment"))
+        highBal.intersect(recent).select(col("segment"), lit("both").as("side"))
+          .unionByName(
+            highBal.except(recent).select(col("segment"), lit("high_bal_only").as("side")))
+          .orderBy(col("side"), col("segment"))
+      },
+      Some("""
+        WITH high_bal AS (
+          SELECT c_mktsegment AS segment FROM customer WHERE c_acctbal > 7500),
+        recent AS (
+          SELECT c.c_mktsegment AS segment
+          FROM customer c JOIN (SELECT DISTINCT o_custkey FROM orders
+                                WHERE o_orderdate >= TIMESTAMP '1998-01-01') r
+            ON r.o_custkey = c.c_custkey)
+        SELECT segment, 'both' AS side FROM (SELECT segment FROM high_bal INTERSECT SELECT segment FROM recent)
+        UNION ALL
+        SELECT segment, 'high_bal_only' AS side FROM (SELECT segment FROM high_bal EXCEPT SELECT segment FROM recent)
+        ORDER BY side, segment""")))
 }

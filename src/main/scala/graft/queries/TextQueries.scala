@@ -456,5 +456,50 @@ object TextQueries {
           SELECT doc_id AS test_doc, winnow_fp FROM fp WHERE bucket >= 90)
         SELECT test_doc, train_doc, n_train_dups, winnow_fp
         FROM test JOIN train USING (winnow_fp)
-        ORDER BY test_doc, train_doc""")))
+        ORDER BY test_doc, train_doc""")),
+
+    // Sequence packing — assigning documents to fixed token-budget
+    // training sequences. The scalable formulation: a deterministic
+    // per-source order, a running token prefix-sum (one window pass), and
+    // bin = floor(start_offset / budget) — no sequential greedy loop, no
+    // driver involvement; at 100 TB each source partition packs
+    // independently in one shuffle.
+    QueryDef(
+      "q72_sequence_packing",
+      (s, dir) => {
+        val budget = 1000L
+        val d = Tables.documents(s, dir)
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val packed = d.select(col("source"), col("doc_id"),
+            tokenCount(tokens(col("text"))).as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("bin", ((col("cum") - col("n_tokens")) / budget)
+            .cast("long"))
+        packed.groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"),
+            max(col("doc_id")).as("last_doc"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""
+        WITH t AS (
+          SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT source, doc_id, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t),
+        b AS (
+          SELECT source, doc_id, n_tokens,
+                 CAST(floor((cum - n_tokens) / 1000) AS BIGINT) AS bin
+          FROM c)
+        SELECT source, bin, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM b
+        GROUP BY 1, 2
+        ORDER BY source, bin""")))
 }
