@@ -26,11 +26,16 @@ object Scd2 {
 
   /** `existing`: (key, payloadCols..., validFrom, validTo) — validTo null
     * marks the current version. `fresh`: (key, payloadCols...,
-    * updatedAtCol). Returns the full post-merge version history. */
+    * updatedAtCol) and must be KEY-UNIQUE — dbt snapshots reject batches
+    * with duplicate keys; here duplicates close the superseded version
+    * once (max updated_at) but would insert one version per duplicate
+    * row, so pre-aggregate CDC batches to latest-per-key first.
+    * Returns the full post-merge version history. */
   def merge(existing: DataFrame, fresh: DataFrame, key: String,
       payloadCols: Seq[String], updatedAtCol: String,
       validFromCol: String = "valid_from",
       validToCol: String = "valid_to"): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must name at least one column")
     val history = existing.filter(col(validToCol).isNotNull)
     val current = existing.filter(col(validToCol).isNull)
 
@@ -39,9 +44,12 @@ object Scd2 {
     // null-safe payload inequality (dbt check strategy) + newer-batch guard
     val differs = payloadCols.map(c => !(col(s"cur.$c") <=> col(s"b.$c")))
       .reduce(_ || _)
+    // one row per key (EXISTS semantics): a duplicate-key batch must not
+    // multiply the closed rows through the joins below
     val changedKeys = joined
       .where(differs && col(s"b.$updatedAtCol") > col(s"cur.$validFromCol"))
       .select(col(s"cur.$key").as(key), col(s"b.$updatedAtCol").as("__close_at"))
+      .groupBy(col(key)).agg(max(col("__close_at")).as("__close_at"))
 
     // close superseded versions; unchanged/absent keys stay current
     val closed = current.join(changedKeys, Seq(key))

@@ -219,8 +219,10 @@ object MatQueries {
             when(col("o_orderkey") % 6 === 0, lit("X"))
               .otherwise(col("o_orderstatus")).as("status"),
             col("o_orderpriority").as("prio"), t2.as("updated_at"))
+        // +1e9 shift keeps synthesized keys clear of real orderkeys at ANY
+        // scale factor (max orderkey ≈ 1.5M × sf; +1e6 collided at sf ≥ 0.67)
         val newKeys = o.where(col("o_orderkey") % 7 === 0)
-          .select((col("o_orderkey") + 1000000).as("k"),
+          .select((col("o_orderkey") + 1000000000L).as("k"),
             lit("N").as("status"), col("o_orderpriority").as("prio"),
             t2.as("updated_at"))
         val fresh = revisits.unionByName(newKeys)
@@ -240,7 +242,7 @@ object MatQueries {
                  TIMESTAMP '2024-02-01 00:00:00' AS updated_at
           FROM orders WHERE o_orderkey % 3 = 0
           UNION ALL
-          SELECT o_orderkey + 1000000, 'N', o_orderpriority,
+          SELECT o_orderkey + 1000000000, 'N', o_orderpriority,
                  TIMESTAMP '2024-02-01 00:00:00'
           FROM orders WHERE o_orderkey % 7 = 0),
         changed AS (

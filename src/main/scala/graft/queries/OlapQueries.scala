@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.functions.Kernels._
 import graft.sources.Tables
 
@@ -101,7 +103,7 @@ object OlapQueries {
           moneyOut(sum(dec6(col("l_quantity")))).as("qty"),
           moneyOut(sum(dec6(col("l_extendedprice")))).as("gross"),
           moneyOut(sum((dec6(col("l_extendedprice")) * dec6(col("l_discount")))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))).as("discount"))
+            .cast(DecimalType(18, 6)))).as("discount"))
         wide.unpivot(Array(col("l_orderkey")),
             Array(col("qty"), col("gross"), col("discount")),
             "metric", "value")
@@ -126,7 +128,7 @@ object OlapQueries {
       "q70_range_frame",
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        val w = org.apache.spark.sql.expressions.Window
+        val w = Window
           .partitionBy(col("o_custkey"))
           .orderBy(col("day_no"))
           .rangeBetween(-90, 0)
@@ -160,7 +162,7 @@ object OlapQueries {
       "q71_rank_family",
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        val w = org.apache.spark.sql.expressions.Window
+        val w = Window
           .partitionBy(col("status"))
           .orderBy(col("p"), col("o_orderkey"))
         o.select(col("o_orderkey"), col("o_orderstatus").as("status"),
