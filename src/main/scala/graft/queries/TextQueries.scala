@@ -501,5 +501,42 @@ object TextQueries {
                MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         FROM b
         GROUP BY 1, 2
-        ORDER BY source, bin""")))
+        ORDER BY source, bin""")),
+
+    // Unigram familiarity scoring — the language-model-quality proxy:
+    // build corpus token frequencies, then score each doc by the average
+    // corpus frequency of its tokens (rare-token-heavy docs score low —
+    // the shape of a KenLM perplexity filter without transcendentals, so
+    // both engines agree bit-for-bit: integer sums → ONE double
+    // division). Token stream joins the frequency table on the token —
+    // at 100 TB the vocab side is the small one (broadcast or
+    // shuffle-join on token with AQE handling stopword skew).
+    QueryDef(
+      "q75_unigram_familiarity",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("tok_freq"))
+        toks.join(vocab, Seq("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(col("tok_freq")).cast("long").as("freq_sum"))
+          .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+            (col("freq_sum").cast("double") / col("n_tokens"))
+              .as("avg_tok_familiarity"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH $ToksCte,
+        flat AS (SELECT doc_id, unnest(ws) AS tok FROM toks),
+        vocab AS (SELECT tok, COUNT(*) AS tok_freq FROM flat GROUP BY 1),
+        scored AS (
+          SELECT f.doc_id, COUNT(*) AS n_tokens,
+                 CAST(SUM(v.tok_freq) AS BIGINT) AS freq_sum
+          FROM flat f JOIN vocab v USING (tok)
+          GROUP BY 1)
+        SELECT doc_id, n_tokens, freq_sum,
+               freq_sum::DOUBLE / n_tokens AS avg_tok_familiarity
+        FROM scored
+        ORDER BY doc_id""")))
 }
