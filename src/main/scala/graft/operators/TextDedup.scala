@@ -154,65 +154,93 @@ object TextDedup {
       size(array_union(shA, shB))
 
   /** Connected components over an undirected dup-pair list → (node,
-    * cluster_id = min node in component). The RETURNED frame is persisted
-    * (its materialized labels are the loop's result; its parents release
-    * their pins) — library callers should `unpersist()` it when done, or
-    * clear the cache between runs as Bench/Verify do. Iterative min-label
-    * propagation, the standard Pregel-style loop: each round joins labels
-    * across edges and takes the neighborhood min; rounds needed = graph
-    * diameter (near-dup clusters are tiny chains, so 2-4). Each round is
-    * one shuffle join + one aggregate; frames persist per round so the
-    * lineage stays flat. At web scale the same loop runs with the
-    * large-star/small-star optimization or GraphFrames — the semantics
-    * here are identical. */
+    * cluster_id = min node in component). Alternating LARGE-STAR /
+    * SMALL-STAR (the MapReduce-CC algorithm of Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond"): each round every
+    * neighborhood hangs its larger members (large-star) and then its
+    * smaller members (small-star) off the neighborhood minimum, so the
+    * distance from any node to its component minimum roughly HALVES per
+    * round — O(log diameter) rounds, vs diameter-many for plain min-label
+    * propagation. On a 100 TB corpus with chained near-dups (doc A ~ B ~ C
+    * ~ …) that is the difference between 8 rounds and hundreds.
+    *
+    * Pin-neutral by contract: every materialization in the loop (and the
+    * returned frame) is `localCheckpoint` — lineage truncated, NO
+    * cacheManager registration, blocks released by the ContextCleaner when
+    * the round frames go out of scope — so callers and harnesses need no
+    * cache hygiene, and a suite running many queries accumulates zero pins
+    * from this loop. (On a multi-executor cluster with dynamic allocation,
+    * swap localCheckpoint for a reliable `checkpoint` dir — same contract.)
+    *
+    * Each phase is one hash shuffle (groupBy the star center) + one
+    * co-partitioned join; the convergence probe compares two PERSISTED
+    * edge sets (count, then a one-direction except on equal counts —
+    * |A|=|B| ∧ A∖B=∅ ⟹ A=B), never the full lineage. At `maxRounds`
+    * (far above log₂ of any real component diameter) the loop exits with
+    * the best edges so far — the oracle gate hash-fails rather than
+    * silently accepting an unconverged clustering. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxRounds: Int = 32): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK) // read once per round
-    // Self-loops let each round be ONE join + min-agg with `labels`
-    // referenced exactly once — a formulation where labels appears twice
-    // per round (join + fallback union) doubles the logical plan every
-    // round (2^rounds analysis blowup, measured 125 s); this one grows
-    // linearly.
-    val selfLoops = edges.select(col("u")).distinct()
-      .select(col("u"), col("u").as("v"))
-    val edgesPlus = edges.unionByName(selfLoops).persist(StorageLevel.MEMORY_AND_DISK)
-    // Convergence-checked loop: each round materializes labels (persist +
-    // count) then probes whether any label still decreased — min-label
-    // propagation is monotone, so `label < prev` is the complete change
-    // test. Near-dup clusters converge in 2-3 rounds, so paying one small
-    // job per round beats the previous fixed-8 lazily-chained plan
-    // (measured 15.9 s at sf0.1, mostly the unconditional round floor);
-    // the probe reads two PERSISTED frames, never the full lineage. At
-    // `maxRounds` (diameter bound, far above any near-dup chain) the loop
-    // exits with the best labels so far — the oracle gate hash-fails
-    // rather than silently accepting an unconverged clustering.
-    var labels = edgesPlus.groupBy(col("u").as("node")).agg(min(col("v")).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
-    var converged = false
-    var round = 1
-    while (!converged && round < maxRounds) {
-      val next = edgesPlus
-        .join(labels.select(col("node").as("v"), col("label")), Seq("v"))
-        .groupBy(col("u").as("node"))
-        .agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      converged = next
-        .join(labels.select(col("node"), col("label").as("prev")), Seq("node"))
-        .where(col("label") < col("prev")).limit(1).isEmpty
-      labels.unpersist()
-      labels = next
-      round += 1
+      maxRounds: Int = 32): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol, maxRounds)._1
+
+  /** As [[connectedComponents]], also returning the number of star rounds
+    * executed (exposed so tests can pin the O(log diameter) bound). */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String, bCol: String,
+      maxRounds: Int = 32): (DataFrame, Int) = {
+    // Degenerate self-pairs (a,a) carry no connectivity but must still
+    // label their node; route them around the loop.
+    val selfNodes = pairs.where(col(aCol) === col(bCol))
+      .select(col(aCol).as("node")).distinct()
+    // Canonical child→parent edges (u > v), deduplicated. Each round
+    // references the edge frame several times (bidir union, star joins),
+    // so WITHOUT lineage truncation the logical plan multiplies ~8× per
+    // round — exponential analysis blowup. localCheckpoint(eager) both
+    // materializes (the convergence probe reads blocks, not lineage) and
+    // truncates the plan to the checkpointed RDD, keeping per-round plan
+    // size constant; unlike persist it registers nothing in cacheManager,
+    // so the loop is pin-neutral by construction.
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var cnt = edges.count()
+    var rounds = 0
+    var converged = cnt == 0L
+    while (!converged && rounds < maxRounds) {
+      // Large-star: for every node's neighborhood (both directions), hang
+      // each STRICTLY LARGER neighbor off m = min(neighborhood ∪ self).
+      // Each undirected edge is emitted exactly once — from its smaller
+      // endpoint's group — so the output stays O(m).
+      val bidir = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = bidir.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+        .select(col("u"), least(col("u"), col("_mn")).as("m"))
+      val ls = bidir.join(lsMin, Seq("u")).where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // Small-star: edges now point child→parent (u > v); rewire every
+      // parent (and the child itself) to the child's minimum parent.
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, Seq("u"))
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val nextCnt = ss.count()
+      converged = nextCnt == cnt && ss.exceptAll(edges).limit(1).isEmpty
+      edges = ss
+      cnt = nextCnt
+      rounds += 1
     }
-    // labels is materialized (counted); its parents can release their pins —
-    // consumers read the persisted labels, recomputing only on eviction
-    edges.unpersist()
-    edgesPlus.unpersist()
-    labels.select(col("node"), col("label").as("cluster_id"))
+    // Fixpoint = disjoint stars: every non-root points at its component
+    // min; roots (and self-pair singletons) label themselves.
+    val labels = edges.select(col("u").as("node"), col("v").as("label"))
+      .unionByName(edges.select(col("v").as("node"), col("v").as("label")))
+      .unionByName(selfNodes.select(col("node"), col("node").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("cluster_id"))
+    (labels.localCheckpoint(true), rounds)
   }
 }

@@ -133,6 +133,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(got === Seq((1L,1L),(2L,1L),(3L,1L),(10L,10L),(11L,10L),(12L,10L),(20L,20L),(21L,20L)))
   }
 
+  test("connectedComponents: 128-node chain converges in O(log diameter) star rounds") {
+    // Path 0-1-2-…-127: diameter 127. Plain min-label propagation needs
+    // ~127 rounds; large-star/small-star must land well under
+    // ceil(log2(127)) + c. Labels must still all collapse to 0.
+    val n = 128
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val (labels, rounds) =
+      TextDedup.connectedComponentsWithRounds(pairs, "id_a", "id_b")
+    assert(rounds <= 12, s"expected O(log diameter) rounds, got $rounds")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === n && got.values.forall(_ === 0L))
+  }
+
+  test("connectedComponents leaves no cacheManager pins behind") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 5L)).toDF("id_a", "id_b")
+    val labels = TextDedup.connectedComponents(pairs, "id_a", "id_b")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "connectedComponents must be pin-neutral")
+    // self-pair nodes still get a singleton label
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(5L) === 5L && got(3L) === 1L)
+  }
+
   test("rollingHash matches the Rabin-Karp reference fold") {
     // h('abc') with B=131, M=2^31-1, computed independently = 1677554
     val df = Seq("abc").toDF("t").select(TextKernels.rollingHash(col("t")).as("h"))
