@@ -20,18 +20,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Pin-hygiene invariant: every query must leave the cacheManager empty
+    // (operators materialize via localCheckpoint, never an unreleased
+    // persist) — accumulated pins otherwise inflate late-suite memory
+    // pressure and make one query's timing depend on another's leftovers.
+    val pinViolations = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
-        spark.catalog.clearCache() // drop previous queries' persisted frames
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        if (!spark.sharedState.cacheManager.isEmpty) {
+          pinViolations += name
+          System.err.println(s"[verify] PIN VIOLATION: $name left cached frames")
+          spark.catalog.clearCache()
+        }
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        spark.catalog.clearCache()
       }
     }
+    System.err.println(s"[verify] pin-hygiene violations: ${pinViolations.size}" +
+      (if (pinViolations.nonEmpty) pinViolations.mkString(" (", ", ", ")") else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -15,7 +15,8 @@ import graft.sources.Tables
   * dependency edges. A user porting from the reference runs any model by
   * name — `ModelCatalog(spark, dir).build("fct_orders")` — and shared
   * upstream models (stg_orders feeds five consumers, as in the reference)
-  * are scanned once via the Pipeline's automatic persist-on-shared-dep.
+  * are scanned once via the Pipeline's automatic materialize-on-shared-dep
+  * (localCheckpoint — pin-neutral, see Pipeline).
   *
   * Node bodies are compact Spark twins over the testdata star schema; the
   * full per-model semantics (money math, JSON shapes, slot parsing,

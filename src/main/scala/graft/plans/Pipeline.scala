@@ -2,7 +2,6 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.storage.StorageLevel
 
 /** Mini pipeline DAG runner with memoized shared dependencies — the
   * reference's dbt DAG shape re-expressed for Spark (reference: stg_orders
@@ -10,12 +9,19 @@ import org.apache.spark.storage.StorageLevel
   * customer_revenue_ltv — four consumers of one staging model).
   *
   * Each node declares (deps, build); `build` receives already-built dep
-  * frames. A node with more than one registered consumer is persisted
-  * MEMORY_AND_DISK automatically, so its plan runs once per pipeline run
-  * instead of once per consumer — on a cluster this is the difference
-  * between scanning bronze N times and once. Single-consumer nodes stay
-  * lazy (Catalyst inlines them into the consumer's plan, preserving
-  * whole-plan optimization across the node boundary).
+  * frames. A node with more than one registered consumer is materialized
+  * ONCE via `localCheckpoint(eager)`, so its plan runs once per pipeline
+  * run instead of once per consumer — on a cluster this is the difference
+  * between scanning bronze N times and once. localCheckpoint (vs persist)
+  * also truncates lineage and registers NOTHING in the session
+  * cacheManager, so pipelines are pin-neutral: a suite running many
+  * catalog queries accumulates zero cache entries (Verify reports this
+  * invariant per query), and block cleanup is automatic when the frames
+  * go out of scope. On a multi-executor cluster where executor loss
+  * mid-pipeline matters, swap for a reliable `checkpoint` dir — same
+  * contract. Single-consumer nodes stay lazy (Catalyst inlines them into
+  * the consumer's plan, preserving whole-plan optimization across the
+  * node boundary).
   */
 final class Pipeline {
 
@@ -45,15 +51,11 @@ final class Pipeline {
       val node = nodes.getOrElse(name, sys.error(s"unknown node $name"))
       val deps = node.deps.map(d => d -> buildWith(d, visiting + name)).toMap
       val df   = node.build(deps)
-      if (consumerCount(name) > 1) df.persist(StorageLevel.MEMORY_AND_DISK) else df
+      if (consumerCount(name) > 1) df.localCheckpoint(true) else df
     })
   }
 
   /** Build every registered node (dependency order), returning leaves. */
   def buildAll(): Map[String, DataFrame] =
     nodes.keysIterator.map(n => n -> build(n)).toMap
-
-  /** Release persisted shared nodes (end-of-run cleanup). */
-  def unpersistAll(): Unit =
-    memo.valuesIterator.foreach(_.unpersist())
 }

@@ -7,7 +7,10 @@ import graft.plans.Pipeline
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
-  test("shared dep builds once and is persisted; single-consumer stays lazy") {
+  private def isMaterialized(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.logical.getClass.getSimpleName == "LogicalRDD"
+
+  test("shared dep builds once and is materialized; single-consumer stays lazy") {
     val builds = new AtomicInteger(0)
     val p = new Pipeline
     p.register("base") { _ =>
@@ -19,14 +22,16 @@ class PipelineSpec extends SparkSpec {
     p.register("solo", Seq("a"))(d => d("a").where(col("s") > 0))
 
     val all = p.buildAll()
-    assert(builds.get() === 1)                                   // memoized
-    assert(all("base").storageLevel.useMemory)                   // 2 consumers → persisted
-    assert(!all("solo").storageLevel.useMemory)                  // leaf not persisted
+    assert(builds.get() === 1)                // memoized
+    assert(isMaterialized(all("base")))       // 2 consumers → localCheckpoint
+    assert(!isMaterialized(all("solo")))      // leaf stays lazy
     assert(all("b").head.getLong(0) === 2L)
-    p.unpersistAll()
+    // localCheckpoint, not persist: pipelines leave no cacheManager pins
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("ModelCatalog: the full reference DAG builds by model name, one scan per shared node") {
+    spark.catalog.clearCache()
     val p = graft.plans.ModelCatalog(spark, "/root/testdata/sf0.001")
     val built = p.buildAll()
     assert(built.keySet === graft.plans.ModelCatalog.modelNames.toSet)
@@ -35,13 +40,13 @@ class PipelineSpec extends SparkSpec {
       assert(built(n).limit(1).count() === 1L, s"model $n produced no rows")
     }
     // stg_orders feeds five consumers (fct_order_items, fct_orders,
-    // fct_orders_revenue, first_channel_ltv, dim_orders) → persisted, so
-    // the orders scan runs once per pipeline run, not once per consumer
-    assert(built("stg_orders").storageLevel.useMemory ||
-      built("stg_orders").storageLevel.useDisk)
+    // fct_orders_revenue, first_channel_ltv, dim_orders) → checkpointed,
+    // so the orders scan runs once per pipeline run, not once per consumer
+    assert(isMaterialized(built("stg_orders")))
     // leaves stay lazy (inlined into consumers by Catalyst)
-    assert(!built("cohort_revenue_ltv").storageLevel.useMemory)
-    p.unpersistAll()
+    assert(!isMaterialized(built("cohort_revenue_ltv")))
+    // and the whole catalog build leaves the cacheManager empty
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("cycle detection and unknown nodes fail fast") {
