@@ -30,7 +30,11 @@ object ModelCatalog {
   private val D = DecimalType(18, 6)
   private def d6(c: Column) = c.cast(D)
 
-  /** All registered model names, staging first (reference layout order). */
+  /** All registered model names, staging first (reference layout order).
+    * Includes every DECLARED model: the reference ships 9 of these as
+    * 0-byte placeholder files (its stated roadmap — dims/dim_address..
+    * dim_promo, aggregates/agg_*_daily); they are implemented here so a
+    * reference user hitting the declared catalog by name never misses. */
   val modelNames: Seq[String] = Seq(
     "stg_orders", "stg_order_items", "stg_customers", "stg_addresses",
     "stg_users", "stg_transactions", "stg_items", "stg_invoices_ar",
@@ -38,9 +42,12 @@ object ModelCatalog {
     "stg_packages", "stg_product_brands", "stg_product_categories",
     "stg_product_details",
     "dim_customer", "dim_orders",
+    "dim_address", "dim_date", "dim_delivery_slot", "dim_device",
+    "dim_payment_method", "dim_product", "dim_promo",
     "fct_order_items", "fct_orders", "fct_orders_revenue",
     "fct_customer_monthly_revenue", "customer_revenue_ltv",
-    "cohort_revenue_ltv", "first_channel_ltv", "fct_customers")
+    "cohort_revenue_ltv", "first_channel_ltv", "fct_customers",
+    "agg_orders_daily", "agg_items_daily")
 
   def apply(spark: SparkSession, dir: String): Pipeline = {
     val p = new Pipeline
@@ -245,6 +252,94 @@ object ModelCatalog {
         month(col("order_date")).as("order_month"))
     }
 
+    // --------- declared-but-empty dims (reference 0-byte placeholders) ----
+    // dims/dim_address.sql (placeholder) — current address per customer:
+    // keep-latest over the versioned address book, surrogate-keyed.
+    p.register("dim_address", deps = Seq("stg_addresses")) { d =>
+      graft.operators.Dedup.keepLatest(d("stg_addresses"),
+          Seq(col("customer_id")), col("valid_from"), col("addr_id"))
+        .select(surrogateKey(col("addr_id")).as("address_sk"),
+          col("addr_id"), col("customer_id"), col("ship_area"),
+          col("valid_from"))
+    }
+
+    // dims/dim_date.sql (placeholder) — source-less calendar spine over the
+    // order-date span; the full calendar-part surface is gated by q66.
+    p.register("dim_date") { _ =>
+      spark.range(1).select(explode(sequence(
+          lit("1992-01-01").cast("date"), lit("1998-12-31").cast("date"),
+          expr("interval 1 day"))).as("date_day"))
+        .select(surrogateKey(col("date_day")).as("date_sk"), col("date_day"),
+          year(col("date_day")).cast("long").as("year"),
+          month(col("date_day")).cast("long").as("month"),
+          dayofmonth(col("date_day")).cast("long").as("day_of_month"),
+          quarter(col("date_day")).cast("long").as("quarter"),
+          weekofyear(col("date_day")).cast("long").as("iso_week"),
+          dayofweek(col("date_day")).isin(1, 7).as("is_weekend"))
+    }
+
+    // dims/dim_delivery_slot.sql (placeholder) — conformed slot dim over
+    // the parsed slot catalog (parser gated by q34).
+    p.register("dim_delivery_slot", deps = Seq("stg_delivery_slots")) { d =>
+      d("stg_delivery_slots").select(
+        col("delivery_slot_id").as("delivery_slot_sk"),
+        col("delivery_slot"), col("start_time"), col("end_time"),
+        col("slot_period"))
+    }
+
+    // dims/dim_device.sql (placeholder) — order-channel → device-class
+    // conformance map (the synthetic schema carries no UA strings; the
+    // channel domain is the device signal the reference models would
+    // conform).
+    p.register("dim_device", deps = Seq("stg_orders")) { d =>
+      d("stg_orders").select(col("channel")).distinct()
+        .select(surrogateKey(col("channel")).as("device_sk"), col("channel"),
+          when(col("channel") === "web", "desktop")
+            .when(col("channel") === "app", "mobile")
+            .when(col("channel") === "phone", "callcenter")
+            .when(col("channel") === "store", "pos")
+            .otherwise("api").as("device_class"))
+    }
+
+    // dims/dim_payment_method.sql (placeholder) — distinct method dim off
+    // the normalized transactions.
+    p.register("dim_payment_method", deps = Seq("stg_transactions")) { d =>
+      d("stg_transactions").select(col("payment_method")).distinct()
+        .select(surrogateKey(col("payment_method")).as("payment_method_sk"),
+          col("payment_method"),
+          (col("payment_method") =!= "cod").as("is_prepaid"))
+    }
+
+    // dims/dim_product.sql (placeholder) — product dim: details conformed
+    // with the brand/category surrogate lookups (all three staging models
+    // exist in the reference; the dim is the declared join of them).
+    p.register("dim_product",
+      deps = Seq("stg_product_details", "stg_product_brands",
+        "stg_product_categories")) { d =>
+      d("stg_product_details")
+        .join(d("stg_product_brands"), Seq("brand"), "left")
+        .join(d("stg_product_categories"), Seq("category"), "left")
+        .select(surrogateKey(col("product_id")).as("product_sk"),
+          col("product_id"), col("product_name"), col("brand"),
+          col("brand_id"), col("category"), col("category_id"),
+          col("size"), col("retail_price"))
+    }
+
+    // dims/dim_promo.sql (placeholder) — promo dim from the distinct
+    // non-zero discount levels the line items actually carry.
+    p.register("dim_promo", deps = Seq("stg_order_items")) { d =>
+      d("stg_order_items")
+        .where(col("discount_pct") > 0)
+        .select(col("discount_pct"), col("discount_application_type"))
+        .distinct()
+        .select(
+          surrogateKey(col("discount_pct"), col("discount_application_type"))
+            .as("promo_sk"),
+          concat(lit("PROMO-"), col("discount_application_type"), lit("-"),
+            col("discount_pct").cast("string")).as("promo_code"),
+          col("discount_pct"), col("discount_application_type"))
+    }
+
     // fct_order_items.sql:80-163 — line money math: PERCENTAGE-gated
     // discount, clamp+round, order-level VAT on net-before-tax (q52).
     p.register("fct_order_items", deps = Seq("stg_order_items", "stg_orders")) { d =>
@@ -379,6 +474,45 @@ object ModelCatalog {
         .join(d("dim_orders").groupBy(col("customer_id"))
           .agg(countDistinct(col("channel")).as("n_channels")),
           Seq("customer_id"), "left")
+    }
+
+    // ------ declared-but-empty aggregates (reference 0-byte placeholders) --
+    // aggregates/agg_orders_daily.sql (placeholder) — the first ask of any
+    // commerce mart: daily order counts, distinct buyers and money totals
+    // off fct_orders. The distinct-buyer count runs as a separate
+    // pre-deduped aggregate joined back on order_date: mixing distinct
+    // and plain aggregates plans through Expand, doubling the aggregate
+    // input (the round-2 q46 cliff). Both aggregates and the join share
+    // the order_date hash partitioning — one logical shuffle family.
+    p.register("agg_orders_daily", deps = Seq("fct_orders")) { d =>
+      val f = d("fct_orders")
+      val sums = f.groupBy(col("order_date")).agg(
+        count(lit(1)).as("n_orders"),
+        money(sum(col("order_gross"))).as("day_gross"),
+        money(sum(col("order_tax"))).as("day_tax"),
+        money(sum(col("order_net"))).as("day_net"))
+      val buyers = f.select(col("order_date"), col("customer_id")).distinct()
+        .groupBy(col("order_date")).agg(count(lit(1)).as("n_customers"))
+      sums.join(buyers, Seq("order_date"))
+        .select(col("order_date"), col("n_orders"), col("n_customers"),
+          col("day_gross"), col("day_tax"), col("day_net"))
+    }
+
+    // aggregates/agg_items_daily.sql (placeholder) — daily line-item
+    // volume and money totals off fct_order_items, distinct-order count
+    // split the same way.
+    p.register("agg_items_daily", deps = Seq("fct_order_items")) { d =>
+      val f = d("fct_order_items")
+        .withColumn("order_date", to_date(col("created_at_utc")))
+      val sums = f.groupBy(col("order_date")).agg(
+        count(lit(1)).as("n_line_items"),
+        money(sum(col("line_gross"))).as("day_line_gross"),
+        money(sum(col("line_net"))).as("day_line_net"))
+      val ords = f.select(col("order_date"), col("order_id")).distinct()
+        .groupBy(col("order_date")).agg(count(lit(1)).as("n_orders"))
+      sums.join(ords, Seq("order_date"))
+        .select(col("order_date"), col("n_line_items"), col("n_orders"),
+          col("day_line_gross"), col("day_line_net"))
     }
 
     p

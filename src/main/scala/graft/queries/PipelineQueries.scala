@@ -13,6 +13,58 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
+  /** Shared DuckDB lineage of the line-money fact chain (stg_orders +
+    * stg_order_items → fct_order_items money math → per-order rollup),
+    * reused by the q64/q76/q77 oracles so the three gates can't drift. */
+  private val MoneyLineageCtes = """items AS (
+          SELECT l_orderkey AS order_id,
+                 CAST(l_quantity AS DECIMAL(18,6)) AS quantity,
+                 CAST(l_extendedprice AS DECIMAL(18,6)) AS unit_price,
+                 (l_partkey % 2 = 1) AS has_vat,
+                 COALESCE(CAST(l_discount * 100 AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS discount_pct,
+                 upper(COALESCE(CASE l_linenumber % 3 WHEN 0 THEN 'PERCENTAGE'
+                                                     WHEN 1 THEN 'amount' END,
+                                'PERCENTAGE')) AS dat
+          FROM lineitem),
+        stg_o AS (
+          SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+                 o_orderdate AS created_at_utc,
+                 CAST(o_orderdate AS DATE) AS order_date,
+                 CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'fulfilled'
+                                    WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_canonical,
+                 CAST((o_orderkey % 3) * 5 AS DECIMAL(18,6)) AS vat_pct,
+                 CASE o_orderkey % 5 WHEN 0 THEN 'web' WHEN 1 THEN 'app'
+                                     WHEN 2 THEN 'phone' WHEN 3 THEN 'store'
+                                     ELSE 'partner' END AS channel
+          FROM orders),
+        lines AS (
+          SELECT i.order_id,
+                 CAST(CAST(i.quantity AS DECIMAL(28,6)) * i.unit_price AS DECIMAL(18,6)) AS line_gross,
+                 CAST(CASE WHEN i.dat = 'PERCENTAGE'
+                           THEN LEAST(GREATEST(i.discount_pct, 0), 100)
+                           ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(18,6)) AS disc_eff,
+                 i.has_vat, o.vat_pct
+          FROM items i LEFT JOIN stg_o o USING (order_id)),
+        math AS (
+          SELECT order_id,
+                 line_gross,
+                 CAST(line_gross - CAST(line_gross AS DECIMAL(28,6)) * CAST(disc_eff / 100 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS line_net_bt,
+                 has_vat, vat_pct
+          FROM lines),
+        math2 AS (
+          SELECT order_id, line_gross, line_net_bt,
+                 CASE WHEN has_vat
+                      THEN CAST(CAST(line_net_bt AS DECIMAL(28,6)) * CAST(vat_pct / 100 AS DECIMAL(18,6)) AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END AS line_tax
+          FROM math),
+        rollup AS (
+          SELECT order_id, COUNT(*) AS item_count,
+                 CAST(SUM(line_gross) AS DECIMAL(38,6)) AS order_gross,
+                 CAST(SUM(line_net_bt) AS DECIMAL(38,6)) AS order_net_before_tax,
+                 CAST(SUM(line_tax) AS DECIMAL(38,6)) AS order_tax,
+                 CAST(SUM(CAST(line_net_bt + line_tax AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS order_net
+          FROM math2 GROUP BY 1)"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "q39_pipeline_dag",
@@ -146,55 +198,8 @@ object PipelineQueries {
             col("ship_area"), col("ship_addr_id"))
           .orderBy(col("order_id"))
       },
-      Some("""
-        WITH items AS (
-          SELECT l_orderkey AS order_id,
-                 CAST(l_quantity AS DECIMAL(18,6)) AS quantity,
-                 CAST(l_extendedprice AS DECIMAL(18,6)) AS unit_price,
-                 (l_partkey % 2 = 1) AS has_vat,
-                 COALESCE(CAST(l_discount * 100 AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS discount_pct,
-                 upper(COALESCE(CASE l_linenumber % 3 WHEN 0 THEN 'PERCENTAGE'
-                                                     WHEN 1 THEN 'amount' END,
-                                'PERCENTAGE')) AS dat
-          FROM lineitem),
-        stg_o AS (
-          SELECT o_orderkey AS order_id, o_custkey AS customer_id,
-                 o_orderdate AS created_at_utc,
-                 CAST(o_orderdate AS DATE) AS order_date,
-                 CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'fulfilled'
-                                    WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_canonical,
-                 CAST((o_orderkey % 3) * 5 AS DECIMAL(18,6)) AS vat_pct,
-                 CASE o_orderkey % 5 WHEN 0 THEN 'web' WHEN 1 THEN 'app'
-                                     WHEN 2 THEN 'phone' WHEN 3 THEN 'store'
-                                     ELSE 'partner' END AS channel
-          FROM orders),
-        lines AS (
-          SELECT i.order_id,
-                 CAST(CAST(i.quantity AS DECIMAL(28,6)) * i.unit_price AS DECIMAL(18,6)) AS line_gross,
-                 CAST(CASE WHEN i.dat = 'PERCENTAGE'
-                           THEN LEAST(GREATEST(i.discount_pct, 0), 100)
-                           ELSE CAST(0 AS DECIMAL(18,6)) END AS DECIMAL(18,6)) AS disc_eff,
-                 i.has_vat, o.vat_pct
-          FROM items i LEFT JOIN stg_o o USING (order_id)),
-        math AS (
-          SELECT order_id,
-                 line_gross,
-                 CAST(line_gross - CAST(line_gross AS DECIMAL(28,6)) * CAST(disc_eff / 100 AS DECIMAL(18,6)) AS DECIMAL(18,6)) AS line_net_bt,
-                 has_vat, vat_pct
-          FROM lines),
-        math2 AS (
-          SELECT order_id, line_gross, line_net_bt,
-                 CASE WHEN has_vat
-                      THEN CAST(CAST(line_net_bt AS DECIMAL(28,6)) * CAST(vat_pct / 100 AS DECIMAL(18,6)) AS DECIMAL(18,6))
-                      ELSE CAST(0 AS DECIMAL(18,6)) END AS line_tax
-          FROM math),
-        rollup AS (
-          SELECT order_id, COUNT(*) AS item_count,
-                 CAST(SUM(line_gross) AS DECIMAL(38,6)) AS order_gross,
-                 CAST(SUM(line_net_bt) AS DECIMAL(38,6)) AS order_net_before_tax,
-                 CAST(SUM(line_tax) AS DECIMAL(38,6)) AS order_tax,
-                 CAST(SUM(CAST(line_net_bt + line_tax AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS order_net
-          FROM math2 GROUP BY 1),
+      Some(s"""
+        WITH $MoneyLineageCtes,
         txn AS (
           SELECT o_orderkey AS order_id,
                  CASE o_orderkey % 4 WHEN 0 THEN 'card' WHEN 1 THEN 'cash'
@@ -230,5 +235,93 @@ object PipelineQueries {
         LEFT JOIN txn t USING (order_id)
         LEFT JOIN users u USING (customer_id)
         LEFT JOIN picked p USING (order_id)
-        ORDER BY o.order_id""")))
+        ORDER BY o.order_id""")),
+
+    // The reference's declared-but-empty agg_orders_daily implemented as a
+    // catalog node off fct_orders: daily counts, distinct buyers, money
+    // totals. The distinct-buyer count is computed in a SEPARATE
+    // pre-deduped aggregate joined back on order_date — mixing it into
+    // the sums aggregate would plan through Expand (doubling the
+    // aggregate input; the round-2 q46 cliff).
+    QueryDef(
+      "q76_agg_orders_daily",
+      (s, dir) => {
+        val p = graft.plans.ModelCatalog(s, dir)
+        p.build("agg_orders_daily")
+          .select(col("order_date"), col("n_orders"), col("n_customers"),
+            moneyOut(col("day_gross")).as("day_gross"),
+            moneyOut(col("day_tax")).as("day_tax"),
+            moneyOut(col("day_net")).as("day_net"))
+          .orderBy(col("order_date"))
+      },
+      Some(s"""
+        WITH $MoneyLineageCtes
+        SELECT o.order_date,
+               COUNT(*) AS n_orders,
+               COUNT(DISTINCT o.customer_id) AS n_customers,
+               CAST(CAST(SUM(r.order_gross) AS DECIMAL(38,6)) AS DOUBLE) AS day_gross,
+               CAST(CAST(SUM(r.order_tax) AS DECIMAL(38,6)) AS DOUBLE) AS day_tax,
+               CAST(CAST(SUM(r.order_net) AS DECIMAL(38,6)) AS DOUBLE) AS day_net
+        FROM stg_o o LEFT JOIN rollup r USING (order_id)
+        GROUP BY o.order_date
+        ORDER BY o.order_date""")),
+
+    // agg_items_daily (reference 0-byte placeholder): daily line-item
+    // volume + money off fct_order_items, distinct-order count split the
+    // same way.
+    QueryDef(
+      "q77_agg_items_daily",
+      (s, dir) => {
+        val p = graft.plans.ModelCatalog(s, dir)
+        p.build("agg_items_daily")
+          .select(col("order_date"), col("n_line_items"), col("n_orders"),
+            moneyOut(col("day_line_gross")).as("day_line_gross"),
+            moneyOut(col("day_line_net")).as("day_line_net"))
+          .orderBy(col("order_date"))
+      },
+      Some(s"""
+        WITH $MoneyLineageCtes
+        SELECT o.order_date,
+               COUNT(*) AS n_line_items,
+               COUNT(DISTINCT m.order_id) AS n_orders,
+               CAST(CAST(SUM(m.line_gross) AS DECIMAL(38,6)) AS DOUBLE) AS day_line_gross,
+               CAST(CAST(SUM(CAST(m.line_net_bt + m.line_tax AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS day_line_net
+        FROM math2 m LEFT JOIN stg_o o USING (order_id)
+        GROUP BY o.order_date
+        ORDER BY o.order_date""")),
+
+    // dim_product (reference 0-byte placeholder): the product dim joining
+    // the three product staging models (details + brand/category
+    // surrogate lookups) — both lookup joins broadcast at any scale
+    // (distinct brands/categories are tiny by construction).
+    QueryDef(
+      "q78_dim_product",
+      (s, dir) => {
+        val p = graft.plans.ModelCatalog(s, dir)
+        p.build("dim_product")
+          .select(col("product_sk"), col("product_id"), col("product_name"),
+            col("brand"), col("brand_id"), col("category"), col("category_id"),
+            col("size").cast("long").as("size"), col("retail_price"))
+          .orderBy(col("product_id"))
+      },
+      Some("""
+        WITH details AS (
+          SELECT p_partkey AS product_id, p_name AS product_name,
+                 p_brand AS brand, p_type AS category, p_size AS size,
+                 p_retailprice AS retail_price
+          FROM part),
+        brands AS (
+          SELECT md5(COALESCE(CAST(brand AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS brand_id, brand
+          FROM (SELECT DISTINCT p_brand AS brand FROM part)),
+        cats AS (
+          SELECT md5(COALESCE(CAST(category AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS category_id, category
+          FROM (SELECT DISTINCT p_type AS category FROM part))
+        SELECT md5(COALESCE(CAST(d.product_id AS VARCHAR), '_dbt_utils_surrogate_key_null_')) AS product_sk,
+               d.product_id, d.product_name, d.brand, b.brand_id,
+               d.category, c.category_id,
+               CAST(d.size AS BIGINT) AS size, d.retail_price
+        FROM details d
+        LEFT JOIN brands b USING (brand)
+        LEFT JOIN cats c USING (category)
+        ORDER BY d.product_id""")))
 }
