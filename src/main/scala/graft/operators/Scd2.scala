@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Slowly-changing-dimension type-2 merge — dbt's `snapshot` materialization
@@ -64,5 +64,72 @@ object Scd2 {
       .drop(updatedAtCol)
 
     history.unionByName(stillCurrent).unionByName(closed).unionByName(inserts)
+  }
+
+  /** The partition column of the on-disk snapshot layout: rows live in the
+    * month they CLOSED ('yyyy-MM' of valid_to), current rows in the
+    * `CurrentPartition` sentinel. Closed-month partitions are immutable
+    * after their month passes — which is what makes the snapshot APPEND at
+    * scale instead of rewrite. */
+  val PartitionCol = "valid_to_month"
+  val CurrentPartition = "9999-12"
+
+  private def withPartition(df: DataFrame, validToCol: String): DataFrame =
+    df.withColumn(PartitionCol,
+      coalesce(date_format(col(validToCol), "yyyy-MM"), lit(CurrentPartition)))
+
+  /** [[merge]] composed onto a partitioned parquet snapshot — the 100 TB
+    * shape the merge's scaladoc prescribes. Per batch this touches ONLY:
+    *  - the current partition (read + rewritten — it holds the open
+    *    versions the merge must examine), and
+    *  - the close-month partitions named by the batch's updated_at values
+    *    (read as passthrough + rewritten with this batch's closes
+    *    appended — normally just the current calendar month).
+    * Every other closed-month partition — the unbounded bulk of a
+    * 100 TB snapshot — is never read, listed or rewritten (dynamic
+    * partition overwrite; the spec pins untouched-partition mtimes).
+    * The merged slice stages to `stagePath` first (Spark cannot overwrite
+    * files a job still reads); the staging slice is touched-partitions-
+    * sized, never table-sized. `fresh` must be key-unique (see [[merge]]). */
+  def mergeIntoPartitionedSnapshot(spark: SparkSession, targetPath: String,
+      fresh: DataFrame, key: String, payloadCols: Seq[String],
+      updatedAtCol: String, stagePath: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(targetPath)
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tp)) {
+      // first batch: everything opens its first version
+      val init = fresh
+        .withColumn(validFromCol, col(updatedAtCol))
+        .withColumn(validToCol,
+          lit(null).cast(fresh.schema(updatedAtCol).dataType))
+        .drop(updatedAtCol)
+      withPartition(init, validToCol)
+        .write.partitionBy(PartitionCol).parquet(targetPath)
+      return
+    }
+    // bounded: the distinct close months a batch can touch = the months of
+    // its own updated_at values (a CDC batch spans one or two months)
+    val touchedMonths = fresh
+      .select(date_format(col(updatedAtCol), "yyyy-MM").as("m"))
+      .distinct().collect().map(_.getString(0)).filter(_ != null)
+    val snap = spark.read.parquet(targetPath)
+      .withColumn(PartitionCol, col(PartitionCol).cast("string"))
+    val current = snap.where(col(PartitionCol) === CurrentPartition)
+      .drop(PartitionCol)
+    val closedTouched = snap
+      .where(col(PartitionCol).isin(touchedMonths: _*)).drop(PartitionCol)
+    val merged = merge(current, fresh, key, payloadCols, updatedAtCol,
+      validFromCol, validToCol)
+    withPartition(merged.unionByName(closedTouched), validToCol)
+      .write.mode("overwrite").parquet(stagePath)
+    spark.read.parquet(stagePath)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartitionCol)
+      .parquet(targetPath)
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
+    ()
   }
 }

@@ -132,6 +132,41 @@ object ParityQueries {
       .when(k === 8, "12am - 1:15am")
   }
 
+  /** Shared downstream of the invoice extraction — used by BOTH the
+    * declared-StructType path (q33) and the VARIANT path (q80), so the
+    * two parse strategies are gated against the identical oracle. Input
+    * must carry the nine extracted invoice fields as top-level columns. */
+  private def invoicePayments(fields: org.apache.spark.sql.DataFrame) = {
+    val srcStatus = lower(col("status"))
+    val canonical = when(srcStatus === "paid" && col("balance_cents") === 0, "paid")
+      .when(srcStatus.isin("paid", "partially_paid") && col("balance_cents") > 0, "partially_paid")
+      .when(srcStatus === "draft", "draft")
+      .when(srcStatus === "void", "void")
+      .when(srcStatus.isin("unpaid", "overdue"), "unpaid")
+      .otherwise(coalesce(srcStatus, lit("unknown")))
+    val invoiceDate = to_date(col("date"))
+    val paidCents   = greatest(col("total_cents") - col("balance_cents"), lit(0L))
+    val paymentDate = coalesce(
+      when(col("last_payment_date") === "", null)
+        .otherwise(to_date(col("last_payment_date"))),
+      when(col("total_cents") - col("balance_cents") > 0, invoiceDate))
+    fields.select(
+        col("invoice_id"), col("customer_id"),
+        invoiceDate.as("invoice_date"),
+        when(col("due_date") === "", null).otherwise(to_date(col("due_date"))).as("due_date"),
+        paymentDate.as("payment_date"),
+        canonical.as("status_canonical"),
+        (col("total_cents").cast("double") / 100.0d).as("total_amount"),
+        (paidCents.cast("double") / 100.0d).as("amount_paid"),
+        (col("balance_cents").cast("double") / 100.0d).as("balance"),
+        upper(col("currency_code")).as("currency_code"),
+        surrogateKey(lit("zoho_invoice"), col("invoice_id"),
+          coalesce(date_format(paymentDate, "yyyy-MM-dd"),
+            date_format(invoiceDate, "yyyy-MM-dd"))).as("payment_id"))
+      .where(col("status_canonical").isin("paid", "partially_paid"))
+      .orderBy(col("invoice_id").cast("long"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // §2.7 JSON: from_json with a DECLARED StructType reproducing the
@@ -151,36 +186,40 @@ object ParityQueries {
         // (measured: 20.6 s → the whole query re-parsed the JSON 9× per row).
         val withJ = o.select(explode(array(j)).as("j"))
           .select(col("j.*"))
-        val srcStatus = lower(col("status"))
-        val canonical = when(srcStatus === "paid" && col("balance_cents") === 0, "paid")
-          .when(srcStatus.isin("paid", "partially_paid") && col("balance_cents") > 0, "partially_paid")
-          .when(srcStatus === "draft", "draft")
-          .when(srcStatus === "void", "void")
-          .when(srcStatus.isin("unpaid", "overdue"), "unpaid")
-          .otherwise(coalesce(srcStatus, lit("unknown")))
-        val invoiceDate = to_date(col("date"))
-        val paidCents   = greatest(col("total_cents") - col("balance_cents"), lit(0L))
-        val paymentDate = coalesce(
-          when(col("last_payment_date") === "", null)
-            .otherwise(to_date(col("last_payment_date"))),
-          when(col("total_cents") - col("balance_cents") > 0, invoiceDate))
-        withJ.select(
-            col("invoice_id"), col("customer_id"),
-            invoiceDate.as("invoice_date"),
-            when(col("due_date") === "", null).otherwise(to_date(col("due_date"))).as("due_date"),
-            paymentDate.as("payment_date"),
-            canonical.as("status_canonical"),
-            (col("total_cents").cast("double") / 100.0d).as("total_amount"),
-            (paidCents.cast("double") / 100.0d).as("amount_paid"),
-            (col("balance_cents").cast("double") / 100.0d).as("balance"),
-            upper(col("currency_code")).as("currency_code"),
-            surrogateKey(lit("zoho_invoice"), col("invoice_id"),
-              coalesce(date_format(paymentDate, "yyyy-MM-dd"),
-                date_format(invoiceDate, "yyyy-MM-dd"))).as("payment_id"))
-          .where(col("status_canonical").isin("paid", "partially_paid"))
-          .orderBy(col("invoice_id").cast("long"))
+        invoicePayments(withJ)
       },
-      Some(s"""
+      Some(InvoiceOracleSql)),
+
+    // §2.7 JSON, the Spark-4 VARIANT path: the same nine-field invoice
+    // pipeline but through parse_json → variant_get — the engine surface
+    // matching Snowflake's actual `variant` column semantics (the
+    // reference's source tables declare variant payloads). One parse per
+    // row builds the binary variant; each variant_get is a cheap binary
+    // path lookup, NOT a JSON re-parse — but the Generate barrier stays,
+    // keeping the single parse_json below any pushed filter. Gated against
+    // the IDENTICAL oracle as q33, so struct-path and variant-path
+    // extraction can never drift.
+    QueryDef(
+      "q80_variant_invoices",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val v = parse_json(invoiceJsonSpark)
+        val fields = o.select(explode(array(v)).as("v")).select(
+          variant_get(col("v"), "$.invoice_id", "string").as("invoice_id"),
+          variant_get(col("v"), "$.customer_id", "string").as("customer_id"),
+          variant_get(col("v"), "$.date", "string").as("date"),
+          variant_get(col("v"), "$.due_date", "string").as("due_date"),
+          variant_get(col("v"), "$.last_payment_date", "string").as("last_payment_date"),
+          variant_get(col("v"), "$.currency_code", "string").as("currency_code"),
+          variant_get(col("v"), "$.status", "string").as("status"),
+          variant_get(col("v"), "$.total_cents", "long").as("total_cents"),
+          variant_get(col("v"), "$.balance_cents", "long").as("balance_cents"))
+        invoicePayments(fields)
+      },
+      Some(InvoiceOracleSql))) ++ moreDefs
+
+  /** The invoice oracle shared by q33 (struct path) and q80 (VARIANT). */
+  private lazy val InvoiceOracleSql = s"""
         WITH j AS (SELECT $InvoiceJsonSql AS js FROM orders),
         base AS (
           SELECT json_extract_string(js,'$$.invoice_id') AS invoice_id,
@@ -215,7 +254,9 @@ object ParityQueries {
                    COALESCE(strftime(payment_date,'%Y-%m-%d'), strftime(invoice_date,'%Y-%m-%d'))) AS payment_id
         FROM norm
         WHERE status_canonical IN ('paid','partially_paid')
-        ORDER BY CAST(invoice_id AS BIGINT)""")),
+        ORDER BY CAST(invoice_id AS BIGINT)"""
+
+  private lazy val moreDefs: Seq[QueryDef] = Seq(
 
     // §2.7 JSON shape #2: the shipments extraction (reference
     // stg_shipments.sql:13-66) — 13 typed fields, `nullif(f,'')::date` on

@@ -130,6 +130,43 @@ class OperatorsSpec extends SparkSpec {
       (9L, "z", t2, None)))       // first version of a new key
   }
 
+  test("Scd2.mergeIntoPartitionedSnapshot: history appends; untouched close-month partitions never rewrite") {
+    import graft.operators.Scd2
+    val root = java.nio.file.Files.createTempDirectory("scd2snap").toString
+    val target = s"$root/snap"
+    def run(rows: Seq[(Long, String, Timestamp)], i: Int): Unit =
+      Scd2.mergeIntoPartitionedSnapshot(spark, target,
+        rows.toDF("k", "v", "updated_at"), "k", Seq("v"), "updated_at",
+        stagePath = s"$root/stage_$i")
+    def partFiles(month: String): Map[String, Long] = {
+      val d = new java.io.File(s"$target/${Scd2.PartitionCol}=$month")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val jan = Timestamp.valueOf("2024-01-10 00:00:00")
+    val feb = Timestamp.valueOf("2024-02-05 00:00:00")
+    val mar = Timestamp.valueOf("2024-03-07 00:00:00")
+
+    run(Seq((1L, "a1", jan), (2L, "b1", jan)), 0)     // first versions
+    run(Seq((1L, "a2", feb)), 1)                      // closes k=1 in 2024-02
+    val febFiles = partFiles("2024-02")
+    assert(febFiles.nonEmpty, "close must land in its valid_to month")
+    run(Seq((2L, "b2", mar)), 2)                      // closes k=2 in 2024-03
+    // the 2024-02 partition was neither read-rewritten nor touched
+    assert(partFiles("2024-02") === febFiles,
+      "untouched close-month partition must not be rewritten")
+    assert(partFiles("2024-03").nonEmpty)
+
+    val got = spark.read.parquet(target)
+      .select(col("k"), col("v"), col("valid_from"), col("valid_to"))
+      .orderBy("k", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)))).toSeq
+    assert(got === Seq(
+      (1L, "a1", jan, Some(feb)), (1L, "a2", feb, None),
+      (2L, "b1", jan, Some(mar)), (2L, "b2", mar, None)))
+  }
+
   test("IncrementalMerge.mergeWithLookback filters fresh side first") {
     val existing = Seq((1L, 10, "old1"), (2L, 20, "old2")).toDF("k", "d", "v")
     val source = Seq((2L, 99, "new2"), (3L, 5, "too_old")).toDF("k", "d", "v")

@@ -35,6 +35,13 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("VARIANT query builds exactly one variant per row despite pushed filters") {
+    // the physical plan spells it VariantExpressionEvalUtils.parseJson
+    val p = plan("q80_variant_invoices")
+    val n = "parsejson".r.findAllIn(p.toLowerCase.filterNot(_ == '_')).size
+    assert(n === 1, s"q80: expected 1 parseJson, found $n (pushdown re-parse):\n$p")
+  }
+
   test("sketch and range joins never degrade to nested-loop or cartesian") {
     Seq("q27_minhash_lsh", "q29_ngram_jaccard", "q44_range_join").foreach { q =>
       val p = plan(q)
