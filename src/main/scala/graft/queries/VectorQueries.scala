@@ -80,19 +80,24 @@ object VectorQueries {
     // Embedding-cosine near-duplicate detection: SRP-bucket blocking +
     // exact cosine + threshold — the embedding flavor of the dedup
     // family (LSH recall is partial by construction; both engines apply
-    // the identical blocking so results hash-match).
+    // the identical blocking so results hash-match). 8 planes = 256
+    // buckets: the tri-scale curvature run caught 4 planes going
+    // quadratic (occupancy grows linearly with the corpus → Σbucket²
+    // alpha 1.69); plane count is THE scale knob — it must grow with
+    // log(corpus/target-occupancy), and the in-bucket cost is now back
+    // under alpha ~1 at sf1.
     QueryDef(
       "q41_embed_neardup",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         Similarity.nearDupPairs(e, "vec_id", "embedding",
-            minCosine = 0.4, planes = 4, dim = 64)
+            minCosine = 0.4, planes = 8, dim = 64)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""
         WITH b AS (
           SELECT vec_id, embedding,
-                 CAST(list_sum(list_transform(range(0,4), j ->
+                 CAST(list_sum(list_transform(range(0,8), j ->
                    CASE WHEN list_reduce(list_transform(range(0,64), d ->
                           embedding[d+1]::DOUBLE * ((((j*97 + d*31) % 13) - 6)::DOUBLE / 6.0::DOUBLE)), (x,y)->x+y) > 0
                         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket

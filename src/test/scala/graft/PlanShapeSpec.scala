@@ -40,6 +40,10 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("q80_variant_invoices")
     val n = "parsejson".r.findAllIn(p.toLowerCase.filterNot(_ == '_')).size
     assert(n === 1, s"q80: expected 1 parseJson, found $n (pushdown re-parse):\n$p")
+    // and the barrier pins ONE struct-typed variant_get — a pushed
+    // filter that inlines it re-extracts status/balance 6x per row
+    val g = "variant_get".r.findAllIn(p).size
+    assert(g === 1, s"q80: expected 1 variant_get, found $g (filter inlining):\n$p")
   }
 
   test("sketch and range joins never degrade to nested-loop or cartesian") {
