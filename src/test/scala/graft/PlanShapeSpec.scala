@@ -23,7 +23,8 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("distinct aggregates never plan through Expand") {
-    Seq("q02_order_rollup", "q46_approx_sketches", "q47_fct_orders").foreach { q =>
+    Seq("q02_order_rollup", "q46_approx_sketches", "q47_fct_orders",
+        "q76_agg_orders_daily", "q77_agg_items_daily").foreach { q =>
       assert(!plan(q).contains("Expand"), s"$q: Expand doubles the aggregate input")
     }
   }
