@@ -14,7 +14,8 @@ object SparkEntry {
       TextQueries.defs ++ VectorQueries.defs ++ ParityQueries.defs ++
       CheckQueries.defs ++ PipelineQueries.defs ++ StagingQueries.defs ++
       ScaleQueries.defs ++ FactQueries.defs ++ SinkQueries.defs ++
-      CurationQueries.defs ++ OlapQueries.defs ++ StreamQueries.defs
+      CurationQueries.defs ++ OlapQueries.defs ++ StreamQueries.defs ++
+      CorpusQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q47 is the full fct_orders composite — line math, rollup, joins,

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels.md5Lower64
+import graft.functions.TextKernels._
+import graft.sources.Tables
+
+/** Corpus-preparation operators round 4: overlapping-window document
+  * chunking (the tokenize-and-window step every pretraining pipeline
+  * runs), rational BM25-style term scoring (transcendental-free so both
+  * engines agree bit-for-bit — same stance as q75), and deterministic
+  * per-language stratified rebalancing (downsample the dominant
+  * language at a fixed hash rate).
+  */
+object CorpusQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Overlapping chunk windows: W=30 tokens, stride S=20 (10-token
+    // overlap). One posexplode over the per-doc start sequence — the
+    // token stream shuffles ONCE on doc_id at the split, chunk
+    // assembly is a codegen'd slice+concat projection, and chunk count
+    // is ceil(n/S) per doc so output scales linearly with the corpus.
+    QueryDef(
+      "q81_doc_chunking",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ws = tokens(col("text"))
+        val t = d.select(col("doc_id"), ws.as("ws"), size(ws).as("n"))
+        t.select(col("doc_id"), col("ws"), col("n"),
+            posexplode(sequence(lit(0), col("n") - 1, lit(20)))
+              .as(Seq("chunk_idx", "start")))
+          .select(col("doc_id"),
+            col("chunk_idx").cast("long").as("chunk_idx"),
+            concat_ws(" ", slice(col("ws"), col("start") + 1, lit(30)))
+              .as("chunk_text"),
+            least(lit(30), col("n") - col("start")).cast("long")
+              .as("chunk_tokens"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        starts AS (
+          SELECT doc_id, ws, n, unnest(range(0, n, 20)) AS start FROM toks)
+        SELECT doc_id,
+               CAST(start // 20 AS BIGINT) AS chunk_idx,
+               array_to_string(list_slice(ws, start + 1, least(start + 30, n)), ' ') AS chunk_text,
+               CAST(least(30, n - start) AS BIGINT) AS chunk_tokens
+        FROM starts
+        ORDER BY doc_id, chunk_idx""")),
+
+    // Rational BM25-style salient terms: tf × (N−df+0.5)/(df+0.5),
+    // top 5 per doc. Deliberately NO ln(): IEEE add/sub/mul/div are
+    // bit-deterministic across engines, transcendentals are not (the
+    // q75 stance). Shape: one token-stream shuffle for tf, a tiny df
+    // aggregate that broadcasts back onto tf, a 1-row count cross
+    // join, and a per-doc top-k window — at 100 TB the df/vocab side
+    // stays broadcast-sized while tf scales with the corpus.
+    QueryDef(
+      "q82_salient_terms",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = toks.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val n = d.agg(count(lit(1)).as("n"))
+        val scored = tf.join(broadcast(df), Seq("term"))
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            (col("tf").cast("double") *
+              ((col("n") - col("df") + lit(0.5d)) / (col("df") + lit(0.5d))))
+              .as("score"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        scored.select(col("doc_id"), row_number().over(w).cast("long").as("rank"),
+            col("term"), col("tf"), col("df"), col("score"))
+          .where(col("rank") <= 5)
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 (t.tf::DOUBLE) * (((n.n - d.df) + 0.5::DOUBLE) / (d.df + 0.5::DOUBLE)) AS score
+          FROM tf t JOIN df d USING (term) CROSS JOIN n),
+        ranked AS (
+          SELECT doc_id, term, tf, df, score,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+          FROM scored)
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        FROM ranked WHERE rank <= 5
+        ORDER BY doc_id, rank""")),
+
+    // Deterministic stratified rebalancing: downsample the dominant
+    // language (en keeps 300‰, everything else 1000‰) by hash bucket —
+    // the standard corpus-mix step before pretraining. Membership is a
+    // pure function of doc_id (md5-u64 mod 1000, DuckDB-parity), so the
+    // sample is reproducible on any cluster at any parallelism; the
+    // gate checks per-language counts AND a doc_id checksum of the
+    // kept set, not just sizes.
+    QueryDef(
+      "q83_stratified_sample",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val keepPerMille = when(col("lang") === "en", lit(300L)).otherwise(lit(1000L))
+        val bucket = (md5Lower64(concat(lit("sample:"), col("doc_id"))) % 1000)
+          .cast("long")
+        d.select(col("doc_id"), col("lang"), col("n_chars"),
+            bucket.as("bucket"), keepPerMille.as("keep_pm"))
+          .where(col("bucket") < col("keep_pm"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(col("doc_id")).as("kept_id_sum"),
+            sum(col("n_chars")).as("kept_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(md5_number_lower('sample:' || doc_id) % 1000 AS BIGINT) AS bucket,
+                 CASE WHEN lang = 'en' THEN 300 ELSE 1000 END AS keep_pm
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_kept,
+               CAST(SUM(doc_id) AS BIGINT) AS kept_id_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        FROM b WHERE bucket < keep_pm
+        GROUP BY lang
+        ORDER BY lang""")))
+}
