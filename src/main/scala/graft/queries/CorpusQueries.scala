@@ -135,5 +135,81 @@ object CorpusQueries {
                CAST(SUM(n_chars) AS BIGINT) AS kept_chars
         FROM b WHERE bucket < keep_pm
         GROUP BY lang
-        ORDER BY lang""")))
+        ORDER BY lang""")),
+
+    // Int8 scalar quantization of the embedding column — the storage
+    // step that shrinks a 100 TB float table 4×. Per-vector absmax
+    // scale, code = floor(x/scale + 0.5) (floor is IEEE-exact on both
+    // engines; round() is not guaranteed to tie-break identically).
+    // Shape: posexplode → one hash shuffle on vec_id for the scale agg;
+    // the code/error agg reuses the same partitioning (exchange reuse,
+    // no second shuffle family). Gate checks the code checksum AND the
+    // max dequantization error, not just shapes.
+    QueryDef(
+      "q84_embed_quantize",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val ex = e.select(col("vec_id"), explode(col("embedding")).as("xf"))
+          .select(col("vec_id"), col("xf").cast("double").as("x"))
+        val sc = ex.groupBy(col("vec_id"))
+          .agg((max(abs(col("x"))) / lit(127.0d)).as("scale"))
+        val qd = ex.join(sc, Seq("vec_id"))
+          .select(col("vec_id"), col("x"), col("scale"),
+            when(col("scale") === 0d, lit(0.0d))
+              .otherwise(floor(col("x") / col("scale") + lit(0.5d))).as("q"))
+        qd.groupBy(col("vec_id"), col("scale"))
+          .agg(sum(col("q")).cast("long").as("q_sum"),
+            min(col("q")).cast("long").as("q_min"),
+            max(col("q")).cast("long").as("q_max"),
+            max(abs(col("x") - col("q") * col("scale"))).as("max_err"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings),
+        sc AS (
+          SELECT vec_id, max(abs(x)) / CAST(127 AS DOUBLE) AS scale
+          FROM ex GROUP BY 1),
+        qd AS (
+          SELECT e.vec_id, e.x, s.scale,
+                 CASE WHEN s.scale = 0 THEN CAST(0 AS DOUBLE)
+                      ELSE floor(e.x / s.scale + 0.5::DOUBLE) END AS q
+          FROM ex e JOIN sc s USING (vec_id))
+        SELECT vec_id, scale,
+               CAST(SUM(q) AS BIGINT) AS q_sum,
+               CAST(MIN(q) AS BIGINT) AS q_min,
+               CAST(MAX(q) AS BIGINT) AS q_max,
+               MAX(abs(x - q * scale)) AS max_err
+        FROM qd
+        GROUP BY vec_id, scale
+        ORDER BY vec_id""")),
+
+    // Inverted index (term → posting list): df, total tf, and the first
+    // 10 doc ids per term. One token-stream shuffle for the per-doc tf,
+    // one tiny per-term aggregate; posting arrays are explicitly sorted
+    // then truncated so the output is deterministic at any parallelism
+    // (collect_list alone is arrival-ordered — never gate on it raw).
+    QueryDef(
+      "q85_inverted_index",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val tf = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"),
+            sum(col("tf")).as("total_tf"),
+            slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("postings"))
+          .orderBy(col("term"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+        SELECT term, COUNT(*) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf,
+               list_slice(list_sort(list(doc_id)), 1, 10) AS postings
+        FROM tf
+        GROUP BY term
+        ORDER BY term""")))
 }
