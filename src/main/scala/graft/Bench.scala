@@ -38,7 +38,7 @@ object Bench {
     // twice to absorb parquet-reader and shuffle machinery startup.
     val warmups = Seq("q01_pricing_summary", "q01_pricing_summary",
       "q33_json_struct_invoices", "q18_order_sequence",
-      "q16_regex_normalize", "q27_minhash_lsh")
+      "q16_regex_normalize", "q27_minhash_lsh", "q80_variant_invoices")
     warmups.foreach(n => try run(n) catch { case _: Throwable => () })
 
     // Failed queries record -1 (never a time-to-failure masquerading as a

@@ -97,6 +97,78 @@ object Multimodal {
     }
   }
 
+  /** Pure-JVM codec for 16-bit PCM WAV (RIFF little-endian): `RIFF`
+    * size `WAVE`, a `fmt ` chunk (PCM format 1 only), then the `data`
+    * chunk. Unknown chunks are skipped by their declared size, so files
+    * with LIST/INFO metadata still decode. The second real decoder next
+    * to PPM — audio stays opaque binary end-to-end, and the same
+    * mapPartitions dispatch a JNI/FFI decoder would plug into. */
+  object WavCodec {
+
+    /** Decoded clip: interleaved 16-bit samples + layout metadata.
+      * `dataOffset` is the byte position of the first sample in the
+      * original payload (frame byte_offsets derive from it). */
+    final case class Audio(channels: Int, sampleRate: Int,
+        samples: Array[Short], dataOffset: Int)
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+      i + 4 <= b.length && b(i) == t(0).toByte && b(i + 1) == t(1).toByte &&
+        b(i + 2) == t(2).toByte && b(i + 3) == t(3).toByte
+
+    /** None if the payload is not a well-formed PCM-16 WAV. */
+    def decode(bytes: Array[Byte]): Option[Audio] = {
+      if (bytes.length < 44 || !tag(bytes, 0, "RIFF") || !tag(bytes, 8, "WAVE"))
+        return None
+      var i = 12
+      var channels = 0; var rate = 0; var bits = 0; var fmtOk = false
+      while (i + 8 <= bytes.length) {
+        val size = le32(bytes, i + 4)
+        if (size < 0 || i + 8 + size > bytes.length) return None
+        if (tag(bytes, i, "fmt ")) {
+          if (size < 16) return None
+          fmtOk = le16(bytes, i + 8) == 1 // PCM only
+          channels = le16(bytes, i + 10)
+          rate = le32(bytes, i + 12)
+          bits = le16(bytes, i + 22)
+        } else if (tag(bytes, i, "data")) {
+          if (!fmtOk || channels <= 0 || rate <= 0 || bits != 16) return None
+          val n = size / 2
+          val out = new Array[Short](n)
+          var k = 0
+          while (k < n) { out(k) = le16(bytes, i + 8 + 2 * k).toShort; k += 1 }
+          return Some(Audio(channels, rate, out, i + 8))
+        }
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      None
+    }
+
+    def encode(a: Audio): Array[Byte] = {
+      require(a.channels > 0 && a.sampleRate > 0, "invalid layout")
+      val dataLen = 2 * a.samples.length
+      val out = new Array[Byte](44 + dataLen)
+      def w16(i: Int, v: Int): Unit = {
+        out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def w32(i: Int, v: Int): Unit = { w16(i, v & 0xffff); w16(i + 2, v >>> 16) }
+      def wtag(i: Int, t: String): Unit =
+        (0 until 4).foreach(j => out(i + j) = t(j).toByte)
+      wtag(0, "RIFF"); w32(4, 36 + dataLen); wtag(8, "WAVE")
+      wtag(12, "fmt "); w32(16, 16); w16(20, 1); w16(22, a.channels)
+      w32(24, a.sampleRate); w32(28, a.sampleRate * a.channels * 2)
+      w16(32, a.channels * 2); w16(34, 16)
+      wtag(36, "data"); w32(40, dataLen)
+      var k = 0
+      while (k < a.samples.length) { w16(44 + 2 * k, a.samples(k) & 0xffff); k += 1 }
+      out
+    }
+  }
+
   /** One media row: payload + typed metadata (what a real ingest would
     * carry for image/audio/video blobs). */
   final case class MediaRow(
@@ -146,13 +218,39 @@ object Multimodal {
         }
     }
 
+  /** REAL decode for PCM WAV payloads: frame f covers the f-th of
+    * n_frames equal sample windows; sample_value is the window's peak
+    * absolute amplitude (the waveform-thumbnail primitive), byte_offset
+    * the window's first sample byte in the original payload. */
+  private def wavDecode(m: MediaRow): Iterator[FrameRow] =
+    WavCodec.decode(m.content) match {
+      case None => Iterator.empty // malformed payload → 0 frames, not a crash
+      case Some(a) if a.samples.isEmpty => Iterator.empty
+      case Some(a) =>
+        val nf = m.n_frames.max(1).min(a.samples.length)
+        (0 until nf).iterator.map { f =>
+          val start = (f.toLong * a.samples.length / nf).toInt
+          val end = (((f + 1).toLong * a.samples.length) / nf).toInt.max(start + 1)
+          var peak = 0
+          var k = start
+          while (k < end) {
+            val v = math.abs(a.samples(k).toInt); if (v > peak) peak = v; k += 1
+          }
+          FrameRow(m.media_id, f, a.dataOffset + 2L * start, peak)
+        }
+    }
+
   /** Decode frames with one codec dispatch per partition (mapPartitions
     * keeps the partitioning and lets a real codec init once per task). */
   def decodeFrames(media: Dataset[MediaRow])(implicit spark: SparkSession): Dataset[FrameRow] = {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { m =>
-        if (m.media_type == "image/ppm") ppmDecode(m) else stubDecode(m)
+        m.media_type match {
+          case "image/ppm" => ppmDecode(m)
+          case "audio/wav" => wavDecode(m)
+          case _           => stubDecode(m)
+        }
       }
     }
   }

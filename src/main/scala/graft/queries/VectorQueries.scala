@@ -137,5 +137,48 @@ object VectorQueries {
                (ascii(substring(text,1,1)) + ascii(substring(text,5,1))
                 + ascii(substring(text,9,1)) + ascii(substring(text,13,1))) AS sample_checksum
         FROM documents
-        ORDER BY media_id""")))
+        ORDER BY media_id""")),
+
+    // The REAL audio codec gated end-to-end: Spark builds genuine
+    // PCM-16 WAV binaries from a deterministic sample formula, runs them
+    // through WavCodec.encode → decodeFrames (RIFF parse, windowed peak
+    // amplitudes, byte offsets), while the oracle predicts the peaks
+    // straight from the formula — any header-layout, endianness or
+    // window-bound defect in the codec hash-fails the gate. Payloads
+    // stay opaque binary on executors; one codec dispatch per partition.
+    QueryDef(
+      "q86_wav_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal.{MediaRow, WavCodec}
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), ((col("n_chars") % 50) + 8).cast("int").as("n"))
+          .as[(Long, Int)]
+          .map { case (id, n) =>
+            val samples = Array.tabulate(n)(i =>
+              ((id * 31 + i * 131) % 65536 - 32768).toShort)
+            MediaRow(id, "audio/wav",
+              WavCodec.encode(WavCodec.Audio(1, 8000, samples, 0)), 0, 0, 4)
+          }
+        Multimodal.decodeFrames(media)(s)
+          .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("byte_offset"), col("sample_value").cast("long").as("peak"))
+          .orderBy(col("media_id"), col("frame_idx"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, (n_chars % 50) + 8 AS n FROM documents),
+        idx AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+        smp AS (SELECT doc_id, n, i,
+                       ((doc_id * 31 + i * 131) % 65536) - 32768 AS v FROM idx),
+        frames AS (SELECT doc_id, n, unnest(range(0, 4)) AS f FROM d)
+        SELECT fr.doc_id AS media_id,
+               CAST(fr.f AS BIGINT) AS frame_idx,
+               CAST(44 + 2 * ((fr.f * fr.n) // 4) AS BIGINT) AS byte_offset,
+               CAST(MAX(abs(s.v)) AS BIGINT) AS peak
+        FROM frames fr JOIN smp s
+          ON s.doc_id = fr.doc_id
+         AND s.i >= (fr.f * fr.n) // 4
+         AND s.i < ((fr.f + 1) * fr.n) // 4
+        GROUP BY fr.doc_id, fr.f, fr.n
+        ORDER BY media_id, frame_idx""")))
 }

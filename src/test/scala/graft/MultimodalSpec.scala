@@ -95,4 +95,45 @@ class MultimodalSpec extends SparkSpec {
     assert(back.rgb.toSeq ===
       PpmCodec.resizeNearest(PpmCodec.Image(4, 4, rgb), 2, 2).rgb.toSeq)
   }
+
+  test("WavCodec encode→decode round-trips samples, layout and data offset") {
+    import Multimodal.WavCodec
+    val samples = Array.tabulate(480)(i => ((i * 131) % 65536 - 32768).toShort)
+    val a = WavCodec.Audio(channels = 2, sampleRate = 8000, samples, dataOffset = 0)
+    val got = WavCodec.decode(WavCodec.encode(a)).get
+    assert(got.channels === 2 && got.sampleRate === 8000 && got.dataOffset === 44)
+    assert(got.samples.toSeq === samples.toSeq)
+  }
+
+  test("WavCodec skips unknown RIFF chunks and rejects malformed payloads") {
+    import Multimodal.WavCodec
+    val base = WavCodec.encode(WavCodec.Audio(1, 16000, Array[Short](1, -2, 3), 0))
+    // splice a LIST chunk between fmt and data: still decodes
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = base.slice(0, 36) ++ list ++ base.slice(36, base.length)
+    // RIFF size field is unchecked; header tags and chunk walk must still work
+    assert(WavCodec.decode(spliced).get.samples.toSeq === Seq[Short](1, -2, 3))
+    assert(WavCodec.decode(Array[Byte]()).isEmpty)
+    assert(WavCodec.decode("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+    assert(WavCodec.decode(base.take(40)).isEmpty)     // truncated data chunk
+    val f32 = base.clone; f32(20) = 3                  // IEEE-float format tag
+    assert(WavCodec.decode(f32).isEmpty)
+  }
+
+  test("decodeFrames really decodes audio/wav payloads (windowed peak amplitudes)") {
+    implicit val s = spark
+    import s.implicits._
+    import Multimodal.WavCodec
+    // 8 samples, 2 frames → windows [0,4) peak 400, [4,8) peak 800
+    val samples = Array[Short](100, -400, 50, 0, -800, 2, 3, 4)
+    val payload = WavCodec.encode(WavCodec.Audio(1, 8000, samples, 0))
+    val media = Seq(Multimodal.MediaRow(7L, "audio/wav", payload, 0, 0, 2)).toDS()
+    val frames = Multimodal.decodeFrames(media).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.sample_value).toSeq === Seq(400, 800))
+    assert(frames.map(_.byte_offset).toSeq === Seq(44L, 44L + 8L))
+    // malformed audio payload → 0 frames, not a crash
+    val bad = Seq(Multimodal.MediaRow(8L, "audio/wav",
+      Array[Byte](1, 2, 3), 0, 0, 2)).toDS()
+    assert(Multimodal.decodeFrames(bad).isEmpty)
+  }
 }
