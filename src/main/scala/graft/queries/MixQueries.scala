@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels.md5Lower64
+import graft.functions.TextKernels._
+import graft.operators.TextDedup
+import graft.sources.Tables
+
+/** Corpus mixing + decontamination, round 4 batch 2 — the three named
+  * techniques every pretraining data pipeline runs between raw corpus
+  * and training mix:
+  *
+  *  - q87: EXACT n-gram decontamination (the GPT-3/PaLM eval-leakage
+  *    check — 13-gram overlap between train and held-out splits),
+  *    complementing q60's NEAR-dup winnowing check.
+  *  - q88: paragraph-level first-occurrence dedup (the CCNet shape:
+  *    drop repeated paragraphs corpus-wide, keep document remainders).
+  *  - q89: temperature-flattened language rebalancing (upweight the
+  *    tail toward uniform with T=2, i.e. sqrt-flattening — the
+  *    multilingual mixing step; deterministic hash sampling, no RNG).
+  */
+object MixQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // 13-gram exact decontamination. Train/test split reuses q58's
+    // deterministic hash buckets; both sides shingle (k=13), hash each
+    // shingle to a DuckDB-parity u64 and equi-join on the 64-bit key —
+    // never on the string (a 13-gram string shuffle carries ~100 bytes
+    // per row; the hash carries 8). Train pre-aggregates to DISTINCT
+    // hashes so the join is skew-free; per-test-doc contamination is a
+    // distinct-count over join hits. At 100 TB both sides are one
+    // token-stream shuffle + one hash-key join, all partial-agg'd.
+    QueryDef(
+      "q87_ngram_decontam",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val sh = TextDedup.shingleRows(
+            d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 13)
+          .select(col("doc_id"), md5Lower64(col("_sh")).as("h"))
+          .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("_dup"))
+          .withColumn("bucket",
+            (md5Lower64(concat(lit("split:"), col("doc_id"))) % 100).cast("long"))
+        val train = sh.where(col("bucket") < 80)
+          .select(col("h")).distinct()
+        val test = sh.where(col("bucket") >= 90)
+          .select(col("doc_id").as("test_doc"), col("h"))
+        val perDoc = test.groupBy(col("test_doc"))
+          .agg(count(lit(1)).as("n_shingles"))
+        val contam = test.join(train, Seq("h"))
+          .groupBy(col("test_doc"))
+          .agg(count(lit(1)).as("n_contaminated"))
+        contam.join(perDoc, Seq("test_doc"))
+          .select(col("test_doc"), col("n_shingles"), col("n_contaminated"),
+            (col("n_contaminated").cast("double") / col("n_shingles"))
+              .as("contamination_frac"))
+          .orderBy(col("test_doc"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 md5_number_lower(unnest(list_transform(range(1, len(ws) - 11),
+                   i -> array_to_string(list_slice(ws, i, i + 12), ' ')))) AS h
+          FROM toks WHERE len(ws) >= 13),
+        b AS (
+          SELECT doc_id, h,
+                 CAST(md5_number_lower('split:' || doc_id) % 100 AS BIGINT) AS bucket
+          FROM sh),
+        train AS (SELECT DISTINCT h FROM b WHERE bucket < 80),
+        test AS (SELECT doc_id AS test_doc, h FROM b WHERE bucket >= 90),
+        per_doc AS (SELECT test_doc, COUNT(*) AS n_shingles FROM test GROUP BY 1),
+        contam AS (
+          SELECT test_doc, COUNT(*) AS n_contaminated
+          FROM test JOIN train USING (h) GROUP BY 1)
+        SELECT c.test_doc, p.n_shingles, c.n_contaminated,
+               c.n_contaminated::DOUBLE / p.n_shingles AS contamination_frac
+        FROM contam c JOIN per_doc p USING (test_doc)
+        ORDER BY test_doc""")),
+
+    // Paragraph-level first-occurrence dedup (CCNet shape). Documents
+    // split into non-overlapping 10-token segments; each segment keeps
+    // only its globally-first occurrence (by doc_id, then position —
+    // a total order, so the kept set is deterministic at any
+    // parallelism). One window over the segment hash (the only
+    // cross-doc shuffle, 8-byte key), then a per-doc rollup rebuilds
+    // the deduped text. collect_list is order-free → the kept segments
+    // are sorted by position before concat (never gate raw
+    // collect_list); the transform() lambda touches ≤ a handful of
+    // segments per doc — output assembly, not the hot path.
+    QueryDef(
+      "q88_paragraph_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val t = d.select(col("doc_id"), tokens(col("text")).as("ws"))
+          .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+        val segs = t.select(col("doc_id"),
+            explode(sequence(lit(0), col("n") - 1, lit(10))).as("st"),
+            col("ws"), col("n"))
+          .select(col("doc_id"), col("st"),
+            concat_ws(" ", slice(col("ws"), col("st") + 1, lit(10))).as("seg"))
+          .withColumn("h", md5Lower64(col("seg")))
+        val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("st"))
+        val flagged = segs
+          .withColumn("kept", row_number().over(w) === 1)
+        flagged.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_segs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            concat_ws(" ", transform(
+              sort_array(collect_list(when(col("kept"),
+                struct(col("st"), col("seg"))))),
+              x => x.getField("seg"))).as("dedup_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n
+          FROM documents),
+        segs AS (
+          SELECT doc_id, unnest(range(0, n, 10)) AS st, ws, n FROM toks),
+        seg AS (
+          SELECT doc_id, st,
+                 array_to_string(list_slice(ws, st + 1, least(st + 10, n)), ' ') AS seg
+          FROM segs),
+        flagged AS (
+          SELECT doc_id, st, seg,
+                 row_number() OVER (PARTITION BY md5_number_lower(seg)
+                                    ORDER BY doc_id, st) = 1 AS kept
+          FROM seg)
+        SELECT doc_id, COUNT(*) AS n_segs,
+               CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               coalesce(string_agg(seg, ' ' ORDER BY st) FILTER (WHERE kept), '')
+                 AS dedup_text
+        FROM flagged
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // Temperature-flattened language rebalancing: keep_rate(lang) =
+    // sqrt(n_min / n_lang) — T=2 flattening toward uniform relative to
+    // the smallest language. Every arithmetic op (divide, sqrt, floor,
+    // integer mod) is IEEE-correctly-rounded or exact, so both engines
+    // compute bit-identical thresholds — deliberately NO pow() (not
+    // correctly-rounded, the q75/q82 transcendental stance). Membership
+    // is a pure hash of doc_id: reproducible on any cluster, stable
+    // under corpus growth. Two tiny broadcast aggregates + one per-row
+    // filter — linear, one shuffle.
+    QueryDef(
+      "q89_temperature_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val counts = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val nMin = counts.agg(min(col("n_docs")).as("n_min"))
+        val rates = counts.crossJoin(broadcast(nMin))
+          .select(col("lang"), col("n_docs"),
+            sqrt(col("n_min").cast("double") / col("n_docs").cast("double"))
+              .as("keep_rate"))
+          .select(col("lang"), col("n_docs"), col("keep_rate"),
+            floor(col("keep_rate") * lit(1000000.0d)).cast("long").as("threshold"))
+        val kept = d.select(col("doc_id"), col("lang"),
+            (md5Lower64(concat(lit("mix:"), col("doc_id"))) % 1000000)
+              .cast("long").as("bucket"))
+          .join(broadcast(rates), Seq("lang"))
+          .where(col("bucket") < col("threshold"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_id_sum"))
+        rates.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs"), col("keep_rate"), col("threshold"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("kept_id_sum"), lit(0L)).as("kept_id_sum"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        nmin AS (SELECT MIN(n_docs) AS n_min FROM counts),
+        rates AS (
+          SELECT lang, n_docs,
+                 sqrt(n_min::DOUBLE / n_docs::DOUBLE) AS keep_rate,
+                 CAST(floor(sqrt(n_min::DOUBLE / n_docs::DOUBLE) * 1000000.0) AS BIGINT)
+                   AS threshold
+          FROM counts CROSS JOIN nmin),
+        kept AS (
+          SELECT d.lang, COUNT(*) AS n_kept,
+                 CAST(SUM(d.doc_id) AS BIGINT) AS kept_id_sum
+          FROM documents d JOIN rates r USING (lang)
+          WHERE CAST(md5_number_lower('mix:' || d.doc_id) % 1000000 AS BIGINT)
+                  < r.threshold
+          GROUP BY 1)
+        SELECT r.lang, r.n_docs, r.keep_rate, r.threshold,
+               coalesce(k.n_kept, 0) AS n_kept,
+               coalesce(k.kept_id_sum, 0) AS kept_id_sum
+        FROM rates r LEFT JOIN kept k USING (lang)
+        ORDER BY lang""")))
+}
