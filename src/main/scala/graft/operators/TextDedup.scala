@@ -54,6 +54,35 @@ object TextDedup {
       .select(col(idCol), col("_sh"))
   }
 
+  /** Per-position k-gram hashes WITHOUT materializing k-gram strings —
+    * the scale path for large k (decontamination runs k=13): each token
+    * is digested ONCE (native codegen'd md5, 8-byte output), reduced
+    * mod p = 2³¹−1, and the k-token window combines via two independent
+    * Horner folds (bases 131/137, exact in int64: acc < 2³¹ so
+    * acc·b + x < 2³⁹) packed into one 62-bit key H = H₁·2³¹ + H₂.
+    * Versus shingleRows + md5(shingle): the window shuffle carries one
+    * 8-byte long per token instead of a ~7k-byte concat string, and
+    * digest work drops k-fold (per token, not per token×k). Collision
+    * odds for two 31-bit folds are ~n²/2⁶² — negligible below ~10⁹
+    * distinct grams per join domain, and IDENTICAL on both engines
+    * (the oracle computes the same folds), so the gate stays exact.
+    * Output: (idCol, h62) — one row per full k-window. */
+  def ngramHash62(docs: DataFrame, idCol: String, tokCol: String, k: Int): DataFrame = {
+    val t = docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("_pos", "_w")))
+      .select(col(idCol), col("_pos"),
+        Kernels.md5BitsMod31(Kernels.md5Bits(col("_w"))).as("_h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val leads = (1 until k).map(o => lead(col("_h"), o).over(w))
+    val all = col("_h") +: leads
+    def horner(b: Long): Column =
+      all.reduce((acc, x) => (acc * lit(b) + x) % lit(MinhashP))
+    t.select(col(idCol),
+        (horner(131) * lit(2147483648L) + horner(137)).as("h62"),
+        leads.last.isNotNull.as("_full"))
+      .where(col("_full"))
+      .select(col(idCol), col("h62"))
+  }
+
   /** Per-doc MinHash signature from flat (idCol, shCol) shingle rows: ONE
     * codegen'd digest per shingle (native Md5Lower64Bits expression), then
     * `numHashes` affine permutations and a map-side partial min

@@ -25,20 +25,21 @@ object MixQueries {
   val defs: Seq[QueryDef] = Seq(
 
     // 13-gram exact decontamination. Train/test split reuses q58's
-    // deterministic hash buckets; both sides shingle (k=13), hash each
-    // shingle to a DuckDB-parity u64 and equi-join on the 64-bit key —
-    // never on the string (a 13-gram string shuffle carries ~100 bytes
-    // per row; the hash carries 8). Train pre-aggregates to DISTINCT
-    // hashes so the join is skew-free; per-test-doc contamination is a
-    // distinct-count over join hits. At 100 TB both sides are one
-    // token-stream shuffle + one hash-key join, all partial-agg'd.
+    // deterministic hash buckets; both sides hash their 13-grams via
+    // TextDedup.ngramHash62 — tokens digested ONCE, windows combined
+    // in pure int64 Horner arithmetic, so no 13-gram string is ever
+    // materialized and the join key is 8 bytes. Train pre-aggregates
+    // to DISTINCT hashes so the join is skew-free; per-test-doc
+    // contamination is a distinct-count over join hits. At 100 TB both
+    // sides are one token-stream shuffle + one hash-key join, all
+    // partial-agg'd.
     QueryDef(
       "q87_ngram_decontam",
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val sh = TextDedup.shingleRows(
+        val sh = TextDedup.ngramHash62(
             d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 13)
-          .select(col("doc_id"), md5Lower64(col("_sh")).as("h"))
+          .select(col("doc_id"), col("h62").as("h"))
           .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("_dup"))
           .withColumn("bucket",
             (md5Lower64(concat(lit("split:"), col("doc_id"))) % 100).cast("long"))
@@ -60,11 +61,18 @@ object MixQueries {
       Some("""
         WITH toks AS (
           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        th AS (
+          SELECT doc_id, list_transform(ws,
+                   t -> CAST(md5_number_lower(t) % 2147483647 AS BIGINT)) AS hs
+          FROM toks WHERE len(ws) >= 13),
         sh AS (
           SELECT DISTINCT doc_id,
-                 md5_number_lower(unnest(list_transform(range(1, len(ws) - 11),
-                   i -> array_to_string(list_slice(ws, i, i + 12), ' ')))) AS h
-          FROM toks WHERE len(ws) >= 13),
+                 unnest(list_transform(range(1, len(hs) - 11),
+                   i -> list_reduce(list_slice(hs, i, i + 12),
+                          (a, x) -> (a * 131 + x) % 2147483647) * 2147483648 +
+                        list_reduce(list_slice(hs, i, i + 12),
+                          (a, x) -> (a * 137 + x) % 2147483647))) AS h
+          FROM th),
         b AS (
           SELECT doc_id, h,
                  CAST(md5_number_lower('split:' || doc_id) % 100 AS BIGINT) AS bucket

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Dedup, IncrementalMerge}
+import graft.operators.{AsOfJoin, Dedup, IncrementalMerge, TextDedup}
 
 /** Operator semantics on tiny in-memory frames: dedup ties, as-of joins
   * with and without candidates, incremental-merge overlap. */
@@ -173,5 +173,41 @@ class OperatorsSpec extends SparkSpec {
     val got = IncrementalMerge.mergeWithLookback(existing, source, Seq("k"), col("d") >= 50)
       .orderBy("k").select("v").as[String].collect().toSeq
     assert(got == Seq("old1", "new2"))
+  }
+
+  test("ngramHash62 is a collision-free stand-in for string shingles") {
+    // Same window structure as shingleRows (one hash row per full
+    // k-window), and equal k-grams ⇔ equal 62-bit keys on this corpus —
+    // the property q87's decontamination join depends on.
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "c d e f g h i"),
+      (3L, "a b c d e f g"), (4L, "x y"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val k = 5
+    val str = TextDedup.shingleRows(docs, "doc_id", "ws", k)
+      .select(col("doc_id"), col("_sh"))
+    val num = TextDedup.ngramHash62(docs, "doc_id", "ws", k)
+    assert(num.count() === str.count())          // same window structure
+    // the equivalence relation "docs A and B share n distinct k-grams"
+    // must be identical under both representations
+    def sharedPairs(df: org.apache.spark.sql.DataFrame, key: String) = {
+      val d = df.distinct()
+      val l = d.toDF("da", key)
+      val r = d.toDF("db", key)
+      l.join(r, key).where(col("da") < col("db"))
+        .groupBy(col("da"), col("db")).count()
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    }
+    val viaStr = sharedPairs(str, "_sh")
+    val viaNum = sharedPairs(num, "h62")
+    assert(viaStr === viaNum)
+    assert(viaStr.contains((1L, 3L, 3L)), "identical docs share all 3 grams")
+    // per-doc distinct counts agree (no within-doc collisions)
+    val dcStr = str.distinct().groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dcNum = num.distinct().groupBy("doc_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dcStr === dcNum)
   }
 }
