@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Kernels
 import graft.functions.Kernels.md5Lower64
 import graft.functions.TextKernels._
 import graft.operators.TextDedup
@@ -201,5 +202,60 @@ object MixQueries {
                coalesce(k.n_kept, 0) AS n_kept,
                coalesce(k.kept_id_sum, 0) AS kept_id_sum
         FROM rates r LEFT JOIN kept k USING (lang)
-        ORDER BY lang""")))
+        ORDER BY lang""")),
+
+    // Deterministic global training-order shuffle + round-robin
+    // sharding. The training order is a pure function of doc_id
+    // (order by md5 hash), so any re-run on any cluster reproduces the
+    // same epoch order. The global rank is computed the DISTRIBUTED
+    // way — never a single-partition window: 256 range buckets from
+    // the hash's high bits (arithmetic shift preserves the sign-flipped
+    // order), a 256-row prefix-sum of bucket counts, then per-bucket
+    // local row_number + offset. That is the terasort shape: the only
+    // global structure is a tiny bucket-count exchange. The oracle
+    // computes the same positions with a plain single-node row_number;
+    // the order-sensitive checksum Σ(pos·doc_id) per shard gates that
+    // the distributed rank is EXACTLY the sequential one.
+    QueryDef(
+      "q95_training_shuffle",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val hOrd = Kernels.md5BitsOrderable(
+          Kernels.md5Bits(concat(lit("shuffle:"), col("doc_id"))))
+        val based = d.select(col("doc_id"), hOrd.as("h"))
+          .withColumn("bucket", shiftright(col("h"), 56))
+        val counts = based.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val wOff = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+        val offsets = counts
+          .select(col("bucket"), coalesce(sum(col("n")).over(wOff), lit(0L))
+            .as("offset"))
+        val wLocal = Window.partitionBy(col("bucket"))
+          .orderBy(col("h"), col("doc_id"))
+        val ranked = based.join(offsets, Seq("bucket"))
+          .select(col("doc_id"),
+            (col("offset") + row_number().over(wLocal)).as("pos"))
+        ranked.select(col("doc_id"), col("pos"),
+            ((col("pos") - 1) % 8).as("shard"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("pos") * col("doc_id")).as("order_checksum"))
+          .orderBy(col("shard"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id, md5_number_lower('shuffle:' || doc_id) AS h
+          FROM documents),
+        ranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY h, doc_id) AS pos
+          FROM h)
+        SELECT (pos - 1) % 8 AS shard, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+               CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+        FROM ranked
+        GROUP BY 1
+        ORDER BY shard""")))
 }

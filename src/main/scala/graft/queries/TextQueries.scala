@@ -538,5 +538,72 @@ object TextQueries {
         SELECT doc_id, n_tokens, freq_sum,
                freq_sum::DOUBLE / n_tokens AS avg_tok_familiarity
         FROM scored
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // Canonical-representative selection — the step that turns dup
+    // CLUSTERS (q48) into a deduped CORPUS: per cluster keep the
+    // highest-quality member (q24's score), tie-broken by doc_id so the
+    // choice is a total order. Composition is one extra broadcast-sized
+    // join + per-cluster argmax window on top of the q48 pipeline; the
+    // dropped-set checksum (sum of non-kept doc_ids) gates that both
+    // engines drop EXACTLY the same documents, not just the same counts.
+    QueryDef(
+      "q94_cluster_representatives",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val sig = TextDedup.minhashSignatures(shRows, "doc_id", "_sh", 16)
+        val pairs = TextDedup.lshCandidatePairs(sig, "doc_id", "sig", 4, 4)
+          .select(col("id_a"), col("id_b"))
+        val labels = TextDedup.connectedComponents(pairs, "id_a", "id_b")
+        val ws = tokens(col("text"))
+        val qual = d.select(col("doc_id"),
+          qualityScore(tokenCount(ws), distinctRatio(ws),
+            stopwordRatio(ws, Stops)).as("quality"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("node"))
+        labels.join(qual, labels("node") === qual("doc_id"))
+          .select(col("cluster_id"), col("node"), col("quality"),
+            row_number().over(w).as("pick"))
+          .groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            min(when(col("pick") === 1, col("node"))).as("rep_doc"),
+            min(when(col("pick") === 1, col("quality"))).as("rep_quality"),
+            sum(when(col("pick") =!= 1, col("node")).otherwise(0L))
+              .as("dropped_id_sum"))
+          .orderBy(col("cluster_id"))
+      },
+      Some(s"""
+        WITH RECURSIVE $ToksCte, $ShCte, $MhCte, $BandsCte,
+        pairs AS (
+          SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u AS node, u AS reachable FROM edges
+          UNION
+          SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.reachable),
+        labels AS (SELECT node, MIN(reachable) AS cluster_id FROM reach GROUP BY node),
+        qual AS (
+          SELECT doc_id,
+                 (CASE WHEN len(ws) >= 20 THEN 1.0::DOUBLE ELSE len(ws)::DOUBLE / 20.0::DOUBLE END)
+                   * (len(list_distinct(ws))::DOUBLE / len(ws))
+                   * (CASE WHEN (len(list_filter(ws, w -> w = 'the' OR w = 'a'))::DOUBLE / len(ws))
+                             BETWEEN 0.01::DOUBLE AND 0.5::DOUBLE THEN 1.0::DOUBLE ELSE 0.5::DOUBLE END)
+                   AS quality
+          FROM toks),
+        picked AS (
+          SELECT l.cluster_id, l.node, q.quality,
+                 row_number() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY q.quality DESC, l.node) AS pick
+          FROM labels l JOIN qual q ON q.doc_id = l.node)
+        SELECT cluster_id, COUNT(*) AS n_docs,
+               MIN(CASE WHEN pick = 1 THEN node END) AS rep_doc,
+               MIN(CASE WHEN pick = 1 THEN quality END) AS rep_quality,
+               CAST(SUM(CASE WHEN pick <> 1 THEN node ELSE 0 END) AS BIGINT)
+                 AS dropped_id_sum
+        FROM picked
+        GROUP BY cluster_id
+        ORDER BY cluster_id""")))
 }
