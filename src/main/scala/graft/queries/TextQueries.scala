@@ -605,5 +605,81 @@ object TextQueries {
                  AS dropped_id_sum
         FROM picked
         GROUP BY cluster_id
-        ORDER BY cluster_id""")))
+        ORDER BY cluster_id""")),
+
+    // Leakage-proof train/test split: assignment hashes the dup-CLUSTER
+    // id, not the doc id, so near-duplicates can never straddle the
+    // split boundary (the failure q60 detects in a doc-hashed split).
+    // Docs outside any cluster (never LSH-candidates) hash their own id
+    // — they ARE their cluster. One broadcast-sized label join on top
+    // of the q48 pipeline; the gate pins per-split membership checksums
+    // AND the split-leaked cluster count, which must be literal zero.
+    QueryDef(
+      "q96_cluster_split",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val sig = TextDedup.minhashSignatures(shRows, "doc_id", "_sh", 16)
+        val pairs = TextDedup.lshCandidatePairs(sig, "doc_id", "sig", 4, 4)
+          .select(col("id_a"), col("id_b"))
+        val labels = TextDedup.connectedComponents(pairs, "id_a", "id_b")
+        val assigned = d.select(col("doc_id"))
+          .join(labels, d("doc_id") === labels("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+          .withColumn("bucket",
+            (md5Lower64(concat(lit("csplit:"), col("cluster_id"))) % 100)
+              .cast("long"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+        // two-level aggs (never count+countDistinct in one — the Expand
+        // trap); the per-(split,cluster) stage reuses one partitioning
+        val perCluster = assigned.groupBy(col("split"), col("cluster_id"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("ids"))
+        val perSplit = perCluster.groupBy(col("split"))
+          .agg(sum(col("n")).cast("long").as("n_docs"),
+            sum(col("ids")).cast("long").as("id_sum"),
+            count(lit(1)).as("n_clusters"))
+        val leaked = perCluster.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("n_splits"))
+          .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L))
+            .as("leaked_clusters"))
+        perSplit.crossJoin(leaked)
+          .select(col("split"), col("n_docs"), col("id_sum"),
+            col("n_clusters"), col("leaked_clusters"))
+          .orderBy(col("split"))
+      },
+      Some(s"""
+        WITH RECURSIVE $ToksCte, $ShCte, $MhCte, $BandsCte,
+        pairs AS (
+          SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u AS node, u AS reachable FROM edges
+          UNION
+          SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.reachable),
+        labels AS (SELECT node, MIN(reachable) AS cluster_id FROM reach GROUP BY node),
+        assigned AS (
+          SELECT d.doc_id,
+                 coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                 CASE WHEN CAST(md5_number_lower('csplit:' || coalesce(l.cluster_id, d.doc_id)) % 100 AS BIGINT) < 80 THEN 'train'
+                      WHEN CAST(md5_number_lower('csplit:' || coalesce(l.cluster_id, d.doc_id)) % 100 AS BIGINT) < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents d LEFT JOIN labels l ON l.node = d.doc_id),
+        per_split AS (
+          SELECT split, COUNT(*) AS n_docs,
+                 CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                 COUNT(DISTINCT cluster_id) AS n_clusters
+          FROM assigned GROUP BY 1),
+        leaked AS (
+          SELECT CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS leaked_clusters
+          FROM (SELECT cluster_id, COUNT(DISTINCT split) AS n_splits
+                FROM assigned GROUP BY 1))
+        SELECT split, n_docs, id_sum, n_clusters, leaked_clusters
+        FROM per_split CROSS JOIN leaked
+        ORDER BY split""")))
 }

@@ -54,4 +54,44 @@ class PlanShapeSpec extends SparkSpec {
         s"$q: candidate generation must stay an equi-join")
     }
   }
+
+  test("q87 decontamination never materializes 13-gram strings") {
+    // ngramHash62 combines per-token digests arithmetically; a concat_ws
+    // reappearing in the plan means the string-shingle path snuck back
+    val p = plan("q87_ngram_decontam")
+    assert(!p.contains("concat_ws"), s"q87 must hash without building grams:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q91 probes the bloom sketch as a predicate, not a join") {
+    // the flagged column must come from might_contain on a literal
+    // sketch; the only joins in the plan are the exact-truth check
+    val p = plan("q91_bloom_incremental")
+    assert(p.toLowerCase.contains("might_contain"),
+      s"q91 must probe via BloomFilterMightContain:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
+
+  test("q93 label propagation broadcasts the seed matrix") {
+    val p = plan("q93_label_propagation")
+    assert(p.contains("BroadcastExchange"),
+      s"q93: seeds must broadcast (unlabeled side streams):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "q93: the kNN scoring must not shuffle the corpus for a join")
+  }
+
+  test("q95 computes the global rank without a single-partition data window") {
+    // the doc-stream window must be partitioned by bucket; only the
+    // 256-row bucket-count prefix-sum may run unpartitioned
+    val p = plan("q95_training_shuffle")
+    val windows = "Window .*windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    val unpartitioned = windows.filterNot(_.contains("bucket#"))
+    assert(windows.exists(_.contains("bucket#")),
+      s"q95: per-bucket local rank window missing:\n$p")
+    // doc_id appears in the ORDER BY of the local-rank window only;
+    // any unpartitioned window must be the tiny bucket-offset one
+    assert(!unpartitioned.exists(_.contains("doc_id")),
+      s"q95: found a global window over the doc stream:\n$p")
+  }
 }
