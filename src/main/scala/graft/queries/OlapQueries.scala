@@ -241,5 +241,149 @@ object OlapQueries {
         SELECT segment, 'both' AS side FROM (SELECT segment FROM high_bal INTERSECT SELECT segment FROM recent)
         UNION ALL
         SELECT segment, 'high_bal_only' AS side FROM (SELECT segment FROM high_bal EXCEPT SELECT segment FROM recent)
-        ORDER BY side, segment""")))
+        ORDER BY side, segment""")),
+
+    // Time-series gap-fill + LOCF — the monthly-panel completion every
+    // revenue/retention analysis needs: each customer's month spine
+    // (first..last active month) is generated per customer, missing
+    // months fill with exact-decimal zero, and last-observation-
+    // carried-forward yields months_since_last_order. Shapes: the spine
+    // is sequence()+explode off a per-customer min/max agg (linear in
+    // active span, never a global cross join); the LOCF is one
+    // per-customer ordered window. Money stays decimal through the agg
+    // (double only at the output boundary — the q05 stance).
+    QueryDef(
+      "q97_monthly_gapfill",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          col("o_custkey").as("customer_id"),
+          trunc(to_date(col("o_orderdate")), "month").as("month_start"),
+          dec6(col("o_totalprice")).as("rev"))
+        val byMonth = o.groupBy(col("customer_id"), col("month_start"))
+          .agg(money(sum(col("rev"))).as("month_revenue"))
+        val span = byMonth.groupBy(col("customer_id"))
+          .agg(min(col("month_start")).as("first_m"),
+            max(col("month_start")).as("last_m"))
+        val spine = span.select(col("customer_id"),
+          explode(sequence(col("first_m"), col("last_m"),
+            expr("interval 1 month"))).as("month_start"))
+        val filled = spine.join(byMonth, Seq("customer_id", "month_start"), "left")
+          .select(col("customer_id"), col("month_start"),
+            coalesce(col("month_revenue"),
+              lit(BigDecimal(0)).cast(DecimalType(38, 6))).as("month_revenue"))
+          .withColumn("active_month",
+            when(col("month_revenue") > 0, col("month_start")))
+        val w = Window.partitionBy(col("customer_id")).orderBy(col("month_start"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        filled
+          .withColumn("last_active", last(col("active_month"), ignoreNulls = true).over(w))
+          .select(col("customer_id"), col("month_start"),
+            moneyOut(col("month_revenue")).as("month_revenue"),
+            monthsBetweenCalendar(col("month_start"), col("last_active"))
+              .cast("long").as("months_since_last_order"))
+          .orderBy(col("customer_id"), col("month_start"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey AS customer_id,
+                 CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+          FROM orders),
+        by_month AS (
+          SELECT customer_id, month_start,
+                 CAST(SUM(rev) AS DECIMAL(38,6)) AS month_revenue
+          FROM o GROUP BY 1, 2),
+        span AS (
+          SELECT customer_id, MIN(month_start) AS first_m, MAX(month_start) AS last_m
+          FROM by_month GROUP BY 1),
+        spine AS (
+          SELECT customer_id,
+                 CAST(unnest(generate_series(first_m::TIMESTAMP, last_m::TIMESTAMP,
+                                             INTERVAL 1 MONTH)) AS DATE) AS month_start
+          FROM span),
+        filled AS (
+          SELECT s.customer_id, s.month_start,
+                 COALESCE(b.month_revenue, CAST(0 AS DECIMAL(38,6))) AS month_revenue,
+                 CASE WHEN COALESCE(b.month_revenue, CAST(0 AS DECIMAL(38,6))) > 0
+                      THEN s.month_start END AS active_month
+          FROM spine s LEFT JOIN by_month b USING (customer_id, month_start)),
+        locf AS (
+          SELECT customer_id, month_start, month_revenue,
+                 last_value(active_month IGNORE NULLS)
+                   OVER (PARTITION BY customer_id ORDER BY month_start
+                         ROWS UNBOUNDED PRECEDING) AS last_active
+          FROM filled)
+        SELECT customer_id, month_start,
+               CAST(month_revenue AS DOUBLE) AS month_revenue,
+               CAST((year(month_start) - year(last_active)) * 12
+                    + (month(month_start) - month(last_active)) AS BIGINT)
+                 AS months_since_last_order
+        FROM locf
+        ORDER BY customer_id, month_start""")),
+
+    // WINDOWED ordered conversion funnel over the event stream —
+    // signup → view → click → purchase, each step's earliest occurrence
+    // strictly after the previous step's chosen event AND within a
+    // 3-day conversion window (unordered or unwindowed funnels
+    // overcount; 3 days yields 150→105→79→55 on this corpus). Four
+    // chained conditional min-aggregates, all keyed on user_id, so
+    // every shuffle lands on the same partitioning (exchange reuse —
+    // one real exchange family, not four). Gate pins per-step user
+    // counts AND user-id checksums.
+    QueryDef(
+      "q98_event_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"))
+        def step(prev: org.apache.spark.sql.DataFrame, et: String, out: String) = {
+          val pcol = prev.columns.last
+          e.where(col("event_type") === et)
+            .join(prev, Seq("user_id"))
+            .where(col("ts") > col(pcol) &&
+              col("ts") <= col(pcol) + expr("interval 3 days"))
+            .groupBy(col("user_id")).agg(min(col("ts")).as(out))
+        }
+        val s1 = e.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = step(s1, "view", "t2")
+        val s3 = step(s2, "click", "t3")
+        val s4 = step(s3, "purchase", "t4")
+        def summarize(df: org.apache.spark.sql.DataFrame, name: String) =
+          df.agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_id_sum"))
+            .select(lit(name).as("step"), col("n_users"), col("user_id_sum"))
+        summarize(s1, "1_signup")
+          .unionAll(summarize(s2, "2_view"))
+          .unionAll(summarize(s3, "3_click"))
+          .unionAll(summarize(s4, "4_purchase"))
+          .orderBy(col("step"))
+      },
+      Some("""
+        WITH e AS (SELECT user_id, event_type, ts FROM events),
+        s1 AS (
+          SELECT user_id, MIN(ts) AS t1 FROM e
+          WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (
+          SELECT e.user_id, MIN(e.ts) AS t2
+          FROM e JOIN s1 USING (user_id)
+          WHERE e.event_type = 'view' AND e.ts > s1.t1
+            AND e.ts <= s1.t1 + INTERVAL 3 DAY GROUP BY 1),
+        s3 AS (
+          SELECT e.user_id, MIN(e.ts) AS t3
+          FROM e JOIN s2 USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > s2.t2
+            AND e.ts <= s2.t2 + INTERVAL 3 DAY GROUP BY 1),
+        s4 AS (
+          SELECT e.user_id, MIN(e.ts) AS t4
+          FROM e JOIN s3 USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+            AND e.ts <= s3.t3 + INTERVAL 3 DAY GROUP BY 1)
+        SELECT '1_signup' AS step, COUNT(*) AS n_users,
+               CAST(SUM(user_id) AS BIGINT) AS user_id_sum FROM s1
+        UNION ALL
+        SELECT '2_view', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT '3_click', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT '4_purchase', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM s4
+        ORDER BY step""")))
 }
