@@ -109,13 +109,17 @@ object FunnelQueries {
         GROUP BY stage
         ORDER BY stage""")),
 
-    // 5-NN label propagation. Seeds = deterministic 20% hash sample
-    // (the "labeled" pool); every other vector is classified by
-    // majority vote of its 5 nearest seeds (exact cosine, codegen'd
-    // VectorDot). The BROADCAST side is the seed set — at 100 TB the
-    // unlabeled corpus streams past a small labeled matrix, which is
-    // the right dataflow for bootstrap classification (the reverse —
-    // broadcasting the corpus — is impossible). Vote ties break toward
+    // 5-NN label propagation. Seeds = a FIXED-SIZE labeled pool (the
+    // 128 lowest deterministic doc hashes — labels are scarce and do
+    // NOT grow with the corpus; a rate-based pool made eval×seeds
+    // quadratic, tri-scale alpha 1.74 / 97 s at sf1, caught by the
+    // curvature sweep). Every other vector is classified by majority
+    // vote of its 5 nearest seeds (exact cosine, codegen'd VectorDot).
+    // The BROADCAST side is the seed set — at 100 TB the unlabeled
+    // corpus streams past a small labeled matrix, which is the right
+    // dataflow for bootstrap classification (the reverse — broadcasting
+    // the corpus — is impossible). The seed pick itself is a global
+    // top-k (TakeOrdered — never a full sort). Vote ties break toward
     // the smaller label; the gate hashes the full confusion matrix
     // (true × predicted counts) — integers only, so cross-engine
     // determinism never rests on double aggregation.
@@ -123,14 +127,14 @@ object FunnelQueries {
       "q93_label_propagation",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val bucket = (md5Lower64(concat(lit("seed:"), col("vec_id"))) % 100)
-          .cast("long")
         val tagged = e.select(col("vec_id"), col("embedding"),
-          col("label").cast("long").as("label"), bucket.as("bucket"))
-        val seeds = tagged.where(col("bucket") < 20)
+          col("label").cast("long").as("label"),
+          md5Lower64(concat(lit("seed:"), col("vec_id"))).as("h"))
+        val seeds = tagged.orderBy(col("h"), col("vec_id")).limit(128)
           .select(col("vec_id").as("s_id"), col("embedding").as("s_vec"),
             col("label").as("s_label"))
-        val eval = tagged.where(col("bucket") >= 20)
+        val eval = tagged
+          .join(seeds.select(col("s_id").as("vec_id")), Seq("vec_id"), "left_anti")
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
             col("label").as("true_label"))
         val scored = eval.crossJoin(broadcast(seeds))
@@ -157,14 +161,14 @@ object FunnelQueries {
       Some(s"""
         WITH tagged AS (
           SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
-                 CAST(md5_number_lower('seed:' || vec_id) % 100 AS BIGINT) AS bucket
+                 md5_number_lower('seed:' || vec_id) AS h
           FROM embeddings),
         seeds AS (
           SELECT vec_id s_id, embedding s_vec, label s_label
-          FROM tagged WHERE bucket < 20),
+          FROM tagged ORDER BY h, vec_id LIMIT 128),
         eval AS (
           SELECT vec_id q_id, embedding q_vec, label true_label
-          FROM tagged WHERE bucket >= 20),
+          FROM tagged WHERE vec_id NOT IN (SELECT s_id FROM seeds)),
         scored AS (
           SELECT q_id, true_label, s_label, s_id,
                  ${dotSql("q_vec", "s_vec")}
