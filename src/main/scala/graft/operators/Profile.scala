@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-profiling operator (Deequ-style `analyze`): per-column null count,
+  * exact distinct count, and canonical-string min/max, emitted long-format
+  * (one row per column) so downstream quality rules can join on the column
+  * name. The reference's schema tests (not_null/unique/accepted_values,
+  * reference models/staging/schema.yml) are assertions over exactly these
+  * statistics; this operator surfaces the statistics themselves.
+  *
+  * Scale: ONE pass over the table — all statistics ride a single aggregate.
+  * The exact distinct counts make Catalyst plan an Expand (one duplicate of
+  * the input per distinct-aggregated column, shuffled once with partial
+  * aggregation). That is the exact-profile cost; a 100 TB profile would
+  * swap `countDistinct` for `approx_count_distinct` (HLL, no Expand) —
+  * parameterized via `exact`. The final stack to long format runs on the
+  * one-row aggregate — free.
+  *
+  * Callers pass each column in a canonical form (e.g. decimals for money,
+  * dates for timestamps) so min/max/distinct are engine-portable.
+  */
+object Profile {
+
+  /** (name, canonical column). Stats computed on the canonical column;
+    * min/max cast to string at the end (decimal/date string forms are
+    * cross-engine stable; raw doubles are not). */
+  def profile(df: DataFrame, cols: Seq[(String, Column)], exact: Boolean = true): DataFrame = {
+    val aggs = cols.flatMap { case (name, c) =>
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${name}__nulls"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c)).as(s"${name}__distinct"),
+        min(c).cast("string").as(s"${name}__min"),
+        max(c).cast("string").as(s"${name}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // stack(n, label1, v1a, v1b, v1c, v1d, ...) → long format on a 1-row frame
+    val stackArgs = cols.map { case (name, _) =>
+      s"'$name', ${name}__nulls, ${name}__distinct, ${name}__min, ${name}__max"
+    }.mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_str, max_str)")
+  }
+}

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Kernels._
+import graft.operators.Profile
+import graft.sources.Tables
+
+/** Round-4 batch 7 — warehouse-analytics operators the reference's mart
+  * users run daily, each exact-arithmetic and oracle-gated:
+  *
+  *  - q101: cohort retention matrix (first-order cohort × month offset)
+  *  - q102: market-basket co-purchase pair mining (brand pairs per order)
+  *  - q103: interval-sweep max concurrency with day-boundary spill —
+  *    the distributed line-sweep pattern (partition by day, clip + spill
+  *    intervals across the boundary) so no global sort is ever needed
+  *  - q104: time-decayed customer scoring with exact power-of-two weights
+  *  - q105: exact-arithmetic outlier detection (cross-multiplied ratio
+  *    to customer mean — no doubles, no stddev nondeterminism)
+  *  - q106: blocked fuzzy-duplicate detection via Levenshtein on
+  *    length-banded prefixes (Σ block² bounded, never all-pairs)
+  *  - q107: one-pass table profiler (operators/Profile.scala)
+  */
+object AnalyticsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Cohort retention: cohort = customer's first order month; a customer
+    // is "retained at offset k" if they ordered k calendar months after
+    // their cohort month. Two shuffles: window-min per customer (one
+    // exchange on o_custkey), then the cohort/offset rollup. At 100 TB the
+    // first-order month is a tiny maintained dimension (one row/customer)
+    // and the rollup is a straight partial-agg; nothing here is quadratic.
+    QueryDef(
+      "q101_cohort_retention",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"), to_date(date_trunc("MONTH", col("o_orderdate"))).as("om"))
+        val w = Window.partitionBy(col("o_custkey"))
+        val withCohort = o.withColumn("cohort_month", min(col("om")).over(w))
+          .withColumn("month_offset",
+            monthsBetweenCalendar(col("om"), col("cohort_month")).cast("long"))
+        withCohort.where(col("month_offset") <= 6)
+          .groupBy(col("cohort_month"), col("month_offset"))
+          .agg(countDistinct(col("o_custkey")).as("retained"))
+          .orderBy(col("cohort_month"), col("month_offset"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS om
+          FROM orders),
+        c AS (
+          SELECT o_custkey, om,
+                 MIN(om) OVER (PARTITION BY o_custkey) AS cohort_month
+          FROM o)
+        SELECT cohort_month,
+               CAST((year(om) - year(cohort_month)) * 12
+                    + (month(om) - month(cohort_month)) AS BIGINT) AS month_offset,
+               COUNT(DISTINCT o_custkey) AS retained
+        FROM c
+        WHERE (year(om) - year(cohort_month)) * 12
+              + (month(om) - month(cohort_month)) <= 6
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // Market-basket pair mining: distinct brands per order, then the
+    // within-order self-join (a < b) → pair support counts. The explode is
+    // bounded by order width (≤13 lines here, ≤25 brands anywhere), so the
+    // pair fan-out is O(orders × width²), never O(brands²); the self-join
+    // is co-partitioned on o_orderkey (one exchange, reused both sides).
+    // Top-50 by support with full deterministic tiebreak.
+    QueryDef(
+      "q102_copurchase_pairs",
+      (s, dir) => {
+        val brands = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+        val a = brands.select(col("ok"), col("p_brand").as("brand_a"))
+        val b = brands.select(col("ok"), col("p_brand").as("brand_b"))
+        a.join(b, Seq("ok")).where(col("brand_a") < col("brand_b"))
+          .groupBy(col("brand_a"), col("brand_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("brand_a"), col("brand_b"))
+          .limit(50)
+      },
+      Some("""
+        WITH brands AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_orders
+        FROM brands a JOIN brands b
+          ON a.ok = b.ok AND a.p_brand < b.p_brand
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, brand_a, brand_b
+        LIMIT 50""")),
+
+    // Interval line-sweep, distributed: each event opens a 30-minute
+    // session; max concurrent sessions per day. Sessions crossing midnight
+    // are CLIPPED at the boundary and the remainder SPILLED into the next
+    // day — so the sweep partitions cleanly by day (one exchange, per-day
+    // local sort) instead of one global ordered scan, which is the whole
+    // trick at 100 TB. Tie order (ends before starts at the same instant =
+    // end-exclusive intervals) is pinned by ORDER BY t, delta; rows with
+    // identical (t, delta) are same-sign, so the per-day running max is
+    // permutation-invariant → deterministic.
+    QueryDef(
+      "q103_event_concurrency",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("ts").as("st"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+          .withColumn("d1", to_date(col("st")))
+          .withColumn("midnight", date_add(col("d1"), 1).cast("timestamp"))
+        val clipped = e.select(
+          array(
+            struct(col("d1").as("day"), col("st").as("t0"),
+              least(col("en"), col("midnight")).as("t1")),
+            struct(date_add(col("d1"), 1).as("day"), col("midnight").as("t0"),
+              col("en").as("t1"))).as("ivs"))
+          .select(explode(col("ivs")).as("iv"))
+          .select(col("iv.day"), col("iv.t0"), col("iv.t1"))
+          .where(col("t1") > col("t0"))
+        val points = clipped.select(
+            array(
+              struct(col("day"), col("t0").as("t"), lit(1L).as("delta")),
+              struct(col("day"), col("t1").as("t"), lit(-1L).as("delta"))).as("ps"))
+          .select(explode(col("ps")).as("p"))
+          .select(col("p.day"), col("p.t"), col("p.delta"))
+        val w = Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        points.withColumn("run", sum(col("delta")).over(w))
+          .groupBy(col("day"))
+          .agg(max(col("run")).as("max_concurrent"),
+            sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT ts AS st, ts + INTERVAL 30 MINUTE AS en,
+                 CAST(ts AS DATE) AS d1,
+                 CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP) AS midnight
+          FROM events),
+        clipped AS (
+          SELECT d1 AS day, st AS t0, LEAST(en, midnight) AS t1 FROM e
+          UNION ALL
+          SELECT d1 + 1 AS day, midnight AS t0, en AS t1 FROM e
+          WHERE en > midnight),
+        pts AS (
+          SELECT day, t0 AS t, CAST(1 AS BIGINT) AS delta FROM clipped WHERE t1 > t0
+          UNION ALL
+          SELECT day, t1 AS t, CAST(-1 AS BIGINT) AS delta FROM clipped WHERE t1 > t0),
+        sweep AS (
+          SELECT day, delta,
+                 SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM pts)
+        SELECT day, MAX(run) AS max_concurrent,
+               SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_sessions
+        FROM sweep
+        GROUP BY day
+        ORDER BY day""")),
+
+    // Time-decayed customer score: weight halves per month of age, capped
+    // at 12 months, as EXACT power-of-two integers (weight = 2^(12-age), so
+    // 4096 ≡ 1.0) — the decay stays in exact decimal arithmetic instead of
+    // float pow(). One partial-agg shuffle on o_custkey; anchor is a pinned
+    // literal so the score is reproducible run-over-run.
+    QueryDef(
+      "q104_decayed_score",
+      (s, dir) => {
+        val anchor = lit("2001-08-01").cast("date")
+        val scored = Tables.orders(s, dir)
+          .withColumn("m_ago",
+            monthsBetweenCalendar(anchor, to_date(col("o_orderdate"))))
+          .withColumn("wt",
+            expr("CAST(shiftleft(1L, CAST(12 - least(m_ago, 12) AS INT)) AS BIGINT)"))
+          .groupBy(col("o_custkey"))
+          .agg(money(sum(dec6(col("o_totalprice")) * col("wt"))).as("score_scaled"),
+            count(lit(1)).as("n_orders"))
+        scored.select(col("o_custkey"), moneyOut(col("score_scaled")).as("score_scaled"),
+            col("n_orders"))
+          .orderBy(col("score_scaled").desc, col("o_custkey"))
+          .limit(100)
+      },
+      Some("""
+        WITH w AS (
+          SELECT o_custkey,
+                 CAST(1 AS BIGINT) << CAST(12 - LEAST(
+                   (2001 - year(o_orderdate)) * 12 + (8 - month(o_orderdate)),
+                   12) AS INT) AS wt,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS price
+          FROM orders)
+        SELECT o_custkey,
+               CAST(CAST(SUM(price * wt) AS DECIMAL(38,6)) AS DOUBLE) AS score_scaled,
+               COUNT(*) AS n_orders
+        FROM w
+        GROUP BY o_custkey
+        ORDER BY score_scaled DESC, o_custkey
+        LIMIT 100""")),
+
+    // Outlier orders, exact arithmetic: an order is an outlier when its
+    // amount exceeds 3× its customer's mean order value. The comparison is
+    // cross-multiplied (amount × n > 3 × total) so it stays in exact
+    // decimals — no division, no doubles, no stddev formula drift between
+    // engines. One window exchange on o_custkey + a broadcast dim join.
+    QueryDef(
+      "q105_outlier_orders",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+        val flagged = Tables.orders(s, dir)
+          .withColumn("amt", dec6(col("o_totalprice")))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .withColumn("tot", money(sum(col("amt")).over(w)))
+          .withColumn("is_outlier",
+            col("amt") * col("cnt").cast(DecimalType(12, 0)) >
+              lit(BigDecimal(3)).cast(DecimalType(12, 0)) * col("tot"))
+        flagged
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+            sum(when(col("is_outlier"), col("o_orderkey"))).as("outlier_keysum"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS amt,
+                 COUNT(*) OVER (PARTITION BY o_custkey) AS cnt,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                      OVER (PARTITION BY o_custkey) AS DECIMAL(38,6)) AS tot
+          FROM orders)
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_orders,
+               SUM(CASE WHEN f.amt * cnt > 3 * f.tot THEN 1 ELSE 0 END) AS n_outliers,
+               SUM(CASE WHEN f.amt * cnt > 3 * f.tot THEN f.o_orderkey END) AS outlier_keysum
+        FROM f JOIN customer c ON f.o_custkey = c.c_custkey
+        GROUP BY 1
+        ORDER BY 1""")),
+
+    // Blocked fuzzy-duplicate candidates: Levenshtein ≤ 1 name pairs
+    // inside 16-char-prefix blocks. The block key bounds the self-join to
+    // Σ block² (≤100 names/block on this corpus) — the same banded-
+    // blocking stance as the LSH dedup family, with an edit-distance
+    // verifier instead of Jaccard. Reported per block: candidate-pair
+    // count vs verified-match count (the blocking-efficiency audit).
+    QueryDef(
+      "q106_fuzzy_name_pairs",
+      (s, dir) => {
+        val named = Tables.customer(s, dir)
+          .select(col("c_name"), substring(col("c_name"), 1, 16).as("blk"))
+        val a = named.select(col("blk"), col("c_name").as("name_a"))
+        val b = named.select(col("blk"), col("c_name").as("name_b"))
+        val pairs = a.join(b, Seq("blk")).where(col("name_a") < col("name_b"))
+          .withColumn("is_match", levenshtein(col("name_a"), col("name_b")) <= 1)
+        pairs.groupBy(col("blk"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("is_match"), 1L).otherwise(0L)).as("n_matches"))
+          .orderBy(col("blk"))
+      },
+      Some("""
+        WITH named AS (
+          SELECT c_name, substr(c_name, 1, 16) AS blk FROM customer)
+        SELECT a.blk,
+               COUNT(*) AS n_candidates,
+               SUM(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                   THEN 1 ELSE 0 END) AS n_matches
+        FROM named a JOIN named b
+          ON a.blk = b.blk AND a.c_name < b.c_name
+        GROUP BY 1
+        ORDER BY 1""")),
+
+    // One-pass table profiler over orders (operators/Profile.scala):
+    // null / exact-distinct / min / max per column in a single aggregate.
+    // Columns pass in canonical form (decimal money, date) so the string
+    // boundary is engine-portable.
+    QueryDef(
+      "q107_column_profile",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        Profile.profile(o, Seq(
+            "o_orderkey" -> col("o_orderkey"),
+            "o_custkey" -> col("o_custkey"),
+            "o_orderstatus" -> col("o_orderstatus"),
+            "o_totalprice" -> dec6(col("o_totalprice")),
+            "o_orderdate" -> to_date(col("o_orderdate")),
+            "o_orderpriority" -> col("o_orderpriority")))
+          .orderBy(col("col_name"))
+      },
+      Some("""
+        SELECT col_name, n_null, n_distinct, min_str, max_str FROM (
+          SELECT 'o_orderkey' AS col_name,
+                 COUNT(*) - COUNT(o_orderkey) AS n_null,
+                 COUNT(DISTINCT o_orderkey) AS n_distinct,
+                 CAST(MIN(o_orderkey) AS VARCHAR) AS min_str,
+                 CAST(MAX(o_orderkey) AS VARCHAR) AS max_str
+          FROM orders
+          UNION ALL
+          SELECT 'o_custkey', COUNT(*) - COUNT(o_custkey),
+                 COUNT(DISTINCT o_custkey),
+                 CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderstatus', COUNT(*) - COUNT(o_orderstatus),
+                 COUNT(DISTINCT o_orderstatus),
+                 MIN(o_orderstatus), MAX(o_orderstatus)
+          FROM orders
+          UNION ALL
+          SELECT 'o_totalprice', COUNT(*) - COUNT(o_totalprice),
+                 COUNT(DISTINCT CAST(o_totalprice AS DECIMAL(18,6))),
+                 CAST(MIN(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR),
+                 CAST(MAX(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderdate', COUNT(*) - COUNT(o_orderdate),
+                 COUNT(DISTINCT CAST(o_orderdate AS DATE)),
+                 CAST(MIN(CAST(o_orderdate AS DATE)) AS VARCHAR),
+                 CAST(MAX(CAST(o_orderdate AS DATE)) AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', COUNT(*) - COUNT(o_orderpriority),
+                 COUNT(DISTINCT o_orderpriority),
+                 MIN(o_orderpriority), MAX(o_orderpriority)
+          FROM orders)
+        ORDER BY col_name""")))
+}
