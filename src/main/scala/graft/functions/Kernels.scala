@@ -154,4 +154,17 @@ object Kernels {
     * min/max over this equals unsigned min/max over the u64. */
   def md5BitsOrderable(bits: Column): Column =
     bits.bitwiseXOR(lit(Long.MinValue))
+
+  /** Unsigned u64 mod k in pure long arithmetic (generalizes md5BitsMod31):
+    * u64 = bits + 2⁶⁴·[bits<0], so u64 mod k =
+    * pmod(pmod(bits,k) + (2⁶⁴ mod k)·[bits<0], k). Equals
+    * `md5BitsU64(bits) % k` without the decimal(20,0) round-trip — and,
+    * critically, stays ONE digest per row when a bucket predicate is
+    * pushed into a scan (the hex-conv form re-inlines md5 once per
+    * substring — the q33/q99 8× pushdown tax). */
+  def md5BitsModK(bits: Column, k: Long): Column = {
+    require(k > 0, s"modulus must be positive: $k")
+    val r = lit((BigInt(2).pow(64) mod BigInt(k)).toLong)
+    pmod(pmod(bits, lit(k)) + when(bits < 0, r).otherwise(lit(0L)), lit(k))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Kernels.md5Lower64
+import graft.functions.Kernels.{md5Bits, md5BitsModK, md5Lower64}
 import graft.functions.TextKernels._
 import graft.sources.Tables
 
@@ -113,8 +113,7 @@ object CorpusQueries {
       (s, dir) => {
         val d = Tables.documents(s, dir)
         val keepPerMille = when(col("lang") === "en", lit(300L)).otherwise(lit(1000L))
-        val bucket = (md5Lower64(concat(lit("sample:"), col("doc_id"))) % 1000)
-          .cast("long")
+        val bucket = md5BitsModK(md5Bits(concat(lit("sample:"), col("doc_id"))), 1000L)
         d.select(col("doc_id"), col("lang"), col("n_chars"),
             bucket.as("bucket"), keepPerMille.as("keep_pm"))
           .where(col("bucket") < col("keep_pm"))

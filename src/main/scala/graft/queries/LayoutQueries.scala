@@ -114,7 +114,7 @@ object LayoutQueries {
               "doc_id", "ws", 3),
             "doc_id", "_sh")
           .withColumn("bucket",
-            (md5Lower64(concat(lit("split:"), col("doc_id"))) % 100).cast("long"))
+            Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("split:"), col("doc_id"))), 100L))
         // Bloom insert/probe key: re-hash the fingerprint string to a
         // raw long (the sketch and the MightContain predicate operate
         // on the putLong/mightContainLong fast path).

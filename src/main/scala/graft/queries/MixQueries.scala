@@ -43,7 +43,7 @@ object MixQueries {
           .select(col("doc_id"), col("h62").as("h"))
           .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("_dup"))
           .withColumn("bucket",
-            (md5Lower64(concat(lit("split:"), col("doc_id"))) % 100).cast("long"))
+            Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("split:"), col("doc_id"))), 100L))
         val train = sh.where(col("bucket") < 80)
           .select(col("h")).distinct()
         val test = sh.where(col("bucket") >= 90)
@@ -169,8 +169,8 @@ object MixQueries {
           .select(col("lang"), col("n_docs"), col("keep_rate"),
             floor(col("keep_rate") * lit(1000000.0d)).cast("long").as("threshold"))
         val kept = d.select(col("doc_id"), col("lang"),
-            (md5Lower64(concat(lit("mix:"), col("doc_id"))) % 1000000)
-              .cast("long").as("bucket"))
+            Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("mix:"), col("doc_id"))), 1000000L)
+              .as("bucket"))
           .join(broadcast(rates), Seq("lang"))
           .where(col("bucket") < col("threshold"))
           .groupBy(col("lang"))

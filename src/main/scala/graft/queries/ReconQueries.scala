@@ -46,7 +46,7 @@ object ReconQueries {
             col("l_shipdate"), col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), net.as("net"))
           .withColumn("bucket",
-            (md5Lower64(concat(lit("recon:"), col("k"))) % 100).cast("long"))
+            md5BitsModK(md5Bits(concat(lit("recon:"), col("k"))), 100L))
         val raw = li.where(col("bucket") < 97)
           .groupBy(col("k")).agg(money(sum(col("net"))).as("raw_total"))
         val w = org.apache.spark.sql.expressions.Window

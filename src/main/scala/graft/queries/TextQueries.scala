@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Kernels.md5Lower64
+import graft.functions.Kernels.{md5Bits, md5BitsModK, md5Lower64}
 import graft.functions.TextKernels._
 import graft.operators.TextDedup
 import graft.sources.Tables
@@ -349,8 +349,7 @@ object TextQueries {
       "q58_hash_split",
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val bucket = (md5Lower64(concat(lit("split:"), col("doc_id"))) % 100)
-          .cast("long")
+        val bucket = md5BitsModK(md5Bits(concat(lit("split:"), col("doc_id"))), 100L)
         val split = when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val").otherwise("test")
         d.select(col("source"), bucket.as("bucket"))
@@ -431,7 +430,7 @@ object TextQueries {
           d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
         val wfp = TextDedup.minShingleFingerprints(shRows, "doc_id", "_sh")
           .withColumn("bucket",
-            (md5Lower64(concat(lit("split:"), col("doc_id"))) % 100).cast("long"))
+            md5BitsModK(md5Bits(concat(lit("split:"), col("doc_id"))), 100L))
         val train = wfp.where(col("bucket") < 80)
           .groupBy(col("winnow_fp"))
           .agg(min(col("doc_id")).as("train_doc"), count(lit(1)).as("n_train_dups"))
@@ -629,8 +628,7 @@ object TextQueries {
           .select(col("doc_id"),
             coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
           .withColumn("bucket",
-            (md5Lower64(concat(lit("csplit:"), col("cluster_id"))) % 100)
-              .cast("long"))
+            md5BitsModK(md5Bits(concat(lit("csplit:"), col("cluster_id"))), 100L))
           .withColumn("split",
             when(col("bucket") < 80, "train")
               .when(col("bucket") < 90, "val").otherwise("test"))

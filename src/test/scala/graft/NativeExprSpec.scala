@@ -33,6 +33,18 @@ class NativeExprSpec extends SparkSpec {
     }
   }
 
+  test("md5BitsModK equals the decimal u64 % k for assorted moduli") {
+    val df = (Seq("hello", "x y z", "graft", "") ++
+      (0 until 200).map(i => s"doc:$i")).toDF("s")
+    val bits = Kernels.md5Bits(col("s"))
+    Seq(100L, 1000L, 1000000L, 97L, 2L).foreach { k =>
+      val r = df.select(
+        Kernels.md5BitsModK(bits, k).as("fast"),
+        (Kernels.md5Lower64(col("s")) % k).cast("long").as("slow")).collect()
+      r.foreach(x => assert(x.getLong(0) === x.getLong(1), s"k=$k"))
+    }
+  }
+
   test("orderable image preserves unsigned order and is self-inverse") {
     val df = Seq("a", "b", "c", "hello", "zz").toDF("s")
     val got = df.select(Kernels.md5Bits(col("s")).as("bits"),
