@@ -16,7 +16,8 @@ object SparkEntry {
       ScaleQueries.defs ++ FactQueries.defs ++ SinkQueries.defs ++
       CurationQueries.defs ++ OlapQueries.defs ++ StreamQueries.defs ++
       CorpusQueries.defs ++ MixQueries.defs ++ LayoutQueries.defs ++
-      FunnelQueries.defs ++ ReconQueries.defs ++ AnalyticsQueries.defs
+      FunnelQueries.defs ++ ReconQueries.defs ++ AnalyticsQueries.defs ++
+      GraphQueries.defs ++ TemporalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q47 is the full fct_orders composite — line math, rollup, joins,

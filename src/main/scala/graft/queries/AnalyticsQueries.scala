@@ -272,6 +272,52 @@ object AnalyticsQueries {
         GROUP BY 1
         ORDER BY 1""")),
 
+    // Pareto frontier (skyline) of parts on (price, size): a part is on
+    // the frontier iff no part is BOTH strictly cheaper and strictly
+    // smaller — equivalently, its size beats min(size) over all strictly
+    // cheaper parts. Computed WITHOUT a global-sort window: $100 price
+    // bands give a per-band RANGE running min (parallel), and a prefix
+    // min over the tiny band table (bounded rows) covers everything in
+    // earlier bands — the two-level sweep that scales where a single
+    // ORDER BY price window cannot. Prices go through decimal(18,2)
+    // cents so band/compare arithmetic is exact integers.
+    QueryDef(
+      "q109_pareto_frontier",
+      (s, dir) => {
+        val parts = Tables.part(s, dir).select(col("p_partkey"),
+          (col("p_retailprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("price_cents"),
+          col("p_size").cast("long").as("psize"))
+        val banded = parts.withColumn("band", expr("price_cents div 10000"))
+        val bandMin = banded.groupBy(col("band")).agg(min(col("psize")).as("band_min"))
+        val wBands = Window.orderBy(col("band"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prefix = bandMin.withColumn("prev_min", min(col("band_min")).over(wBands))
+          .select(col("band"), col("prev_min"))
+        val wLocal = Window.partitionBy(col("band")).orderBy(col("price_cents"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        banded.join(prefix, Seq("band"))
+          .withColumn("local_min", min(col("psize")).over(wLocal))
+          .withColumn("min_cheaper",
+            least(coalesce(col("local_min"), lit(Long.MaxValue)),
+              coalesce(col("prev_min"), lit(Long.MaxValue))))
+          .where(col("min_cheaper") >= col("psize"))
+          .select(col("p_partkey"), col("price_cents"), col("psize"))
+          .orderBy(col("price_cents"), col("p_partkey"))
+      },
+      Some("""
+        WITH parts AS (
+          SELECT p_partkey,
+                 CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+                 CAST(p_size AS BIGINT) AS psize
+          FROM part)
+        SELECT p_partkey, price_cents, psize
+        FROM parts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM parts q
+          WHERE q.price_cents < p.price_cents AND q.psize < p.psize)
+        ORDER BY price_cents, p_partkey""")),
+
     // One-pass table profiler over orders (operators/Profile.scala):
     // null / exact-distinct / min / max per column in a single aggregate.
     // Columns pass in canonical form (decimal money, date) so the string

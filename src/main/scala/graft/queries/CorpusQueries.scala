@@ -210,5 +210,43 @@ object CorpusQueries {
                list_slice(list_sort(list(doc_id)), 1, 10) AS postings
         FROM tf
         GROUP BY term
-        ORDER BY term""")))
+        ORDER BY term""")),
+
+    // Vocabulary OOV coverage: build the top-500 term vocabulary
+    // (frequency with term-asc tiebreak, so the cut is deterministic),
+    // then measure per-language out-of-vocabulary token mass — the
+    // tokenizer-fit audit run before committing a vocab to a pretraining
+    // corpus. The vocab side is top-k-bounded → broadcast; the token
+    // stream joins it map-side, so the only shuffles are the tf aggregate
+    // and the final per-language rollup. All outputs exact integers.
+    QueryDef(
+      "q112_vocab_coverage",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("term"))
+        val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("term")).limit(500)
+          .select(col("term"), lit(true).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        vocab AS (
+          SELECT term FROM (
+            SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1)
+          ORDER BY tf DESC, term LIMIT 500)
+        SELECT t.lang, COUNT(*) AS n_tokens,
+               SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+               COUNT(DISTINCT t.doc_id) AS n_docs
+        FROM toks t LEFT JOIN vocab v USING (term)
+        GROUP BY t.lang
+        ORDER BY t.lang""")))
 }

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Scd2
+import graft.sources.Tables
+
+/** Round-4 batch 8 — temporal lookups over versioned history:
+  *
+  *  - q110: point-in-time (AS OF) resolution against the SCD2 snapshot
+  *    q65 builds — the query side of the snapshot contract. dbt builds
+  *    snapshots so marts can ask "what did this dimension look like on
+  *    date X"; this gates that exact read path: probe timestamps resolve
+  *    each key's version via the half-open [valid_from, valid_to)
+  *    interval, one row per (probe, key), then roll up.
+  */
+object TemporalQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Point-in-time lookup against the merged SCD2 history (same corpus
+    // construction as q65: Jan 1 base, Feb 1 batch with changes/dups/new
+    // keys). Probes at Jan 15 (pre-batch: every key must resolve to its
+    // v1) and Feb 15 (post-batch: changed keys → v2, unchanged → v1, new
+    // keys appear). The AS OF predicate is the half-open interval match —
+    // on a real deployment the history is key-partitioned and the probe
+    // side broadcasts, so resolution is a map-side pruned lookup, not a
+    // scan of all versions. Gate rolls up per (probe_ts, status) with a
+    // key checksum so a wrong version pick cannot hide in the counts.
+    QueryDef(
+      "q110_scd2_pointintime",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val t1 = lit("2024-01-01 00:00:00").cast("timestamp")
+        val t2 = lit("2024-02-01 00:00:00").cast("timestamp")
+        val existing = o.select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("prio"),
+          t1.as("valid_from"), lit(null).cast("timestamp").as("valid_to"))
+        val revisits = o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"),
+            when(col("o_orderkey") % 6 === 0, lit("X"))
+              .otherwise(col("o_orderstatus")).as("status"),
+            col("o_orderpriority").as("prio"), t2.as("updated_at"))
+        val newKeys = o.where(col("o_orderkey") % 7 === 0)
+          .select((col("o_orderkey") + 1000000000L).as("k"),
+            lit("N").as("status"), col("o_orderpriority").as("prio"),
+            t2.as("updated_at"))
+        val history = Scd2.merge(existing, revisits.unionByName(newKeys),
+          "k", Seq("status", "prio"), "updated_at")
+        val probes = s.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+            org.apache.spark.sql.Row(java.sql.Timestamp.valueOf("2024-02-15 00:00:00"))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("probe_ts",
+              org.apache.spark.sql.types.TimestampType))))
+        val asOf = history.join(broadcast(probes),
+          col("valid_from") <= col("probe_ts") &&
+            (col("valid_to").isNull || col("probe_ts") < col("valid_to")))
+        asOf.groupBy(col("probe_ts"), col("status"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("k")).as("key_sum"))
+          .orderBy(col("probe_ts"), col("status"))
+      },
+      Some("""
+        WITH existing AS (
+          SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio,
+                 TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+                 CAST(NULL AS TIMESTAMP) AS valid_to
+          FROM orders),
+        fresh AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 6 = 0 THEN 'X' ELSE o_orderstatus END AS status,
+                 o_orderpriority AS prio,
+                 TIMESTAMP '2024-02-01 00:00:00' AS updated_at
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey + 1000000000, 'N', o_orderpriority,
+                 TIMESTAMP '2024-02-01 00:00:00'
+          FROM orders WHERE o_orderkey % 7 = 0),
+        changed AS (
+          SELECT e.k, f.updated_at AS close_at
+          FROM existing e JOIN fresh f USING (k)
+          WHERE (e.status IS DISTINCT FROM f.status OR e.prio IS DISTINCT FROM f.prio)
+            AND f.updated_at > e.valid_from),
+        history AS (
+          SELECT e.* FROM existing e
+          WHERE NOT EXISTS (SELECT 1 FROM changed c WHERE c.k = e.k)
+          UNION ALL
+          SELECT e.k, e.status, e.prio, e.valid_from, c.close_at
+          FROM existing e JOIN changed c USING (k)
+          UNION ALL
+          SELECT f.k, f.status, f.prio, f.updated_at, CAST(NULL AS TIMESTAMP)
+          FROM fresh f
+          WHERE EXISTS (SELECT 1 FROM changed c WHERE c.k = f.k)
+             OR NOT EXISTS (SELECT 1 FROM existing e WHERE e.k = f.k)),
+        probes AS (
+          SELECT TIMESTAMP '2024-01-15 00:00:00' AS probe_ts
+          UNION ALL
+          SELECT TIMESTAMP '2024-02-15 00:00:00')
+        SELECT p.probe_ts, h.status,
+               COUNT(*) AS n_keys, CAST(SUM(h.k) AS BIGINT) AS key_sum
+        FROM history h JOIN probes p
+          ON h.valid_from <= p.probe_ts
+         AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")))
+}
