@@ -82,5 +82,76 @@ object StreamQueries {
                     ELSE value END AS value,
                CAST(ts AS DATE) AS event_date
         FROM events
-        ORDER BY event_id""")))
+        ORDER BY event_id""")),
+
+    // Watermarked tumbling-window aggregation through the REAL streaming
+    // engine in append mode, gated against the batch rollup. Three
+    // checkpointed runs: two chronological event slices, then a sentinel
+    // "flush" row two days past the data. Append mode only emits a window
+    // once the watermark passes its end, so without the sentinel the tail
+    // windows would sit in state forever — the gate therefore proves BOTH
+    // the incremental window state (slice-1 windows absorb slice-2 rows
+    // before finalizing) AND the watermark-driven finalization contract
+    // across restarts. Slices arrive in time order, so nothing is late
+    // and stream == batch exactly; the decimal sum keeps value parity
+    // bit-exact. 100 TB: this is the standard hourly-rollup topology —
+    // state is bounded by (open windows × event types), never the stream.
+    QueryDef(
+      "q116_stream_window_parity",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_win")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val out   = s"$root/out"
+        val ckpt  = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val cut = lit("2024-01-10 00:00:00").cast("timestamp")
+        val sentinel = ev.limit(1).select(
+          lit(-1L).as("event_id"), lit("2024-02-02 00:00:00").cast("timestamp").as("ts"),
+          lit("flush").as("event_type"), lit(0.0d).as("value"))
+        val slices = Seq(
+          ev.where(col("ts") < cut),
+          ev.where(col("ts") >= cut),
+          sentinel)
+
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
+          val q = s.readStream.schema(ev.schema).parquet(s"$spool/*")
+            .withWatermark("ts", "1 minute")
+            .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+                .as("sum_value"))
+            .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+            .writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+
+        s.read.parquet(out)
+          .where(col("event_type") =!= "flush")
+          .select(col("window_start"), col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some("""
+        SELECT make_timestamp(((CAST(epoch(ts) AS BIGINT) // 21600) * 21600)
+                              * 1000000) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                    AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")))
 }

@@ -180,5 +180,89 @@ object VectorQueries {
          AND s.i >= (fr.f * fr.n) // 4
          AND s.i < ((fr.f + 1) * fr.n) // 4
         GROUP BY fr.doc_id, fr.f, fr.n
-        ORDER BY media_id, frame_idx""")))
+        ORDER BY media_id, frame_idx""")),
+
+    // Fixed-point k-means (k=4, two Lloyd rounds): coordinates quantize
+    // ONCE to BIGINT micro-units (floor(x·10⁶) — the only float touch),
+    // and every downstream op — squared distances, argmin, centroid
+    // means — is integer arithmetic (the one division is a <2⁵³ double
+    // floor-div, IEEE-exact on both engines). That makes a fixed
+    // iteration count bit-reproducible at any parallelism: no float
+    // summation order, no tie ambiguity (argmin breaks on centroid id).
+    // Shape per round: broadcast the k×64 centroid table onto the
+    // exploded coordinate stream (fan-out k), partial-agg the distance
+    // sums on vec_id, window-argmin, then one partial agg for the new
+    // centroids — two exchanges per round, both on the vector key, the
+    // Pregel rhythm again. Seeds are the first k vec_ids (the
+    // deterministic-init contract; k-means++ would randomize).
+    QueryDef(
+      "q114_kmeans_fixedpoint",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.expressions.Window
+        val ex = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            floor(col("xf").cast("double") * lit(1000000.0d)).cast("long").as("xq"))
+        val c0 = ex.where(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("dim"), col("xq").as("cq"))
+
+        def assign(cent: DataFrame): DataFrame = {
+          val d2 = ex.join(broadcast(cent), Seq("dim"))
+            .groupBy(col("vec_id"), col("cid"))
+            .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+          val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+          d2.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+            .select(col("vec_id"), col("cid"))
+        }
+        def update(asg: DataFrame): DataFrame =
+          ex.join(asg, Seq("vec_id"))
+            .groupBy(col("cid"), col("dim"))
+            .agg(floor(sum(col("xq")).cast("double") / count(lit(1)))
+              .cast("long").as("cq"))
+
+        val c1 = update(assign(c0))
+        val a2 = assign(c1)
+        val c2 = update(a2)
+        val stats = a2.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_vectors"), sum(col("vec_id")).as("id_checksum"))
+        val cstats = c2.groupBy(col("cid"))
+          .agg(sum(abs(col("cq"))).as("centroid_l1"))
+        stats.join(cstats, Seq("cid")).orderBy(col("cid"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xq
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM ex WHERE vec_id < 4),
+        d1 AS (SELECT e.vec_id, c.cid,
+                      SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+               FROM ex e JOIN c0 c USING (dim) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        c1 AS (SELECT a.cid, e.dim,
+                      CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+               FROM ex e JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        d2_ AS (SELECT e.vec_id, c.cid,
+                       SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+                FROM ex e JOIN c1 c USING (dim) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                 FROM d2_) WHERE rn = 1),
+        c2 AS (SELECT a.cid, e.dim,
+                      CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+               FROM ex e JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+        stats AS (SELECT cid, COUNT(*) AS n_vectors,
+                         CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+                  FROM a2 GROUP BY 1),
+        cstats AS (SELECT cid, CAST(SUM(abs(cq)) AS BIGINT) AS centroid_l1
+                   FROM c2 GROUP BY 1)
+        SELECT s.cid, s.n_vectors, s.id_checksum, c.centroid_l1
+        FROM stats s JOIN cstats c USING (cid)
+        ORDER BY s.cid""")))
 }
