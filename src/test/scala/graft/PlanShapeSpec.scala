@@ -94,4 +94,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(!unpartitioned.exists(_.contains("doc_id")),
       s"q95: found a global window over the doc stream:\n$p")
   }
+
+  test("q103 line-sweep never collapses to a single partition") {
+    // the clip+spill exists precisely so the sweep partitions by day;
+    // a SinglePartition exchange means the global-sort form snuck back
+    val p = plan("q103_event_concurrency")
+    assert(!p.contains("SinglePartition"),
+      s"q103: sweep must stay partitioned by day:\n$p")
+  }
+
+  test("q109 frontier: only the tiny band-prefix window is unpartitioned") {
+    val p = plan("q109_pareto_frontier")
+    val windows = "Window .*windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toList
+    assert(windows.exists(_.contains("band#")),
+      s"q109: per-band local running-min window missing:\n$p")
+    val unpartitioned = windows.filterNot(_.contains("band#"))
+    assert(!unpartitioned.exists(_.contains("price_cents#")),
+      s"q109: found a global window over the parts stream:\n$p")
+  }
+
+  test("iterative integer ops (q108 pagerank, q114 kmeans) stay equi/broadcast joins") {
+    Seq("q108_pagerank", "q114_kmeans_fixedpoint").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q: rounds must stay equi-joins:\n$p")
+    }
+    assert(plan("q114_kmeans_fixedpoint").contains("BroadcastHashJoin"),
+      "q114: the kx64 centroid table must broadcast onto the coordinate stream")
+  }
+
+  test("q102/q106 blocked self-joins stay equi-joins") {
+    Seq("q102_copurchase_pairs", "q106_fuzzy_name_pairs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q: blocking must keep the pair join an equi-join:\n$p")
+    }
+  }
 }
