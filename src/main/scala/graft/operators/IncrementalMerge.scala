@@ -19,6 +19,31 @@ object IncrementalMerge {
   def merge(existing: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame =
     existing.join(fresh, keys, "left_anti").unionByName(fresh)
 
+  /** Apply a CDC batch with insert/update/delete ops (Debezium-style op
+    * column, 'D' = tombstone): the latest op per key wins (total order =
+    * `orderCols`, so callers must pass enough columns to break ties),
+    * upserts replace the key's row, tombstones remove the key. Delete of
+    * an absent key is a no-op, matching MERGE semantics. One shuffle on
+    * the key: the in-batch latest-wins window, the anti-join, and the
+    * union all key on it (exchange reuse). At 100 TB this composes with
+    * `mergeIntoPartitionedTarget` the same way plain upserts do — the
+    * CDC batch is the `fresh` side, tombstoned keys simply vanish from
+    * their (touched, rewritten) partitions. */
+  def applyCdc(existing: DataFrame, cdc: DataFrame, keys: Seq[String],
+      opCol: String, orderCols: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(_.desc): _*)
+    val latest = cdc
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("_rn") === 1)
+    val payload = existing.columns // target schema: op/order cols dropped
+    val upserts = latest.where(col(opCol) =!= "D")
+      .select(payload.map(col): _*)
+    existing.join(latest.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(upserts)
+  }
+
   /** Merge where fresh rows are bounded by a recency predicate (the dbt
     * `is_incremental()` lookback branch). */
   def mergeWithLookback(

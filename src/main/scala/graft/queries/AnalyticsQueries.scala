@@ -370,5 +370,53 @@ object AnalyticsQueries {
                  COUNT(DISTINCT o_orderpriority),
                  MIN(o_orderpriority), MAX(o_orderpriority)
           FROM orders)
-        ORDER BY col_name""")))
+        ORDER BY col_name""")),
+
+    // Key-skew audit — the pre-shuffle planning probe: per-key row counts
+    // of the lineitem join key, folded into a log2-bucket occupancy
+    // histogram (pure shifts/CASE, no doubles) plus an exact
+    // cross-multiplied hot-key flag per bucket (bucket_max × n_keys >
+    // 4 × total ⇒ the key family would dominate a reducer). This is the
+    // statistic that decides salting/AQE-skew-split BEFORE the shuffle
+    // runs; two partial aggs, both on the key then the bucket.
+    QueryDef(
+      "q121_key_skew_audit",
+      (s, dir) => {
+        val counts = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("cnt"))
+        val bucketed = counts.selectExpr("l_orderkey", "cnt",
+          // log2 occupancy bucket via comparison ladder (cnt ≤ 16 here,
+          // but the ladder is total for any count)
+          """CASE WHEN cnt >= 16 THEN 4 WHEN cnt >= 8 THEN 3
+                  WHEN cnt >= 4 THEN 2 WHEN cnt >= 2 THEN 1
+                  ELSE 0 END AS log2_bucket""")
+        val w = org.apache.spark.sql.expressions.Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        bucketed.groupBy(col("log2_bucket"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("bucket_max"))
+          .withColumn("total_rows", sum(col("n_rows")).over(w)) // bucket table: ≤5 rows
+          .withColumn("dominates",
+            col("bucket_max") * col("n_keys") > col("total_rows") * 4)
+          .orderBy(col("log2_bucket"))
+      },
+      Some("""
+        WITH counts AS (
+          SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+        bucketed AS (
+          SELECT l_orderkey, cnt,
+                 CASE WHEN cnt >= 16 THEN 4 WHEN cnt >= 8 THEN 3
+                      WHEN cnt >= 4 THEN 2 WHEN cnt >= 2 THEN 1
+                      ELSE 0 END AS log2_bucket
+          FROM counts),
+        hist AS (
+          SELECT log2_bucket, COUNT(*) AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                 CAST(MAX(cnt) AS BIGINT) AS bucket_max
+          FROM bucketed GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows FROM hist)
+        SELECT h.log2_bucket, h.n_keys, h.n_rows, h.bucket_max, t.total_rows,
+               h.bucket_max * h.n_keys > t.total_rows * 4 AS dominates
+        FROM hist h, t
+        ORDER BY h.log2_bucket""")))
 }

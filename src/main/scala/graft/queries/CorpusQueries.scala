@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Kernels
 import graft.functions.Kernels.{md5Bits, md5BitsModK, md5Lower64}
 import graft.functions.TextKernels._
 import graft.sources.Tables
@@ -248,5 +249,81 @@ object CorpusQueries {
                COUNT(DISTINCT t.doc_id) AS n_docs
         FROM toks t LEFT JOIN vocab v USING (term)
         GROUP BY t.lang
-        ORDER BY t.lang""")))
+        ORDER BY t.lang""")),
+
+    // Per-group fixed-SIZE deterministic sample: exactly 20 docs per
+    // language, picked by hash order (md5-u64 ascending, doc_id
+    // tiebreak) — the eval-set construction step where rate-based
+    // sampling (q83) can't hit an exact budget. Membership is a pure
+    // function of doc_id, so regenerating on a grown corpus keeps the
+    // sample stable except where new docs hash below the per-group
+    // cut — and the window is partitioned by lang (parallel), never
+    // global. Gate sums the sampled ids per group.
+    QueryDef(
+      "q118_group_sample",
+      (s, dir) => {
+        val hOrd = Kernels.md5BitsOrderable(
+          Kernels.md5Bits(concat(lit("gs:"), col("doc_id"))))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"), hOrd.as("h"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 20)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("doc_id")).as("sample_id_sum"),
+            sum(col("n_chars")).as("sample_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT doc_id, lang, n_chars,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5_number_lower('gs:' || doc_id), doc_id) AS rn
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS sample_id_sum,
+               CAST(SUM(n_chars) AS BIGINT) AS sample_chars
+        FROM ranked WHERE rn <= 20
+        GROUP BY lang
+        ORDER BY lang""")),
+
+    // Document-length histogram + CDF: fixed-width 200-char bins (pure
+    // integer div — no quantile state), then cumulative counts via a
+    // window over the BIN table (bounded rows, never the corpus). The
+    // curriculum/length-budget audit every pretraining mix runs; the
+    // cumulative share is gated as an exact cross-multiplied permille.
+    QueryDef(
+      "q119_length_histogram",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val bins = d.selectExpr("n_chars div 200 AS bin", "n_chars")
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bin_chars"))
+        val w = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        bins.withColumn("cum_docs", sum(col("n_docs")).over(w))
+          .withColumn("total", sum(col("n_docs")).over(wAll)) // bin table only — bounded
+          .selectExpr("bin", "n_docs", "bin_chars", "cum_docs",
+            "(cum_docs * 1000) div total AS cum_permille")
+          .orderBy(col("bin"))
+      },
+      Some("""
+        WITH bins AS (
+          SELECT CAST(n_chars // 200 AS BIGINT) AS bin,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+          FROM documents GROUP BY 1),
+        t AS (SELECT COUNT(*) AS total FROM documents)
+        SELECT bin, n_docs, bin_chars,
+               CAST(SUM(n_docs) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+               CAST((CAST(SUM(n_docs) OVER (ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000)
+                 // t.total AS BIGINT) AS cum_permille
+        FROM bins, t
+        ORDER BY bin""")))
 }

@@ -679,5 +679,75 @@ object TextQueries {
                 FROM assigned GROUP BY 1))
         SELECT split, n_docs, id_sum, n_clusters, leaked_clusters
         FROM per_split CROSS JOIN leaked
-        ORDER BY split""")))
+        ORDER BY split""")),
+
+    // Cluster topic labels via c-TF-IDF: per dup-cluster term counts
+    // scored tf × (C − cdf + 0.5)/(cdf + 0.5) (C = cluster count, cdf =
+    // clusters containing the term — the q82 rational-BM25 stance, no
+    // transcendentals), top-3 terms per cluster with full tiebreak. The
+    // cluster-level df table is vocabulary-bounded → broadcast; the only
+    // corpus-scale shuffles are the label join and the (cluster, term)
+    // tf aggregate. This is the "what IS this duplicate family" audit
+    // run after every dedup sweep.
+    QueryDef(
+      "q120_cluster_topics",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val sig = TextDedup.minhashSignatures(shRows, "doc_id", "_sh", 16)
+        val pairs = TextDedup.lshCandidatePairs(sig, "doc_id", "sig", 4, 4)
+          .select(col("id_a"), col("id_b"))
+        val labels = TextDedup.connectedComponents(pairs, "id_a", "id_b")
+        val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val ct = labels.join(toks, labels("node") === toks("doc_id"))
+          .groupBy(col("cluster_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val cdf = ct.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+        val cCount = labels.agg(countDistinct(col("cluster_id")).as("c"))
+        val w = Window.partitionBy(col("cluster_id"))
+          .orderBy(col("score").desc, col("term"))
+        ct.join(broadcast(cdf), Seq("term"))
+          .crossJoin(broadcast(cCount))
+          .select(col("cluster_id"), col("term"), col("tf"), col("cdf"),
+            (col("tf").cast("double") *
+              ((col("c") - col("cdf") + lit(0.5d)) / (col("cdf") + lit(0.5d))))
+              .as("score"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+          .select(col("cluster_id"), col("rank"), col("term"), col("tf"),
+            col("cdf"), col("score"))
+          .orderBy(col("cluster_id"), col("rank"))
+      },
+      Some(s"""
+        WITH RECURSIVE $ToksCte, $ShCte, $MhCte, $BandsCte,
+        pairs AS (
+          SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u AS node, u AS reachable FROM edges
+          UNION
+          SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.reachable),
+        labels AS (SELECT node, MIN(reachable) AS cluster_id FROM reach GROUP BY node),
+        tok AS (SELECT doc_id, unnest(ws) AS term FROM toks),
+        ct AS (
+          SELECT l.cluster_id, t.term, COUNT(*) AS tf
+          FROM labels l JOIN tok t ON t.doc_id = l.node
+          GROUP BY 1, 2),
+        cdf AS (SELECT term, COUNT(*) AS cdf FROM ct GROUP BY 1),
+        c AS (SELECT COUNT(DISTINCT cluster_id) AS c FROM labels),
+        scored AS (
+          SELECT ct.cluster_id, ct.term, ct.tf, cdf.cdf,
+                 (ct.tf::DOUBLE) * (((c.c - cdf.cdf) + 0.5::DOUBLE)
+                   / (cdf.cdf + 0.5::DOUBLE)) AS score
+          FROM ct JOIN cdf USING (term) CROSS JOIN c),
+        ranked AS (
+          SELECT cluster_id, term, tf, cdf, score,
+                 row_number() OVER (PARTITION BY cluster_id
+                   ORDER BY score DESC, term) AS rank
+          FROM scored)
+        SELECT cluster_id, CAST(rank AS BIGINT) AS rank, term,
+               CAST(tf AS BIGINT) AS tf, CAST(cdf AS BIGINT) AS cdf, score
+        FROM ranked WHERE rank <= 3
+        ORDER BY cluster_id, rank""")))
 }

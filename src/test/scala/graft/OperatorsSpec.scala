@@ -210,4 +210,20 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dcStr === dcNum)
   }
+
+  test("applyCdc: latest-op-wins, tombstones delete, absent-key delete is a no-op") {
+    val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val cdc = Seq(
+      (1L, "U", 1, "a2"),   // plain update
+      (2L, "U", 1, "b2"),   // update at t=1 ...
+      (2L, "D", 2, null),   // ... then delete at t=2 → key 2 gone
+      (3L, "D", 1, null),   // delete at t=1 ...
+      (3L, "U", 2, "c2"),   // ... then update at t=2 → key 3 survives updated
+      (9L, "D", 1, null),   // delete of a key that never existed → no-op
+      (4L, "I", 1, "d"))    // brand-new key
+      .toDF("k", "op", "t", "v")
+    val got = IncrementalMerge.applyCdc(existing, cdc, Seq("k"), "op", Seq(col("t")))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a2"), (3L, "c2"), (4L, "d")))
+  }
 }
