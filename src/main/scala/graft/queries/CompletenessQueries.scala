@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Kernels._
+import graft.sources.Tables
+
+/** Round-4 batch 11 — SQL-surface completeness: the remaining standard
+  * constructs a reference user would reach for that had no dedicated
+  * gate yet. CUBE (q123) completes the grouping-set family next to
+  * ROLLUP/PIVOT/UNPIVOT (q67-q69); EXCEPT ALL / INTERSECT ALL (q124)
+  * complete the set-op family next to the DISTINCT forms (q74);
+  * percentile_disc (q128) completes the quantile family next to
+  * percentile_cont (q07) — disc returns an actual corpus element, so
+  * the gate is exact with no interpolation arithmetic at all.
+  */
+object CompletenessQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Linear-interpolation gap-fill — the interpolating sibling of q97's
+    // LOCF. Missing months get prev + (next−prev)·(k/g) where k = months
+    // since the previous active month and g = the gap span: both carries
+    // (ignore-nulls last backward, ignore-nulls first forward) share ONE
+    // customer-partitioned sort; the arithmetic is the identical IEEE
+    // sequence on both engines (decimal→double once, then mul/add/div).
+    QueryDef(
+      "q122_linear_gapfill",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          col("o_custkey").as("customer_id"),
+          trunc(to_date(col("o_orderdate")), "month").as("month_start"),
+          dec6(col("o_totalprice")).as("rev"))
+        val byMonth = o.groupBy(col("customer_id"), col("month_start"))
+          .agg(money(sum(col("rev"))).cast("double").as("mrev"))
+        val span = byMonth.groupBy(col("customer_id"))
+          .agg(min(col("month_start")).as("first_m"), max(col("month_start")).as("last_m"))
+        val spine = span.select(col("customer_id"),
+          explode(sequence(col("first_m"), col("last_m"),
+            expr("interval 1 month"))).as("month_start"))
+        val filled = spine.join(byMonth, Seq("customer_id", "month_start"), "left")
+        val wb = Window.partitionBy(col("customer_id")).orderBy(col("month_start"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy(col("customer_id")).orderBy(col("month_start"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val carried = filled
+          .withColumn("prev_m", last(when(col("mrev").isNotNull, col("month_start")),
+            ignoreNulls = true).over(wb))
+          .withColumn("prev_v", last(col("mrev"), ignoreNulls = true).over(wb))
+          .withColumn("next_m", first(when(col("mrev").isNotNull, col("month_start")),
+            ignoreNulls = true).over(wf))
+          .withColumn("next_v", first(col("mrev"), ignoreNulls = true).over(wf))
+        carried.select(col("customer_id"), col("month_start"),
+            col("mrev").isNotNull.as("is_actual"),
+            {
+              val k = monthsBetweenCalendar(col("month_start"), col("prev_m")).cast("double")
+              val g = monthsBetweenCalendar(col("next_m"), col("prev_m")).cast("double")
+              when(col("mrev").isNotNull, col("mrev"))
+                .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * (k / g))
+                .as("filled_revenue")
+            })
+          .orderBy(col("customer_id"), col("month_start"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey AS customer_id,
+                 CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+          FROM orders),
+        by_month AS (
+          SELECT customer_id, month_start,
+                 CAST(CAST(SUM(rev) AS DECIMAL(38,6)) AS DOUBLE) AS mrev
+          FROM o GROUP BY 1, 2),
+        span AS (
+          SELECT customer_id, MIN(month_start) AS first_m, MAX(month_start) AS last_m
+          FROM by_month GROUP BY 1),
+        spine AS (
+          SELECT customer_id,
+                 CAST(unnest(generate_series(first_m::TIMESTAMP, last_m::TIMESTAMP,
+                                             INTERVAL 1 MONTH)) AS DATE) AS month_start
+          FROM span),
+        filled AS (
+          SELECT s.customer_id, s.month_start, b.mrev
+          FROM spine s LEFT JOIN by_month b USING (customer_id, month_start)),
+        carried AS (
+          SELECT customer_id, month_start, mrev,
+                 last_value(CASE WHEN mrev IS NOT NULL THEN month_start END IGNORE NULLS)
+                   OVER (PARTITION BY customer_id ORDER BY month_start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_m,
+                 last_value(mrev IGNORE NULLS)
+                   OVER (PARTITION BY customer_id ORDER BY month_start
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+                 first_value(CASE WHEN mrev IS NOT NULL THEN month_start END IGNORE NULLS)
+                   OVER (PARTITION BY customer_id ORDER BY month_start
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_m,
+                 first_value(mrev IGNORE NULLS)
+                   OVER (PARTITION BY customer_id ORDER BY month_start
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+          FROM filled)
+        SELECT customer_id, month_start,
+               mrev IS NOT NULL AS is_actual,
+               CASE WHEN mrev IS NOT NULL THEN mrev
+                    ELSE prev_v + (next_v - prev_v) *
+                         (CAST((year(month_start) - year(prev_m)) * 12
+                               + (month(month_start) - month(prev_m)) AS DOUBLE)
+                          / CAST((year(next_m) - year(prev_m)) * 12
+                                 + (month(next_m) - month(prev_m)) AS DOUBLE))
+               END AS filled_revenue
+        FROM carried
+        ORDER BY customer_id, month_start""")),
+
+    // CUBE grouping sets with grouping_id — all four aggregation levels
+    // of (returnflag, linestatus) in one pass. Spark plans one Expand
+    // (4 duplicates) + one partial agg; the oracle's GROUPING() bit
+    // order matches Spark's grouping_id.
+    QueryDef(
+      "q123_cube",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_lines"),
+            moneyOut(sum(dec6(col("l_extendedprice")))).as("gross"),
+            grouping_id().cast("long").as("gid"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_lines,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                    AS DOUBLE) AS gross,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, l_returnflag, l_linestatus""")),
+
+    // Bag-semantics set ops: EXCEPT ALL keeps surplus multiplicity,
+    // INTERSECT ALL keeps the min multiplicity — the DISTINCT forms
+    // (q74) silently collapse both. Spark plans these as counted
+    // Generate replays, not joins per duplicate.
+    QueryDef(
+      "q124_bag_set_ops",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val a = li.where(col("l_suppkey") % 2 === 0).select(col("l_returnflag"))
+        val b = li.where(col("l_suppkey") % 3 === 0).select(col("l_returnflag"))
+        val ex = a.exceptAll(b).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        val in = a.intersectAll(b).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        ex.unionByName(in)
+          .select(col("op"), col("l_returnflag"), col("n"))
+          .orderBy(col("op"), col("l_returnflag"))
+      },
+      Some("""
+        WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_suppkey % 2 = 0),
+        b AS (SELECT l_returnflag FROM lineitem WHERE l_suppkey % 3 = 0),
+        ex AS (SELECT 'except_all' AS op, l_returnflag, COUNT(*) AS n
+               FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2),
+        inn AS (SELECT 'intersect_all' AS op, l_returnflag, COUNT(*) AS n
+                FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2)
+        SELECT op, l_returnflag, n FROM ex
+        UNION ALL
+        SELECT op, l_returnflag, n FROM inn
+        ORDER BY op, l_returnflag""")),
+
+    // regexp_extract_all → explode: the multi-match regex surface (q16
+    // gates single-match normalize). Digit runs extracted from the raw
+    // props JSON, summed per event type — extraction stays a codegen'd
+    // projection; the explode is bounded by matches per row.
+    QueryDef(
+      "q125_regexp_extract_all",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.select(col("event_type"),
+            explode(expr("regexp_extract_all(props, '[0-9]+', 0)")).as("num"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_matches"),
+            sum(col("num").cast("long")).as("num_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               COUNT(*) AS n_matches,
+               CAST(SUM(CAST(num AS BIGINT)) AS BIGINT) AS num_sum
+        FROM (SELECT event_type, unnest(regexp_extract_all(props, '[0-9]+')) AS num
+              FROM events)
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // Month-over-month growth in exact permille: revenue floored to
+    // whole units (exact decimal floor → BIGINT), growth = floor((cur −
+    // prev)·1000 / prev) with magnitudes far under 2⁵³ so the double
+    // floor-div is IEEE-exact on both engines — no decimal-division
+    // semantics to disagree about. lag() shares the segment sort.
+    QueryDef(
+      "q126_mom_growth",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+        val monthly = o.groupBy(col("c_mktsegment").as("segment"),
+            trunc(to_date(col("o_orderdate")), "month").as("month_start"))
+          .agg(floor(sum(dec6(col("o_totalprice")))).cast("long").as("rev_units"))
+        val w = Window.partitionBy(col("segment")).orderBy(col("month_start"))
+        monthly.withColumn("prev_units", lag(col("rev_units"), 1).over(w))
+          .withColumn("growth_permille",
+            when(col("prev_units").isNotNull && col("prev_units") =!= 0L,
+              floor(((col("rev_units") - col("prev_units")) * 1000L).cast("double")
+                / col("prev_units")).cast("long")))
+          .orderBy(col("segment"), col("month_start"))
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(date_trunc('month', CAST(o.o_orderdate AS DATE)) AS DATE) AS month_start,
+                 CAST(floor(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                                 AS DECIMAL(38,6))) AS BIGINT) AS rev_units
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        lagged AS (
+          SELECT segment, month_start, rev_units,
+                 lag(rev_units) OVER (PARTITION BY segment ORDER BY month_start)
+                   AS prev_units
+          FROM monthly)
+        SELECT segment, month_start, rev_units, prev_units,
+               CASE WHEN prev_units IS NOT NULL AND prev_units <> 0
+                    THEN CAST(floor(CAST((rev_units - prev_units) * 1000 AS DOUBLE)
+                                    / prev_units) AS BIGINT) END AS growth_permille
+        FROM lagged
+        ORDER BY segment, month_start""")),
+
+    // percentile_disc — the quantile that RETURNS AN ELEMENT: no
+    // interpolation arithmetic, so the gate is exact double equality on
+    // actual corpus values (percentile_cont q07 needs the bit-stable
+    // interpolation argument; disc needs none).
+    QueryDef(
+      "q128_percentile_disc",
+      (s, dir) => {
+        Tables.customer(s, dir)
+          .groupBy(col("c_mktsegment"))
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)").as("p50"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)").as("p90"),
+            count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment,
+               quantile_disc(c_acctbal, 0.5) AS p50,
+               quantile_disc(c_acctbal, 0.9) AS p90,
+               COUNT(*) AS n_customers
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")))
+}

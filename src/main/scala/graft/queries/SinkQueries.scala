@@ -134,6 +134,36 @@ object SinkQueries {
         GROUP BY 1
         ORDER BY 1""")),
 
+    // ORC roundtrip — the third file format next to JSONL (q62) and CSV
+    // (q63). ORC is Spark-native (vectorized reader, predicate pushdown
+    // via ORC bloom/min-max); the gate writes a typed slice, reads it
+    // back through the ORC reader, and aggregates — DuckDB can't read
+    // ORC, so the oracle recomputes from the source table (the roundtrip
+    // itself is what's under test).
+    QueryDef(
+      "q127_orc_roundtrip",
+      (s, dir) => {
+        val out = scratchDir("graft_orc")
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            dec6(col("l_extendedprice")).as("price"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_orderkey")).as("key_sum"),
+            moneyOut(sum(col("price"))).as("gross"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_lines,
+               CAST(SUM(l_orderkey) AS BIGINT) AS key_sum,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6)) AS DOUBLE) AS gross
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     // Gap-based sessionization: per-user event stream split into
     // sessions wherever the inter-event gap exceeds 30 minutes (lag →
     // gap flag → running sum = session number), then per-session
