@@ -13,6 +13,10 @@ import graft.functions.{Md5Lower64Bits, RollingHash64, TextKernels, VectorDot}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // engine-level fix for the pushdown re-evaluation tax (q33/q80/q99):
+    // dedup expensive subexpressions inside Filter predicates. PreCBO =
+    // after the pushdown fixed point, so the rewrite cannot be re-inlined
+    ext.injectPreCBORule(_ => graft.plans.DedupExpensiveFilter)
     ext.injectFunction((
       new FunctionIdentifier("md5_lower64_bits"),
       new ExpressionInfo(classOf[Md5Lower64Bits].getName, "md5_lower64_bits"),
