@@ -78,4 +78,62 @@ object AsOfJoin {
           leftCols.map(c => col("__l").getField(c).as(c)) ++
           rightCols.map(c => col("__best").getField(c).as(c)): _*)
   }
+
+  /** `bestAtTime` with a tolerance bound (pandas `merge_asof(tolerance=…)`
+    * semantics): a candidate only matches within `tolerance` of the
+    * anchor, on either side. Correctness note: gating the per-side BEST
+    * candidate is equivalent to pre-filtering all candidates, because the
+    * best at-or-before is by definition the closest below the anchor (and
+    * the best after the closest above) — if it misses the tolerance, so
+    * does every other candidate on that side. Same linear union+window
+    * plan; the gate adds two carried timestamps, zero extra exchanges.
+    * Output adds `matched_side` ('before'/'after'/null) for auditability. */
+  def bestAtTimeWithin(
+      left: DataFrame,
+      right: DataFrame,
+      joinKeys: Seq[String],
+      leftTs: Column,
+      rightTs: Column,
+      tiebreakCol: String,
+      tolerance: Column): DataFrame = {
+    val leftCols  = left.columns.filterNot(joinKeys.contains).toSeq
+    val rightCols = right.columns.filterNot(joinKeys.contains).toSeq
+
+    val lTagged = left.select(
+      joinKeys.map(col) ++ Seq(
+        leftTs.as("__ts"), lit(1).as("__tag"),
+        struct(leftCols.map(col): _*).as("__l")): _*)
+    val rTagged = right.select(
+      joinKeys.map(col) ++ Seq(
+        rightTs.as("__ts"), lit(0).as("__tag"),
+        col(tiebreakCol).as("__tb"),
+        struct(rightCols.map(col): _*).as("__r")): _*)
+    val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    val keys = joinKeys.map(col)
+    val wPrev = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val candTs = when(col("__tag") === 0, col("__ts"))
+    val prevOk = last(candTs, ignoreNulls = true).over(wPrev) >= col("__ts") - tolerance
+    val nextOk = first(candTs, ignoreNulls = true).over(wNext) <= col("__ts") + tolerance
+    val prevR = when(prevOk, last(col("__r"), ignoreNulls = true).over(wPrev))
+    val nextR = when(nextOk, first(col("__r"), ignoreNulls = true).over(wNext))
+    val best = coalesce(prevR, nextR)
+    val side = when(prevR.isNotNull, "before").when(nextR.isNotNull, "after")
+
+    u.select(
+        (joinKeys.map(col) :+ col("__tag") :+ col("__l") :+
+          best.as("__best") :+ side.as("matched_side")): _*)
+      .where(col("__tag") === 1)
+      .select(
+        joinKeys.map(col) ++
+          leftCols.map(c => col("__l").getField(c).as(c)) ++
+          rightCols.map(c => col("__best").getField(c).as(c)) :+
+          col("matched_side"): _*)
+  }
 }

@@ -372,6 +372,60 @@ object AnalyticsQueries {
           FROM orders)
         ORDER BY col_name""")),
 
+    // Weighted median: the smallest account balance whose cumulative
+    // order-count weight reaches half the segment total — all weight
+    // arithmetic exact integers (2·cumw ≥ totw cross-multiplication, no
+    // halves), the median itself an actual element picked by total order
+    // (balance, custkey). Cumulative window partitions by segment; the
+    // weight table is one partial agg on the customer key.
+    QueryDef(
+      "q133_weighted_median",
+      (s, dir) => {
+        val weights = Tables.orders(s, dir)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("w"))
+        val c = Tables.customer(s, dir)
+          .join(weights, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+            col("c_acctbal"), coalesce(col("w"), lit(0L)).as("w"))
+        val wCum = Window.partitionBy(col("segment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(col("segment"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val ranked = c.withColumn("cumw", sum(col("w")).over(wCum))
+          .withColumn("totw", sum(col("w")).over(wAll))
+          .where(col("cumw") * 2 >= col("totw"))
+        val wPick = Window.partitionBy(col("segment"))
+          .orderBy(col("c_acctbal"), col("c_custkey"))
+        ranked.withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
+          .select(col("segment"), col("c_acctbal").as("weighted_median"),
+            col("c_custkey").as("median_custkey"), col("totw"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH weights AS (
+          SELECT o_custkey, COUNT(*) AS w FROM orders GROUP BY 1),
+        c AS (
+          SELECT cu.c_mktsegment AS segment, cu.c_custkey, cu.c_acctbal,
+                 COALESCE(w.w, 0) AS w
+          FROM customer cu LEFT JOIN weights w ON cu.c_custkey = w.o_custkey),
+        cum AS (
+          SELECT segment, c_custkey, c_acctbal,
+                 SUM(w) OVER (PARTITION BY segment
+                   ORDER BY c_acctbal, c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+                 SUM(w) OVER (PARTITION BY segment) AS totw
+          FROM c),
+        pick AS (
+          SELECT segment, c_acctbal, c_custkey, totw,
+                 row_number() OVER (PARTITION BY segment
+                   ORDER BY c_acctbal, c_custkey) AS rn
+          FROM cum WHERE cumw * 2 >= totw)
+        SELECT segment, c_acctbal AS weighted_median,
+               c_custkey AS median_custkey, CAST(totw AS BIGINT) AS totw
+        FROM pick WHERE rn = 1
+        ORDER BY segment""")),
+
     // Key-skew audit — the pre-shuffle planning probe: per-key row counts
     // of the lineitem join key, folded into a log2-bucket occupancy
     // histogram (pure shifts/CASE, no doubles) plus an exact

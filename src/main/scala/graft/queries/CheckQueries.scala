@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.functions.Kernels.{dec6, moneyOut}
 import graft.operators.Checks
 import graft.sources.{Materialize, Tables}
 
@@ -145,5 +146,47 @@ object CheckQueries {
         FROM documents d
         LEFT JOIN embeddings e ON e.vec_id = d.doc_id
         GROUP BY d.lang
-        ORDER BY d.lang""")))
+        ORDER BY d.lang""")),
+
+    // Dead-letter routing: every ingestion pipeline splits rows into the
+    // clean stream and a quarantine with a REASON — q37 reports rule
+    // violations in aggregate; this gates the row-routing itself. The
+    // reason is the FIRST failing rule (deterministic CASE ladder, same
+    // order both engines), the whole thing one codegen'd pass with a
+    // tiny per-reason rollup; checksums pin that both engines route
+    // exactly the same rows, not just the same counts.
+    QueryDef(
+      "q136_dead_letter_routing",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val reason = when(col("l_quantity") < 1 || col("l_quantity") > 50,
+            "quantity_range")
+          .when(col("l_discount") < 0 || col("l_discount") > 1, "discount_range")
+          .when(col("l_shipdate").isNull, "missing_shipdate")
+          .when(col("l_extendedprice") <= 0, "nonpositive_price")
+          .otherwise("ok")
+        li.select(col("l_orderkey"), col("l_linenumber"),
+            dec6(col("l_extendedprice")).as("price"), reason.as("route"))
+          .groupBy(col("route"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey")).as("key_checksum"),
+            moneyOut(sum(col("price"))).as("routed_value"))
+          .orderBy(col("route"))
+      },
+      Some("""
+        WITH routed AS (
+          SELECT l_orderkey,
+                 CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+                 CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 'quantity_range'
+                      WHEN l_discount < 0 OR l_discount > 1 THEN 'discount_range'
+                      WHEN l_shipdate IS NULL THEN 'missing_shipdate'
+                      WHEN l_extendedprice <= 0 THEN 'nonpositive_price'
+                      ELSE 'ok' END AS route
+          FROM lineitem)
+        SELECT route, COUNT(*) AS n_rows,
+               CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum,
+               CAST(CAST(SUM(price) AS DECIMAL(38,6)) AS DOUBLE) AS routed_value
+        FROM routed
+        GROUP BY route
+        ORDER BY route""")))
 }

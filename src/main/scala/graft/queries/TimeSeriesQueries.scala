@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Kernels._
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** Round-4 batch 12 — time-series operators:
+  *
+  *  - q129: as-of join with a TOLERANCE bound (pandas merge_asof
+  *    semantics) — `AsOfJoin.bestAtTimeWithin`, still the linear
+  *    union+window plan, zero join fan-out.
+  *  - q130: OHLC bar resampling (open/high/low/close per 6-hour bucket)
+  *    via min_by/max_by over a composite (ts, event_id) key — one
+  *    aggregate pass, total-ordered picks, no window at all.
+  *  - q135: time-weighted average (TWAP): LOCF value integrated over
+  *    microsecond-exact interval lengths, one decimal area sum per user.
+  */
+object TimeSeriesQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tolerance-bounded as-of: each purchase matches its nearest view
+    // within ±2 hours (prefer at-or-before), per user. The oracle builds
+    // the same preference order explicitly (side, then signed distance,
+    // then event-id tiebreak) over tolerance-filtered candidate pairs —
+    // per-user candidate lists are bounded, so the oracle's pair join is
+    // small; the operator never builds pairs at all.
+    QueryDef(
+      "q129_asof_tolerance",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        val views = e.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid"))
+        val joined = AsOfJoin.bestAtTimeWithin(purchases, views,
+          Seq("user_id"), col("ts"), col("vts"), "vid",
+          expr("INTERVAL 2 HOURS"))
+        joined.groupBy(coalesce(col("matched_side"), lit("none")).as("matched_side"))
+          .agg(count(lit(1)).as("n_purchases"),
+            countDistinct(col("user_id")).as("n_users"),
+            moneyOut(sum(dec6(col("value")))).as("value_sum"),
+            sum(col("vid")).as("view_id_checksum"))
+          .orderBy(col("matched_side"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'purchase'),
+        v AS (
+          SELECT user_id, ts AS vts, event_id AS vid FROM events
+          WHERE event_type = 'view'),
+        cand AS (
+          SELECT p.event_id AS pid, p.user_id, p.value, v.vts, v.vid,
+                 CASE WHEN v.vts <= p.ts THEN 0 ELSE 1 END AS side,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY CASE WHEN v.vts <= p.ts THEN 0 ELSE 1 END,
+                            CASE WHEN v.vts <= p.ts
+                                 THEN -CAST(epoch_us(v.vts) AS BIGINT)
+                                 ELSE CAST(epoch_us(v.vts) AS BIGINT) END,
+                            v.vid) AS rn
+          FROM p JOIN v ON p.user_id = v.user_id
+           AND v.vts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts + INTERVAL 2 HOUR),
+        best AS (SELECT * FROM cand WHERE rn = 1),
+        labeled AS (
+          SELECT p.user_id, p.value, b.vid,
+                 CASE WHEN b.side = 0 THEN 'before'
+                      WHEN b.side = 1 THEN 'after'
+                      ELSE 'none' END AS matched_side
+          FROM p LEFT JOIN best b ON b.pid = p.event_id)
+        SELECT matched_side, COUNT(*) AS n_purchases,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                    AS DOUBLE) AS value_sum,
+               CAST(SUM(vid) AS BIGINT) AS view_id_checksum
+        FROM labeled
+        GROUP BY 1
+        ORDER BY 1""")),
+
+    // OHLC resampling: 6-hour bars per event type. Open/close are
+    // min_by/max_by over a composite (µs·10⁷ + event_id) DECIMAL key —
+    // a total order, so the picks are deterministic even with equal
+    // timestamps — and high/low/volume ride the same single aggregate:
+    // ONE shuffle, no window, no self-join. Values pass through
+    // untouched (no float arithmetic), so the gate is exact.
+    QueryDef(
+      "q130_ohlc_bars",
+      (s, dir) => {
+        val key = unix_micros(col("ts")).cast(DecimalType(38, 0)) *
+          lit(10000000L) + col("event_id")
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), col("value"), key.as("ord_key"),
+            timestamp_seconds(expr("(unix_timestamp(ts) div 21600) * 21600"))
+              .as("bar_start"))
+        e.groupBy(col("event_type"), col("bar_start"))
+          .agg(
+            min_by(col("value"), col("ord_key")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("ord_key")).as("close"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("event_type"), col("bar_start"))
+      },
+      Some("""
+        SELECT event_type,
+               make_timestamp(((CAST(epoch(ts) AS BIGINT) // 21600) * 21600)
+                              * 1000000) AS bar_start,
+               arg_min(value, CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000
+                              + event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000
+                              + event_id) AS close,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // TWAP: last-observation value held until the next event, integrated
+    // over second-exact durations — Σ(value·Δt)/ΣΔt per user, reported
+    // as an EXACT INTEGER in milli-value-units: area rides as BIGINT
+    // micro-value-seconds (decimal value × 10⁶, exact cast), and the
+    // final ratio is a floor division — zero doubles anywhere, because a
+    // ~10²¹-unit decimal→double conversion rounds differently across
+    // engines (measured: last-ulp mismatches). Single-event users have
+    // no interval and drop on both sides. One user_id exchange shared by
+    // the lead() and the rollup.
+    QueryDef(
+      "q135_twap",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .withColumn("nts", lead(col("ts"), 1).over(w))
+          .where(col("nts").isNotNull)
+          .selectExpr("user_id", "value",
+            "(unix_micros(nts) - unix_micros(ts)) div 1000000 AS dt_s")
+          .where(col("dt_s") > 0)
+          // micro-value-seconds: decimal → integer-valued decimal → long (exact)
+          .withColumn("area_uvs",
+            (dec6(col("value")) * col("dt_s") * lit(1000000L)).cast("long"))
+        e.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("dt_s")).as("total_s"),
+            sum(col("area_uvs")).as("area_uvs"))
+          .selectExpr("user_id", "n_intervals", "total_s",
+            "(area_uvs * 1000) div (total_s * 1000000) AS twap_milli")
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, ts, event_id, value,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+          FROM events),
+        iv AS (
+          SELECT user_id,
+                 (CAST(epoch_us(nts) AS BIGINT) - CAST(epoch_us(ts) AS BIGINT))
+                   // 1000000 AS dt_s,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_u
+          FROM seq WHERE nts IS NOT NULL),
+        agg AS (
+          SELECT user_id, COUNT(*) AS n_intervals,
+                 CAST(SUM(dt_s) AS BIGINT) AS total_s,
+                 CAST(SUM(value_u * dt_s) AS BIGINT) AS area_uvs
+          FROM iv WHERE dt_s > 0
+          GROUP BY user_id)
+        SELECT user_id, n_intervals, total_s,
+               (area_uvs * 1000) // (total_s * 1000000) AS twap_milli
+        FROM agg
+        ORDER BY user_id""")))
+}

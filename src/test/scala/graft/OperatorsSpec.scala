@@ -211,6 +211,30 @@ class OperatorsSpec extends SparkSpec {
     assert(dcStr === dcNum)
   }
 
+  test("bestAtTimeWithin: tolerance gates each side; preference order kept") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 12:00:00")),  // before@11:00 in tol → match
+      (2L, 200L, ts("2024-01-01 12:00:00")),  // before@08:00 out, after@12:30 in → after
+      (3L, 300L, ts("2024-01-01 12:00:00")))  // only@18:00 out of tol → none
+      .toDF("k", "lv", "lts")
+    val right = Seq(
+      (1L, 10L, ts("2024-01-01 11:00:00")),
+      (2L, 20L, ts("2024-01-01 08:00:00")),
+      (2L, 21L, ts("2024-01-01 12:30:00")),
+      (3L, 30L, ts("2024-01-01 18:00:00")))
+      .toDF("k", "rv", "rts")
+    val got = graft.operators.AsOfJoin.bestAtTimeWithin(
+        left, right, Seq("k"), col("lts"), col("rts"), "rv",
+        expr("INTERVAL 2 HOURS"))
+      .orderBy("k")
+      .select("k", "rv", "matched_side")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)).getOrElse("none")))
+    assert(got.toSeq == Seq(
+      (1L, 10L, "before"), (2L, 21L, "after"), (3L, -1L, "none")))
+  }
+
   test("applyCdc: latest-op-wins, tombstones delete, absent-key delete is a no-op") {
     val existing = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val cdc = Seq(
