@@ -230,6 +230,82 @@ object CompletenessQueries {
         FROM lagged
         ORDER BY segment, month_start""")),
 
+    // Schema-drift union: three ingest "generations" of the same feed
+    // with added/renamed/missing columns, harmonized by NAME with typed
+    // null padding (unionByName allowMissingColumns) — the loose-schema
+    // sibling of the q54/q61 evolution-through-merge gates. Exercises the
+    // union path, not the merge path.
+    QueryDef(
+      "q131_schema_drift_union",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val gen1 = o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"))
+        val gen2 = o.where(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+            dec6(col("o_totalprice")).as("price"))
+        val gen3 = o.where(col("o_orderkey") % 3 === 2)
+          .select(col("o_orderkey").as("k"),
+            dec6(col("o_totalprice")).as("price"),
+            col("o_orderpriority").as("priority"))
+        gen1.unionByName(gen2, allowMissingColumns = true)
+          .unionByName(gen3, allowMissingColumns = true)
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("price")).as("n_priced"),
+            count(col("priority")).as("n_prioritized"),
+            sum(col("k")).as("key_checksum"))
+          .orderBy(col("status").asc_nulls_first)
+      },
+      Some("""
+        WITH u AS (
+          SELECT o_orderkey AS k, o_orderstatus AS status,
+                 CAST(NULL AS DECIMAL(18,6)) AS price, CAST(NULL AS VARCHAR) AS priority
+          FROM orders WHERE o_orderkey % 3 = 0
+          UNION ALL
+          SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,6)), NULL
+          FROM orders WHERE o_orderkey % 3 = 1
+          UNION ALL
+          SELECT o_orderkey, NULL, CAST(o_totalprice AS DECIMAL(18,6)), o_orderpriority
+          FROM orders WHERE o_orderkey % 3 = 2)
+        SELECT status, COUNT(*) AS n_rows,
+               COUNT(price) AS n_priced,
+               COUNT(priority) AS n_prioritized,
+               CAST(SUM(k) AS BIGINT) AS key_checksum
+        FROM u
+        GROUP BY status
+        ORDER BY status NULLS FIRST""")),
+
+    // Grouped top-k WITH TIES (rank, not row_number): every part tied at
+    // the k-th retail price within its brand survives — the semantics
+    // DENSE/row_number top-k queries (q23) silently change. Window
+    // partitions by brand; ties verified by an exact element gate.
+    QueryDef(
+      "q132_topk_with_ties",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+        Tables.part(s, dir)
+          .withColumn("rnk", rank().over(w))
+          .where(col("rnk") <= 2)
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n_top"),
+            max(col("rnk")).cast("long").as("max_rank"),
+            sum(col("p_partkey")).as("part_checksum"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT p_brand, p_partkey,
+                 rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk
+          FROM part)
+        SELECT p_brand, COUNT(*) AS n_top,
+               CAST(MAX(rnk) AS BIGINT) AS max_rank,
+               CAST(SUM(p_partkey) AS BIGINT) AS part_checksum
+        FROM ranked WHERE rnk <= 2
+        GROUP BY p_brand
+        ORDER BY p_brand""")),
+
     // percentile_disc — the quantile that RETURNS AN ELEMENT: no
     // interpolation arithmetic, so the gate is exact double equality on
     // actual corpus values (percentile_cont q07 needs the bit-stable

@@ -153,5 +153,87 @@ object StreamQueries {
                     AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2
-        ORDER BY 1, 2""")))
+        ORDER BY 1, 2""")),
+
+    // Custom stateful streaming (flatMapGroupsWithState) gated against
+    // the batch oracle: 30-minute-gap sessionization with EVENT-TIME
+    // timeouts — sessions close in-batch when a sorted slice shows the
+    // gap, or across batches when the watermark passes last_seen + gap.
+    // Values ride as exact integer micro-units, so the session sums
+    // hash-compare with zero float caveats. Same three-run checkpointed
+    // topology as q116 (two chronological slices + a sentinel flush that
+    // pushes the watermark past every real session); the sentinel's own
+    // session never closes and so never appears — no filter needed,
+    // though we keep one for clarity. This closes the last streaming
+    // surface without an oracle: custom state, not just built-in windows.
+    QueryDef(
+      "q134_stream_sessions_parity",
+      (s, dir) => {
+        import graft.streaming.Streams
+        val root = scratchDir("graft_stream_sess")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val out   = s"$root/out"
+        val ckpt  = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir).selectExpr("user_id", "ts", "event_id",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_u")
+        val cut = lit("2024-01-10 00:00:00").cast("timestamp")
+        val sentinel = ev.limit(1).select(
+          lit(-1L).as("user_id"), lit("2024-02-02 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("event_id"), lit(0L).as("value_u"))
+        val slices = Seq(
+          ev.where(col("ts") < cut),
+          ev.where(col("ts") >= cut),
+          sentinel)
+
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
+          implicit val sp: org.apache.spark.sql.SparkSession = s
+          import sp.implicits._
+          val src = s.readStream.schema(ev.schema).parquet(s"$spool/*")
+            .withWatermark("ts", "1 minute")
+            .as[Streams.EvtU]
+          val q = Streams.eventTimeSessions(src, 30L * 60L * 1000L)
+            .toDF()
+            .writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+
+        s.read.parquet(out)
+          .where(col("user_id") >= 0)
+          .select(col("user_id"), col("session_start"), col("n_events"),
+            col("value_u"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_u
+          FROM events),
+        lagged AS (
+          SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+          FROM e),
+        flagged AS (
+          SELECT *, CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END AS brk
+          FROM lagged),
+        sess AS (
+          SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(value_u) AS BIGINT) AS value_u
+        FROM sess
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")))
 }

@@ -92,6 +92,57 @@ object Streams {
       }
   }
 
+  /** Event-time gap sessionization with EXACT integer values — the
+    * oracle-gateable sibling of `closedSessions` (whose processing-time
+    * timeouts are wall-clock and therefore unverifiable). Events carry
+    * value in micro-units (pre-converted via the decimal path, so state
+    * arithmetic is pure integers); a session closes either in-batch
+    * (the sorted per-user slice shows a gap > `gapMs`) or when the
+    * WATERMARK passes last_seen + gap (EventTimeTimeout) — both
+    * deterministic given a deterministic batch sequence. State per user
+    * is one open session; memory is bounded by active users within the
+    * gap horizon. */
+  final case class EvtU(user_id: Long, ts: java.sql.Timestamp,
+      event_id: Long, value_u: Long)
+  final case class OpenSession(user_id: Long, start: java.sql.Timestamp,
+      last_seen: java.sql.Timestamp, n_events: Long, value_u: Long)
+  final case class SessionRow(user_id: Long, session_start: java.sql.Timestamp,
+      n_events: Long, value_u: Long)
+
+  def eventTimeSessions(events: Dataset[EvtU], gapMs: Long)(
+      implicit spark: SparkSession): Dataset[SessionRow] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EvtU], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionRow(uid, s.start, s.n_events, s.value_u))
+          } else {
+            // batch iterators are unordered; per-user-per-batch slices are
+            // small, so an in-memory total-order sort is the right tool
+            val evts = it.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer[SessionRow]()
+            var open = state.getOption.orNull
+            evts.foreach { e =>
+              if (open == null)
+                open = OpenSession(uid, e.ts, e.ts, 1L, e.value_u)
+              else if (e.ts.getTime - open.last_seen.getTime > gapMs) {
+                closed += SessionRow(uid, open.start, open.n_events, open.value_u)
+                open = OpenSession(uid, e.ts, e.ts, 1L, e.value_u)
+              } else
+                open = open.copy(last_seen = e.ts, n_events = open.n_events + 1L,
+                  value_u = open.value_u + e.value_u)
+            }
+            state.update(open)
+            state.setTimeoutTimestamp(open.last_seen.getTime + gapMs)
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming corpus dedup — the streaming twin of exact-content
     * fingerprint dedup (TextKernels.contentFingerprint): documents are
     * keyed by their md5-u64 content fingerprint (native codegen'd
