@@ -426,6 +426,110 @@ object AnalyticsQueries {
         FROM pick WHERE rn = 1
         ORDER BY segment""")),
 
+    // Quantile (rank) normalization — the ML-preprocessing step mapping a
+    // feature to [0,1] by rank: reported in exact permille integers,
+    // (rank−1)·1000 div (n−1), so the gate has no division drift. rank()
+    // gives ties identical normalized values (the statistical convention)
+    // and the window partitions by segment — no global sort.
+    QueryDef(
+      "q138_quantile_normalize",
+      (s, dir) => {
+        val w = Window.partitionBy(col("segment")).orderBy(col("c_acctbal"))
+        val wAll = Window.partitionBy(col("segment"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.customer(s, dir)
+          .select(col("c_mktsegment").as("segment"), col("c_custkey"),
+            col("c_acctbal"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .selectExpr("segment", "c_custkey", "c_acctbal",
+            "((rnk - 1) * 1000) div (n - 1) AS norm_permille")
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("norm_permille")).as("permille_sum"),
+            sum(col("norm_permille") * col("c_custkey")).as("weighted_checksum"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT c_mktsegment AS segment, c_custkey, c_acctbal,
+                 CAST(rank() OVER (PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal) AS BIGINT) AS rnk,
+                 COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+          FROM customer),
+        norm AS (
+          SELECT segment, c_custkey,
+                 ((rnk - 1) * 1000) // (n - 1) AS norm_permille
+          FROM ranked)
+        SELECT segment, COUNT(*) AS n_customers,
+               CAST(SUM(norm_permille) AS BIGINT) AS permille_sum,
+               CAST(SUM(norm_permille * c_custkey) AS BIGINT) AS weighted_checksum
+        FROM norm
+        GROUP BY segment
+        ORDER BY segment""")),
+
+    // Row-level table diff — the data-diff audit between two snapshots:
+    // full-row md5 over canonical string forms classifies every key as
+    // identical / changed / only-left / only-right in ONE full-outer
+    // join on the key (both sides pre-hashed map-side, so the shuffle
+    // carries 32-byte digests, never the row payload — the 100 TB diff
+    // shape). Corpus: the q137 snapshot drift vs the original.
+    QueryDef(
+      "q139_table_diff",
+      (s, dir) => {
+        def rowHash(status: org.apache.spark.sql.Column,
+            price: org.apache.spark.sql.Column) =
+          md5(concat_ws("|", status, price.cast("string")))
+        val left = Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          rowHash(col("o_orderstatus"), dec6(col("o_totalprice"))).as("lh"))
+        val right = Tables.orders(s, dir)
+          .where(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey").as("k"),
+            rowHash(
+              when(col("o_orderkey") % 5 === 0, lit("R")).otherwise(col("o_orderstatus")),
+              when(col("o_orderkey") % 5 === 0,
+                (dec6(col("o_totalprice")) + lit(5)).cast(DecimalType(18, 6)))
+                .otherwise(dec6(col("o_totalprice")))).as("rh"))
+        left.join(right, Seq("k"), "full_outer")
+          .select(col("k"),
+            when(col("rh").isNull, "only_left")
+              .when(col("lh").isNull, "only_right")
+              .when(col("lh") === col("rh"), "identical")
+              .otherwise("changed").as("diff"))
+          .groupBy(col("diff"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("k")).as("key_checksum"))
+          .orderBy(col("diff"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT o_orderkey AS k,
+                 md5(o_orderstatus || '|' ||
+                     CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR)) AS lh
+          FROM orders),
+        r AS (
+          SELECT o_orderkey AS k,
+                 md5(CASE WHEN o_orderkey % 5 = 0 THEN 'R' ELSE o_orderstatus END
+                     || '|' ||
+                     CAST(CASE WHEN o_orderkey % 5 = 0
+                               THEN CAST(CAST(o_totalprice AS DECIMAL(18,6)) + 5
+                                         AS DECIMAL(18,6))
+                               ELSE CAST(o_totalprice AS DECIMAL(18,6)) END
+                          AS VARCHAR)) AS rh
+          FROM orders WHERE o_orderkey % 7 <> 0),
+        d AS (
+          SELECT COALESCE(l.k, r.k) AS k,
+                 CASE WHEN r.k IS NULL THEN 'only_left'
+                      WHEN l.k IS NULL THEN 'only_right'
+                      WHEN l.lh = r.rh THEN 'identical'
+                      ELSE 'changed' END AS diff
+          FROM l FULL OUTER JOIN r ON l.k = r.k)
+        SELECT diff, COUNT(*) AS n_keys,
+               CAST(SUM(k) AS BIGINT) AS key_checksum
+        FROM d
+        GROUP BY diff
+        ORDER BY diff""")),
+
     // Key-skew audit — the pre-shuffle planning probe: per-key row counts
     // of the lineitem join key, folded into a log2-bucket occupancy
     // histogram (pure shifts/CASE, no doubles) plus an exact

@@ -84,5 +84,67 @@ object CdcQueries {
                CAST(CAST(SUM(price) AS DECIMAL(38,6)) AS DOUBLE) AS price_sum
         FROM merged
         GROUP BY status
-        ORDER BY status""")))
+        ORDER BY status""")),
+
+    // Snapshot-sync merge — the "not matched by source → delete" verb
+    // that completes the merge family (q20 upsert, q117 tombstones):
+    // make the target mirror a full source snapshot — upsert everything
+    // present, DELETE target keys the snapshot no longer carries. Within
+    // a partition scope this is how full-feed vendors sync at 100 TB:
+    // source ⟕ target on the key, one exchange, no per-row ops. The gate
+    // classifies every key (kept/updated/inserted/deleted) with
+    // checksums, so a resurrected or lost key cannot hide.
+    QueryDef(
+      "q137_snapshot_sync",
+      (s, dir) => {
+        val target = Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+          dec6(col("o_totalprice")).as("price"))
+        // snapshot: keys %7==0 gone, %5==0 re-priced, +3e9 keys new
+        val snapshot = target.where(col("k") % 7 =!= 0)
+          .select(col("k"),
+            when(col("k") % 5 === 0, lit("R")).otherwise(col("status")).as("status"),
+            when(col("k") % 5 === 0, (col("price") + lit(5)).cast(DecimalType(18, 6)))
+              .otherwise(col("price")).as("price"))
+          .unionByName(target.where(col("k") % 11 === 0).select(
+            (col("k") + 3000000000L).as("k"), lit("A").as("status"), col("price")))
+        // sync = snapshot IS the new target; classification joins both ways
+        val cls = snapshot.join(target.select(col("k"),
+              col("status").as("old_status"), col("price").as("old_price")),
+            Seq("k"), "full_outer")
+          .select(col("k"),
+            when(col("status").isNull, "deleted")
+              .when(col("old_status").isNull, "inserted")
+              .when(col("status") === col("old_status") &&
+                col("price") === col("old_price"), "kept")
+              .otherwise("updated").as("change"))
+        cls.groupBy(col("change"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("k")).as("key_checksum"))
+          .orderBy(col("change"))
+      },
+      Some("""
+        WITH target AS (
+          SELECT o_orderkey AS k, o_orderstatus AS status,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS price
+          FROM orders),
+        snapshot AS (
+          SELECT k,
+                 CASE WHEN k % 5 = 0 THEN 'R' ELSE status END AS status,
+                 CASE WHEN k % 5 = 0 THEN CAST(price + 5 AS DECIMAL(18,6))
+                      ELSE price END AS price
+          FROM target WHERE k % 7 <> 0
+          UNION ALL
+          SELECT k + 3000000000, 'A', price FROM target WHERE k % 11 = 0),
+        cls AS (
+          SELECT COALESCE(s.k, t.k) AS k,
+                 CASE WHEN s.k IS NULL THEN 'deleted'
+                      WHEN t.k IS NULL THEN 'inserted'
+                      WHEN s.status = t.status AND s.price = t.price THEN 'kept'
+                      ELSE 'updated' END AS change
+          FROM snapshot s FULL OUTER JOIN target t ON s.k = t.k)
+        SELECT change, COUNT(*) AS n_keys,
+               CAST(SUM(k) AS BIGINT) AS key_checksum
+        FROM cls
+        GROUP BY change
+        ORDER BY change""")))
 }
