@@ -142,5 +142,49 @@ object ReconQueries {
                true AS merge_est_ok
         FROM c
         GROUP BY regionkey
-        ORDER BY regionkey""")))
+        ORDER BY regionkey""")),
+
+    // Sketch-based join-cardinality estimation — the planner-adjacent
+    // sketch pattern: estimate |A ∩ B| of two key sets via HLL
+    // inclusion-exclusion (|A| + |B| − |A ∪ B|) WITHOUT running the
+    // join. Each side is one sketch scan; the union merges sketches.
+    // Inclusion-exclusion compounds the HLL error (σ≈1.6% at lgK=12, ×3
+    // sketches, amplified by |A∪B|/|A∩B|), so the gate bounds at 15% —
+    // asserted against the oracle's exact counts as literal-true
+    // booleans (the q46/q100 stance). A 100 TB planner uses exactly
+    // this to pick broadcast vs shuffle before reading either side.
+    QueryDef(
+      "q140_join_cardinality_sketch",
+      (s, dir) => {
+        val a = Tables.orders(s, dir).select(col("o_custkey").as("k"))
+        val b = Tables.events(s, dir).select(col("user_id").as("k"))
+        val sa = a.agg(hll_sketch_agg(col("k"), lit(12)).as("sk"),
+          countDistinct(col("k")).as("n_a"))
+        val sb = b.agg(hll_sketch_agg(col("k"), lit(12)).as("sk"),
+          countDistinct(col("k")).as("n_b"))
+        val merged = sa.select(col("sk"), col("n_a"))
+          .crossJoin(sb.select(col("sk").as("skb"), col("n_b")))
+          .select(col("n_a"), col("n_b"),
+            hll_sketch_estimate(col("sk")).as("est_a"),
+            hll_sketch_estimate(col("skb")).as("est_b"),
+            hll_sketch_estimate(
+              hll_union(col("sk"), col("skb"))).as("est_union"))
+        // exact intersection for the gate: both sides' distinct keys
+        val exact = a.distinct().join(b.distinct(), Seq("k"))
+          .agg(count(lit(1)).as("n_intersect"))
+        merged.crossJoin(exact)
+          .select(col("n_a"), col("n_b"), col("n_intersect"),
+            (abs(col("est_a") + col("est_b") - col("est_union") -
+              col("n_intersect")).cast("double") / col("n_intersect") <= lit(0.15d))
+              .as("est_within_15pct"))
+          .orderBy(col("n_a"))
+      },
+      Some("""
+        WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        b AS (SELECT DISTINCT user_id AS k FROM events)
+        SELECT (SELECT COUNT(*) FROM a) AS n_a,
+               (SELECT COUNT(*) FROM b) AS n_b,
+               (SELECT COUNT(*) FROM a JOIN b USING (k)) AS n_intersect,
+               true AS est_within_15pct
+        ORDER BY n_a""")))
 }
