@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels._
+import graft.sources.{Materialize, Tables}
+
+/** Round-4 batch 14 — distribution monitoring, bucketed-layout joins,
+  * and the SQL face of the injected extensions:
+  *
+  *  - q141: total-variation drift between split distributions, exact
+  *    permille integers (PSI needs ln(); TV distance needs none — the
+  *    transcendental-free stance, q75/q82).
+  *  - q142: the bucketed zero-shuffle join as an ORACLE-GATED query
+  *    (BucketingSpec pins the plan shape; this gates the data path).
+  *  - q143: the GraftExtensions SQL surface end-to-end — the injected
+  *    native functions called from `spark.sql` text, gated against
+  *    DuckDB's md5_number_lower (the registration contract, not just
+  *    the expression).
+  */
+object AuditQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Distribution drift between the q58 train/test splits, measured as
+    // total-variation distance over length-histogram bins in EXACT
+    // permille: TV = ½·Σ|p−q| → Σ|n_train·T_test − n_test·T_train| in
+    // cross-multiplied integers, divided once by (2·T_train·T_test) via
+    // floor div. Two partial aggs (split×bin, then bin) — the monitoring
+    // query every training pipeline schedules; PSI's ln() would be
+    // engine-dependent, TV is not.
+    QueryDef(
+      "q141_split_drift_tv",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("bucket",
+            md5BitsModK(md5Bits(concat(lit("split:"), col("doc_id"))), 100L))
+          .withColumn("split", when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+          .where(col("split") =!= "val")
+          .selectExpr("split", "n_chars div 200 AS bin")
+        val cells = d.groupBy(col("bin"))
+          .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        val w = Window
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        cells
+          .withColumn("t_train", sum(col("n_train")).over(w)) // bin table: bounded
+          .withColumn("t_test", sum(col("n_test")).over(w))
+          .agg(
+            max(col("t_train")).as("n_train_docs"),
+            max(col("t_test")).as("n_test_docs"),
+            ((sum(abs(col("n_train") * col("t_test") - col("n_test") * col("t_train")))
+              * 1000L) / (lit(2L) * max(col("t_train")) * max(col("t_test"))))
+              .cast("long").as("tv_permille"))
+          .orderBy(col("n_train_docs"))
+      },
+      Some("""
+        WITH split AS (
+          SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                      ELSE 'test' END AS split,
+                 n_chars // 200 AS bin
+          FROM (SELECT n_chars,
+                       CAST(md5_number_lower('split:' || doc_id) % 100 AS BIGINT) AS b
+                FROM documents)),
+        cells AS (
+          SELECT bin,
+                 SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+                 SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+          FROM split WHERE split <> 'val' GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_train) AS BIGINT) AS t_train,
+                     CAST(SUM(n_test) AS BIGINT) AS t_test FROM cells)
+        SELECT t.t_train AS n_train_docs, t.t_test AS n_test_docs,
+               CAST((SUM(abs(n_train * t.t_test - n_test * t.t_train)) * 1000)
+                    // (2 * t.t_train * t.t_test) AS BIGINT) AS tv_permille
+        FROM cells, t
+        GROUP BY t.t_train, t.t_test
+        ORDER BY n_train_docs""")),
+
+    // Bucketed big-big join, oracle-gated: both sides land as 8-bucket
+    // tables on the join key, and the join runs bucket-to-bucket with
+    // ZERO exchanges (the plan property BucketingSpec pins; here the
+    // RESULT is gated too). This is the 100 TB co-located join the
+    // SCALE.md big-big rows point at — layout does the shuffle once at
+    // write time, every later join rides it free.
+    QueryDef(
+      "q142_bucketed_join",
+      (s, dir) => {
+        val root = java.nio.file.Paths.get(
+          sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft_bucketed").toString
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(root), true)
+        s.sql("DROP TABLE IF EXISTS bq_orders")
+        s.sql("DROP TABLE IF EXISTS bq_events")
+        Materialize.bucketedTable(
+          Tables.orders(s, dir).select(col("o_custkey"), dec6(col("o_totalprice")).as("price")),
+          s"$root/orders", "bq_orders", "o_custkey", 8)
+        Materialize.bucketedTable(
+          Tables.events(s, dir).select(col("user_id"), col("event_type")),
+          s"$root/events", "bq_events", "user_id", 8)
+        s.table("bq_orders")
+          .join(s.table("bq_events"), col("o_custkey") === col("user_id"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("o_custkey")).as("n_customers"),
+            moneyOut(sum(col("price"))).as("price_sum"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT e.event_type, COUNT(*) AS n_pairs,
+               COUNT(DISTINCT o.o_custkey) AS n_customers,
+               CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6)) AS DOUBLE) AS price_sum
+        FROM orders o JOIN events e ON o.o_custkey = e.user_id
+        GROUP BY e.event_type
+        ORDER BY e.event_type""")),
+
+    // The extensions' SQL face: the same query a notebook user would
+    // type — the injected `md5_lower64_bits` and `vector_dot` natives
+    // called from `spark.sql` TEXT over registered views. Gates that
+    // config-only registration (spark.sql.extensions) delivers the
+    // native expressions with DuckDB parity — the session-extension
+    // contract end-to-end, not just the Column API. The md5 bits are
+    // signed; unsigned mod-1000 is reconstructed in SQL (2⁶⁴ mod 1000 =
+    // 616, the md5BitsModK identity); the dot products go through
+    // decimal(18,6) before summing (raw double sums are order-dependent).
+    QueryDef(
+      "q143_sql_extensions",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("docs_ext")
+        Tables.embeddings(s, dir).createOrReplaceTempView("emb_ext")
+        s.sql("""
+          SELECT d.lang,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(pmod(pmod(md5_lower64_bits(d.text), 1000)
+                   + IF(md5_lower64_bits(d.text) < 0, 616, 0), 1000)) AS BIGINT)
+                   AS md5_checksum,
+                 CAST(CAST(SUM(CAST(vector_dot(e.embedding, e.embedding)
+                   AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS norm_sum
+          FROM docs_ext d JOIN emb_ext e ON e.vec_id = d.doc_id
+          GROUP BY d.lang
+          ORDER BY d.lang""")
+      },
+      Some("""
+        SELECT d.lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(md5_number_lower(d.text) % 1000) AS BIGINT) AS md5_checksum,
+               CAST(CAST(SUM(CAST(
+                 list_reduce(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE),
+                   (x, y) -> x + y) AS DECIMAL(18,6))) AS DECIMAL(38,6))
+                 AS DOUBLE) AS norm_sum
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        GROUP BY d.lang
+        ORDER BY d.lang""")))
+}
