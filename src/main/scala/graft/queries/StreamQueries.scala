@@ -145,7 +145,7 @@ object StreamQueries {
           .orderBy(col("window_start"), col("event_type"))
       },
       Some("""
-        SELECT make_timestamp(((CAST(epoch(ts) AS BIGINT) // 21600) * 21600)
+        SELECT make_timestamp((((CAST(epoch_us(ts) AS BIGINT) // 1000000) // 21600) * 21600)
                               * 1000000) AS window_start,
                event_type,
                COUNT(*) AS n_events,

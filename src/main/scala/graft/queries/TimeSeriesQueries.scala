@@ -106,7 +106,7 @@ object TimeSeriesQueries {
       },
       Some("""
         SELECT event_type,
-               make_timestamp(((CAST(epoch(ts) AS BIGINT) // 21600) * 21600)
+               make_timestamp((((CAST(epoch_us(ts) AS BIGINT) // 1000000) // 21600) * 21600)
                               * 1000000) AS bar_start,
                arg_min(value, CAST(epoch_us(ts) AS DECIMAL(38,0)) * 10000000
                               + event_id) AS open,
