@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Kernels._
+import graft.sources.Tables
+
+/** Round-4 batch 15 — master-data + pre-aggregate patterns:
+  *
+  *  - q144: survivorship (golden record): per duplicate-cluster, each
+  *    FIELD independently takes its latest non-null value — the MDM
+  *    merge rule q94's whole-record argmax can't express.
+  *  - q145: rollup-lattice reuse — month aggregates built FROM day
+  *    aggregates, quarters FROM months, and the reuse proven correct
+  *    against direct computation (the pre-aggregation contract every
+  *    100 TB warehouse depends on).
+  *  - q146: grid-bucketed spatial radius join in exact micro-degree
+  *    integer arithmetic — geohash-style neighbor-cell candidates,
+  *    never all-pairs.
+  */
+object MasterDataQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Survivorship: the q11 dup corpus (duplicate (orderkey, linenumber)
+    // rows) merged into golden records — each field takes its own
+    // latest-by-shipdate NON-NULL value (nulls synthesized: quantity
+    // hidden on %3==0 rows, discount on %4==0). max_by over a
+    // (non-null flag, shipdate, price) total order per field = one
+    // aggregate pass, no window, each field independent. The gate sums
+    // the surviving fields, so a wrong per-field pick cannot hide.
+    QueryDef(
+      "q144_survivorship",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("k"), col("l_linenumber").as("ln"),
+          col("l_shipdate"), dec6(col("l_extendedprice")).as("price"),
+          when(col("l_partkey") % 3 =!= 0, col("l_quantity")).as("qty"),
+          when(col("l_suppkey") % 4 =!= 0, dec6(col("l_discount"))).as("disc"))
+        // per-field ordering key: non-null first, then recency, then a
+        // price tiebreak (dup rows can share shipdate)
+        def pick(c: String) = max_by(col(c),
+          struct(col(c).isNotNull.cast("int"), col("l_shipdate"), col("price"), col(c)))
+        val golden = li.groupBy(col("k"), col("ln"))
+          .agg(count(lit(1)).as("n_versions"),
+            pick("qty").as("qty"), pick("disc").as("disc"),
+            max_by(col("price"), struct(col("l_shipdate"), col("price"))).as("price"))
+        golden.agg(
+            count(lit(1)).as("n_golden"),
+            sum(when(col("n_versions") > 1, 1L).otherwise(0L)).as("n_merged"),
+            sum(col("qty")).cast("double").as("qty_sum"),
+            moneyOut(sum(col("disc"))).as("disc_sum"),
+            sum(when(col("qty").isNull, 1L).otherwise(0L)).as("n_qty_null"),
+            sum(when(col("disc").isNull, 1L).otherwise(0L)).as("n_disc_null"))
+          .orderBy(col("n_golden"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey AS k, l_linenumber AS ln, l_shipdate,
+                 CAST(l_extendedprice AS DECIMAL(18,6)) AS price,
+                 CASE WHEN l_partkey % 3 <> 0 THEN l_quantity END AS qty,
+                 CASE WHEN l_suppkey % 4 <> 0
+                      THEN CAST(l_discount AS DECIMAL(18,6)) END AS disc
+          FROM lineitem),
+        counts AS (
+          SELECT k, ln, COUNT(*) AS n_versions FROM li GROUP BY k, ln),
+        qpick AS (
+          SELECT k, ln, qty FROM (
+            SELECT k, ln, qty, row_number() OVER (PARTITION BY k, ln
+              ORDER BY (qty IS NOT NULL) DESC, l_shipdate DESC, price DESC,
+                       qty DESC NULLS LAST) AS rn
+            FROM li) WHERE rn = 1),
+        dpick AS (
+          SELECT k, ln, disc FROM (
+            SELECT k, ln, disc, row_number() OVER (PARTITION BY k, ln
+              ORDER BY (disc IS NOT NULL) DESC, l_shipdate DESC, price DESC,
+                       disc DESC NULLS LAST) AS rn
+            FROM li) WHERE rn = 1),
+        golden AS (
+          SELECT c.k, c.ln, c.n_versions, q.qty, d.disc
+          FROM counts c JOIN qpick q USING (k, ln) JOIN dpick d USING (k, ln))
+        SELECT COUNT(*) AS n_golden,
+               SUM(CASE WHEN n_versions > 1 THEN 1 ELSE 0 END) AS n_merged,
+               CAST(SUM(qty) AS DOUBLE) AS qty_sum,
+               CAST(CAST(SUM(disc) AS DECIMAL(38,6)) AS DOUBLE) AS disc_sum,
+               SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS n_qty_null,
+               SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS n_disc_null
+        FROM golden
+        ORDER BY n_golden""")),
+
+    // Rollup lattice: day → month → quarter, each level built FROM the
+    // level below (counts/sums re-aggregate; NO re-scan of the fact),
+    // with the reuse PROVEN: quarter-from-months must equal
+    // quarter-from-facts exactly (both engines compute both paths). At
+    // 100 TB this is the difference between scanning the day table
+    // (365 rows/key) and the fact table (millions/key) for every
+    // monthly report. Exact decimals re-aggregate losslessly — that is
+    // the mergeability contract the gate pins.
+    QueryDef(
+      "q145_rollup_lattice",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          to_date(col("o_orderdate")).as("d"), dec6(col("o_totalprice")).as("rev"))
+        val day = o.groupBy(col("d"))
+          .agg(count(lit(1)).as("n"), money(sum(col("rev"))).as("rev"))
+        val month = day.groupBy(trunc(col("d"), "month").as("m"))
+          .agg(sum(col("n")).as("n"), money(sum(col("rev"))).as("rev"))
+        val quarterFromMonth = month.groupBy(trunc(col("m"), "quarter").as("q"))
+          .agg(sum(col("n")).as("n"), money(sum(col("rev"))).as("rev"))
+        val quarterDirect = o.groupBy(trunc(col("d"), "quarter").as("q"))
+          .agg(count(lit(1)).as("n_direct"), money(sum(col("rev"))).as("rev_direct"))
+        quarterFromMonth.join(quarterDirect, Seq("q"))
+          .select(col("q"), col("n"), moneyOut(col("rev")).as("revenue"),
+            (col("n") === col("n_direct") &&
+              col("rev") === col("rev_direct")).as("lattice_consistent"))
+          .orderBy(col("q"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS rev
+          FROM orders),
+        day AS (
+          SELECT d, COUNT(*) AS n, CAST(SUM(rev) AS DECIMAL(38,6)) AS rev
+          FROM o GROUP BY d),
+        month AS (
+          SELECT CAST(date_trunc('month', d) AS DATE) AS m,
+                 CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(rev) AS DECIMAL(38,6)) AS rev
+          FROM day GROUP BY 1),
+        qm AS (
+          SELECT CAST(date_trunc('quarter', m) AS DATE) AS q,
+                 CAST(SUM(n) AS BIGINT) AS n,
+                 CAST(SUM(rev) AS DECIMAL(38,6)) AS rev
+          FROM month GROUP BY 1),
+        qd AS (
+          SELECT CAST(date_trunc('quarter', d) AS DATE) AS q,
+                 COUNT(*) AS n_direct,
+                 CAST(SUM(rev) AS DECIMAL(38,6)) AS rev_direct
+          FROM o GROUP BY 1)
+        SELECT qm.q, qm.n, CAST(qm.rev AS DOUBLE) AS revenue,
+               qm.n = qd.n_direct AND qm.rev = qd.rev_direct AS lattice_consistent
+        FROM qm JOIN qd ON qm.q = qd.q
+        ORDER BY qm.q""")),
+
+    // Grid-bucketed spatial radius join, all-integer: synthetic customer
+    // points in micro-degree space (pure functions of custkey — both
+    // engines derive identical coordinates), suppliers likewise; grid
+    // cell = floor-div by the radius, so every point within L∞ radius r
+    // of a query point lies in the 3×3 neighbor cells — the geohash
+    // blocking stance (candidates from 9 cell joins, exact L2² integer
+    // filter, NEVER all-pairs). Σ cell² bounds the join like LSH buckets.
+    QueryDef(
+      "q146_grid_spatial_join",
+      (s, dir) => {
+        val r = 200000L // micro-degree radius; cell size = r
+        val cust = Tables.customer(s, dir).select(col("c_custkey").as("cid"),
+          (md5BitsModK(md5Bits(concat(lit("cx:"), col("c_custkey"))), 10000000L))
+            .as("x"),
+          (md5BitsModK(md5Bits(concat(lit("cy:"), col("c_custkey"))), 10000000L))
+            .as("y"))
+        val supp = Tables.supplier(s, dir).select(col("s_suppkey").as("sid"),
+          (md5BitsModK(md5Bits(concat(lit("sx:"), col("s_suppkey"))), 10000000L))
+            .as("sx"),
+          (md5BitsModK(md5Bits(concat(lit("sy:"), col("s_suppkey"))), 10000000L))
+            .as("sy"))
+        val custCells = cust.select(col("cid"), col("x"), col("y"),
+          expr(s"x div $r").as("cx"), expr(s"y div $r").as("cy"))
+        // suppliers replicate into their 3x3 neighborhood (supplier side
+        // is the smaller: 9x replication of the small side, not the big)
+        val offsets = Seq(-1L, 0L, 1L)
+        val suppCells = supp.select(col("sid"), col("sx"), col("sy"),
+            explode(array(offsets.flatMap(dx => offsets.map(dy =>
+              struct((expr(s"sx div $r") + dx).as("cx"),
+                (expr(s"sy div $r") + dy).as("cy")))): _*)).as("cell"))
+          .select(col("sid"), col("sx"), col("sy"),
+            col("cell.cx").as("cx"), col("cell.cy").as("cy"))
+        val pairs = custCells.join(suppCells, Seq("cx", "cy"))
+          .where((col("x") - col("sx")) * (col("x") - col("sx")) +
+            (col("y") - col("sy")) * (col("y") - col("sy")) <= lit(r * r))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("cid")).as("n_customers_matched"),
+            countDistinct(col("sid")).as("n_suppliers_matched"),
+            sum(col("cid") * col("sid")).as("pair_checksum"))
+          .orderBy(col("n_pairs"))
+      },
+      Some(s"""
+        WITH cust AS (
+          SELECT c_custkey AS cid,
+                 CAST(md5_number_lower('cx:' || c_custkey) % 10000000 AS BIGINT) AS x,
+                 CAST(md5_number_lower('cy:' || c_custkey) % 10000000 AS BIGINT) AS y
+          FROM customer),
+        supp AS (
+          SELECT s_suppkey AS sid,
+                 CAST(md5_number_lower('sx:' || s_suppkey) % 10000000 AS BIGINT) AS sx,
+                 CAST(md5_number_lower('sy:' || s_suppkey) % 10000000 AS BIGINT) AS sy
+          FROM supplier),
+        pairs AS (
+          SELECT c.cid, s.sid
+          FROM cust c JOIN supp s
+            ON (c.x // 200000) BETWEEN (s.sx // 200000) - 1 AND (s.sx // 200000) + 1
+           AND (c.y // 200000) BETWEEN (s.sy // 200000) - 1 AND (s.sy // 200000) + 1
+           AND (c.x - s.sx) * (c.x - s.sx) + (c.y - s.sy) * (c.y - s.sy)
+               <= ${200000L * 200000L})
+        SELECT COUNT(*) AS n_pairs,
+               COUNT(DISTINCT cid) AS n_customers_matched,
+               COUNT(DISTINCT sid) AS n_suppliers_matched,
+               CAST(SUM(cid * sid) AS BIGINT) AS pair_checksum
+        FROM pairs
+        ORDER BY n_pairs""")))
+}
