@@ -37,6 +37,22 @@ object Skew {
       .agg(finals.head, finals.tail: _*)
   }
 
+  /** Salted equi-join for hot keys: the SMALL side replicates
+    * saltBuckets× with explicit salt ids and the big side salts each row
+    * deterministically from `saltSource`, so the join shuffles on
+    * (key, salt) and a hot key's rows spread over saltBuckets reducers
+    * instead of hammering one. Result is exactly the unsalted join
+    * (every big row meets its key's replica at its own salt). This is
+    * what AQE's skew-join split does adaptively; the explicit form works
+    * when statistics lie or the skew is known up front. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltSource: Column, saltBuckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt", pmod(saltSource, lit(saltBuckets)))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Bucketed range join: match left rows to right intervals
     * [startCol, endCol] on a shared time axis WITHOUT a nested-loop join.
     * Intervals explode to the integer buckets they overlap (width

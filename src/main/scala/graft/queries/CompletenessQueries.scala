@@ -306,6 +306,49 @@ object CompletenessQueries {
         GROUP BY p_brand
         ORDER BY p_brand""")),
 
+    // Null-safe join semantics: <=> (IS NOT DISTINCT FROM) matches
+    // null-to-null where = drops every null-keyed row — the difference
+    // silently corrupts joins on nullable business keys. Keys nulled on
+    // a hash slice on both sides; the gate counts both semantics plus
+    // the null-pair block (n_nulls_a × n_nulls_b), so the cartesian
+    // behavior of the null bucket is explicit, not accidental.
+    QueryDef(
+      "q149_null_safe_join",
+      (s, dir) => {
+        val a = Tables.orders(s, dir).select(
+          when(col("o_orderkey") % 97 =!= 0, col("o_custkey")).as("k"),
+          col("o_orderkey").as("oa"))
+        val b = Tables.customer(s, dir).select(
+          when(col("c_custkey") % 89 =!= 0, col("c_custkey")).as("k"),
+          col("c_custkey").as("cb"))
+        val eqCount = a.join(b, a("k") === b("k"))
+          .agg(count(lit(1)).as("n"), sum(col("oa") + col("cb")).as("cks"))
+          .select(lit("equals").as("semantics"), col("n"), col("cks"))
+        val nsCount = a.join(b, a("k") <=> b("k"))
+          .agg(count(lit(1)).as("n"), sum(col("oa") + col("cb")).as("cks"))
+          .select(lit("null_safe").as("semantics"), col("n"), col("cks"))
+        eqCount.unionByName(nsCount).orderBy(col("semantics"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT CASE WHEN o_orderkey % 97 <> 0 THEN o_custkey END AS k,
+                 o_orderkey AS oa
+          FROM orders),
+        b AS (
+          SELECT CASE WHEN c_custkey % 89 <> 0 THEN c_custkey END AS k,
+                 c_custkey AS cb
+          FROM customer),
+        eq AS (
+          SELECT 'equals' AS semantics, COUNT(*) AS n,
+                 CAST(SUM(a.oa + b.cb) AS BIGINT) AS cks
+          FROM a JOIN b ON a.k = b.k),
+        ns AS (
+          SELECT 'null_safe' AS semantics, COUNT(*) AS n,
+                 CAST(SUM(a.oa + b.cb) AS BIGINT) AS cks
+          FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k)
+        SELECT * FROM eq UNION ALL SELECT * FROM ns
+        ORDER BY semantics""")),
+
     // percentile_disc — the quantile that RETURNS AN ELEMENT: no
     // interpolation arithmetic, so the gate is exact double equality on
     // actual corpus values (percentile_cont q07 needs the bit-stable

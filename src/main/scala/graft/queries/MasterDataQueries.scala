@@ -208,5 +208,52 @@ object MasterDataQueries {
                COUNT(DISTINCT sid) AS n_suppliers_matched,
                CAST(SUM(cid * sid) AS BIGINT) AS pair_checksum
         FROM pairs
-        ORDER BY n_pairs""")))
+        ORDER BY n_pairs""")),
+
+    // Conformed activity feed (the "activity schema" pattern): two
+    // heterogeneous sources — order headers and purchase events — conform
+    // to ONE (entity, id, occurred_at, amount) schema and union into a
+    // single customer timeline; the rollup reads per (entity, month)
+    // with exact decimal amounts. Conforming is pure projection per leg
+    // (zero shuffles until the rollup); at 100 TB each source keeps its
+    // own partitioning and the union is metadata-only.
+    QueryDef(
+      "q150_activity_feed",
+      (s, dir) => {
+        val orders = Tables.orders(s, dir).select(
+          lit("order").as("entity"), col("o_orderkey").as("id"),
+          col("o_custkey").as("customer_id"),
+          col("o_orderdate").as("occurred_at"),
+          dec6(col("o_totalprice")).as("amount"))
+        val purchases = Tables.events(s, dir)
+          .where(col("event_type") === "purchase")
+          .select(lit("event").as("entity"), col("event_id").as("id"),
+            col("user_id").as("customer_id"), col("ts").as("occurred_at"),
+            dec6(col("value")).as("amount"))
+        orders.unionByName(purchases)
+          .groupBy(col("entity"),
+            trunc(to_date(col("occurred_at")), "month").as("month_start"))
+          .agg(count(lit(1)).as("n_activities"),
+            countDistinct(col("customer_id")).as("n_customers"),
+            moneyOut(sum(col("amount"))).as("amount_sum"))
+          .orderBy(col("entity"), col("month_start"))
+      },
+      Some("""
+        WITH feed AS (
+          SELECT 'order' AS entity, o_custkey AS customer_id,
+                 CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+                   AS month_start,
+                 CAST(o_totalprice AS DECIMAL(18,6)) AS amount
+          FROM orders
+          UNION ALL
+          SELECT 'event', user_id,
+                 CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE),
+                 CAST(value AS DECIMAL(18,6))
+          FROM events WHERE event_type = 'purchase')
+        SELECT entity, month_start, COUNT(*) AS n_activities,
+               COUNT(DISTINCT customer_id) AS n_customers,
+               CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE) AS amount_sum
+        FROM feed
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")))
 }

@@ -161,5 +161,44 @@ object ScaleQueries {
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
           FROM dots)
         SELECT q_id, cell, n_id, cos, rnk FROM ranked WHERE rnk <= 3
-        ORDER BY q_id, rnk""")))
+        ORDER BY q_id, rnk""")),
+
+    // Salted JOIN (q43 salts the aggregate; this salts the join): the
+    // 3-value l_returnflag key is maximally hot — a plain shuffle join
+    // lands a third of the fact on ONE reducer. Skew.saltedJoin spreads
+    // each key over 16 (key, salt) reducers by replicating the 3-row dim
+    // 16× and salting fact rows by line-number hash. The oracle is the
+    // plain unsalted join — the salted topology must return exactly the
+    // same rows, which is the whole point.
+    QueryDef(
+      "q148_salted_join",
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir)
+        val dim = Seq(("R", "returned"), ("A", "accepted"), ("N", "neutral"))
+          .toDF("flag", "label")
+        val joined = Skew.saltedJoin(
+          li.select(col("l_returnflag").as("flag"), col("l_orderkey"),
+            dec6(col("l_extendedprice")).as("price"),
+            col("l_linenumber")),
+          dim, "flag",
+          pmod(col("l_orderkey") * 31 + col("l_linenumber"), lit(997)), 16)
+        joined.groupBy(col("label"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("l_orderkey")).as("key_checksum"),
+            moneyOut(sum(col("price"))).as("gross"))
+          .orderBy(col("label"))
+      },
+      Some("""
+        WITH dim AS (
+          SELECT 'R' AS flag, 'returned' AS label
+          UNION ALL SELECT 'A', 'accepted'
+          UNION ALL SELECT 'N', 'neutral')
+        SELECT d.label, COUNT(*) AS n_lines,
+               CAST(SUM(l.l_orderkey) AS BIGINT) AS key_checksum,
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6)))
+                    AS DECIMAL(38,6)) AS DOUBLE) AS gross
+        FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
+        GROUP BY d.label
+        ORDER BY d.label""")))
 }

@@ -164,6 +164,61 @@ object SinkQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // Malformed-row ingestion: a CSV feed with seeded corrupt rows
+    // (non-numeric price on every 13th key) read in PERMISSIVE mode with
+    // a _corrupt_record column — the quarantine-don't-crash contract of
+    // real ingestion. Good rows parse typed; bad rows land whole in the
+    // corrupt column with NULL fields. The gate counts both populations
+    // with key checksums (corrupt keys recovered by parsing the raw
+    // line), so silently dropped or silently coerced rows cannot hide.
+    QueryDef(
+      "q147_malformed_csv",
+      (s, dir) => {
+        val out = scratchDir("graft_badcsv")
+        Tables.orders(s, dir)
+          .selectExpr("""concat(o_orderkey, ',',
+            CASE WHEN o_orderkey % 13 = 0 THEN 'notanumber'
+                 ELSE CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS STRING) END)
+            AS line""")
+          .write.mode("overwrite").text(out)
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("price",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_corrupt_record",
+            org.apache.spark.sql.types.StringType)))
+        s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(out)
+          .select(col("k"), col("price"),
+            col("_corrupt_record").isNotNull.as("corrupt"),
+            when(col("_corrupt_record").isNotNull,
+              split(col("_corrupt_record"), ",").getItem(0).cast("long"))
+              .as("corrupt_key"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(!col("corrupt"), 1L).otherwise(0L)).as("n_parsed"),
+            sum(when(col("corrupt"), 1L).otherwise(0L)).as("n_corrupt"),
+            sum(when(!col("corrupt"), col("k"))).as("parsed_key_sum"),
+            sum(col("corrupt_key")).as("corrupt_key_sum"),
+            moneyOut(sum(dec6(col("price")))).as("parsed_price_sum"))
+          .orderBy(col("n_rows"))
+      },
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) AS n_parsed,
+               SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+               CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN o_orderkey END)
+                 AS BIGINT) AS parsed_key_sum,
+               CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey END)
+                 AS BIGINT) AS corrupt_key_sum,
+               CAST(CAST(SUM(CASE WHEN o_orderkey % 13 <> 0
+                 THEN CAST(o_totalprice AS DECIMAL(18,6)) END)
+                 AS DECIMAL(38,6)) AS DOUBLE) AS parsed_price_sum
+        FROM orders
+        ORDER BY n_rows""")),
+
     // Gap-based sessionization: per-user event stream split into
     // sessions wherever the inter-event gap exceeds 30 minutes (lag →
     // gap flag → running sum = session number), then per-session
