@@ -22,6 +22,20 @@ class SkewSpec extends SparkSpec {
       plain.map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq)
   }
 
+  test("saltedJoin returns exactly the unsalted join rows") {
+    val big = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("c", 5L))
+      .toDF("k", "id")
+    val dim = Seq(("a", "A"), ("b", "B")).toDF("k", "label") // c has no match
+    val salted = Skew.saltedJoin(big, dim, "k", col("id"), 4)
+      .select("k", "id", "label").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    val plain = big.join(dim, Seq("k"))
+      .select("k", "id", "label").orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(salted === plain)
+    assert(salted.map(_._1).toSet === Set("a", "b")) // unmatched key drops
+  }
+
   test("rangeJoin equals the naive inequality join, incl. bucket-boundary spans") {
     val points = Seq((1L, 5L), (2L, 31L), (3L, 64L), (4L, 100L)).toDF("pid", "x")
     val intervals = Seq((10L, 0L, 6L), (11L, 30L, 65L), (12L, 90L, 95L))
