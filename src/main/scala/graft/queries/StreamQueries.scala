@@ -235,5 +235,66 @@ object StreamQueries {
                CAST(SUM(value_u) AS BIGINT) AS value_u
         FROM sess
         GROUP BY user_id, sid
-        ORDER BY user_id, session_start""")))
+        ORDER BY user_id, session_start""")),
+
+    // Streaming corpus dedup gated against the batch answer — the last
+    // streaming operator without an oracle. Three checkpointed slices
+    // (doc_id mod 3, NOT chronological — the point is that copies of a
+    // duplicate landing in DIFFERENT slices still dedup, which only
+    // works if the fingerprint state survives restarts) through
+    // dropDuplicatesWithinWatermark on the content fingerprint, with a
+    // year-long horizon so nothing evicts mid-run. WHICH copy of a
+    // within-batch duplicate survives is engine-arbitrary, so the gate
+    // is fingerprint-level: kept count must equal the corpus's distinct
+    // fingerprint count and the fingerprint SET must match exactly (sum
+    // of u64 fps as decimal) — survivor-agnostic, run-deterministic.
+    QueryDef(
+      "q151_stream_dedup_parity",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_dedup")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val out   = s"$root/out"
+        val ckpt  = s"$root/ckpt"
+
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+        val slices = Seq(
+          docs.where(col("doc_id") % 3 === 0),
+          docs.where(col("doc_id") % 3 === 1),
+          docs.where(col("doc_id") % 3 === 2))
+
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
+          val q = graft.streaming.Streams.dedupDocumentsStream(
+              s.readStream.schema(docs.schema).parquet(s"$spool/*"),
+              "ts", "text", "365 days")
+            .select(col("doc_id"), col("content_fp"))
+            .writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+
+        s.read.parquet(out)
+          .agg(count(lit(1)).as("n_kept"),
+            countDistinct(col("content_fp")).as("n_distinct_fp"),
+            sum(col("content_fp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("fp_checksum"))
+          .orderBy(col("n_kept"))
+      },
+      Some("""
+        WITH fps AS (
+          SELECT DISTINCT CAST(md5_number_lower(text) AS DECIMAL(38,0)) AS fp
+          FROM documents)
+        SELECT COUNT(*) AS n_kept, COUNT(*) AS n_distinct_fp,
+               CAST(SUM(fp) AS DECIMAL(38,0)) AS fp_checksum
+        FROM fps
+        ORDER BY n_kept""")))
 }
