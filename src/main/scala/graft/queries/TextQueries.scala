@@ -749,5 +749,83 @@ object TextQueries {
         SELECT cluster_id, CAST(rank AS BIGINT) AS rank, term,
                CAST(tf AS BIGINT) AS tf, CAST(cdf AS BIGINT) AS cdf, score
         FROM ranked WHERE rank <= 3
-        ORDER BY cluster_id, rank""")))
+        ORDER BY cluster_id, rank""")),
+
+    // LSH blocking-quality audit — measure the sketch instead of
+    // trusting it: on a 40% hash sample, compute EXACT ground truth
+    // (every pair with Jaccard ≥ 0.5, via a shingle inverted index —
+    // any true pair shares shingles, so no all-pairs scan is ever
+    // needed) and compare the LSH candidate set against it. Precision
+    // and recall land as exact cross-multiplied permille; the Jaccard
+    // threshold itself is the integer identity 3·inter ≥ n_a + n_b
+    // (inter/(n_a+n_b−inter) ≥ ½), so the audit has zero doubles. The
+    // sample rate bounds the inverted-index fan-out (Σ df²) — the
+    // audit's documented cost knob at 100 TB.
+    QueryDef(
+      "q152_lsh_quality_audit",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .where(md5BitsModK(md5Bits(concat(lit("audit:"), col("doc_id"))), 100L) < 40)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val distinctSh = shRows.distinct()
+        val sig = TextDedup.minhashSignatures(shRows, "doc_id", "_sh", 16)
+        val cands = TextDedup.lshCandidatePairs(sig, "doc_id", "sig", 4, 4)
+          .select(col("id_a"), col("id_b")).withColumn("is_cand", lit(true))
+        val sizes = distinctSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val inv = distinctSh
+        val inter = inv.select(col("doc_id").as("id_a"), col("_sh"))
+          .join(inv.select(col("doc_id").as("id_b"), col("_sh")), Seq("_sh"))
+          .where(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+        val truth = inter
+          .join(sizes.select(col("doc_id").as("id_a"), col("n").as("na")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("n").as("nb")), "id_b")
+          .where(col("inter") * 3 >= col("na") + col("nb"))
+          .select(col("id_a"), col("id_b")).withColumn("is_true", lit(true))
+        val joined = cands.join(truth, Seq("id_a", "id_b"), "full_outer")
+        joined.agg(
+            sum(when(col("is_true").isNotNull, 1L).otherwise(0L)).as("n_truth_pairs"),
+            sum(when(col("is_cand").isNotNull, 1L).otherwise(0L)).as("n_candidates"),
+            sum(when(col("is_true").isNotNull && col("is_cand").isNotNull, 1L)
+              .otherwise(0L)).as("n_true_positive"))
+          .selectExpr("n_truth_pairs", "n_candidates", "n_true_positive",
+            "CASE WHEN n_truth_pairs > 0 THEN (n_true_positive * 1000) div n_truth_pairs END AS recall_permille",
+            "CASE WHEN n_candidates > 0 THEN (n_true_positive * 1000) div n_candidates END AS precision_permille")
+          .orderBy(col("n_truth_pairs"))
+      },
+      Some(s"""
+        WITH RECURSIVE ${ToksCte.replace("FROM documents",
+          "FROM documents WHERE CAST(md5_number_lower('audit:' || doc_id) % 100 AS BIGINT) < 40")},
+        $ShCte, $MhCte, $BandsCte,
+        cands AS (
+          SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+          FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        truth AS (
+          SELECT i.id_a, i.id_b
+          FROM inter i JOIN sizes x ON x.doc_id = i.id_a
+                       JOIN sizes y ON y.doc_id = i.id_b
+          WHERE i.inter * 3 >= x.n + y.n),
+        joined AS (
+          SELECT COALESCE(c.id_a, t.id_a) AS id_a,
+                 c.id_a IS NOT NULL AS is_cand, t.id_a IS NOT NULL AS is_true
+          FROM cands c FULL OUTER JOIN truth t
+            ON c.id_a = t.id_a AND c.id_b = t.id_b)
+        SELECT SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS n_truth_pairs,
+               SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS n_candidates,
+               SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS n_true_positive,
+               CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) > 0
+                    THEN (SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) * 1000)
+                         // SUM(CASE WHEN is_true THEN 1 ELSE 0 END) END AS recall_permille,
+               CASE WHEN SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) > 0
+                    THEN (SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) * 1000)
+                         // SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) END AS precision_permille
+        FROM joined
+        ORDER BY n_truth_pairs""")))
 }
