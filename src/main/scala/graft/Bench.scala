@@ -38,7 +38,11 @@ object Bench {
     // twice to absorb parquet-reader and shuffle machinery startup.
     val warmups = Seq("q01_pricing_summary", "q01_pricing_summary",
       "q33_json_struct_invoices", "q18_order_sequence",
-      "q16_regex_normalize", "q27_minhash_lsh", "q80_variant_invoices")
+      "q16_regex_normalize", "q27_minhash_lsh", "q80_variant_invoices",
+      // streaming machinery: micro-batch planner, file-stream source,
+      // HDFS-backed state store, watermark tracking — without this the
+      // first streaming query in sort order pays ~1.5 s of first-touch
+      "q116_stream_window_parity")
     warmups.foreach(n => try run(n) catch { case _: Throwable => () })
 
     // Failed queries record -1 (never a time-to-failure masquerading as a
