@@ -52,12 +52,25 @@ object Bench {
       val ok = try { run(name); true } catch { case _: Throwable => false }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The one-line JSON must fit the driver's stdout tail-capture window
+    // (round-4 postmortem: 152 full-precision doubles keyed by long names
+    // overflowed it -> "parsed": null). Keys are therefore the short qNN
+    // prefix (the contract example's own shape) and values ms-rounded;
+    // the full-name full-precision map goes to the BENCH_DETAIL.json
+    // sidecar for plan-audit work.
+    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v, _) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"sf":"$sfDir","total":$total,"queries":$detail,"failed":$failed}"""
+        .getBytes("UTF-8"))
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,11 +25,30 @@ object Verify {
     // persist) — accumulated pins otherwise inflate late-suite memory
     // pressure and make one query's timing depend on another's leftovers.
     val pinViolations = scala.collection.mutable.ArrayBuffer[String]()
+    // Output-typing contract: the driver hashes pandas frames, so every
+    // emitted column must be a hasher-safe scalar. Arrays crash its
+    // lexsort (round-4 q85), decimals coerce representation-dependently
+    // (q151), and int-vs-float drift breaks the hash — this lint keeps
+    // new queries from reintroducing any of them.
+    import org.apache.spark.sql.types._
+    def hasherSafe(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DoubleType |
+           StringType | DateType | BooleanType => true
+      case _: TimestampType | _: TimestampNTZType => true
+      case _ => false // arrays, maps, structs, decimals, floats, binary
+    }
+    val typeViolations = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        df.schema.fields.filterNot(f => hasherSafe(f.dataType)).foreach { f =>
+          typeViolations += s"$name.${f.name}: ${f.dataType.sql}"
+          System.err.println(
+            s"[verify] TYPE VIOLATION: $name emits ${f.name} ${f.dataType.sql}")
+        }
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         if (!spark.sharedState.cacheManager.isEmpty) {
           pinViolations += name
@@ -44,6 +63,8 @@ object Verify {
     }
     System.err.println(s"[verify] pin-hygiene violations: ${pinViolations.size}" +
       (if (pinViolations.nonEmpty) pinViolations.mkString(" (", ", ", ")") else ""))
+    System.err.println(s"[verify] output-type violations: ${typeViolations.size}" +
+      (if (typeViolations.nonEmpty) typeViolations.mkString(" (", ", ", ")") else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -155,8 +155,8 @@ object AnalyticsQueries {
                  SUM(delta) OVER (PARTITION BY day ORDER BY t, delta
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
           FROM pts)
-        SELECT day, MAX(run) AS max_concurrent,
-               SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_sessions
+        SELECT day, CAST(MAX(run) AS BIGINT) AS max_concurrent,
+               CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM sweep
         GROUP BY day
         ORDER BY day""")),
@@ -234,8 +234,8 @@ object AnalyticsQueries {
           FROM orders)
         SELECT c.c_mktsegment,
                COUNT(*) AS n_orders,
-               SUM(CASE WHEN f.amt * cnt > 3 * f.tot THEN 1 ELSE 0 END) AS n_outliers,
-               SUM(CASE WHEN f.amt * cnt > 3 * f.tot THEN f.o_orderkey END) AS outlier_keysum
+               CAST(SUM(CASE WHEN f.amt * cnt > 3 * f.tot THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(SUM(CASE WHEN f.amt * cnt > 3 * f.tot THEN f.o_orderkey END) AS BIGINT) AS outlier_keysum
         FROM f JOIN customer c ON f.o_custkey = c.c_custkey
         GROUP BY 1
         ORDER BY 1""")),
@@ -265,8 +265,8 @@ object AnalyticsQueries {
           SELECT c_name, substr(c_name, 1, 16) AS blk FROM customer)
         SELECT a.blk,
                COUNT(*) AS n_candidates,
-               SUM(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
-                   THEN 1 ELSE 0 END) AS n_matches
+               CAST(SUM(CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
         FROM named a JOIN named b
           ON a.blk = b.blk AND a.c_name < b.c_name
         GROUP BY 1

@@ -198,7 +198,8 @@ object CorpusQueries {
         tf.groupBy(col("term"))
           .agg(count(lit(1)).as("df"),
             sum(col("tf")).as("total_tf"),
-            slice(sort_array(collect_list(col("doc_id"))), 1, 10).as("postings"))
+            array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 10)
+              .cast("array<string>"), ",").as("postings"))
           .orderBy(col("term"))
       },
       Some("""
@@ -208,7 +209,7 @@ object CorpusQueries {
           SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
         SELECT term, COUNT(*) AS df,
                CAST(SUM(tf) AS BIGINT) AS total_tf,
-               list_slice(list_sort(list(doc_id)), 1, 10) AS postings
+               array_to_string(list_slice(list_sort(list(doc_id)), 1, 10), ',') AS postings
         FROM tf
         GROUP BY term
         ORDER BY term""")),
@@ -245,7 +246,7 @@ object CorpusQueries {
             SELECT term, COUNT(*) AS tf FROM toks GROUP BY 1)
           ORDER BY tf DESC, term LIMIT 500)
         SELECT t.lang, COUNT(*) AS n_tokens,
-               SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
                COUNT(DISTINCT t.doc_id) AS n_docs
         FROM toks t LEFT JOIN vocab v USING (term)
         GROUP BY t.lang

@@ -81,11 +81,11 @@ object MasterDataQueries {
           SELECT c.k, c.ln, c.n_versions, q.qty, d.disc
           FROM counts c JOIN qpick q USING (k, ln) JOIN dpick d USING (k, ln))
         SELECT COUNT(*) AS n_golden,
-               SUM(CASE WHEN n_versions > 1 THEN 1 ELSE 0 END) AS n_merged,
+               CAST(SUM(CASE WHEN n_versions > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
                CAST(SUM(qty) AS DOUBLE) AS qty_sum,
                CAST(CAST(SUM(disc) AS DECIMAL(38,6)) AS DOUBLE) AS disc_sum,
-               SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS n_qty_null,
-               SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS n_disc_null
+               CAST(SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_qty_null,
+               CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_disc_null
         FROM golden
         ORDER BY n_golden""")),
 

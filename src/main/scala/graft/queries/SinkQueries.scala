@@ -207,8 +207,8 @@ object SinkQueries {
       },
       Some("""
         SELECT COUNT(*) AS n_rows,
-               SUM(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) AS n_parsed,
-               SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS n_corrupt,
+               CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+               CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
                CAST(SUM(CASE WHEN o_orderkey % 13 <> 0 THEN o_orderkey END)
                  AS BIGINT) AS parsed_key_sum,
                CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN o_orderkey END)

@@ -60,7 +60,7 @@ object StagingQueries {
                regexp_replace(phone_raw, '\+', '', 'g') AS phone,
                c_acctbal AS account_balance,
                NULLIF(TRIM(segment_raw), '') AS segment,
-               c_nationkey AS nation_id,
+               CAST(c_nationkey AS BIGINT) AS nation_id,
                (name_raw ILIKE '%furchild%') AS is_vip
         FROM messy
         ORDER BY customer_id""")),

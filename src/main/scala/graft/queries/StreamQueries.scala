@@ -286,7 +286,8 @@ object StreamQueries {
           .agg(count(lit(1)).as("n_kept"),
             countDistinct(col("content_fp")).as("n_distinct_fp"),
             sum(col("content_fp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-              .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("fp_checksum"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              .cast("string").as("fp_checksum"))
           .orderBy(col("n_kept"))
       },
       Some("""
@@ -294,7 +295,7 @@ object StreamQueries {
           SELECT DISTINCT CAST(md5_number_lower(text) AS DECIMAL(38,0)) AS fp
           FROM documents)
         SELECT COUNT(*) AS n_kept, COUNT(*) AS n_distinct_fp,
-               CAST(SUM(fp) AS DECIMAL(38,0)) AS fp_checksum
+               CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) AS fp_checksum
         FROM fps
         ORDER BY n_kept""")))
 }

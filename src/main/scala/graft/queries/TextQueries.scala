@@ -817,15 +817,15 @@ object TextQueries {
                  c.id_a IS NOT NULL AS is_cand, t.id_a IS NOT NULL AS is_true
           FROM cands c FULL OUTER JOIN truth t
             ON c.id_a = t.id_a AND c.id_b = t.id_b)
-        SELECT SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS n_truth_pairs,
-               SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS n_candidates,
-               SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS n_true_positive,
-               CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) > 0
+        SELECT CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_truth_pairs,
+               CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_true_positive,
+               CAST(CASE WHEN SUM(CASE WHEN is_true THEN 1 ELSE 0 END) > 0
                     THEN (SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) * 1000)
-                         // SUM(CASE WHEN is_true THEN 1 ELSE 0 END) END AS recall_permille,
-               CASE WHEN SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) > 0
+                         // SUM(CASE WHEN is_true THEN 1 ELSE 0 END) END AS BIGINT) AS recall_permille,
+               CAST(CASE WHEN SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) > 0
                     THEN (SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) * 1000)
-                         // SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) END AS precision_permille
+                         // SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) END AS BIGINT) AS precision_permille
         FROM joined
         ORDER BY n_truth_pairs""")))
 }

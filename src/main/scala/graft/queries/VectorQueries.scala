@@ -134,8 +134,8 @@ object VectorQueries {
                (n_chars % 16 + 1) AS n_frames,
                octet_length(encode(text)) AS n_bytes,
                to_base64(encode(substring(text, 1, 16))) AS head_b64,
-               (ascii(substring(text,1,1)) + ascii(substring(text,5,1))
-                + ascii(substring(text,9,1)) + ascii(substring(text,13,1))) AS sample_checksum
+               CAST(ascii(substring(text,1,1)) + ascii(substring(text,5,1))
+                + ascii(substring(text,9,1)) + ascii(substring(text,13,1)) AS BIGINT) AS sample_checksum
         FROM documents
         ORDER BY media_id""")),
 
