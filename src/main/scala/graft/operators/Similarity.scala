@@ -102,6 +102,22 @@ object Similarity {
       .where(col("rnk") <= k)
   }
 
+  /** Occupancy-driven SRP plane count: ceil(log2(n / targetOccupancy)),
+    * clamped to [4, 20]. A FIXED plane count goes quadratic as the corpus
+    * grows (bucket occupancy rises linearly with n, in-bucket cost with
+    * n²/2^planes — the round-4 tri-scale sweep measured alpha 1.69 at 4
+    * planes); deriving planes from n keeps expected occupancy, and thus
+    * per-bucket pair cost, constant at any scale. Matches the oracle's
+    * `ceil(log2(greatest(1, count(*) // target)))` exactly: the bit-twiddle
+    * below IS ceil-log2, and IEEE log2 is exact on powers of two. */
+  def autoPlanes(n: Long, targetOccupancy: Long = 64L): Int = {
+    val buckets = math.max(1L, n / targetOccupancy)
+    val ceilLog2 =
+      if (buckets <= 1L) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1L)
+    math.max(4, math.min(20, ceilLog2))
+  }
+
   /** Embedding-cosine near-duplicate pairs: SRP-bucket blocking (same
     * bucket only — never all-pairs), exact cosine inside the bucket,
     * threshold filter. LSH recall is partial by construction; raise

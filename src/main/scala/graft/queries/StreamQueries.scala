@@ -297,5 +297,80 @@ object StreamQueries {
         SELECT COUNT(*) AS n_kept, COUNT(*) AS n_distinct_fp,
                CAST(CAST(SUM(fp) AS DECIMAL(38,0)) AS VARCHAR) AS fp_checksum
         FROM fps
-        ORDER BY n_kept""")))
+        ORDER BY n_kept""")),
+
+    // Stream-stream event-time interval join through the real engine —
+    // the last streaming operator without an oracle gate. Left = even
+    // events, right = odd events, matched on user_id when the right
+    // event lands within [l_ts, l_ts + 10 min]. Three checkpointed
+    // slices per side, split by event_id mod 3 (NOT chronological — a
+    // left row's match may arrive two query lifetimes later, which only
+    // works if the join STATE survives restarts). The year-long
+    // watermark keeps eviction out of the run (same stance as q151) —
+    // in production the watermark bounds state to the interval horizon;
+    // here it would make results slice-order-dependent. Inner interval
+    // joins emit each match exactly once regardless of arrival order,
+    // so stream == batch exactly; the gate is an aggregate checksum
+    // over all matched pairs.
+    QueryDef(
+      "q153_stream_interval_join",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_ij")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val out  = s"$root/out"
+        val ckpt = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val left = ev.where(col("event_id") % 2 === 0)
+          .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+            col("ts").as("l_ts"))
+        val right = ev.where(col("event_id") % 2 === 1)
+          .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+            col("ts").as("r_ts"))
+
+        (0 until 3).foreach { i =>
+          left.where(col("l_id") % 3 === i)
+            .write.mode("overwrite").parquet(s"$root/l/batch_$i")
+          right.where(col("r_id") % 3 === i)
+            .write.mode("overwrite").parquet(s"$root/r/batch_$i")
+          val joined = graft.streaming.Streams.intervalJoinStream(
+            s.readStream.schema(left.schema).parquet(s"$root/l/*"),
+            s.readStream.schema(right.schema).parquet(s"$root/r/*"),
+            "l_user", "r_user", "l_ts", "r_ts",
+            watermark = "365 days", maxDelay = "10 MINUTES")
+          val q = joined.select(col("l_id"), col("r_id"), col("l_user"))
+            .writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+
+        s.read.parquet(out)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("l_id")).as("l_id_sum"),
+            sum(col("r_id")).as("r_id_sum"),
+            countDistinct(col("l_user")).as("n_users"))
+          .orderBy(col("n_pairs"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_id AS l_id, user_id AS l_user, ts AS l_ts
+          FROM events WHERE event_id % 2 = 0),
+        r AS (
+          SELECT event_id AS r_id, user_id AS r_user, ts AS r_ts
+          FROM events WHERE event_id % 2 = 1)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(l_id) AS BIGINT) AS l_id_sum,
+               CAST(SUM(r_id) AS BIGINT) AS r_id_sum,
+               CAST(COUNT(DISTINCT l_user) AS BIGINT) AS n_users
+        FROM l JOIN r ON l_user = r_user
+          AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 10 MINUTE
+        ORDER BY n_pairs""")))
 }

@@ -80,24 +80,30 @@ object VectorQueries {
     // Embedding-cosine near-duplicate detection: SRP-bucket blocking +
     // exact cosine + threshold — the embedding flavor of the dedup
     // family (LSH recall is partial by construction; both engines apply
-    // the identical blocking so results hash-match). 8 planes = 256
-    // buckets: the tri-scale curvature run caught 4 planes going
-    // quadratic (occupancy grows linearly with the corpus → Σbucket²
-    // alpha 1.69); plane count is THE scale knob — it must grow with
-    // log(corpus/target-occupancy), and the in-bucket cost is now back
-    // under alpha ~1 at sf1.
+    // the identical blocking so results hash-match). Plane count is THE
+    // scale knob and is now OCCUPANCY-DRIVEN on both engines:
+    // ceil(log2(n/64)) clamped to [4,20] (Similarity.autoPlanes), so
+    // expected bucket occupancy — and with it the in-bucket Σbucket²
+    // pair cost — stays constant as the corpus grows. The round-4
+    // tri-scale sweep measured a FIXED 4-plane count at alpha 1.69
+    // (quadratic); a fixed 8 was fine at sf1 but only deferred the
+    // blow-up. The one driver-side action is a metadata-only count(*).
     QueryDef(
       "q41_embed_neardup",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
+        val planes = Similarity.autoPlanes(e.count(), targetOccupancy = 64L)
         Similarity.nearDupPairs(e, "vec_id", "embedding",
-            minCosine = 0.4, planes = 8, dim = 64)
+            minCosine = 0.4, planes = planes, dim = 64)
           .orderBy(col("id_a"), col("id_b"))
       },
       Some(s"""
-        WITH b AS (
+        WITH p AS (
+          SELECT GREATEST(4, LEAST(20, CAST(ceil(log2(GREATEST(1,
+                   (SELECT COUNT(*) FROM embeddings) // 64))) AS INT))) AS np),
+        b AS (
           SELECT vec_id, embedding,
-                 CAST(list_sum(list_transform(range(0,8), j ->
+                 CAST(list_sum(list_transform(range(0,(SELECT np FROM p)), j ->
                    CASE WHEN list_reduce(list_transform(range(0,64), d ->
                           embedding[d+1]::DOUBLE * ((((j*97 + d*31) % 13) - 6)::DOUBLE / 6.0::DOUBLE)), (x,y)->x+y) > 0
                         THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
