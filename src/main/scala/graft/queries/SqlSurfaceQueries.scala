@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Round-5 SQL-surface completeness — the statement forms a user
+  * migrating from a warehouse SQL dialect expects beyond operators the
+  * DataFrame modules already gate:
+  *
+  *  - q155: WITH RECURSIVE (Spark 4's UnionLoopExec) — iterative
+  *    hierarchy traversal in ONE declarative statement, gated against
+  *    DuckDB's recursive CTE on an identical synthetic org tree.
+  *  - q156: correlated LATERAL subquery with ORDER BY + LIMIT (top-n
+  *    per group as a join, decorrelated by Catalyst into a window —
+  *    the SQL twin of the q132 top-k pattern).
+  *  - q157: sliding 7-day distinct users. COUNT(DISTINCT) over a RANGE
+  *    window doesn't exist in either engine; the scalable form is the
+  *    bounded 7x fan-out (each (day,user) contributes to days d..d+6)
+  *    + equi-shuffle distinct — linear at 100 TB where a self-join on
+  *    day BETWEEN d-6 AND d would plan as a nested loop.
+  */
+object SqlSurfaceQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Recursive CTE: synthetic org tree over customer (parent =
+    // custkey div 10 — total, unique-parent, always-present for the
+    // contiguous TPC-H key space; roots are custkey < 10). Per-depth
+    // rollup so a wrong frontier at ANY level breaks the checksum.
+    // Depth is log10(n) — the recursion is O(depth) joins, each a
+    // plain equi-shuffle; Spark's UnionLoop re-plans each step on the
+    // frontier only (same stance as the large-star/small-star CC loop).
+    QueryDef(
+      "q155_recursive_hierarchy",
+      (s, dir) => {
+        Tables.customer(s, dir).select(col("c_custkey"))
+          .createOrReplaceTempView("g_q155_cust")
+        s.sql("""
+          WITH RECURSIVE walk AS (
+            SELECT c_custkey AS node, CAST(0 AS BIGINT) AS depth
+            FROM g_q155_cust WHERE c_custkey < 10
+            UNION ALL
+            SELECT c.c_custkey AS node, w.depth + CAST(1 AS BIGINT) AS depth
+            FROM g_q155_cust c JOIN walk w ON c.c_custkey DIV 10 = w.node
+            WHERE c.c_custkey >= 10)
+          SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                 CAST(SUM(node) AS BIGINT) AS node_sum
+          FROM walk GROUP BY depth ORDER BY depth""")
+      },
+      Some("""
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS node, CAST(0 AS BIGINT) AS depth
+          FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey AS node, w.depth + CAST(1 AS BIGINT) AS depth
+          FROM customer c JOIN walk w ON c.c_custkey // 10 = w.node
+          WHERE c.c_custkey >= 10)
+        SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(node) AS BIGINT) AS node_sum
+        FROM walk GROUP BY depth ORDER BY depth""")),
+
+    // Correlated LATERAL with ORDER BY + LIMIT: top-2 customers by
+    // balance per nation. Catalyst decorrelates the limit into a
+    // per-group window, so the plan is one shuffle on nationkey — the
+    // lateral form never executes per-row. Balance goes through exact
+    // decimal cents so the gate has no double ordering ambiguity
+    // (ties broken by name on both sides).
+    QueryDef(
+      "q156_lateral_topn",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("g_q156_cust")
+        Tables.nation(s, dir).createOrReplaceTempView("g_q156_nation")
+        s.sql("""
+          SELECT n.n_name, t.c_name,
+                 CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS acctbal_cents
+          FROM g_q156_nation n
+          JOIN LATERAL (
+            SELECT c_name, c_acctbal FROM g_q156_cust
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          ORDER BY n.n_name, acctbal_cents DESC, t.c_name""")
+      },
+      Some("""
+        SELECT n.n_name, t.c_name,
+               CAST(CAST(t.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS acctbal_cents
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) t ON true
+        ORDER BY n.n_name, acctbal_cents DESC, t.c_name""")),
+
+    // Sliding 7-day distinct actives per observed day: dedup to
+    // (day, user), fan each pair out to the 7 trailing windows it
+    // serves, keep only observed days, count distinct per day. All
+    // shuffles are equi-hash on day; the fan-out is a constant 7x of
+    // the DEDUPED pairs (not raw events) — the standard rolling-MAU
+    // shape at any scale.
+    QueryDef(
+      "q157_sliding_distinct",
+      (s, dir) => {
+        val du = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+        val spine = du.select(col("d").as("day")).distinct()
+        val fan = du.select(
+          explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+          col("user_id"))
+        fan.join(spine, Seq("day"))
+          .groupBy(col("day"))
+          .agg(countDistinct(col("user_id")).as("n_active_7d"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH du AS (
+          SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        sp AS (SELECT DISTINCT d AS day FROM du),
+        fan AS (
+          SELECT d + CAST(t.x AS INTEGER) AS day, user_id
+          FROM du, range(0, 7) t(x))
+        SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_7d
+        FROM fan JOIN sp USING (day)
+        GROUP BY day ORDER BY day""")))
+}

@@ -372,5 +372,68 @@ object StreamQueries {
                CAST(COUNT(DISTINCT l_user) AS BIGINT) AS n_users
         FROM l JOIN r ON l_user = r_user
           AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 10 MINUTE
-        ORDER BY n_pairs""")))
+        ORDER BY n_pairs""")),
+
+    // Stream-static enrichment join: the streaming event feed LEFT-joins
+    // the static customer dimension per micro-batch — the standard
+    // "enrich the stream with a dim table" topology (the static side is
+    // re-planned each batch, broadcast under the hood; no state, no
+    // watermark — only the stream side is unbounded). Three checkpointed
+    // slices prove offsets resume; unmatched users keep their rows
+    // (LEFT) and land in the UNKNOWN segment, so silently dropped
+    // non-matches can't hide. Value stays in exact micro-units.
+    QueryDef(
+      "q154_stream_static_join",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_enrich")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val out   = s"$root/out"
+        val ckpt  = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+          (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 1000000)
+            .cast("long").as("value_u"))
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment"))
+
+        (0 until 3).foreach { i =>
+          ev.where(col("event_id") % 3 === i)
+            .write.mode("overwrite").parquet(s"$spool/batch_$i")
+          val q = s.readStream.schema(ev.schema).parquet(s"$spool/*")
+            .join(dim, col("user_id") === col("c_custkey"), "left_outer")
+            .select(col("event_id"), col("user_id"),
+              coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+              col("value_u"))
+            .writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+
+        s.read.parquet(out)
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value_u")).as("value_u_sum"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_u
+          FROM events)
+        SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(e.value_u) AS BIGINT) AS value_u_sum,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1
+        ORDER BY 1""")))
 }
