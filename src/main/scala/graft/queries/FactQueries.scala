@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.Kernels._
@@ -352,5 +353,86 @@ object FactQueries {
                CAST(CAST(j.vat_pct_src AS DECIMAL(38,6)) AS DOUBLE) AS vat_pct_src,
                p.ship_area, p.ship_addr_id
         FROM joined j LEFT JOIN picked p ON p.order_id = j.order_id
-        ORDER BY j.order_id""")))
+        ORDER BY j.order_id""")),
+
+    // Exact largest-remainder proration: spread each order's header
+    // total over its lines proportionally to line price, IN CENTS, with
+    // floor division and the remainder distributed to the lines with the
+    // largest fractional part (linenumber tiebreak) — the classic
+    // finance allocation where naive per-line rounding leaks cents. All
+    // arithmetic is BIGINT (target*weight <= ~1e15); the gate pins that
+    // EVERY order reallocates exactly (min boolean), plus value and
+    // position-weighted checksums. Duplicate lineitem rows (the q11 dup
+    // corpus) tie on (rem, linenumber, w) with identical multipliers, so
+    // which twin takes the +1 cent cannot move any emitted aggregate.
+    // One exchange on the order key shared by both windows.
+    QueryDef(
+      "q160_exact_proration",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+          col("l_linenumber"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("w"))
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("target"))
+        val wOrd = Window.partitionBy(col("l_orderkey"))
+        val wRank = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("rem").desc, col("l_linenumber"), col("w"))
+        val alloc = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .withColumn("tw", sum(col("w")).over(wOrd))
+          .withColumn("base", expr("target * w DIV tw"))
+          .withColumn("rem", expr("(target * w) % tw"))
+          .withColumn("shortfall", col("target") - sum(col("base")).over(wOrd))
+          .withColumn("rk", row_number().over(wRank))
+          .withColumn("alloc",
+            col("base") + when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
+        val perOrder = alloc.groupBy(col("l_orderkey"), col("target"))
+          .agg(sum(col("alloc")).as("allocated"), count(lit(1)).as("n_lines"),
+            sum(col("alloc") * col("l_linenumber")).as("pos_checksum"))
+        perOrder.agg(
+            count(lit(1)).as("n_orders"), sum(col("n_lines")).as("n_lines"),
+            min(col("allocated") === col("target")).as("all_exact"),
+            sum(col("allocated")).as("alloc_sum"),
+            sum(col("pos_checksum")).as("pos_checksum"))
+          .orderBy(col("n_orders"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+          FROM lineitem),
+        o AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS target
+          FROM orders),
+        j AS (
+          SELECT li.*, o.target,
+                 SUM(w) OVER (PARTITION BY l_orderkey) AS tw
+          FROM li JOIN o ON l_orderkey = o_orderkey),
+        based AS (
+          SELECT *, (target * w) // tw AS base, (target * w) % tw AS rem
+          FROM j),
+        ranked AS (
+          SELECT *,
+                 target - SUM(base) OVER (PARTITION BY l_orderkey) AS shortfall,
+                 row_number() OVER (PARTITION BY l_orderkey
+                   ORDER BY rem DESC, l_linenumber, w) AS rk
+          FROM based),
+        alloc AS (
+          SELECT l_orderkey, target, l_linenumber,
+                 base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS alloc
+          FROM ranked),
+        per_order AS (
+          SELECT l_orderkey, target, SUM(alloc) AS allocated,
+                 COUNT(*) AS n_lines,
+                 SUM(alloc * l_linenumber) AS pos_checksum
+          FROM alloc GROUP BY 1, 2)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+               MIN(allocated = target) AS all_exact,
+               CAST(SUM(allocated) AS BIGINT) AS alloc_sum,
+               CAST(SUM(pos_checksum) AS BIGINT) AS pos_checksum
+        FROM per_order
+        ORDER BY n_orders""")))
 }

@@ -385,5 +385,47 @@ object OlapQueries {
         SELECT '3_click', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM s3
         UNION ALL
         SELECT '4_purchase', COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM s4
-        ORDER BY step""")))
+        ORDER BY step""")),
+
+    // Arbitrary GROUPING SETS (not a rollup/cube lattice): the exact
+    // combination list ((seg,pri), (seg,year), (year), ()) — derivable
+    // from neither q68's ROLLUP nor q123's CUBE. One Expand (4 replicas)
+    // + one partial agg, the documented grouping-set price. Set
+    // membership is tagged with engine-neutral COALESCE labels instead
+    // of grouping_id() (whose bit order differs across engines); the
+    // dimensions are never null in the data so the labels are total.
+    QueryDef(
+      "q161_grouping_sets",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q161_orders")
+        Tables.customer(s, dir).createOrReplaceTempView("g_q161_cust")
+        s.sql("""
+          SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+                 COALESCE(o_orderpriority, 'ALL') AS pri,
+                 COALESCE(CAST(year(o_orderdate) AS STRING), 'ALL') AS yr,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS BIGINT) AS revenue_cents
+          FROM g_q161_orders o JOIN g_q161_cust c ON o.o_custkey = c.c_custkey
+          GROUP BY GROUPING SETS (
+            (c_mktsegment, o_orderpriority),
+            (c_mktsegment, year(o_orderdate)),
+            (year(o_orderdate)),
+            ())
+          ORDER BY seg, pri, yr""")
+      },
+      Some("""
+        SELECT COALESCE(c_mktsegment, 'ALL') AS seg,
+               COALESCE(o_orderpriority, 'ALL') AS pri,
+               COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS revenue_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY GROUPING SETS (
+          (c_mktsegment, o_orderpriority),
+          (c_mktsegment, year(o_orderdate)),
+          (year(o_orderdate)),
+          ())
+        ORDER BY seg, pri, yr""")))
 }

@@ -103,5 +103,55 @@ object TemporalQueries {
           ON h.valid_from <= p.probe_ts
          AND (h.valid_to IS NULL OR p.probe_ts < h.valid_to)
         GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // SCD TYPE-3 derivation (current + previous attribute value as
+    // columns — the "keep one prior version" pattern next to the full
+    // type-2 history q65 builds): per customer, current order priority
+    // is the latest order's; previous is the most recent order whose
+    // priority DIFFERS from current (null when the customer never
+    // changed). Both picks are max_by over the (date, orderkey) total
+    // order — two aggregate passes sharing the customer key, no
+    // self-join fan-out. Oracle mirrors via row_number windows (DuckDB
+    // arg_max rejects struct ordering keys).
+    QueryDef(
+      "q159_scd3_prev_value",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+        val ord = struct(col("o_orderdate"), col("o_orderkey"))
+        val cur = o.groupBy(col("o_custkey"))
+          .agg(max_by(col("o_orderpriority"), ord).as("cur_priority"))
+        val prev = o.join(cur, Seq("o_custkey"))
+          .where(col("o_orderpriority") =!= col("cur_priority"))
+          .groupBy(col("o_custkey"))
+          .agg(max_by(col("o_orderpriority"), ord).as("prev_priority"))
+        cur.join(prev, Seq("o_custkey"), "left")
+          .groupBy(col("cur_priority"),
+            coalesce(col("prev_priority"), lit("NONE")).as("prev_priority"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("o_custkey")).as("cust_sum"))
+          .orderBy(col("cur_priority"), col("prev_priority"))
+      },
+      Some("""
+        WITH cur AS (
+          SELECT o_custkey, o_orderpriority AS cur_priority FROM (
+            SELECT o_custkey, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders) WHERE rn = 1),
+        prev AS (
+          SELECT o_custkey, o_orderpriority AS prev_priority FROM (
+            SELECT o.o_custkey, o.o_orderpriority,
+                   row_number() OVER (PARTITION BY o.o_custkey
+                     ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM orders o JOIN cur c ON o.o_custkey = c.o_custkey
+              AND o.o_orderpriority <> c.cur_priority) WHERE rn = 1)
+        SELECT c.cur_priority,
+               COALESCE(p.prev_priority, 'NONE') AS prev_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(c.o_custkey) AS BIGINT) AS cust_sum
+        FROM cur c LEFT JOIN prev p USING (o_custkey)
+        GROUP BY 1, 2
         ORDER BY 1, 2""")))
 }

@@ -270,5 +270,75 @@ object VectorQueries {
                    FROM c2 GROUP BY 1)
         SELECT s.cid, s.n_vectors, s.id_checksum, c.centroid_l1
         FROM stats s JOIN cstats c USING (cid)
-        ORDER BY s.cid""")))
+        ORDER BY s.cid""")),
+
+    // Johnson-Lindenstrauss random-projection audit: project the 64-d
+    // embeddings to 16-d with the deterministic rational planes the SRP
+    // family already uses, then measure distance preservation on a
+    // bounded probe set (vec_id < 50 -> 1225 pairs, an exact tiny
+    // baseline like q30). Ratio = proj_d2 / (true_d2 * 16 * E[c^2]) in
+    // floor-permille, where E[c^2] = 14/36 is the exact second moment of
+    // the plane components ((k-6)/6, k uniform over 13 residues) — so
+    // 1000 means perfectly preserved. The gate pins min/max/avg permille
+    // exactly plus the JL-bound boolean. At 100 TB the projection is the
+    // map-side shrink that makes downstream ANN 4x cheaper per probe;
+    // the audit is how you validate the shrink before committing to it.
+    QueryDef(
+      "q158_jl_projection_audit",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).where(col("vec_id") < 50)
+        val proj = array((0 until 16).map { j =>
+          Similarity.dot(col("embedding"),
+            array((0 until 64).map(d => lit(Similarity.planeComponent(j, d))): _*))
+        }: _*)
+        val p = e.select(col("vec_id"), col("embedding"), proj.as("pr"))
+        val a = p.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+          col("pr").as("pa"))
+        val b = p.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+          col("pr").as("pb"))
+        // 50x50 crossJoin: documented exact tiny probe set, like q30
+        val pairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
+          .select(
+            expr("aggregate(zip_with(va, vb, (x, y) -> " +
+              "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+              "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D, (acc, v) -> acc + v)")
+              .as("true_d2"),
+            expr("aggregate(zip_with(pa, pb, (x, y) -> (x - y) * (x - y)), " +
+              "0.0D, (acc, v) -> acc + v)").as("proj_d2"))
+          .where(col("true_d2") > 0)
+          .select(floor(lit(9000.0) * col("proj_d2") /
+            (lit(56.0) * col("true_d2"))).as("pm"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            min(col("pm")).as("min_pm"), max(col("pm")).as("max_pm"),
+            expr("CAST(sum(pm) DIV count(1) AS BIGINT)").as("avg_pm"))
+          .withColumn("is_bounded",
+            col("min_pm") >= 100 && col("max_pm") <= 5000)
+          .orderBy(col("n_pairs"))
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        p AS (
+          SELECT vec_id, embedding,
+                 list_transform(range(0,16), j ->
+                   list_reduce(list_transform(range(0,64), d ->
+                     embedding[d+1]::DOUBLE * ((((j*97 + d*31) % 13) - 6)::DOUBLE / 6.0::DOUBLE)), (x,y)->x+y)) AS pr
+          FROM e),
+        pairs AS (
+          SELECT
+            list_reduce(list_transform(range(1,65), i ->
+              (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)
+              * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)), (x,y)->x+y) AS true_d2,
+            list_reduce(list_transform(range(1,17), i ->
+              (a.pr[i] - b.pr[i]) * (a.pr[i] - b.pr[i])), (x,y)->x+y) AS proj_d2
+          FROM p a JOIN p b ON a.vec_id < b.vec_id),
+        pm AS (
+          SELECT CAST(floor((9000.0 * proj_d2) / (56.0 * true_d2)) AS BIGINT) AS pm
+          FROM pairs WHERE true_d2 > 0)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(MIN(pm) AS BIGINT) AS min_pm,
+               CAST(MAX(pm) AS BIGINT) AS max_pm,
+               CAST(SUM(pm) // COUNT(*) AS BIGINT) AS avg_pm,
+               (MIN(pm) >= 100 AND MAX(pm) <= 5000) AS is_bounded
+        FROM pm
+        ORDER BY n_pairs""")))
 }
