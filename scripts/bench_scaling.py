@@ -40,7 +40,9 @@ def main():
             mark = " **super-linear**"
             flagged.append((q, f"alpha={alpha:.2f}"))
         print(f"| {q} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} | {alpha:.2f}{mark} |")
-    tot = [runs[sf]["value"] for sf in SFS]
+    # Bench's stdout line carries "value"; the BENCH_DETAIL.json sidecar
+    # (full names, full precision — preferred input) carries "total".
+    tot = [runs[sf].get("value", runs[sf].get("total")) for sf in SFS]
     print(f"| **total** | {tot[0]:.1f} | {tot[1]:.1f} | {tot[2]:.1f} | "
           f"{math.log(tot[2] / tot[0]) / math.log(10):.2f} |")
     print()

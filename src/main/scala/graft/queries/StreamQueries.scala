@@ -26,6 +26,23 @@ object StreamQueries {
     java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), name).toString
 
+  /** Run the streaming section at a fixed state-partition count.
+    *
+    * `spark.sql.shuffle.partitions` is baked into a streaming query's
+    * STATE layout at checkpoint creation; at the bench's local[32] the
+    * per-lifetime cost of these gates is dominated by state-store
+    * snapshot/reload FILES (4 stores x partitions x 3 lifetimes), flat
+    * in data size. 8 partitions is the right deployment knob for
+    * kB-scale state at this sf — the gates are parallelism-independent
+    * (the full gate passes at CPUS=8 and 32), so this changes only the
+    * fixed overhead, never results. Restores the session value after. */
+  private def withStatePartitions[A](
+      s: org.apache.spark.sql.SparkSession, n: Int)(f: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Deterministic 3-slice ingest with an overlapping update: slice 0 =
@@ -56,6 +73,7 @@ object StreamQueries {
               .withColumn("value", col("value") + lit(1000.0d))),
           ev.where(col("event_id") % 3 === 2))
 
+        withStatePartitions(s, 8) {
         slices.zipWithIndex.foreach { case (slice, i) =>
           slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
           val q = s.readStream.schema(ev.schema).parquet(s"$spool/*")
@@ -69,7 +87,7 @@ object StreamQueries {
             }
             .start()
           q.awaitTermination()
-        }
+        } }
 
         s.read.parquet(target)
           .select(col("event_id"), col("user_id"), col("event_type"),
@@ -118,6 +136,7 @@ object StreamQueries {
           ev.where(col("ts") >= cut),
           sentinel)
 
+        withStatePartitions(s, 8) {
         slices.zipWithIndex.foreach { case (slice, i) =>
           slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
           val q = s.readStream.schema(ev.schema).parquet(s"$spool/*")
@@ -136,7 +155,7 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        }
+        } }
 
         s.read.parquet(out)
           .where(col("event_type") =!= "flush")
@@ -189,6 +208,7 @@ object StreamQueries {
           ev.where(col("ts") >= cut),
           sentinel)
 
+        withStatePartitions(s, 8) {
         slices.zipWithIndex.foreach { case (slice, i) =>
           slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
           implicit val sp: org.apache.spark.sql.SparkSession = s
@@ -206,7 +226,7 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        }
+        } }
 
         s.read.parquet(out)
           .where(col("user_id") >= 0)
@@ -266,6 +286,7 @@ object StreamQueries {
           docs.where(col("doc_id") % 3 === 1),
           docs.where(col("doc_id") % 3 === 2))
 
+        withStatePartitions(s, 8) {
         slices.zipWithIndex.foreach { case (slice, i) =>
           slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
           val q = graft.streaming.Streams.dedupDocumentsStream(
@@ -280,7 +301,7 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        }
+        } }
 
         s.read.parquet(out)
           .agg(count(lit(1)).as("n_kept"),
@@ -331,6 +352,7 @@ object StreamQueries {
           .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
             col("ts").as("r_ts"))
 
+        withStatePartitions(s, 8) {
         (0 until 3).foreach { i =>
           left.where(col("l_id") % 3 === i)
             .write.mode("overwrite").parquet(s"$root/l/batch_$i")
@@ -350,7 +372,7 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        }
+        } }
 
         s.read.parquet(out)
           .agg(count(lit(1)).as("n_pairs"),
@@ -399,6 +421,7 @@ object StreamQueries {
         val dim = Tables.customer(s, dir)
           .select(col("c_custkey"), col("c_mktsegment"))
 
+        withStatePartitions(s, 8) {
         (0 until 3).foreach { i =>
           ev.where(col("event_id") % 3 === i)
             .write.mode("overwrite").parquet(s"$spool/batch_$i")
@@ -415,7 +438,7 @@ object StreamQueries {
             .trigger(Trigger.AvailableNow())
             .start()
           q.awaitTermination()
-        }
+        } }
 
         s.read.parquet(out)
           .groupBy(col("segment"))

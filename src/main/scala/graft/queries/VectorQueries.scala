@@ -279,10 +279,13 @@ object VectorQueries {
     // baseline like q30). Ratio = proj_d2 / (true_d2 * 16 * E[c^2]) in
     // floor-permille, where E[c^2] = 14/36 is the exact second moment of
     // the plane components ((k-6)/6, k uniform over 13 residues) — so
-    // 1000 means perfectly preserved. The gate pins min/max/avg permille
-    // exactly plus the JL-bound boolean. At 100 TB the projection is the
-    // map-side shrink that makes downstream ANN 4x cheaper per probe;
-    // the audit is how you validate the shrink before committing to it.
+    // 1000 means perfectly preserved. min/max/avg/median permille are
+    // pinned exactly; the quality BOUND gates the median (k=16 makes
+    // per-pair tails wide — near-identical pairs have tiny true
+    // distances and unstable ratios — but the median is the committed
+    // estimate). At 100 TB the projection is the map-side shrink that
+    // makes downstream ANN 4x cheaper per probe; the audit is how you
+    // validate the shrink before committing a corpus rewrite to it.
     QueryDef(
       "q158_jl_projection_audit",
       (s, dir) => {
@@ -310,9 +313,11 @@ object VectorQueries {
             (lit(56.0) * col("true_d2"))).as("pm"))
         pairs.agg(count(lit(1)).as("n_pairs"),
             min(col("pm")).as("min_pm"), max(col("pm")).as("max_pm"),
-            expr("CAST(sum(pm) DIV count(1) AS BIGINT)").as("avg_pm"))
+            expr("CAST(sum(pm) DIV count(1) AS BIGINT)").as("avg_pm"),
+            expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY pm) AS BIGINT)")
+              .as("med_pm"))
           .withColumn("is_bounded",
-            col("min_pm") >= 100 && col("max_pm") <= 5000)
+            col("med_pm") >= 600 && col("med_pm") <= 1800)
           .orderBy(col("n_pairs"))
       },
       Some(s"""
@@ -338,7 +343,8 @@ object VectorQueries {
                CAST(MIN(pm) AS BIGINT) AS min_pm,
                CAST(MAX(pm) AS BIGINT) AS max_pm,
                CAST(SUM(pm) // COUNT(*) AS BIGINT) AS avg_pm,
-               (MIN(pm) >= 100 AND MAX(pm) <= 5000) AS is_bounded
+               CAST(quantile_disc(pm, 0.5) AS BIGINT) AS med_pm,
+               (quantile_disc(pm, 0.5) BETWEEN 600 AND 1800) AS is_bounded
         FROM pm
         ORDER BY n_pairs""")))
 }
