@@ -146,5 +146,63 @@ object CdcQueries {
                CAST(SUM(k) AS BIGINT) AS key_checksum
         FROM cls
         GROUP BY change
-        ORDER BY change""")))
+        ORDER BY change""")),
+
+    // CDC GENERATION (the inverse of q117's CDC apply): derive the
+    // insert/update/delete op stream that turns snapshot OLD into
+    // snapshot NEW — the export side of change capture, built from a
+    // full-outer join on the key with exact cent deltas riding along.
+    // OLD excludes the %11 keys (-> inserts), NEW drops the %13 keys
+    // (-> deletes) and bumps %7 prices by one dollar (-> updates);
+    // everything else is a noop and NEVER emitted (the op stream must
+    // stay proportional to the CHANGE, not the table — that is the
+    // whole point of CDC at 100 TB). Payload deltas are exact cents.
+    QueryDef(
+      "q164_cdc_generate",
+      (s, dir) => {
+        val base = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long").as("cents"))
+        val oldS = base.where(col("k") % 11 =!= 0)
+          .select(col("k"), col("cents").as("old_cents"))
+        val newS = base.where(col("k") % 13 =!= 0)
+          .select(col("k"),
+            (col("cents") + when(col("k") % 7 === 0, 100L).otherwise(0L))
+              .as("new_cents"))
+        val ops = oldS.join(newS, Seq("k"), "full_outer")
+          .withColumn("op",
+            when(col("old_cents").isNull, "I")
+              .when(col("new_cents").isNull, "D")
+              .when(col("old_cents") =!= col("new_cents"), "U"))
+          .where(col("op").isNotNull)
+        ops.groupBy(col("op"))
+          .agg(count(lit(1)).as("n_ops"),
+            sum(col("k")).as("key_checksum"),
+            sum(coalesce(col("new_cents"), lit(0L))
+              - coalesce(col("old_cents"), lit(0L))).as("delta_cents"))
+          .orderBy(col("op"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        olds AS (
+          SELECT k, cents AS old_cents FROM base WHERE k % 11 <> 0),
+        news AS (
+          SELECT k, cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END AS new_cents
+          FROM base WHERE k % 13 <> 0),
+        ops AS (
+          SELECT COALESCE(o.k, n.k) AS k, o.old_cents, n.new_cents,
+                 CASE WHEN o.k IS NULL THEN 'I'
+                      WHEN n.k IS NULL THEN 'D'
+                      WHEN o.old_cents <> n.new_cents THEN 'U' END AS op
+          FROM olds o FULL OUTER JOIN news n ON o.k = n.k)
+        SELECT op, CAST(COUNT(*) AS BIGINT) AS n_ops,
+               CAST(SUM(k) AS BIGINT) AS key_checksum,
+               CAST(SUM(COALESCE(new_cents, 0) - COALESCE(old_cents, 0))
+                 AS BIGINT) AS delta_cents
+        FROM ops WHERE op IS NOT NULL
+        GROUP BY op
+        ORDER BY op""")))
 }

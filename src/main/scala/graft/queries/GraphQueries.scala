@@ -119,5 +119,81 @@ object GraphQueries {
         SELECT from_type, to_type, n_transitions,
                CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS from_total
         FROM cells
-        ORDER BY from_type, to_type""")))
+        ORDER BY from_type, to_type""")),
+
+    // Exact triangle counting with DEGREE-ORDERED orientation — the
+    // trick that makes distributed triangle enumeration tractable: each
+    // undirected edge is directed from its lower-(degree, id) endpoint,
+    // so every wedge is generated at its lowest-degree corner and the
+    // wedge count is O(E^1.5) instead of Sum(deg^2) on hot nodes (hub
+    // vertices RECEIVE edges, never fan out). Graph = co-occurrence of
+    // a deterministic 1-in-10 part sample inside orders (pair fan-out
+    // bounded by order width like q102). Two equi-joins: wedge build,
+    // closure probe. Gate pins edge/wedge/triangle counts and a corner
+    // checksum.
+    QueryDef(
+      "q162_triangle_count",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .where(col("l_partkey") % 10 === 0)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.select(col("k"), col("p").as("a"))
+          .join(li.select(col("k"), col("p").as("b")), Seq("k"))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+        val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val dir2 = e
+          .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+          .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+          .select(
+            when(col("da") < col("db") ||
+                 (col("da") === col("db") && col("a") < col("b")),
+              struct(col("a").as("u"), col("b").as("v")))
+              .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("uv"))
+          .select(col("uv.u").as("u"), col("uv.v").as("v"))
+        val wedges = dir2.select(col("u"), col("v").as("w1"))
+          .join(dir2.select(col("u"), col("v").as("w2")), Seq("u"))
+          .where(col("w1") < col("w2"))
+        val tris = wedges.join(
+          e.select(col("a").as("w1"), col("b").as("w2")), Seq("w1", "w2"))
+        val nE = e.count()
+        val nW = wedges.count()
+        tris.agg(count(lit(1)).as("n_triangles"),
+            sum(col("u") + col("w1") + col("w2")).as("corner_checksum"))
+          .select(lit(nE).as("n_edges"), lit(nW).as("n_wedges"),
+            col("n_triangles"),
+            coalesce(col("corner_checksum"), lit(0L)).as("corner_checksum"))
+          .orderBy(col("n_edges"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+          FROM lineitem WHERE l_partkey % 10 = 0),
+        e AS (
+          SELECT DISTINCT x.p AS a, y.p AS b
+          FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        deg AS (
+          SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+          GROUP BY 1),
+        dir2 AS (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS v
+          FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        wedges AS (
+          SELECT x.u, x.v AS w1, y.v AS w2
+          FROM dir2 x JOIN dir2 y ON x.u = y.u AND x.v < y.v),
+        tris AS (
+          SELECT w.u, w.w1, w.w2
+          FROM wedges w JOIN e ON e.a = w.w1 AND e.b = w.w2)
+        SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+               CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+               CAST(COUNT(*) AS BIGINT) AS n_triangles,
+               CAST(COALESCE(SUM(u + w1 + w2), 0) AS BIGINT) AS corner_checksum
+        FROM tris
+        ORDER BY n_edges""")))
 }

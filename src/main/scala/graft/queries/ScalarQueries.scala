@@ -186,5 +186,63 @@ object ScalarQueries {
       Some("""
         SELECT DISTINCT o_orderpriority, o_orderstatus
         FROM orders
-        ORDER BY o_orderpriority, o_orderstatus""")))
+        ORDER BY o_orderpriority, o_orderstatus""")),
+
+    // Business-day lead time (order date -> ship date, weekends
+    // excluded) in PURE integer arithmetic: W(d) = weekdays in
+    // [Monday-anchor, d) = 5*(n div 7) + least(n mod 7, 5); lead =
+    // W(ship+1) - W(order+1) counts weekdays in (order, ship]. No
+    // calendar UDF, no per-day explode — two datediffs and modular
+    // arithmetic per row, identical on both engines because every step
+    // is integer. The SLA-bucket rollup pins the distribution and a key
+    // checksum; the join is the usual broadcast of orders' key/date
+    // projection.
+    QueryDef(
+      "q165_business_days_lead",
+      (s, dir) => {
+        val anchor = lit("1990-01-01").cast("date") // a Monday
+        def wd(d: org.apache.spark.sql.Column) = {
+          val n = datediff(d, anchor)
+          (n / 7).cast("long") * 5 + least(pmod(n, lit(7)).cast("long"), lit(5L))
+        }
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ordered"))
+        li.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("lead_bd",
+            wd(date_add(col("ship"), 1)) - wd(date_add(col("ordered"), 1)))
+          .withColumn("bucket",
+            when(col("lead_bd") <= 5, "0_within_week")
+              .when(col("lead_bd") <= 21, "1_within_month")
+              .when(col("lead_bd") <= 63, "2_within_quarter")
+              .otherwise("3_longer"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("lead_bd")).as("lead_bd_sum"),
+            sum(col("l_orderkey")).as("key_checksum"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH j AS (
+          SELECT l.l_orderkey,
+                 (5 * ((CAST(l.l_shipdate AS DATE) + 1 - DATE '1990-01-01') // 7)
+                   + LEAST((CAST(l.l_shipdate AS DATE) + 1 - DATE '1990-01-01') % 7, 5))
+                 - (5 * ((CAST(o.o_orderdate AS DATE) + 1 - DATE '1990-01-01') // 7)
+                   + LEAST((CAST(o.o_orderdate AS DATE) + 1 - DATE '1990-01-01') % 7, 5))
+                   AS lead_bd
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        b AS (
+          SELECT l_orderkey, lead_bd,
+                 CASE WHEN lead_bd <= 5 THEN '0_within_week'
+                      WHEN lead_bd <= 21 THEN '1_within_month'
+                      WHEN lead_bd <= 63 THEN '2_within_quarter'
+                      ELSE '3_longer' END AS bucket
+          FROM j)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(lead_bd) AS BIGINT) AS lead_bd_sum,
+               CAST(SUM(l_orderkey) AS BIGINT) AS key_checksum
+        FROM b
+        GROUP BY 1
+        ORDER BY 1""")))
 }

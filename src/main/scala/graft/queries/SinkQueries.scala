@@ -261,5 +261,50 @@ object SinkQueries {
                CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS session_value
         FROM sess
         GROUP BY 1, 2
-        ORDER BY 1, 2""")))
+        ORDER BY 1, 2""")),
+
+    // Incremental AGGREGATE-STATE maintenance — the materialized-view
+    // upkeep loop: per-day partial aggregates (count + exact cent sum,
+    // both SUM-mergeable) land as a parquet state table; each incoming
+    // batch re-aggregates ITS OWN partials and merges into the state by
+    // key (union + re-agg — never a rescan of prior batches). After
+    // three disjoint batches the state must equal the direct aggregate
+    // of everything — the mergeability contract that lets a 100 TB
+    // daily rollup absorb late data by touching only the affected keys.
+    // Each round writes a NEW state dir (parquet can't overwrite its
+    // own input); real deployments flip a view pointer the same way.
+    QueryDef(
+      "q163_incremental_agg_state",
+      (s, dir) => {
+        val root = scratchDir("graft_agg_state")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+        val o = Tables.orders(s, dir).select(
+          to_date(col("o_orderdate")).as("day"), col("o_orderkey"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        (0 until 3).foreach { i =>
+          val partial = o.where(col("o_orderkey") % 3 === i)
+            .groupBy(col("day"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+          val merged =
+            if (i == 0) partial
+            else s.read.parquet(s"$root/state_${i - 1}")
+              .unionByName(partial)
+              .groupBy(col("day"))
+              .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+          merged.write.mode("overwrite").parquet(s"$root/state_$i")
+        }
+        s.read.parquet(s"$root/state_2")
+          .select(col("day"), col("n"), col("sum_cents"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1""")))
 }
