@@ -257,5 +257,89 @@ object MixQueries {
                CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
         FROM ranked
         GROUP BY 1
-        ORDER BY shard""")))
+        ORDER BY shard""")),
+
+    // Capped waterfilling mix — the allocation step q89's temperature
+    // weights feed into: give each language floor(sqrt(cap)) weight
+    // (temperature 0.5) of a 90% token budget (high enough that the
+    // flattening pushes small languages past their availability — both
+    // branches and the redistribution are exercised by the data), but never MORE tokens
+    // than it has (the availability cap). Closed form, no iteration:
+    // sort languages by cap/weight (floor-div ratio key, lang
+    // tiebreak — both engines sort by the identical composite);
+    // a language is capped iff its proportional share of the budget
+    // REMAINING after all earlier (scarcer) languages exceeds its cap,
+    // and cappedness is monotone in that order (running-min flag).
+    // Every comparison is cross-multiplied BIGINT; sqrt is correctly
+    // rounded IEEE on integers < 2^53 then floored, so both engines
+    // derive identical weights. The frame is |languages| rows — the
+    // whole computation after one corpus aggregate is broadcast-sized,
+    // which is exactly why the mix step never bottlenecks at 100 TB.
+    QueryDef(
+      "q166_waterfill_mix",
+      (s, dir) => {
+        val langs = Tables.documents(s, dir)
+          .groupBy(col("lang")).agg(sum(col("n_chars")).as("cap"))
+          .withColumn("wgt", floor(sqrt(col("cap"))).cast("long"))
+        val all = Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val byRatio = Window.partitionBy(lit(1))
+          .orderBy(expr("cap * 1000000000 DIV wgt"), col("lang"))
+        val prefix = byRatio.rowsBetween(Window.unboundedPreceding, -1)
+        val runMin = byRatio.rowsBetween(Window.unboundedPreceding, 0)
+        val flagged = langs
+          .withColumn("B", expr("CAST(sum(cap) OVER " +
+            "(PARTITION BY 1 ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+            "UNBOUNDED FOLLOWING) * 9 DIV 10 AS BIGINT)"))
+          .withColumn("W", sum(col("wgt")).over(all))
+          .withColumn("pc", coalesce(sum(col("cap")).over(prefix), lit(0L)))
+          .withColumn("pw", coalesce(sum(col("wgt")).over(prefix), lit(0L)))
+          .withColumn("cond",
+            (col("cap") * (col("W") - col("pw")) <
+              col("wgt") * (col("B") - col("pc"))).cast("int"))
+          .withColumn("is_capped", min(col("cond")).over(runMin) === 1)
+        flagged
+          .withColumn("cap_c",
+            sum(when(col("is_capped"), col("cap")).otherwise(0L)).over(all))
+          .withColumn("cap_w",
+            sum(when(col("is_capped"), col("wgt")).otherwise(0L)).over(all))
+          .withColumn("alloc",
+            when(col("is_capped"), col("cap")).otherwise(
+              expr("wgt * (B - cap_c) DIV (W - cap_w)")))
+          .select(col("lang"), col("cap"), col("wgt"), col("is_capped"),
+            col("alloc"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        WITH langs AS (
+          SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS cap,
+                 CAST(floor(sqrt(CAST(SUM(n_chars) AS DOUBLE))) AS BIGINT) AS wgt
+          FROM documents GROUP BY 1),
+        tot AS (
+          SELECT *,
+                 (SUM(cap) OVER ()) * 9 // 10 AS B,
+                 SUM(wgt) OVER () AS W,
+                 COALESCE(SUM(cap) OVER w, 0) AS pc,
+                 COALESCE(SUM(wgt) OVER w, 0) AS pw
+          FROM langs
+          WINDOW w AS (ORDER BY (cap * 1000000000) // wgt, lang
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        flagged AS (
+          SELECT *,
+                 MIN(CASE WHEN cap * (W - pw) < wgt * (B - pc)
+                          THEN 1 ELSE 0 END)
+                   OVER (ORDER BY (cap * 1000000000) // wgt, lang
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                   AS is_capped
+          FROM tot),
+        totals AS (
+          SELECT *,
+                 SUM(CASE WHEN is_capped THEN cap ELSE 0 END) OVER () AS cap_c,
+                 SUM(CASE WHEN is_capped THEN wgt ELSE 0 END) OVER () AS cap_w
+          FROM flagged)
+        SELECT lang, cap, wgt, is_capped,
+               CAST(CASE WHEN is_capped THEN cap
+                    ELSE wgt * (B - cap_c) // (W - cap_w) END AS BIGINT) AS alloc
+        FROM totals
+        ORDER BY lang""")))
 }
