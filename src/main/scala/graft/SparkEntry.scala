@@ -19,7 +19,8 @@ object SparkEntry {
       FunnelQueries.defs ++ ReconQueries.defs ++ AnalyticsQueries.defs ++
       GraphQueries.defs ++ TemporalQueries.defs ++ JourneyQueries.defs ++
       CdcQueries.defs ++ CompletenessQueries.defs ++ TimeSeriesQueries.defs ++
-      AuditQueries.defs ++ MasterDataQueries.defs ++ SqlSurfaceQueries.defs
+      AuditQueries.defs ++ MasterDataQueries.defs ++ SqlSurfaceQueries.defs ++
+      StatsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q47 is the full fct_orders composite — line math, rollup, joins,
