@@ -266,5 +266,141 @@ object StatsQueries {
                  CAST(COUNT(DISTINCT prio) AS BIGINT) AS v3
           FROM o)
         SELECT * FROM hist UNION ALL SELECT * FROM mcv UNION ALL SELECT * FROM tbl
-        ORDER BY stat_kind, k""")))
+        ORDER BY stat_kind, k""")),
+
+    // Sorted-neighborhood entity-resolution blocking (Hernandez-Stolfo):
+    // the sliding-window complement of q106's equality blocking — sort
+    // all records by a composite key (nation, balance cents, custkey:
+    // a TOTAL order), then compare each record only to its w=3 sorted
+    // successors. Near-duplicates with small key perturbations land
+    // adjacent in the sort even when their equality-block keys differ.
+    // Match rule: same nation and balances within 500 cents.
+    //
+    // Scale: window adjacency is re-expressed as an EQUI-join on
+    // rank + offset (offsets exploded 1..3) — no O(n²) pass, no range
+    // join; cost is exactly 3n candidate rows. The global row_number is
+    // the one concession to the gate's determinism — a cluster run would
+    // range-partition the sort and overlap partition boundaries by w
+    // (the standard distributed sorted-neighborhood construction).
+    QueryDef(
+      "q170_sorted_neighborhood",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(
+          col("c_custkey").as("ck"),
+          col("c_nationkey").cast("long").as("nation"),
+          (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
+            .cast("long").as("cents"))
+        val rn = row_number()
+          .over(Window.orderBy(col("nation"), col("cents"), col("ck"))).cast("long")
+        val r = c.withColumn("rn", rn)
+        val probes = r.withColumn("off", explode(array(lit(1L), lit(2L), lit(3L))))
+          .select(col("ck").as("ck_a"), col("nation").as("nation_a"),
+            col("cents").as("cents_a"), (col("rn") + col("off")).as("rn_b"))
+        val pairs = probes.join(
+          r.select(col("ck").as("ck_b"), col("nation").as("nation_b"),
+            col("cents").as("cents_b"), col("rn").as("rn_b")), "rn_b")
+        val matched = pairs.withColumn("is_match",
+          col("nation_a") === col("nation_b") &&
+            abs(col("cents_a") - col("cents_b")) <= lit(500L))
+        matched.groupBy(col("nation_a").as("nation"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(when(col("is_match"), 1L).otherwise(0L)).as("n_matches"),
+            sum(when(col("is_match"), col("ck_a") * 100000L + col("ck_b"))
+              .otherwise(0L)).as("match_checksum"))
+          .orderBy(col("nation"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nation,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+          FROM customer),
+        r AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY nation, cents, ck) AS BIGINT) AS rn
+          FROM c),
+        probes AS (
+          SELECT a.ck ck_a, a.nation nation_a, a.cents cents_a, a.rn + o.off AS rn_b
+          FROM r a CROSS JOIN (SELECT unnest([1,2,3]) AS off) o),
+        pairs AS (
+          SELECT p.*, b.ck ck_b, b.nation nation_b, b.cents cents_b
+          FROM probes p JOIN r b ON b.rn = p.rn_b),
+        m AS (
+          SELECT *, (nation_a = nation_b AND abs(cents_a - cents_b) <= 500) AS is_match
+          FROM pairs)
+        SELECT nation_a AS nation, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+               CAST(SUM(CASE WHEN is_match THEN ck_a * 100000 + ck_b ELSE 0 END) AS BIGINT)
+                 AS match_checksum
+        FROM m
+        GROUP BY 1
+        ORDER BY nation""")),
+
+    // Count-min sketch heavy hitters — the mergeable frequency sketch
+    // next to q100's HLL (distinct) and q46's KLL-style quantiles: d=4
+    // hash rows × w=1024 counters, est(k) = min_i cms[i][h_i(k)]. The
+    // deterministic CMS guarantee — estimate NEVER undercounts — is the
+    // gate (`one_sided_ok` must be literal true for every exact-top-10
+    // key); the overshoot column shows the collision error the min over
+    // 4 rows leaves behind. Hashes are the DuckDB-parity md5 u64 family,
+    // so both engines build bit-identical sketches.
+    //
+    // Scale: the sketch build is one partial-aggregated shuffle of
+    // (row, bucket) pairs — 4 rows per input row map-side-combined into
+    // ≤ 4×1024 counters per partition, merged by '+': the fixed-size
+    // mergeable state is the whole point at 100 TB (2M-key exact counts
+    // become 4096 counters); the probe side touches only the 10
+    // candidate keys × 4 buckets.
+    QueryDef(
+      "q171_cms_heavy_hitters",
+      (s, dir) => {
+        import graft.functions.Kernels.{md5Bits, md5BitsModK}
+        val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+        def bucket(row: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
+          md5BitsModK(md5Bits(concat(lit("cms"), row, lit(":"), key)), 1024L)
+        val sketch = li
+          .withColumn("row_i", explode(array(lit(0L), lit(1L), lit(2L), lit(3L))))
+          .select(col("row_i"), bucket(col("row_i"), col("l_partkey")).as("bkt"))
+          .groupBy(col("row_i"), col("bkt")).agg(count(lit(1)).as("cnt"))
+        val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("true_cnt"))
+        val top = truth.withColumn("rnk",
+            row_number().over(Window.orderBy(col("true_cnt").desc, col("l_partkey"))))
+          .where(col("rnk") <= 10).drop("rnk")
+        val est = top
+          .withColumn("row_i", explode(array(lit(0L), lit(1L), lit(2L), lit(3L))))
+          .select(col("l_partkey"), col("true_cnt"), col("row_i"),
+            bucket(col("row_i"), col("l_partkey")).as("bkt"))
+          .join(sketch, Seq("row_i", "bkt"))
+          .groupBy(col("l_partkey"), col("true_cnt"))
+          .agg(min(col("cnt")).as("est_cnt"))
+        est.select(col("l_partkey"), col("true_cnt"), col("est_cnt"),
+            (col("est_cnt") >= col("true_cnt")).as("one_sided_ok"),
+            (col("est_cnt") - col("true_cnt")).as("overshoot"))
+          .orderBy(col("true_cnt").desc, col("l_partkey"))
+      },
+      Some("""
+        WITH li AS (SELECT l_partkey FROM lineitem),
+        rows4 AS (SELECT unnest(range(0, 4)) AS row_i),
+        sketch AS (
+          SELECT row_i,
+                 CAST(md5_number_lower('cms' || row_i || ':' || l_partkey) % 1024 AS BIGINT) AS bkt,
+                 COUNT(*) AS cnt
+          FROM li CROSS JOIN rows4
+          GROUP BY 1, 2),
+        truth AS (SELECT l_partkey, COUNT(*) AS true_cnt FROM li GROUP BY 1),
+        top AS (
+          SELECT l_partkey, true_cnt
+          FROM (SELECT *, row_number() OVER (ORDER BY true_cnt DESC, l_partkey) rnk
+                FROM truth)
+          WHERE rnk <= 10),
+        est AS (
+          SELECT t.l_partkey, t.true_cnt, MIN(s.cnt) AS est_cnt
+          FROM top t CROSS JOIN rows4 r
+          JOIN sketch s ON s.row_i = r.row_i
+               AND s.bkt = CAST(md5_number_lower('cms' || r.row_i || ':' || t.l_partkey) % 1024 AS BIGINT)
+          GROUP BY 1, 2)
+        SELECT l_partkey, CAST(true_cnt AS BIGINT) AS true_cnt,
+               CAST(est_cnt AS BIGINT) AS est_cnt,
+               est_cnt >= true_cnt AS one_sided_ok,
+               CAST(est_cnt - true_cnt AS BIGINT) AS overshoot
+        FROM est
+        ORDER BY true_cnt DESC, l_partkey""")))
 }
