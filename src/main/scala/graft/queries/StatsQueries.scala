@@ -402,5 +402,186 @@ object StatsQueries {
                est_cnt >= true_cnt AS one_sided_ok,
                CAST(est_cnt - true_cnt AS BIGINT) AS overshoot
         FROM est
-        ORDER BY true_cnt DESC, l_partkey""")))
+        ORDER BY true_cnt DESC, l_partkey""")),
+
+    // BM25 top-k retrieval — the lexical ranking function every corpus
+    // search/retrieval pipeline starts from: tf saturation (k1=1.2) and
+    // document-length normalization (b=0.75) per query term, idf in the
+    // transcendental-free stance (q141): Robertson's idf is
+    // ln((N-df+0.5)/(df+0.5)) — engine-dependent ln — so the gate scores
+    // with its rational ODDS argument (2(N-df)+1)/(2df+1), exact-integer
+    // cross-multiplied then divided ONCE; ranking behavior (rare terms
+    // dominate) is preserved. The per-doc sum over the 5 fixed query
+    // terms is PIVOTED into columns and added in one fixed textual order
+    // — never a SUM aggregate over doubles, whose accumulation order no
+    // engine guarantees.
+    //
+    // Scale: tf/df/dl are three partial-aggregated passes over the token
+    // stream (the q27-family explode shape); the query side is 5 fixed
+    // terms, so scoring is a broadcast of two tiny frames (term df, the
+    // 1-row corpus stats) against the doc-term counts — at 100 TB the
+    // only big exchange is the token-stream aggregation itself.
+    QueryDef(
+      "q172_bm25_topk",
+      (s, dir) => {
+        val terms = Seq("dup", "vector", "merge", "stream", "hash")
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val qtoks = toks.where(col("tk").isInCollection(terms))
+        val df = qtoks.select(col("doc_id"), col("tk")).distinct()
+          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        val tf = qtoks.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+        val scored = tf.join(broadcast(df), "tk")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .withColumn("idf",
+            (lit(2L) * (col("n_docs") - col("df")) + lit(1L)).cast("double") /
+              (lit(2L) * col("df") + lit(1L)).cast("double"))
+          .withColumn("tfn",
+            (col("tf").cast("double") * lit(2.2d)) /
+              (col("tf").cast("double") +
+                lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl").cast("double") / col("avgdl"))))
+          .withColumn("score_t", col("idf") * col("tfn"))
+        val termAggs = terms.map(t =>
+          coalesce(max(when(col("tk") === t, col("score_t"))), lit(0.0d)).as("s_" + t))
+        val pivoted = scored.groupBy(col("doc_id"), col("dl"))
+          .agg(termAggs.head, termAggs.tail: _*)
+        pivoted.select(col("doc_id"), col("dl"),
+            (col("s_dup") + col("s_vector") + col("s_merge") + col("s_stream") +
+              col("s_hash")).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        qtoks AS (SELECT * FROM toks WHERE tk IN ('dup','vector','merge','stream','hash')),
+        df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1),
+        tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM qtoks GROUP BY 1, 2),
+        scored AS (
+          SELECT t.doc_id, t.tk, l.dl,
+                 CAST(2 * (s.n_docs - f.df) + 1 AS DOUBLE) /
+                   CAST(2 * f.df + 1 AS DOUBLE) *
+                 ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE) /
+                  (CAST(t.tf AS DOUBLE) +
+                   1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * CAST(l.dl AS DOUBLE) /
+                     (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS score_t
+          FROM tf t JOIN df f USING (tk) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        pivoted AS (
+          SELECT doc_id, dl,
+                 COALESCE(MAX(CASE WHEN tk = 'dup' THEN score_t END), 0.0::DOUBLE) AS s_dup,
+                 COALESCE(MAX(CASE WHEN tk = 'vector' THEN score_t END), 0.0::DOUBLE) AS s_vector,
+                 COALESCE(MAX(CASE WHEN tk = 'merge' THEN score_t END), 0.0::DOUBLE) AS s_merge,
+                 COALESCE(MAX(CASE WHEN tk = 'stream' THEN score_t END), 0.0::DOUBLE) AS s_stream,
+                 COALESCE(MAX(CASE WHEN tk = 'hash' THEN score_t END), 0.0::DOUBLE) AS s_hash
+          FROM scored GROUP BY 1, 2)
+        SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+               s_dup + s_vector + s_merge + s_stream + s_hash AS score
+        FROM pivoted
+        ORDER BY score DESC, doc_id
+        LIMIT 20""")),
+
+    // Consistent-hash ring assignment — the partitioner-design op behind
+    // every shard-rebalance decision: 9 shards × 32 virtual nodes on a
+    // u64 md5 ring, each doc owned by its clockwise-successor vnode.
+    // The gate computes the assignment under the 8-shard ring AND the
+    // 9-shard ring (same vnodes + shard 8's) in one pass and checks THE
+    // consistent-hashing theorem as data: when a shard is added, docs
+    // only ever move TO the new shard (`only_new_shard_gains` must be
+    // literal true for shards 0-7) — a mod-N partitioner would reshuffle
+    // nearly everything.
+    //
+    // Scale: the ring is 288 rows — broadcast; successor lookup is a
+    // conditional-min aggregate per doc over the broadcast ring (no
+    // shuffle of the doc side at all until the per-shard count). Ring
+    // order is compared in md5BitsOrderable space (unsigned-order-
+    // preserving signed image) — the DuckDB twin compares raw
+    // md5_number_lower values, which are natively unsigned.
+    QueryDef(
+      "q173_consistent_hash",
+      (s, dir) => {
+        import graft.functions.Kernels.{md5Bits, md5BitsOrderable}
+        val ring = s.range(0, 9).select(col("id").as("shard"))
+          .withColumn("v", explode(sequence(lit(0L), lit(31L))))
+          .withColumn("rh", md5BitsOrderable(md5Bits(
+            concat(lit("ring:"), col("shard"), lit(":"), col("v")))))
+          .select(col("shard"), col("rh"))
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          md5BitsOrderable(md5Bits(concat(lit("doc:"), col("doc_id")))).as("p"))
+        val targets = docs.crossJoin(broadcast(ring))
+          .groupBy(col("doc_id"), col("p"))
+          .agg(
+            min(when(col("shard") < 8 && col("rh") >= col("p"), col("rh"))).as("m8s"),
+            min(when(col("shard") < 8, col("rh"))).as("m8m"),
+            min(when(col("rh") >= col("p"), col("rh"))).as("m9s"),
+            min(col("rh")).as("m9m"))
+          .select(col("doc_id"),
+            coalesce(col("m8s"), col("m8m")).as("t8"),
+            coalesce(col("m9s"), col("m9m")).as("t9"))
+        val r8 = ring.where(col("shard") < 8)
+          .select(col("rh").as("t8"), col("shard").as("shard8"))
+        val r9 = ring.select(col("rh").as("t9"), col("shard").as("shard9"))
+        val assigned = targets
+          .join(broadcast(r8), "t8").join(broadcast(r9), "t9")
+          .groupBy(col("doc_id"))
+          .agg(min(col("shard8")).as("shard8"), min(col("shard9")).as("shard9"))
+        val perShard = assigned.groupBy(col("shard9").as("shard"))
+          .agg(count(lit(1)).as("n_docs_9"),
+            sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L)).as("n_moved_in"),
+            sum(col("doc_id")).as("id_checksum_9"))
+        val n8 = assigned.groupBy(col("shard8").as("shard"))
+          .agg(count(lit(1)).as("n_docs_8"))
+        s.range(0, 9).select(col("id").as("shard"))
+          .join(n8, Seq("shard"), "left")
+          .join(perShard, Seq("shard"), "left")
+          .select(col("shard"),
+            coalesce(col("n_docs_8"), lit(0L)).as("n_docs_8"),
+            coalesce(col("n_docs_9"), lit(0L)).as("n_docs_9"),
+            coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+            (col("shard") === 8 || coalesce(col("n_moved_in"), lit(0L)) === 0L)
+              .as("only_new_shard_gains"),
+            coalesce(col("id_checksum_9"), lit(0L)).as("id_checksum_9"))
+          .orderBy(col("shard"))
+      },
+      Some("""
+        WITH ring AS (
+          SELECT s.range AS shard, v.range AS v,
+                 md5_number_lower('ring:' || s.range || ':' || v.range) AS rh
+          FROM range(0, 9) s, range(0, 32) v),
+        docs AS (
+          SELECT doc_id, md5_number_lower('doc:' || doc_id) AS p FROM documents),
+        targets AS (
+          SELECT d.doc_id,
+                 COALESCE(MIN(r.rh) FILTER (r.shard < 8 AND r.rh >= d.p),
+                          MIN(r.rh) FILTER (r.shard < 8)) AS t8,
+                 COALESCE(MIN(r.rh) FILTER (r.rh >= d.p), MIN(r.rh)) AS t9
+          FROM docs d CROSS JOIN ring r
+          GROUP BY 1),
+        assigned AS (
+          SELECT t.doc_id, MIN(r8.shard) AS shard8, MIN(r9.shard) AS shard9
+          FROM targets t
+          JOIN ring r8 ON r8.rh = t.t8 AND r8.shard < 8
+          JOIN ring r9 ON r9.rh = t.t9
+          GROUP BY 1),
+        per_shard AS (
+          SELECT shard9 AS shard, COUNT(*) AS n9,
+                 SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS moved_in,
+                 SUM(doc_id) AS checksum9
+          FROM assigned GROUP BY 1),
+        n8 AS (SELECT shard8 AS shard, COUNT(*) AS n8 FROM assigned GROUP BY 1)
+        SELECT s.range AS shard,
+               CAST(COALESCE(n8.n8, 0) AS BIGINT) AS n_docs_8,
+               CAST(COALESCE(p.n9, 0) AS BIGINT) AS n_docs_9,
+               CAST(COALESCE(p.moved_in, 0) AS BIGINT) AS n_moved_in,
+               (s.range = 8 OR COALESCE(p.moved_in, 0) = 0) AS only_new_shard_gains,
+               CAST(COALESCE(p.checksum9, 0) AS BIGINT) AS id_checksum_9
+        FROM range(0, 9) s
+        LEFT JOIN n8 ON n8.shard = s.range
+        LEFT JOIN per_shard p ON p.shard = s.range
+        ORDER BY shard""")))
 }
