@@ -583,5 +583,153 @@ object StatsQueries {
         FROM range(0, 9) s
         LEFT JOIN n8 ON n8.shard = s.range
         LEFT JOIN per_shard p ON p.shard = s.range
-        ORDER BY shard""")))
+        ORDER BY shard""")),
+
+    // Interval k-coverage per day — the union-length sibling of q103's
+    // max-concurrency sweep: how many MICROSECONDS of each day are
+    // covered by >= 1 and >= 2 active 30-minute event windows
+    // (utilization and contention, the two capacity-planning numbers).
+    // Same midnight-clipped +1/-1 boundary stream as q103; deltas are
+    // pre-summed per distinct instant, the running count is a cumulative
+    // sum in event-time order, and each inter-boundary segment
+    // contributes its microsecond width to every k <= running count.
+    // Pure integers end-to-end (unix_micros / epoch_us — the floor-safe
+    // timestamp basis, never CAST(epoch AS BIGINT) which rounds on one
+    // engine and truncates on the other).
+    //
+    // Scale: the sweep is per-day partitioned — boundaries shuffle once
+    // on day, the cumulative sum and lead share that one sort; no
+    // self-join, no explode beyond the 2-row boundary pair per event.
+    QueryDef(
+      "q174_interval_coverage",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("ts").as("st"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("en"))
+          .withColumn("d1", to_date(col("st")))
+          .withColumn("midnight", date_add(col("d1"), 1).cast("timestamp"))
+        val clipped = e.select(
+          array(
+            struct(col("d1").as("day"), col("st").as("t0"),
+              least(col("en"), col("midnight")).as("t1")),
+            struct(date_add(col("d1"), 1).as("day"), col("midnight").as("t0"),
+              col("en").as("t1"))).as("ivs"))
+          .select(explode(col("ivs")).as("iv"))
+          .select(col("iv.day"), col("iv.t0"), col("iv.t1"))
+          .where(col("t1") > col("t0"))
+        val bounds = clipped.select(
+            array(
+              struct(col("day"), unix_micros(col("t0")).as("t"), lit(1L).as("delta")),
+              struct(col("day"), unix_micros(col("t1")).as("t"), lit(-1L).as("delta"))).as("bs"))
+          .select(explode(col("bs")).as("b"))
+          .select(col("b.day"), col("b.t"), col("b.delta"))
+          .groupBy(col("day"), col("t")).agg(sum(col("delta")).as("d"))
+        val byT = Window.partitionBy(col("day")).orderBy(col("t"))
+        val seg = bounds
+          .withColumn("c", sum(col("d")).over(
+            byT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("w", coalesce(lead(col("t"), 1).over(byT) - col("t"), lit(0L)))
+        seg.groupBy(col("day"))
+          .agg(sum(when(col("c") >= 1L, col("w")).otherwise(0L)).as("covered_us"),
+            sum(when(col("c") >= 2L, col("w")).otherwise(0L)).as("contended_us"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT ts AS st, ts + INTERVAL 30 MINUTE AS en,
+                 CAST(ts AS DATE) AS d1,
+                 CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP) AS midnight
+          FROM events),
+        clipped AS (
+          SELECT d1 AS day, st AS t0, LEAST(en, midnight) AS t1 FROM iv
+          UNION ALL
+          SELECT d1 + 1 AS day, midnight AS t0, en AS t1 FROM iv
+          WHERE en > midnight),
+        bounds AS (
+          SELECT day, t, SUM(delta) AS d FROM (
+            SELECT day, epoch_us(t0) AS t, 1 AS delta FROM clipped WHERE t1 > t0
+            UNION ALL
+            SELECT day, epoch_us(t1) AS t, -1 AS delta FROM clipped WHERE t1 > t0)
+          GROUP BY 1, 2),
+        seg AS (
+          SELECT day, t, d,
+                 SUM(d) OVER (PARTITION BY day ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+                 COALESCE(lead(t, 1) OVER (PARTITION BY day ORDER BY t) - t, 0) AS w
+          FROM bounds)
+        SELECT day,
+               CAST(SUM(CASE WHEN c >= 1 THEN w ELSE 0 END) AS BIGINT) AS covered_us,
+               CAST(SUM(CASE WHEN c >= 2 THEN w ELSE 0 END) AS BIGINT) AS contended_us
+        FROM seg
+        GROUP BY 1
+        ORDER BY day""")),
+
+    // Rolling 12-month regression slope (the time-varying beta of q168):
+    // per market segment, the OLS slope of monthly revenue cents against
+    // month index over a trailing 12-row window. The window carries the
+    // four exact integer MOMENTS (Σx, Σy, Σxy, Σx² — month index ≤ ~84
+    // keeps every product in BIGINT), and the slope is ONE double
+    // division of the closed form at the end — a windowed aggregate of
+    // 4 longs, never a windowed aggregate of doubles.
+    //
+    // Scale: one shuffle on segment for the monthly pre-aggregate (5×84
+    // rows), then the rolling window runs on the broadcast-sized frame.
+    // The same shape at 100 TB: the expensive pass is the monthly
+    // rollup, which is partial-aggregated; the rolling math never
+    // touches row-level data.
+    QueryDef(
+      "q175_rolling_beta",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val monthly = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("segment"),
+            (year(to_date(col("o_orderdate"))) * 12 + month(to_date(col("o_orderdate")))
+              - lit(1992 * 12 + 1)).cast("long").as("x"),
+            (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
+              .cast("long").as("cents"))
+          .groupBy(col("segment"), col("x")).agg(sum(col("cents")).as("y"))
+        val w12 = Window.partitionBy(col("segment")).orderBy(col("x"))
+          .rowsBetween(-11, Window.currentRow)
+        val rolled = monthly
+          .withColumn("n", count(lit(1)).over(w12))
+          .withColumn("sx", sum(col("x")).over(w12))
+          .withColumn("sy", sum(col("y")).over(w12))
+          .withColumn("sxy", sum(col("x") * col("y")).over(w12))
+          .withColumn("sxx", sum(col("x") * col("x")).over(w12))
+          .where(col("n") === 12L)
+        rolled.select(col("segment"), col("x").as("month_idx"), col("y").as("month_cents"),
+            ((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double"))).as("beta_12m"))
+          .orderBy(col("segment"), col("month_idx"))
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                      - (1992*12 + 1) AS BIGINT) AS x,
+                 CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+                      AS BIGINT) AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        rolled AS (
+          SELECT segment, x, y,
+                 COUNT(*) OVER w AS n,
+                 SUM(x) OVER w AS sx,
+                 SUM(y) OVER w AS sy,
+                 SUM(x*y) OVER w AS sxy,
+                 SUM(x*x) OVER w AS sxx
+          FROM monthly
+          WINDOW w AS (PARTITION BY segment ORDER BY x
+                       ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        SELECT segment, x AS month_idx, y AS month_cents,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta_12m
+        FROM rolled
+        WHERE n = 12
+        ORDER BY segment, month_idx""")))
 }
