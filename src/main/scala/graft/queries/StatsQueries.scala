@@ -731,5 +731,142 @@ object StatsQueries {
                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta_12m
         FROM rolled
         WHERE n = 12
-        ORDER BY segment, month_idx""")))
+        ORDER BY segment, month_idx""")),
+
+    // RFM quintile segmentation — the standard customer-mart scoring
+    // model: recency (days before the corpus horizon), frequency (order
+    // count), monetary (exact cents), each scored 1-5 by ntile over a
+    // TOTAL order (metric, custkey — the q169 ntile contract makes the
+    // quintile boundaries engine-identical), then a fixed rule table
+    // labels segments. Scores are oriented so 5 = best: recency ntile
+    // runs DESC (most-recent customers land in the highest tile).
+    //
+    // Scale: one aggregate per customer, then three window sorts over
+    // the customer-level frame (1% of fact size); the rule table is a
+    // projection. At 100 TB the fact scan dominates and it's a single
+    // partial-aggregated pass.
+    QueryDef(
+      "q176_rfm_segments",
+      (s, dir) => {
+        val horizon = lit("1998-08-02").cast("date")
+        val o = Tables.orders(s, dir)
+        val rfm = o.groupBy(col("o_custkey").as("ck"))
+          .agg(min(datediff(horizon, to_date(col("o_orderdate")))).cast("long").as("recency_d"),
+            count(lit(1)).as("frequency"),
+            sum((col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
+              .cast("long")).as("monetary_c"))
+        val scored = rfm
+          .withColumn("r_score",
+            ntile(5).over(Window.orderBy(col("recency_d").desc, col("ck"))).cast("long"))
+          .withColumn("f_score",
+            ntile(5).over(Window.orderBy(col("frequency"), col("ck"))).cast("long"))
+          .withColumn("m_score",
+            ntile(5).over(Window.orderBy(col("monetary_c"), col("ck"))).cast("long"))
+        scored
+          .withColumn("segment",
+            when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
+              .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+              .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+              .otherwise("regular"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("monetary_c")).as("segment_cents"),
+            sum(col("ck")).as("ck_checksum"),
+            min(col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("min_rfm"),
+            max(col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("max_rfm"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH rfm AS (
+          SELECT o_custkey AS ck,
+                 CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02'))
+                      AS BIGINT) AS recency_d,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+                      AS BIGINT) AS monetary_c
+          FROM orders GROUP BY 1),
+        scored AS (
+          SELECT *,
+                 CAST(ntile(5) OVER (ORDER BY recency_d DESC, ck) AS BIGINT) AS r_score,
+                 CAST(ntile(5) OVER (ORDER BY frequency, ck) AS BIGINT) AS f_score,
+                 CAST(ntile(5) OVER (ORDER BY monetary_c, ck) AS BIGINT) AS m_score
+          FROM rfm),
+        labeled AS (
+          SELECT *,
+                 CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+                      WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                      WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                      ELSE 'regular' END AS segment
+          FROM scored)
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(monetary_c) AS BIGINT) AS segment_cents,
+               CAST(SUM(ck) AS BIGINT) AS ck_checksum,
+               CAST(MIN(r_score*100 + f_score*10 + m_score) AS BIGINT) AS min_rfm,
+               CAST(MAX(r_score*100 + f_score*10 + m_score) AS BIGINT) AS max_rfm
+        FROM labeled
+        GROUP BY 1
+        ORDER BY segment""")),
+
+    // Bigram collocation mining by exact LIFT — which word pairs
+    // co-occur more than independence predicts. PMI is log(lift) —
+    // transcendental and engine-dependent — so the gate ranks by the
+    // RATIONAL lift itself: B·c(ab) / (c(a)·c(b)) in exact integers,
+    // one double division at the end (log is monotone: the top-k by
+    // lift IS the top-k by PMI). Support floor c(ab) >= 5 kills the
+    // noise pairs that make raw lift explode.
+    //
+    // Scale: bigrams come from the same one-sort-per-doc lead() shape
+    // as the shingle builder; unigram and bigram counts are two
+    // partial-aggregated shuffles; the lift join brings two BROADCAST
+    // unigram maps against the bigram counts (vocabulary-sized, tiny
+    // next to the pair stream).
+    QueryDef(
+      "q177_collocation_lift",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val t = d.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val bi = t.withColumn("w2", lead(col("w"), 1).over(byPos))
+          .where(col("w2").isNotNull)
+        val biCnt = bi.groupBy(col("w").as("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        val uniCnt = t.groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+        val totB = biCnt.agg(sum(col("c_ab")).as("b_total"))
+        val lifted = biCnt.where(col("c_ab") >= 5L)
+          .join(broadcast(uniCnt.select(col("w").as("w1"), col("c_w").as("c_a"))), "w1")
+          .join(broadcast(uniCnt.select(col("w").as("w2"), col("c_w").as("c_b"))), "w2")
+          .crossJoin(broadcast(totB))
+          .withColumn("lift",
+            (col("b_total") * col("c_ab")).cast("double") /
+              (col("c_a") * col("c_b")).cast("double"))
+        lifted.select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+            col("lift"))
+          .orderBy(col("lift").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, unnest(range(0, len(ws))) AS pos, unnest(ws) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') ws FROM documents)),
+        bi AS (
+          SELECT doc_id, w,
+                 lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+          FROM t),
+        bi_cnt AS (
+          SELECT w AS w1, w2, COUNT(*) AS c_ab FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        uni_cnt AS (SELECT w, COUNT(*) AS c_w FROM t GROUP BY 1),
+        tot AS (SELECT SUM(c_ab) AS b_total FROM bi_cnt),
+        lifted AS (
+          SELECT b.w1, b.w2, b.c_ab, a.c_w AS c_a, c.c_w AS c_b,
+                 CAST(t.b_total * b.c_ab AS DOUBLE) / CAST(a.c_w * c.c_w AS DOUBLE) AS lift
+          FROM bi_cnt b
+          JOIN uni_cnt a ON a.w = b.w1
+          JOIN uni_cnt c ON c.w = b.w2
+          CROSS JOIN tot t
+          WHERE b.c_ab >= 5)
+        SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a,
+               CAST(c_b AS BIGINT) AS c_b, lift
+        FROM lifted
+        ORDER BY lift DESC, w1, w2
+        LIMIT 20""")))
 }
