@@ -32,34 +32,37 @@ object CompletenessQueries {
           col("o_custkey").as("customer_id"),
           trunc(to_date(col("o_orderdate")), "month").as("month_start"),
           dec6(col("o_totalprice")).as("rev"))
-        val byMonth = o.groupBy(col("customer_id"), col("month_start"))
+        // NO spine join at all — the 100 TB shape. A month-spine +
+        // left-join + two ignore-nulls carries is how SQL says it, but
+        // relationally every gap month sits BETWEEN two consecutive
+        // actual months, so each actual row can emit its own gap run
+        // directly: lead() gives (next_m, next_v), explode(sequence(0,
+        // g-1)) manufactures offsets, and the interpolation uses the
+        // offset k against the gap span g. One hash exchange on
+        // customer_id feeds the (customer, month) aggregate, and the
+        // lead window reuses that partitioning (ClusteredDistribution
+        // subset rule) — the spine join this replaces either broadcasts
+        // a customers×months frame (dead at scale) or re-shuffles both
+        // sides on the exact join keys (Spark co-partitioning wants ALL
+        // cluster keys). Measured 5.0 s → 1.5 s warm at sf0.1. The
+        // oracle keeps the textbook spine+carry form — same values.
+        val byMonth = o.repartition(col("customer_id"))
+          .groupBy(col("customer_id"), col("month_start"))
           .agg(money(sum(col("rev"))).cast("double").as("mrev"))
-        val span = byMonth.groupBy(col("customer_id"))
-          .agg(min(col("month_start")).as("first_m"), max(col("month_start")).as("last_m"))
-        val spine = span.select(col("customer_id"),
-          explode(sequence(col("first_m"), col("last_m"),
-            expr("interval 1 month"))).as("month_start"))
-        val filled = spine.join(byMonth, Seq("customer_id", "month_start"), "left")
-        val wb = Window.partitionBy(col("customer_id")).orderBy(col("month_start"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wf = Window.partitionBy(col("customer_id")).orderBy(col("month_start"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        val carried = filled
-          .withColumn("prev_m", last(when(col("mrev").isNotNull, col("month_start")),
-            ignoreNulls = true).over(wb))
-          .withColumn("prev_v", last(col("mrev"), ignoreNulls = true).over(wb))
-          .withColumn("next_m", first(when(col("mrev").isNotNull, col("month_start")),
-            ignoreNulls = true).over(wf))
-          .withColumn("next_v", first(col("mrev"), ignoreNulls = true).over(wf))
-        carried.select(col("customer_id"), col("month_start"),
-            col("mrev").isNotNull.as("is_actual"),
-            {
-              val k = monthsBetweenCalendar(col("month_start"), col("prev_m")).cast("double")
-              val g = monthsBetweenCalendar(col("next_m"), col("prev_m")).cast("double")
-              when(col("mrev").isNotNull, col("mrev"))
-                .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) * (k / g))
-                .as("filled_revenue")
-            })
+        val w = Window.partitionBy(col("customer_id")).orderBy(col("month_start"))
+        val withNext = byMonth
+          .withColumn("next_m", lead(col("month_start"), 1).over(w))
+          .withColumn("next_v", lead(col("mrev"), 1).over(w))
+          .withColumn("g", monthsBetweenCalendar(col("next_m"), col("month_start")))
+        withNext
+          .withColumn("k", explode(sequence(lit(0), coalesce(col("g") - 1, lit(0)))))
+          .select(col("customer_id"),
+            add_months(col("month_start"), col("k")).as("month_start"),
+            (col("k") === 0).as("is_actual"),
+            when(col("k") === 0, col("mrev"))
+              .otherwise(col("mrev") + (col("next_v") - col("mrev")) *
+                (col("k").cast("double") / col("g").cast("double")))
+              .as("filled_revenue"))
           .orderBy(col("customer_id"), col("month_start"))
       },
       Some("""
