@@ -259,28 +259,27 @@ object OlapQueries {
           col("o_custkey").as("customer_id"),
           trunc(to_date(col("o_orderdate")), "month").as("month_start"),
           dec6(col("o_totalprice")).as("rev"))
-        val byMonth = o.groupBy(col("customer_id"), col("month_start"))
+        // No spine join (the q122 rewrite, LOCF edition): every actual
+        // month emits its own gap run via lead()+explode — a gap month k
+        // months after its base actual has revenue 0 and
+        // months_since_last_order = k by construction (every actual
+        // month's revenue is > 0, so the base IS the last active month).
+        // One hash exchange on customer_id (the aggregate and the lead
+        // window both reuse it); the oracle keeps the textbook
+        // spine + left-join + ignore-nulls-carry form — same values.
+        val byMonth = o.repartition(col("customer_id"))
+          .groupBy(col("customer_id"), col("month_start"))
           .agg(money(sum(col("rev"))).as("month_revenue"))
-        val span = byMonth.groupBy(col("customer_id"))
-          .agg(min(col("month_start")).as("first_m"),
-            max(col("month_start")).as("last_m"))
-        val spine = span.select(col("customer_id"),
-          explode(sequence(col("first_m"), col("last_m"),
-            expr("interval 1 month"))).as("month_start"))
-        val filled = spine.join(byMonth, Seq("customer_id", "month_start"), "left")
-          .select(col("customer_id"), col("month_start"),
-            coalesce(col("month_revenue"),
-              lit(BigDecimal(0)).cast(DecimalType(38, 6))).as("month_revenue"))
-          .withColumn("active_month",
-            when(col("month_revenue") > 0, col("month_start")))
         val w = Window.partitionBy(col("customer_id")).orderBy(col("month_start"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        filled
-          .withColumn("last_active", last(col("active_month"), ignoreNulls = true).over(w))
-          .select(col("customer_id"), col("month_start"),
-            moneyOut(col("month_revenue")).as("month_revenue"),
-            monthsBetweenCalendar(col("month_start"), col("last_active"))
-              .cast("long").as("months_since_last_order"))
+        byMonth
+          .withColumn("g", monthsBetweenCalendar(
+            lead(col("month_start"), 1).over(w), col("month_start")))
+          .withColumn("k", explode(sequence(lit(0), coalesce(col("g") - 1, lit(0)))))
+          .select(col("customer_id"),
+            add_months(col("month_start"), col("k")).as("month_start"),
+            when(col("k") === 0, moneyOut(col("month_revenue")))
+              .otherwise(lit(0.0d)).as("month_revenue"),
+            col("k").cast("long").as("months_since_last_order"))
           .orderBy(col("customer_id"), col("month_start"))
       },
       Some("""
