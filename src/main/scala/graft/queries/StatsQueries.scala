@@ -42,27 +42,44 @@ object StatsQueries {
       "q167_prefix_filter_join",
       (s, dir) => {
         val d = Tables.documents(s, dir)
+        // The distinct shingle frame feeds FOUR consumers (frequency,
+        // rarity ranking, both sides of the verify join) — materialize
+        // it once via pin-neutral localCheckpoint (the q48/Pipeline
+        // stance: lineage truncated, no cacheManager entry to leak; a
+        // cluster deployment swaps in a reliable checkpoint dir). Every
+        // JOIN below runs on the 8-byte md5 digest of the shingle, never
+        // the ~20-byte string (the repo's digest-first join stance —
+        // halves the bytes through the verify join's candidate×shingle
+        // fan); only the rarity ORDER keeps the string, because the
+        // oracle tiebreaks on it.
+        import graft.functions.Kernels.md5Bits
         val sh = TextDedup.shingleRows(
           d.select(col("doc_id"), tokens(col("text")).as("ws")),
           "doc_id", "ws", 3).distinct()
+          .withColumn("_h", md5Bits(col("_sh")))
+          .localCheckpoint(true)
         val freq = sh.groupBy(col("_sh")).agg(count(lit(1)).as("c"))
         val perDoc = Window.partitionBy(col("doc_id"))
         val byRarity = perDoc.orderBy(col("c"), col("_sh"))
         val ranked = sh.join(freq, "_sh")
           .withColumn("rnk", row_number().over(byRarity).cast("long"))
           .withColumn("m", count(lit(1)).over(perDoc))
+        // pfx likewise feeds both sides of the candidate self-join —
+        // without the checkpoint the whole rank-window subtree (freq
+        // aggregate + per-doc sort + two windows) runs twice.
         val pfx = ranked
           .where(col("rnk") <= col("m") - expr("(3*m + 4) div 5") + lit(1L))
-          .select(col("doc_id"), col("_sh"), col("m"))
-        val cand = pfx.select(col("doc_id").as("id_a"), col("_sh"), col("m").as("ma"))
-          .join(pfx.select(col("doc_id").as("id_b"), col("_sh"), col("m").as("mb")), "_sh")
+          .select(col("doc_id"), col("_h"), col("m"))
+          .localCheckpoint(true)
+        val cand = pfx.select(col("doc_id").as("id_a"), col("_h"), col("m").as("ma"))
+          .join(pfx.select(col("doc_id").as("id_b"), col("_h"), col("m").as("mb")), "_h")
           .where(col("id_a") < col("id_b") &&
             col("ma") * 5 >= col("mb") * 3 && col("mb") * 5 >= col("ma") * 3)
           .select(col("id_a"), col("id_b"), col("ma"), col("mb"))
           .distinct()
         val inter = cand
-          .join(sh.select(col("doc_id").as("id_a"), col("_sh")), Seq("id_a"))
-          .join(sh.select(col("doc_id").as("id_b"), col("_sh")), Seq("id_b", "_sh"))
+          .join(sh.select(col("doc_id").as("id_a"), col("_h")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("_h")), Seq("id_b", "_h"))
           .groupBy(col("id_a"), col("id_b"), col("ma"), col("mb"))
           .agg(count(lit(1)).as("inter"))
         inter
