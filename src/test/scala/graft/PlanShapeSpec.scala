@@ -131,4 +131,31 @@ class PlanShapeSpec extends SparkSpec {
         s"$q: blocking must keep the pair join an equi-join:\n$p")
     }
   }
+
+  test("gap-fill queries (q97/q122) run with ONE hash exchange and no spine join") {
+    // The round-5 rewrite generates gap runs from lead()+explode instead
+    // of a month-spine left-join. The join coming back would either
+    // broadcast a customers×months frame (dead at 100 TB) or re-shuffle
+    // both sides on the exact join keys — so pin: exactly one hash
+    // exchange (customer_id), no join operator of any kind, plus the
+    // contract range sort.
+    Seq("q97_monthly_gapfill", "q122_linear_gapfill").foreach { q =>
+      val p = plan(q)
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashEx === 1, s"$q: expected 1 hash exchange, found $hashEx:\n$p")
+      assert(!p.contains("Join"), s"$q: the spine join is back:\n$p")
+    }
+  }
+
+  test("q167 verify joins run on 8-byte digests, never shingle strings") {
+    // The candidate and intersection joins must key on the md5 digest
+    // column (LongType) — a join keyed on the _sh string doubles the
+    // bytes through the candidate×shingle fan.
+    val p = plan("q167_prefix_filter_join")
+    val joinKeyLines = p.linesIterator
+      .filter(l => l.contains("HashJoin") || l.contains("SortMergeJoin")).toList
+    assert(joinKeyLines.nonEmpty, s"q167: expected hash joins:\n$p")
+    assert(!joinKeyLines.exists(_.contains("_sh#")),
+      s"q167: a join keys on the shingle STRING — digest-first stance broken:\n$joinKeyLines")
+  }
 }
