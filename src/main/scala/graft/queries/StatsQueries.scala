@@ -885,5 +885,103 @@ object StatsQueries {
                CAST(c_b AS BIGINT) AS c_b, lift
         FROM lifted
         ORDER BY lift DESC, w1, w2
-        LIMIT 20""")))
+        LIMIT 20""")),
+
+    // Histogram-driven selectivity estimation — q169's ANALYZE stats put
+    // to their actual use: estimate the row count of three range
+    // predicates from the 8-bin equi-depth histogram (uniform-within-bin
+    // interpolation, exact integer floor arithmetic) and gate the
+    // estimate against the TRUE count. The equi-depth error bound is
+    // checkable as data: a range predicate's estimate can only miss
+    // inside the two boundary bins, so |est − actual| ≤ 2·ceil(n/8) + 2
+    // must hold (`within_bound` literal true) — the CBO contract that
+    // makes histogram-planned scans trustworthy.
+    //
+    // Scale: the histogram build is the q169 shape (one window sort at
+    // gate scale, approx-boundary swap at 100 TB); estimation itself
+    // touches 8 histogram rows × 3 predicates — the entire point of
+    // collecting stats is that the PLANNING cost is independent of the
+    // data; the exact counts ride one conditional-sum pass.
+    QueryDef(
+      "q178_selectivity_estimate",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
+              .cast("long").as("cents"))
+        val binned = o.withColumn("bin",
+          ntile(8).over(Window.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+        val hist = binned.groupBy(col("bin"))
+          .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+            count(lit(1)).as("cnt"))
+        val preds = s.range(1).select(explode(array(
+          struct(lit("p1_low").as("pred"), lit(0L).as("a"), lit(10000000L).as("b")),
+          struct(lit("p2_mid").as("pred"), lit(10000001L).as("a"), lit(30000000L).as("b")),
+          struct(lit("p3_high").as("pred"), lit(30000001L).as("a"),
+            lit(100000000L).as("b")))).as("p"))
+          .select(col("p.pred"), col("p.a"), col("p.b"))
+        val est = broadcast(preds).crossJoin(hist)
+          .withColumn("ov",
+            greatest(lit(0L), least(col("hi"), col("b")) - greatest(col("lo"), col("a")) + 1))
+          .withColumn("est_bin",
+            expr("cnt * ov DIV (hi - lo + 1)"))
+          .groupBy(col("pred")).agg(sum(col("est_bin")).as("est_rows"))
+        val actual = o.agg(
+          sum(when(col("cents").between(0L, 10000000L), 1L).otherwise(0L)).as("p1_low"),
+          sum(when(col("cents").between(10000001L, 30000000L), 1L).otherwise(0L)).as("p2_mid"),
+          sum(when(col("cents").between(30000001L, 100000000L), 1L).otherwise(0L)).as("p3_high"),
+          count(lit(1)).as("n_total"))
+          .select(explode(array(
+            struct(lit("p1_low").as("pred"), col("p1_low").as("actual_rows"), col("n_total")),
+            struct(lit("p2_mid").as("pred"), col("p2_mid").as("actual_rows"), col("n_total")),
+            struct(lit("p3_high").as("pred"), col("p3_high").as("actual_rows"),
+              col("n_total")))).as("r"))
+          .select(col("r.pred"), col("r.actual_rows"), col("r.n_total"))
+        est.join(actual, "pred")
+          .select(col("pred"), col("est_rows"), col("actual_rows"),
+            (col("est_rows") - col("actual_rows")).as("err"),
+            (abs(col("est_rows") - col("actual_rows")) <=
+              lit(2L) * expr("(n_total + 7) DIV 8") + lit(2L)).as("within_bound"))
+          .orderBy(col("pred"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        binned AS (
+          SELECT *, CAST(ntile(8) OVER (ORDER BY cents, o_orderkey) AS BIGINT) AS bin
+          FROM o),
+        hist AS (
+          SELECT bin, MIN(cents) AS lo, MAX(cents) AS hi, COUNT(*) AS cnt
+          FROM binned GROUP BY 1),
+        preds AS (
+          SELECT * FROM (VALUES
+            ('p1_low',  CAST(0 AS BIGINT),        CAST(10000000 AS BIGINT)),
+            ('p2_mid',  CAST(10000001 AS BIGINT), CAST(30000000 AS BIGINT)),
+            ('p3_high', CAST(30000001 AS BIGINT), CAST(100000000 AS BIGINT)))
+            AS t(pred, a, b)),
+        est AS (
+          SELECT p.pred, SUM(h.cnt * GREATEST(0, LEAST(h.hi, p.b) - GREATEST(h.lo, p.a) + 1)
+                             // (h.hi - h.lo + 1)) AS est_rows
+          FROM preds p CROSS JOIN hist h
+          GROUP BY 1),
+        act AS (
+          SELECT
+            SUM(CASE WHEN cents BETWEEN 0 AND 10000000 THEN 1 ELSE 0 END) AS p1_low,
+            SUM(CASE WHEN cents BETWEEN 10000001 AND 30000000 THEN 1 ELSE 0 END) AS p2_mid,
+            SUM(CASE WHEN cents BETWEEN 30000001 AND 100000000 THEN 1 ELSE 0 END) AS p3_high,
+            COUNT(*) AS n_total
+          FROM o),
+        actual AS (
+          SELECT 'p1_low' AS pred, p1_low AS actual_rows, n_total FROM act
+          UNION ALL SELECT 'p2_mid', p2_mid, n_total FROM act
+          UNION ALL SELECT 'p3_high', p3_high, n_total FROM act)
+        SELECT e.pred, CAST(e.est_rows AS BIGINT) AS est_rows,
+               CAST(a.actual_rows AS BIGINT) AS actual_rows,
+               CAST(e.est_rows - a.actual_rows AS BIGINT) AS err,
+               abs(e.est_rows - a.actual_rows) <= 2 * ((a.n_total + 7) // 8) + 2
+                 AS within_bound
+        FROM est e JOIN actual a USING (pred)
+        ORDER BY pred""")))
 }
