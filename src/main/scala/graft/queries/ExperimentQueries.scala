@@ -1,0 +1,412 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Kernels.{md5Bits, md5BitsModK}
+import graft.sources.Tables
+
+/** Round-5 late batch — experimentation + governance analytics: the
+  * privacy audit (k-anonymity), the attribution and experiment-analysis
+  * closed forms (U-shaped multi-touch, two-proportion z, CUPED), and the
+  * classic FIFO application of payments to invoices. Everything follows
+  * the repo's exact-integer stance: credits are 10×-scaled cents, test
+  * statistics come from exact BIGINT/DECIMAL(38,0) moments with ONE
+  * identical IEEE closed form at the end (the q168 REGR pattern), and
+  * FIFO allocation is interval intersection of exact cumulative cents —
+  * no iterative matching loop, no floats in the match itself.
+  */
+object ExperimentQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // k-anonymity audit over customer quasi-identifiers (nation,
+    // market segment, account balance rounded to $1k). For each policy
+    // threshold k ∈ {2,5,10}: how many equivalence classes fall below k
+    // and how many rows they re-identify. The QI space is bounded
+    // (25 nations × 5 segments × ~11 balance buckets), so the class-size
+    // frame the thresholds scan is tiny regardless of row count — ONE
+    // full-data aggregate, then arithmetic on ≤1375 rows.
+    QueryDef(
+      "q179_k_anonymity",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        val classes = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+          .groupBy(col("n_name"), col("c_mktsegment"), col("bal_bucket"))
+          .agg(count(lit(1)).as("cls"))
+        val ks = s.range(1).select(explode(array(lit(2L), lit(5L), lit(10L))).as("k"))
+        classes.crossJoin(broadcast(ks))
+          .groupBy(col("k"))
+          .agg(
+            count(lit(1)).as("n_classes"),
+            sum(when(col("cls") < col("k"), 1L).otherwise(0L)).as("classes_below_k"),
+            sum(when(col("cls") < col("k"), col("cls")).otherwise(0L)).as("rows_at_risk"),
+            min(col("cls")).as("min_class"),
+            max(col("cls")).as("max_class"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH cls AS (
+          SELECT n.n_name, c.c_mktsegment,
+                 CAST(FLOOR(c.c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS cls
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY 1, 2, 3)
+        SELECT k,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(CASE WHEN cls < k THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+               CAST(SUM(CASE WHEN cls < k THEN cls ELSE 0 END) AS BIGINT) AS rows_at_risk,
+               CAST(MIN(cls) AS BIGINT) AS min_class,
+               CAST(MAX(cls) AS BIGINT) AS max_class
+        FROM cls CROSS JOIN (SELECT CAST(UNNEST([2,5,10]) AS BIGINT) AS k)
+        GROUP BY k ORDER BY k""")),
+
+    // U-shaped (position-based) multi-touch attribution with EXACT
+    // integer credits. Journey = each user's click/view/signup touches
+    // before their first purchase; the purchase's cents are credited
+    // 40% first touch / 40% last touch / 20% the "dominant middle"
+    // (the touch nearest the positional midpoint, earlier on ties) —
+    // the standard U-shape with the middle pool assigned to one
+    // deterministic touch so every credit is an exact multiple of
+    // cents/10 (n=1 → 100%, n=2 → 50/50). Credits are emitted
+    // 10×-scaled (credit_x10 = 4×/2×/5×/10× cents) so nothing is ever
+    // divided. One window sort per user; the credit rollup is by
+    // event_type (5 groups).
+    QueryDef(
+      "q180_position_attribution",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val firstPurchase = e.where(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min_by(struct(col("ts"), col("event_id"), col("value")),
+            struct(col("ts"), col("event_id"))).as("fp"))
+          .select(col("user_id"), col("fp.ts").as("p_ts"), col("fp.event_id").as("p_id"),
+            (col("fp.value").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        val touches = e.where(col("event_type").isin("click", "view", "signup"))
+          .join(firstPurchase, "user_id")
+          .where(col("ts") < col("p_ts") ||
+            (col("ts") === col("p_ts") && col("event_id") < col("p_id")))
+        val w = Window.partitionBy(col("user_id"))
+        val byTime = w.orderBy(col("ts"), col("event_id"))
+        val ranked = touches
+          .withColumn("rn", row_number().over(byTime).cast("long"))
+          .withColumn("n", count(lit(1)).over(w))
+        // dominant middle: minimize |2*rn - (n+1)|, tiebreak earlier rn —
+        // pure integer arithmetic, identical in both engines.
+        val midRank = Window.partitionBy(col("user_id"))
+          .orderBy(abs(lit(2L) * col("rn") - (col("n") + 1L)), col("rn"))
+        val credited = ranked
+          .withColumn("mid_rn",
+            when(col("n") >= 3, row_number().over(midRank)).otherwise(lit(0)))
+          .withColumn("credit_x10",
+            when(col("n") === 1, col("cents") * 10L)
+              .when(col("n") === 2, col("cents") * 5L)
+              .otherwise(
+                when(col("rn") === 1 || col("rn") === col("n"), col("cents") * 4L)
+                  .when(col("mid_rn") === 1, col("cents") * 2L)
+                  .otherwise(lit(0L))))
+        credited.groupBy(col("event_type"))
+          .agg(
+            sum(col("credit_x10")).as("credit_x10_cents"),
+            sum(when(col("credit_x10") > 0, 1L).otherwise(0L)).as("n_credited_touches"),
+            count(lit(1)).as("n_touches"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH fp AS (
+          SELECT user_id,
+                 MIN(ROW(ts, event_id)) AS k
+          FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        fpv AS (
+          SELECT e.user_id, e.ts AS p_ts, e.event_id AS p_id,
+                 CAST(CAST(e.value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM events e JOIN fp ON e.user_id = fp.user_id
+            AND ROW(e.ts, e.event_id) = fp.k
+          WHERE e.event_type = 'purchase'),
+        touches AS (
+          SELECT e.event_type, e.user_id, e.ts, e.event_id, f.cents
+          FROM events e JOIN fpv f ON e.user_id = f.user_id
+          WHERE e.event_type IN ('click','view','signup')
+            AND (e.ts < f.p_ts OR (e.ts = f.p_ts AND e.event_id < f.p_id))),
+        ranked AS (
+          SELECT *,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+          FROM touches),
+        mids AS (
+          SELECT *,
+                 CASE WHEN n >= 3 THEN ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ABS(2*rn - (n+1)), rn) ELSE 0 END AS mid_rn
+          FROM ranked),
+        credited AS (
+          SELECT event_type,
+                 CASE WHEN n = 1 THEN cents * 10
+                      WHEN n = 2 THEN cents * 5
+                      WHEN rn = 1 OR rn = n THEN cents * 4
+                      WHEN mid_rn = 1 THEN cents * 2
+                      ELSE 0 END AS credit_x10
+          FROM mids)
+        SELECT event_type,
+               CAST(SUM(credit_x10) AS BIGINT) AS credit_x10_cents,
+               CAST(SUM(CASE WHEN credit_x10 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_credited_touches,
+               CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM credited GROUP BY 1 ORDER BY 1""")),
+
+    // Two-proportion z-test on a deterministic 50/50 hash split (the
+    // q58 md5 assignment — both engines compute the SAME arms from the
+    // SAME bytes). Conversion = customer placed ≥1 fulfilled ('F')
+    // order. Counts are exact BIGINTs shipped as 4 longs total; the z
+    // statistic is ONE closed IEEE form evaluated in the identical
+    // association order on both sides — the q168 stance: the engines
+    // never accumulate doubles, they only divide exact integers once.
+    QueryDef(
+      "q181_ab_proportion_z",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val conv = o.where(col("o_orderstatus") === "F")
+          .select(col("o_custkey")).distinct()
+          .withColumn("converted", lit(1L))
+        val armed = c.select(col("c_custkey"))
+          .withColumn("arm",
+            when(md5BitsModK(md5Bits(concat(lit("ab:"), col("c_custkey"))), 2L) === 0L,
+              lit("control")).otherwise(lit("treatment")))
+          .join(conv, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("arm"), coalesce(col("converted"), lit(0L)).as("converted"))
+        val agg = armed.groupBy().agg(
+          sum(when(col("arm") === "control", 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === "control", col("converted")).otherwise(0L)).as("xa"),
+          sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === "treatment", col("converted")).otherwise(0L)).as("xb"))
+        agg
+          .withColumn("pa", col("xa").cast("double") / col("na").cast("double"))
+          .withColumn("pb", col("xb").cast("double") / col("nb").cast("double"))
+          .withColumn("pp",
+            (col("xa") + col("xb")).cast("double") / (col("na") + col("nb")).cast("double"))
+          .withColumn("z",
+            (col("pa") - col("pb")) /
+              sqrt(col("pp") * (lit(1.0) - col("pp")) *
+                (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double"))))
+          .select(col("na"), col("xa"), col("nb"), col("xb"),
+            col("pa"), col("pb"), (col("pa") - col("pb")).as("lift"), col("z"))
+      },
+      Some("""
+        WITH conv AS (
+          SELECT DISTINCT o_custkey, 1 AS converted
+          FROM orders WHERE o_orderstatus = 'F'),
+        armed AS (
+          SELECT CASE WHEN CAST(md5_number_lower('ab:' || c.c_custkey) % 2 AS BIGINT) = 0
+                      THEN 'control' ELSE 'treatment' END AS arm,
+                 COALESCE(v.converted, 0) AS converted
+          FROM customer c LEFT JOIN conv v ON c.c_custkey = v.o_custkey),
+        agg AS (
+          SELECT CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN arm = 'control' THEN converted ELSE 0 END) AS BIGINT) AS xa,
+                 CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                 CAST(SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END) AS BIGINT) AS xb
+          FROM armed),
+        p AS (
+          SELECT na, xa, nb, xb,
+                 CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+                 CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+                 CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp
+          FROM agg)
+        SELECT na, xa, nb, xb, pa, pb, (pa - pb) AS lift,
+               (pa - pb) / SQRT(pp * (1.0 - pp) *
+                 (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))) AS z
+        FROM p""")),
+
+    // CUPED variance reduction (Deng et al., WSDM'13): θ estimated from
+    // EXACT pooled moments of (pre, post) per-customer revenue cents
+    // (pre = 1995-1997, post = 1998+), then the per-arm adjusted mean
+    // post' = mean_post − θ·(mean_pre − mean_pre_pooled). Σpre² and
+    // Σpre·post ride DECIMAL(38,0) (DuckDB HUGEINT) — the q168 wide-path
+    // pattern; every division is a final one-shot double. The moment
+    // frame is 6 numbers; the per-arm frame is 2 rows — a cluster ships
+    // constant state regardless of customer count.
+    QueryDef(
+      "q182_cuped_adjustment",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val cents = (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+        val perCust = c.select(col("c_custkey"))
+          .withColumn("arm",
+            when(md5BitsModK(md5Bits(concat(lit("ab:"), col("c_custkey"))), 2L) === 0L,
+              lit("control")).otherwise(lit("treatment")))
+          .join(
+            o.select(col("o_custkey"),
+                when(year(col("o_orderdate")) <= 1997, cents).otherwise(lit(0L)).as("pre"),
+                when(year(col("o_orderdate")) >= 1998, cents).otherwise(lit(0L)).as("post"))
+              .groupBy(col("o_custkey"))
+              .agg(sum(col("pre")).as("pre"), sum(col("post")).as("post")),
+            col("c_custkey") === col("o_custkey"), "left")
+          .select(col("arm"),
+            coalesce(col("pre"), lit(0L)).as("pre"),
+            coalesce(col("post"), lit(0L)).as("post"))
+        val moments = perCust.groupBy().agg(
+          count(lit(1)).as("n"),
+          sum(col("pre")).as("sx"),
+          sum(col("post")).as("sy"),
+          sum((col("pre") * col("pre")).cast(DecimalType(38, 0))).as("sxx_d"),
+          sum((col("pre") * col("post")).cast(DecimalType(38, 0))).as("sxy_d"))
+          .select(
+            col("n").cast("double").as("nd"),
+            col("sx").cast("double").as("sxd"),
+            col("sy").cast("double").as("syd"),
+            col("sxx_d").cast("double").as("sxxd"),
+            col("sxy_d").cast("double").as("sxyd"))
+          .withColumn("theta",
+            (col("nd") * col("sxyd") - col("sxd") * col("syd")) /
+              (col("nd") * col("sxxd") - col("sxd") * col("sxd")))
+          .withColumn("mean_pre_pooled", col("sxd") / col("nd"))
+          .select(col("theta"), col("mean_pre_pooled"))
+        val arms = perCust.groupBy(col("arm")).agg(
+          count(lit(1)).as("n"),
+          sum(col("pre")).as("sum_pre"),
+          sum(col("post")).as("sum_post"))
+        arms.crossJoin(broadcast(moments))
+          .withColumn("mean_post", col("sum_post").cast("double") / col("n").cast("double"))
+          .withColumn("mean_pre", col("sum_pre").cast("double") / col("n").cast("double"))
+          .withColumn("adj_mean_post",
+            col("mean_post") - col("theta") * (col("mean_pre") - col("mean_pre_pooled")))
+          .select(col("arm"), col("n"), col("sum_pre"), col("sum_post"),
+            col("mean_post"), col("adj_mean_post"), col("theta"))
+          .orderBy(col("arm"))
+      },
+      Some("""
+        WITH pc AS (
+          SELECT c.c_custkey,
+                 CASE WHEN CAST(md5_number_lower('ab:' || c.c_custkey) % 2 AS BIGINT) = 0
+                      THEN 'control' ELSE 'treatment' END AS arm,
+                 COALESCE(a.pre, 0) AS pre, COALESCE(a.post, 0) AS post
+          FROM customer c LEFT JOIN (
+            SELECT o_custkey,
+                   CAST(SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) <= 1997
+                     THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS pre,
+                   CAST(SUM(CASE WHEN YEAR(CAST(o_orderdate AS DATE)) >= 1998
+                     THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS post
+            FROM orders GROUP BY 1) a ON c.c_custkey = a.o_custkey),
+        m AS (
+          SELECT CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS nd,
+                 CAST(CAST(SUM(pre) AS BIGINT) AS DOUBLE) AS sxd,
+                 CAST(CAST(SUM(post) AS BIGINT) AS DOUBLE) AS syd,
+                 CAST(SUM(CAST(pre AS HUGEINT) * pre) AS DOUBLE) AS sxxd,
+                 CAST(SUM(CAST(pre AS HUGEINT) * post) AS DOUBLE) AS sxyd
+          FROM pc),
+        t AS (
+          SELECT (nd*sxyd - sxd*syd) / (nd*sxxd - sxd*sxd) AS theta,
+                 sxd / nd AS mean_pre_pooled
+          FROM m),
+        arms AS (
+          SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pre) AS BIGINT) AS sum_pre,
+                 CAST(SUM(post) AS BIGINT) AS sum_post
+          FROM pc GROUP BY 1)
+        SELECT a.arm, a.n, a.sum_pre, a.sum_post,
+               CAST(a.sum_post AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_post,
+               CAST(a.sum_post AS DOUBLE) / CAST(a.n AS DOUBLE)
+                 - t.theta * (CAST(a.sum_pre AS DOUBLE) / CAST(a.n AS DOUBLE)
+                              - t.mean_pre_pooled) AS adj_mean_post,
+               t.theta
+        FROM arms a CROSS JOIN t ORDER BY a.arm""")),
+
+    // FIFO application of payments to invoices — the classic matching
+    // operator (inventory costing / AR application) WITHOUT an
+    // iterative loop: both sides become exact cumulative-cents
+    // intervals per customer ([cum−amt, cum) via one window each), and
+    // a FIFO allocation is exactly the overlap of two intervals:
+    // alloc = min(hi_i, hi_p) − max(lo_i, lo_p) where positive. The
+    // join is EQUI on customer with the overlap as a residual predicate
+    // — per-customer fan only (bounded by invoices×payments of one
+    // customer, both small), co-partitioned on the same key as the two
+    // windows so the sort feeds the join without a new exchange.
+    QueryDef(
+      "q183_fifo_payment_match",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val e = Tables.events(s, dir)
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+        val wInv = Window.partitionBy(col("cust")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        val inv = o.select(col("o_custkey").as("cust"), col("o_orderdate"), col("o_orderkey"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("amt"))
+          .withColumn("hi", sum(col("amt")).over(wInv))
+          .withColumn("lo", col("hi") - col("amt"))
+        val wPay = Window.partitionBy(col("cust")).orderBy(col("ts"), col("event_id"))
+        val pay = e.where(col("event_type") === "purchase")
+          .select(col("user_id").as("cust"), col("ts"), col("event_id"),
+            (col("value").cast(DecimalType(18, 2)) * 100).cast("long").as("pamt"))
+          .withColumn("phi", sum(col("pamt")).over(wPay))
+          .withColumn("plo", col("phi") - col("pamt"))
+        val alloc = inv.join(pay, "cust")
+          .where(col("lo") < col("phi") && col("plo") < col("hi"))
+          .select(col("cust"),
+            (least(col("hi"), col("phi")) - greatest(col("lo"), col("plo"))).as("alloc"))
+        val perCust = alloc.groupBy(col("cust"))
+          .agg(sum(col("alloc")).as("alloc_cents"), count(lit(1)).as("n_alloc"))
+        val invTot = inv.groupBy(col("cust")).agg(sum(col("amt")).as("invoice_cents"))
+        val payTot = pay.groupBy(col("cust")).agg(sum(col("pamt")).as("payment_cents"))
+        payTot.join(invTot, Seq("cust"), "inner")
+          .join(perCust, Seq("cust"), "left")
+          .join(broadcast(c), col("cust") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum(coalesce(col("n_alloc"), lit(0L))).as("n_allocations"),
+            sum(coalesce(col("alloc_cents"), lit(0L))).as("alloc_cents"),
+            sum(col("invoice_cents")).as("invoice_cents"),
+            sum(col("payment_cents")).as("payment_cents"),
+            sum(col("invoice_cents") - coalesce(col("alloc_cents"), lit(0L))).as("outstanding_cents"),
+            sum(col("payment_cents") - coalesce(col("alloc_cents"), lit(0L))).as("credit_cents"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        WITH inv AS (
+          SELECT o_custkey AS cust,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS amt,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+          FROM orders),
+        inv2 AS (SELECT cust, amt, hi, hi - amt AS lo FROM inv),
+        pay AS (
+          SELECT user_id AS cust,
+                 CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS pamt,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS phi
+          FROM events WHERE event_type = 'purchase'),
+        pay2 AS (SELECT cust, pamt, phi, phi - pamt AS plo FROM pay),
+        alloc AS (
+          SELECT i.cust,
+                 LEAST(i.hi, p.phi) - GREATEST(i.lo, p.plo) AS alloc
+          FROM inv2 i JOIN pay2 p ON i.cust = p.cust
+          WHERE i.lo < p.phi AND p.plo < i.hi),
+        pc AS (
+          SELECT cust, CAST(SUM(alloc) AS BIGINT) AS alloc_cents,
+                 CAST(COUNT(*) AS BIGINT) AS n_alloc
+          FROM alloc GROUP BY 1),
+        it AS (SELECT cust, CAST(SUM(amt) AS BIGINT) AS invoice_cents FROM inv2 GROUP BY 1),
+        pt AS (SELECT cust, CAST(SUM(pamt) AS BIGINT) AS payment_cents FROM pay2 GROUP BY 1)
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(COALESCE(pc.n_alloc, 0)) AS BIGINT) AS n_allocations,
+               CAST(SUM(COALESCE(pc.alloc_cents, 0)) AS BIGINT) AS alloc_cents,
+               CAST(SUM(it.invoice_cents) AS BIGINT) AS invoice_cents,
+               CAST(SUM(pt.payment_cents) AS BIGINT) AS payment_cents,
+               CAST(SUM(it.invoice_cents - COALESCE(pc.alloc_cents, 0)) AS BIGINT) AS outstanding_cents,
+               CAST(SUM(pt.payment_cents - COALESCE(pc.alloc_cents, 0)) AS BIGINT) AS credit_cents
+        FROM pt JOIN it ON pt.cust = it.cust
+        LEFT JOIN pc ON pt.cust = pc.cust
+        JOIN customer c ON pt.cust = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1"""))
+  )
+}
