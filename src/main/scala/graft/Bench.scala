@@ -52,16 +52,14 @@ object Bench {
       val ok = try { run(name); true } catch { case _: Throwable => false }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
-    // The one-line JSON must fit the driver's stdout tail-capture window
-    // (round-4 postmortem: 152 full-precision doubles keyed by long names
-    // overflowed it -> "parsed": null). Keys are therefore the short qNN
-    // prefix (the contract example's own shape) and values ms-rounded;
-    // the full-name full-precision map goes to the BENCH_DETAIL.json
-    // sidecar for plan-audit work.
+    // The one-line JSON must fit the driver's 2000-byte stdout tail-capture
+    // window (round-4 postmortem: 152 full-precision doubles keyed by long
+    // names overflowed it -> "parsed": null; round-5 postmortem: even
+    // ms-rounded short keys overflow at 188 queries). The line therefore
+    // self-limits to a hard byte budget: failures first, then the slowest
+    // queries, inline until the budget is spent; the full-name
+    // full-precision map ALWAYS goes to the BENCH_DETAIL.json sidecar.
     def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v, _) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + ms(v)
-    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
@@ -70,7 +68,17 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
       s"""{"sf":"$sfDir","total":$total,"queries":$detail,"failed":$failed}"""
         .getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val prefix = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"detail":"BENCH_DETAIL.json","queries":{"""
+    val suffix = s"""},"failed":$failed,"sf":"$sfDir"}"""
+    val budget = 1900 - prefix.length - suffix.length
+    val ordered = results
+      .map { case (k, v, _) => ("\"" + k.takeWhile(_ != '_') + "\":" + ms(v), v) }
+      .sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+    val kept = ordered.foldLeft((List.empty[String], 0)) {
+      case ((acc, used), (e, _)) if used + e.length + 1 <= budget => (e :: acc, used + e.length + 1)
+      case (st, _) => st
+    }._1.reverse
+    println(prefix + kept.mkString(",") + suffix)
     spark.stop()
   }
 }
