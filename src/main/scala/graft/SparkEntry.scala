@@ -20,7 +20,8 @@ object SparkEntry {
       GraphQueries.defs ++ TemporalQueries.defs ++ JourneyQueries.defs ++
       CdcQueries.defs ++ CompletenessQueries.defs ++ TimeSeriesQueries.defs ++
       AuditQueries.defs ++ MasterDataQueries.defs ++ SqlSurfaceQueries.defs ++
-      StatsQueries.defs ++ ExperimentQueries.defs ++ PlannerQueries.defs
+      StatsQueries.defs ++ ExperimentQueries.defs ++ PlannerQueries.defs ++
+      RobustStatsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q47 is the full fct_orders composite — line math, rollup, joins,

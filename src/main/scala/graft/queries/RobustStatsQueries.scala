@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Kernels.{md5Bits, md5BitsModK}
+import graft.sources.Tables
+
+/** Round-5 robust-statistics batch — the distribution-shape audits a data
+  * platform runs on money and text columns: inequality/concentration
+  * (Gini + Lorenz top-decile, Pareto 80/20 cutoff), forensic digit
+  * analysis (Benford), a nonparametric A/B test (Mann-Whitney rank-sum),
+  * robust outlier gating (median/MAD), and edit-distance entity blocking.
+  *
+  * Exactness stance: every statistic is assembled from BIGINT/DECIMAL(38,0)
+  * integer sums; divisions are either positive integral divides emitted as
+  * ppm BIGINTs (truncation == floor for the positive numerators here; never
+  * used on signed values) or one-shot double divisions whose operands fit
+  * int64's 2^53 double-exact window, written in the identical association
+  * order on both engines.
+  */
+object RobustStatsQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    (c.cast(DecimalType(18, 2)) * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Gini coefficient + Lorenz top-decile share of customer revenue per
+    // segment. With revenues sorted ascending, G = (2*sum(i*x_i) -
+    // (n+1)*sum(x_i)) / (n*sum(x_i)) — tie blocks contribute the same
+    // sum(i) under any ordering, so the custkey tiebreak affects nothing.
+    // The rank window rides ONE segment exchange; products ride
+    // DECIMAL(38,0) (i*x overflows int64 past ~sf10); the ppm outputs are
+    // positive integral divides. 100 TB: per-segment windows partition the
+    // sort; the statistic frame after the per-customer rollup is
+    // |customers|, 1% of fact size.
+    QueryDef(
+      "q189_gini_concentration",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val rev = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("segment"), col("o_custkey").as("ck"))
+          .agg(sum(cents(col("o_totalprice"))).as("r"))
+        val wSeg = Window.partitionBy(col("segment"))
+        val ranked = rev
+          .withColumn("i", row_number().over(wSeg.orderBy(col("r"), col("ck"))).cast("long"))
+          .withColumn("n", count(lit(1)).over(wSeg))
+        val agg = ranked.groupBy(col("segment"))
+          .agg(max(col("n")).as("n"),
+            sum(col("r").cast(DecimalType(38, 0))).as("s0"),
+            sum(col("i").cast(DecimalType(38, 0)) * col("r")).as("s1"),
+            sum(when(col("i") > col("n") - expr("n div 10"), col("r")).otherwise(0L))
+              .cast(DecimalType(38, 0)).as("stop"))
+        agg.select(col("segment"),
+            col("n").cast("long").as("n_customers"),
+            col("s0").cast("long").as("total_rev_cents"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * (2*s1 - (n+1)*s0)) div (CAST(n AS DECIMAL(38,0))*s0) AS BIGINT)")
+              .as("gini_ppm"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * stop) div s0 AS BIGINT)")
+              .as("top_decile_ppm"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT c.c_mktsegment AS segment, o.o_custkey AS ck,
+                 CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS r
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1,2),
+        ranked AS (
+          SELECT segment, r,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY segment ORDER BY r, ck) AS BIGINT) AS i,
+                 CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS n
+          FROM rev),
+        agg AS (
+          SELECT segment, MAX(n) AS n,
+                 CAST(SUM(r) AS HUGEINT) AS s0,
+                 CAST(SUM(CAST(i AS HUGEINT)*r) AS HUGEINT) AS s1,
+                 CAST(SUM(CASE WHEN i > n - n//10 THEN r ELSE 0 END) AS HUGEINT) AS stop
+          FROM ranked GROUP BY segment)
+        SELECT segment, CAST(n AS BIGINT) AS n_customers, CAST(s0 AS BIGINT) AS total_rev_cents,
+               CAST((1000000*(2*s1 - (n+1)*s0)) // (CAST(n AS HUGEINT)*s0) AS BIGINT) AS gini_ppm,
+               CAST((1000000*stop) // s0 AS BIGINT) AS top_decile_ppm
+        FROM agg ORDER BY segment""")),
+
+    // Benford first-digit audit over order amounts. The digit comes from
+    // the decimal string of the integer cents (no log10 anywhere — IEEE
+    // libm log10 is not engine-stable at power-of-ten boundaries); the
+    // chi-square against the Benford expectation log10(1+1/d) (hardcoded
+    // double literals) is nine one-shot terms from exact integer counts,
+    // summed in fixed textual order (q185 stance). One partial-aggregable
+    // scan; the statistic frame is 9 rows.
+    QueryDef(
+      "q190_benford_audit",
+      (s, dir) => {
+        val p = Array(0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+          0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+          0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+        val o = Tables.orders(s, dir).where(col("o_totalprice") > 0)
+          .select(cents(col("o_totalprice")).as("v"))
+          .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+        val d = o.groupBy(col("digit")).agg(count(lit(1)).as("c"))
+        val aggCols = Seq(coalesce(max(when(col("digit") === 1, col("c"))), lit(0L)).as("c1")) ++
+          (2 to 9).map(i => coalesce(max(when(col("digit") === i, col("c"))), lit(0L)).as(s"c$i"))
+        val one = d.groupBy().agg(sum(col("c")).as("n"), aggCols: _*)
+        def term(i: Int) = {
+          val e = col("n").cast("double") * lit(p(i - 1))
+          (col(s"c$i").cast("double") - e) * (col(s"c$i").cast("double") - e) / e
+        }
+        one.withColumn("chi2",
+            term(1) + term(2) + term(3) + term(4) + term(5) +
+              term(6) + term(7) + term(8) + term(9))
+          .select((Seq(col("n").cast("long").as("n_values")) ++
+            (1 to 9).map(i => col(s"c$i").cast("long")) ++
+            Seq(col("chi2"), (col("chi2") > 20.090235029663233).as("benford_violated"))): _*)
+      },
+      Some("""
+        WITH v AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents FROM orders
+          WHERE o_totalprice > 0),
+        d AS (
+          SELECT CAST(SUBSTRING(CAST(cents AS VARCHAR),1,1) AS BIGINT) AS digit,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM v GROUP BY 1),
+        p AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COALESCE(MAX(CASE WHEN digit=1 THEN c END),0) AS BIGINT) AS c1,
+                 CAST(COALESCE(MAX(CASE WHEN digit=2 THEN c END),0) AS BIGINT) AS c2,
+                 CAST(COALESCE(MAX(CASE WHEN digit=3 THEN c END),0) AS BIGINT) AS c3,
+                 CAST(COALESCE(MAX(CASE WHEN digit=4 THEN c END),0) AS BIGINT) AS c4,
+                 CAST(COALESCE(MAX(CASE WHEN digit=5 THEN c END),0) AS BIGINT) AS c5,
+                 CAST(COALESCE(MAX(CASE WHEN digit=6 THEN c END),0) AS BIGINT) AS c6,
+                 CAST(COALESCE(MAX(CASE WHEN digit=7 THEN c END),0) AS BIGINT) AS c7,
+                 CAST(COALESCE(MAX(CASE WHEN digit=8 THEN c END),0) AS BIGINT) AS c8,
+                 CAST(COALESCE(MAX(CASE WHEN digit=9 THEN c END),0) AS BIGINT) AS c9
+          FROM d),
+        t AS (
+          SELECT *,
+            (CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.3010299956639812 AS DOUBLE))*(CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.3010299956639812 AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(0.3010299956639812 AS DOUBLE))
+           +(CAST(c2 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.17609125905568124 AS DOUBLE))*(CAST(c2 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.17609125905568124 AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(0.17609125905568124 AS DOUBLE))
+           +(CAST(c3 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.12493873660829992 AS DOUBLE))*(CAST(c3 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.12493873660829992 AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(0.12493873660829992 AS DOUBLE))
+           +(CAST(c4 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.09691001300805642 AS DOUBLE))*(CAST(c4 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.09691001300805642 AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(0.09691001300805642 AS DOUBLE))
+           +(CAST(c5 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.07918124604762482 AS DOUBLE))*(CAST(c5 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.07918124604762482 AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(0.07918124604762482 AS DOUBLE))
+           +(CAST(c6 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.06694678963061322 AS DOUBLE))*(CAST(c6 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.06694678963061322 AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(0.06694678963061322 AS DOUBLE))
+           +(CAST(c7 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.05799194697768673 AS DOUBLE))*(CAST(c7 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.05799194697768673 AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(0.05799194697768673 AS DOUBLE))
+           +(CAST(c8 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.05115252244738129 AS DOUBLE))*(CAST(c8 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.05115252244738129 AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(0.05115252244738129 AS DOUBLE))
+           +(CAST(c9 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.04575749056067514 AS DOUBLE))*(CAST(c9 AS DOUBLE) - CAST(n AS DOUBLE)*CAST(0.04575749056067514 AS DOUBLE))/(CAST(n AS DOUBLE)*CAST(0.04575749056067514 AS DOUBLE))
+            AS chi2
+          FROM p)
+        SELECT n AS n_values, c1,c2,c3,c4,c5,c6,c7,c8,c9, chi2,
+               chi2 > 20.090235029663233 AS benford_violated
+        FROM t""")),
+
+    // Mann-Whitney U (rank-sum) test between the deterministic md5 A/B
+    // arms over order values. Tie-averaged ranks are kept integral by
+    // doubling: r2(v) = 2*cntlt(v) + cnt(v) + 1, so U2 = 2U is exact
+    // BIGINT. The Spark side computes cntlt WITHOUT a global single-
+    // partition window: distinct values partial-agg, then a value-range
+    // bucket (v div 65536) whose per-bucket totals prefix-sum on a frame
+    // bounded by the VALUE RANGE (not row count), then a within-bucket
+    // window partitioned by bucket — two bounded exchanges at any scale.
+    // The oracle keeps the textbook single-window form (values identical).
+    // z^2 (no tie correction; tie mass is emitted separately) is a
+    // one-shot double from int64-exact operands in identical association
+    // order — bit-stable across engines.
+    QueryDef(
+      "q191_mann_whitney",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val base = o.select(cents(col("o_totalprice")).as("v"),
+          when(md5BitsModK(md5Bits(concat(lit("ab:"), col("o_custkey"))), 2L) === 0L, lit("c"))
+            .otherwise(lit("t")).as("arm"))
+        val dv = base.groupBy(col("v")).agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("arm") === "t", 1L).otherwise(0L)).as("cnt_t"))
+        val bucketed = dv.withColumn("bucket", expr("v div 65536"))
+        val boff = bucketed.groupBy(col("bucket")).agg(sum(col("cnt")).as("bcnt"))
+          .withColumn("offset",
+            coalesce(sum(col("bcnt")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val wB = Window.partitionBy(col("bucket")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = bucketed.join(broadcast(boff), "bucket")
+          .withColumn("cntlt", col("offset") + sum(col("cnt")).over(wB) - col("cnt"))
+        val agg = ranked.groupBy().agg(
+          sum(col("cnt")).as("n"), sum(col("cnt_t")).as("nt"),
+          sum(col("cnt_t").cast(DecimalType(38, 0)) * (col("cntlt") * 2 + col("cnt") + 1)).as("r2t"),
+          sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("t3"))
+        agg.select(
+            (col("n") - col("nt")).as("n_control"), col("nt").as("n_treat"),
+            expr("CAST(r2t - CAST(nt AS DECIMAL(38,0))*(nt+1) AS BIGINT)").as("u2_treat"),
+            expr("CAST(CAST(2*(n-nt) AS DECIMAL(38,0))*nt - (r2t - CAST(nt AS DECIMAL(38,0))*(nt+1)) AS BIGINT)").as("u2_control"),
+            col("t3").as("tie_cubes"))
+          .withColumn("u2d", col("u2_treat") - (col("n_control") * col("n_treat")))
+          .withColumn("rb",
+            col("u2d").cast("double") / (col("n_control") * col("n_treat")).cast("double"))
+          .withColumn("z2",
+            (col("u2d").cast("double") * col("u2d").cast("double") * lit(3.0)) /
+              ((col("n_control") * col("n_treat")).cast("double") *
+                (col("n_control") + col("n_treat") + 1).cast("double") * lit(4.0)))
+          .select(col("n_control"), col("n_treat"), col("u2_treat"), col("u2_control"),
+            col("tie_cubes"), col("rb"), col("z2"),
+            (col("z2") > 3.841458820694124).as("significant"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS v,
+                 CASE WHEN CAST(md5_number_lower('ab:' || o_custkey) % 2 AS BIGINT) = 0
+                      THEN 'c' ELSE 't' END AS arm
+          FROM orders),
+        dv AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(CASE WHEN arm='t' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t
+          FROM base GROUP BY v),
+        ranked AS (
+          SELECT v, cnt, cnt_t,
+                 CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0) AS BIGINT) AS cntlt
+          FROM dv),
+        agg AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(cnt_t) AS BIGINT) AS nt,
+                 CAST(SUM(CAST(cnt_t AS HUGEINT)*(2*cntlt + cnt + 1)) AS HUGEINT) AS r2t,
+                 CAST(SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS BIGINT) AS t3
+          FROM ranked),
+        o AS (
+          SELECT n - nt AS n_control, nt AS n_treat,
+                 CAST(r2t - CAST(nt AS HUGEINT)*(nt+1) AS BIGINT) AS u2_treat,
+                 CAST(CAST(2*(n-nt) AS HUGEINT)*nt - (r2t - CAST(nt AS HUGEINT)*(nt+1)) AS BIGINT) AS u2_control,
+                 t3 AS tie_cubes
+          FROM agg),
+        o2 AS (
+          SELECT *, u2_treat - (n_control * n_treat) AS u2d FROM o)
+        SELECT n_control, n_treat, u2_treat, u2_control, tie_cubes,
+               CAST(u2d AS DOUBLE) / CAST(n_control * n_treat AS DOUBLE) AS rb,
+               (CAST(u2d AS DOUBLE)*CAST(u2d AS DOUBLE)*CAST(3.0 AS DOUBLE)) /
+                 (CAST(n_control * n_treat AS DOUBLE)*CAST(n_control + n_treat + 1 AS DOUBLE)*CAST(4.0 AS DOUBLE)) AS z2,
+               (CAST(u2d AS DOUBLE)*CAST(u2d AS DOUBLE)*CAST(3.0 AS DOUBLE)) /
+                 (CAST(n_control * n_treat AS DOUBLE)*CAST(n_control + n_treat + 1 AS DOUBLE)*CAST(4.0 AS DOUBLE)) > 3.841458820694124 AS significant
+        FROM o2""")),
+
+    // Pareto 80/20 cutoff per brand: the smallest top-revenue part set
+    // whose cumulative revenue reaches 80% of the brand's — the integer
+    // predicate 5*cum >= 4*tot (no 0.8 float). Both the rank and the
+    // cumulative ride ONE brand-partitioned sort; cum is monotone within
+    // brand so the cutoff's cum is MIN over flagged rows. The ppm share
+    // is a positive integral divide. 100 TB: per-brand partitions; the
+    // window frame is parts-per-brand, never global.
+    QueryDef(
+      "q192_pareto_cutoff",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+        val p = Tables.part(s, dir).select(col("p_partkey"), col("p_brand").as("brand"))
+        val rev = l.join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("brand"), col("l_partkey").as("pk"))
+          .agg(sum(cents(col("l_extendedprice"))).as("r"))
+        val wRank = Window.partitionBy(col("brand")).orderBy(col("r").desc, col("pk"))
+        val wBrand = Window.partitionBy(col("brand"))
+        val ranked = rev
+          .withColumn("rn", row_number().over(wRank).cast("long"))
+          .withColumn("cum", sum(col("r")).over(
+            wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("tot", sum(col("r")).over(wBrand))
+          .withColumn("np", count(lit(1)).over(wBrand))
+        ranked.groupBy(col("brand"))
+          .agg(max(col("np")).as("n_parts"), max(col("tot")).as("total_rev_cents"),
+            min(when(col("cum") * 5 >= col("tot") * 4, col("rn"))).as("n_top"),
+            min(when(col("cum") * 5 >= col("tot") * 4, col("cum"))).as("cumk"))
+          .select(col("brand"), col("n_parts"), col("total_rev_cents"), col("n_top"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * cumk) div total_rev_cents AS BIGINT)")
+              .as("top_share_ppm"))
+          .orderBy(col("brand"))
+      },
+      Some("""
+        WITH prev AS (
+          SELECT p.p_brand AS brand, l.l_partkey AS pk,
+                 CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS r
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY 1,2),
+        ranked AS (
+          SELECT brand, r,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY brand ORDER BY r DESC, pk) AS BIGINT) AS rn,
+                 CAST(SUM(r) OVER (PARTITION BY brand ORDER BY r DESC, pk
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+                 CAST(SUM(r) OVER (PARTITION BY brand) AS BIGINT) AS tot,
+                 CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT) AS np
+          FROM prev)
+        SELECT brand, MAX(np) AS n_parts, MAX(tot) AS total_rev_cents,
+               CAST(MIN(CASE WHEN 5*cum >= 4*tot THEN rn END) AS BIGINT) AS n_top,
+               CAST((1000000*CAST(MIN(CASE WHEN 5*cum >= 4*tot THEN cum END) AS HUGEINT)) // MAX(tot) AS BIGINT) AS top_share_ppm
+        FROM ranked GROUP BY brand ORDER BY brand""")),
+
+    // Edit-distance entity blocking: sorted-neighborhood by name within
+    // brand blocks, offsets 1..2, exact integer Levenshtein (both engines
+    // implement the identical textbook DP) with a tight <=2 near-dup
+    // threshold. q170's numeric variant established the rn+off join shape;
+    // this one exercises string-metric parity. 100 TB: candidates are
+    // O(docs x offsets) by construction, never all-pairs; the rank window
+    // partitions by brand.
+    QueryDef(
+      "q193_edit_distance_blocking",
+      (s, dir) => {
+        val p = Tables.part(s, dir).select(col("p_brand").as("brand"),
+          col("p_partkey").as("pk"), col("p_name").as("nm"))
+        val r = p.withColumn("rn",
+          row_number().over(Window.partitionBy(col("brand"))
+            .orderBy(col("nm"), col("pk"))).cast("long"))
+        val probes = r.withColumn("off", explode(array(lit(1L), lit(2L))))
+          .select(col("brand"), col("pk").as("pk_a"), col("nm").as("nm_a"),
+            (col("rn") + col("off")).as("rn_b"))
+        val pairs = probes.join(
+          r.select(col("brand"), col("pk").as("pk_b"), col("nm").as("nm_b"),
+            col("rn").as("rn_b")), Seq("brand", "rn_b"))
+          .withColumn("dist", levenshtein(col("nm_a"), col("nm_b")).cast("long"))
+        pairs.groupBy(col("brand"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("dist") <= 2, 1L).otherwise(0L)).as("n_matches"),
+            min(col("dist")).as("min_dist"),
+            sum(col("dist")).as("sum_dist"),
+            sum(when(col("dist") <= 2, col("pk_a") * 100000L + col("pk_b"))
+              .otherwise(0L)).as("match_checksum"))
+          .orderBy(col("brand"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT p_brand AS brand, p_partkey AS pk, p_name AS nm,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS BIGINT) AS rn
+          FROM part),
+        pairs AS (
+          SELECT a.brand, a.pk AS pk_a, b.pk AS pk_b,
+                 CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+          FROM r a JOIN r b ON a.brand = b.brand AND b.rn - a.rn IN (1,2))
+        SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN dist <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+               CAST(MIN(dist) AS BIGINT) AS min_dist,
+               CAST(SUM(dist) AS BIGINT) AS sum_dist,
+               CAST(SUM(CASE WHEN dist <= 2 THEN pk_a*100000 + pk_b ELSE 0 END) AS BIGINT) AS match_checksum
+        FROM pairs GROUP BY brand ORDER BY brand""")),
+
+    // Median/MAD robust outlier gate on per-customer revenue. Medians stay
+    // integral by doubling: med2 = 2*median(cents) and mad4 = 2*median of
+    // dev2 = |2x - med2| are exactly-integral doubles cast to BIGINT
+    // (round-vs-truncate is moot on integral values); the outlier rule
+    // |x-med| > 3*1.4826*MAD clears denominators to the pure-integer
+    // comparison 20000*dev2 > 44478*mad4 — no float ever touches a row.
+    // Two broadcast joins of 5-row median frames; everything else is one
+    // segment-partitioned aggregate per pass.
+    QueryDef(
+      "q194_mad_outliers",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val rev = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("segment"), col("o_custkey"))
+          .agg(sum(cents(col("o_totalprice"))).as("cents"))
+        val med = rev.groupBy(col("segment"))
+          .agg(expr("CAST(2*percentile(cents, 0.5D) AS BIGINT)").as("med2"))
+        val dev = rev.join(broadcast(med), "segment")
+          .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+        val mad = dev.groupBy(col("segment"))
+          .agg(expr("CAST(2*percentile(dev2, 0.5D) AS BIGINT)").as("mad4"))
+        dev.join(broadcast(mad), "segment")
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_customers"),
+            max(col("med2")).as("med2"), max(col("mad4")).as("mad4"),
+            sum(when(col("dev2") * 20000 > col("mad4") * 44478, 1L).otherwise(0L))
+              .as("n_outliers"),
+            max(col("dev2")).as("max_dev2"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)) AS BIGINT) AS cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_mktsegment, o.o_custkey),
+        med AS (
+          SELECT segment, CAST(2*percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS med2
+          FROM rev GROUP BY segment),
+        dev AS (
+          SELECT r.segment, ABS(2*r.cents - m.med2) AS dev2, m.med2
+          FROM rev r JOIN med m ON r.segment = m.segment),
+        mad AS (
+          SELECT segment, CAST(2*percentile_cont(0.5) WITHIN GROUP (ORDER BY dev2) AS BIGINT) AS mad4
+          FROM dev GROUP BY segment)
+        SELECT d.segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+               MAX(d.med2) AS med2, MAX(m.mad4) AS mad4,
+               CAST(SUM(CASE WHEN 20000*d.dev2 > 44478*m.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(MAX(d.dev2) AS BIGINT) AS max_dev2
+        FROM dev d JOIN mad m ON d.segment = m.segment
+        GROUP BY d.segment ORDER BY d.segment"""))
+  )
+}
