@@ -21,7 +21,8 @@ object SparkEntry {
       CdcQueries.defs ++ CompletenessQueries.defs ++ TimeSeriesQueries.defs ++
       AuditQueries.defs ++ MasterDataQueries.defs ++ SqlSurfaceQueries.defs ++
       StatsQueries.defs ++ ExperimentQueries.defs ++ PlannerQueries.defs ++
-      RobustStatsQueries.defs
+      RobustStatsQueries.defs ++ ConcentrationQueries.defs ++
+      InstrumentationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q47 is the full fct_orders composite — line math, rollup, joins,
