@@ -47,9 +47,22 @@ object Bench {
 
     // Failed queries record -1 (never a time-to-failure masquerading as a
     // fast run) and are listed in `failed`.
+    //
+    // Cache-clear and an explicit GC happen BEFORE the timer starts: with
+    // ~200 queries in one JVM, collections of the PREVIOUS query's garbage
+    // otherwise land inside the next query's measured window, inflating
+    // the whole suite ~25-30% in a way that scales with suite LENGTH, not
+    // query cost (observed round-4 -> round-5: uniform inflation on
+    // unchanged queries as the surface grew 152 -> 198).
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
-      val ok = try { run(name); true } catch { case _: Throwable => false }
+      val ok = try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case _: Throwable => false }
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
     }
     // The one-line JSON must fit the driver's 2000-byte stdout tail-capture
