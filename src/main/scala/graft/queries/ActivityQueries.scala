@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Batch session-window and activity-bitmask operators: Spark's native
+  * `session_window` (SessionWindowing/MergingSessionsExec — the gap-merge
+  * operator, not a hand-rolled islands rewrite) gated against the
+  * textbook gaps-and-islands SQL, and weekday presence as a 7-bit mask
+  * via bit_or/bit_count — the compact activity encoding rollup pipelines
+  * use instead of count-distinct-by-day.
+  */
+object ActivityQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // 30-minute-gap sessionization with Spark's session_window operator.
+    // Contract pinned by the gate: a session ENDs at last-event ts + gap,
+    // and events exactly 30:00 apart merge (strict > starts a new one).
+    // Timestamps leave as integer epoch micros on both sides. 100 TB:
+    // session_window aggregates partition by user — one exchange, the
+    // merge runs inside the aggregate exec; the oracle's two-window
+    // islands form would need the same single exchange.
+    QueryDef(
+      "q199_session_window",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).as("session_start_us"),
+            unix_micros(col("session_window.end")).as("session_end_us"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start_us"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS tus FROM events),
+        flagged AS (
+          SELECT user_id, tus,
+                 CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) > 1800000000
+                      OR LAG(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e),
+        sess AS (
+          SELECT user_id, tus,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM flagged)
+        SELECT user_id, CAST(MIN(tus) AS BIGINT) AS session_start_us,
+               CAST(MAX(tus) + 1800000000 AS BIGINT) AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us""")),
+
+    // Weekday-presence bitmask: per user, OR together 1 << weekday over
+    // all their events (Spark dayofweek is 1-7 Sunday-first, DuckDB
+    // dayofweek is 0-6 Sunday-first — the Spark side shifts by day-1),
+    // then the active-days distribution via bit_count. Everything is
+    // map-side combinable integer bit algebra — the 7-bit mask replaces a
+    // count-distinct-by-day at 1/7th the state.
+    QueryDef(
+      "q200_weekday_bitmask",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val m = e.groupBy(col("user_id"))
+          .agg(expr("CAST(bit_or(shiftleft(1, dayofweek(ts) - 1)) AS BIGINT)").as("mask"))
+        m.groupBy(expr("CAST(bit_count(mask) AS BIGINT)").as("n_active_days"))
+          .agg(count(lit(1)).as("n_users"), sum(col("mask")).as("mask_checksum"))
+          .orderBy(col("n_active_days"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT user_id, CAST(bit_or(1 << CAST(dayofweek(ts) AS INTEGER)) AS BIGINT) AS mask
+          FROM events GROUP BY 1)
+        SELECT CAST(bit_count(mask) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(mask) AS BIGINT) AS mask_checksum
+        FROM m GROUP BY 1 ORDER BY 1"""))
+  )
+}
