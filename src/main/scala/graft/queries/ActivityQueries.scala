@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -76,6 +77,67 @@ object ActivityQueries {
         SELECT CAST(bit_count(mask) AS BIGINT) AS n_active_days,
                CAST(COUNT(*) AS BIGINT) AS n_users,
                CAST(SUM(mask) AS BIGINT) AS mask_checksum
-        FROM m GROUP BY 1 ORDER BY 1"""))
+        FROM m GROUP BY 1 ORDER BY 1""")),
+
+    // Growth accounting: the monthly customer-flow decomposition
+    // (new / retained / resurrected, plus churned attributed to the month
+    // AFTER last activity) every subscription and marketplace dashboard
+    // opens with. One distinct to (customer, month), one customer-
+    // partitioned lag/lead window, then counts on the month frame bounded
+    // by the calendar span. The identity actives(m) = new + retained +
+    // resurrected holds row-for-row by construction.
+    QueryDef(
+      "q201_growth_accounting",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val am = o.select(col("o_custkey").as("ck"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("ym"))
+          .distinct()
+        val w = Window.partitionBy(col("ck")).orderBy(col("ym"))
+        val lagged = am
+          .withColumn("prev_ym", lag(col("ym"), 1).over(w))
+          .withColumn("next_ym", lead(col("ym"), 1).over(w))
+        val classified = lagged.select(col("ym"),
+          when(col("prev_ym").isNull, lit("new"))
+            .when(col("prev_ym") === col("ym") - 1, lit("retained"))
+            .otherwise(lit("resurrected")).as("cls"))
+        val churn = lagged
+          .where(col("next_ym").isNull || col("next_ym") > col("ym") + 1)
+          .select((col("ym") + 1).as("ym"), lit("churned").as("cls"))
+        classified.unionByName(churn)
+          .groupBy(col("ym"))
+          .agg(
+            sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+            sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"),
+            sum(when(col("cls") === "churned", 1L).otherwise(0L)).as("n_churned"))
+          .orderBy(col("ym"))
+      },
+      Some("""
+        WITH am AS (
+          SELECT DISTINCT o_custkey AS ck,
+                 CAST(YEAR(CAST(o_orderdate AS DATE))*12 + MONTH(CAST(o_orderdate AS DATE)) AS BIGINT) AS ym
+          FROM orders),
+        lagged AS (
+          SELECT ck, ym,
+                 LAG(ym) OVER (PARTITION BY ck ORDER BY ym) AS prev_ym,
+                 LEAD(ym) OVER (PARTITION BY ck ORDER BY ym) AS next_ym
+          FROM am),
+        classified AS (
+          SELECT ym,
+                 CASE WHEN prev_ym IS NULL THEN 'new'
+                      WHEN prev_ym = ym - 1 THEN 'retained'
+                      ELSE 'resurrected' END AS cls
+          FROM lagged),
+        churn AS (
+          SELECT ym + 1 AS ym, 'churned' AS cls
+          FROM lagged WHERE next_ym IS NULL OR next_ym > ym + 1),
+        u AS (SELECT ym, cls FROM classified UNION ALL SELECT ym, cls FROM churn)
+        SELECT ym,
+               CAST(SUM(CASE WHEN cls='new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN cls='retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN cls='resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+               CAST(SUM(CASE WHEN cls='churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        FROM u GROUP BY ym ORDER BY ym"""))
   )
 }
