@@ -255,6 +255,35 @@ object Multimodal {
     }
   }
 
+  /** One fixed-length analysis window of decoded PCM: sample count and
+    * exact integer energy Σv² (int16² ≤ 2³⁰, so a window of ≤ 2³³ samples
+    * stays inside int64 — audio DSP with no float in sight). */
+  final case class EnergyRow(
+      media_id: Long, win_idx: Int, n_samples: Int, energy: Long)
+
+  /** Real WAV DSP: decode PCM and emit per-window energies (the VAD /
+    * loudness-segmentation front end). Same one-codec-dispatch-per-
+    * partition shape as decodeFrames; non-WAV or malformed payloads emit
+    * no windows rather than crash. */
+  def decodeEnergyWindows(media: Dataset[MediaRow], windowSamples: Int)(
+      implicit spark: SparkSession): Dataset[EnergyRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        WavCodec.decode(m.content) match {
+          case None => Iterator.empty
+          case Some(a) =>
+            a.samples.grouped(windowSamples).zipWithIndex.map {
+              case (w, i) =>
+                var e = 0L
+                w.foreach(v => e += v.toLong * v)
+                EnergyRow(m.media_id, i, w.length, e)
+            }
+        }
+      }
+    }
+  }
+
   /** Real resize for PPM payloads: decode → nearest-neighbour resample →
     * re-encode a valid PPM, with metadata updated to the actual new dims.
     * Non-PPM rows fall back to the stub path. */

@@ -576,5 +576,76 @@ object AnalyticsQueries {
         SELECT h.log2_bucket, h.n_keys, h.n_rows, h.bucket_max, t.total_rows,
                h.bucket_max * h.n_keys > t.total_rows * 4 AS dominates
         FROM hist h, t
-        ORDER BY h.log2_bucket""")))
+        ORDER BY h.log2_bucket""")),
+
+    // Association rules over order baskets (the market-basket classic,
+    // on top of q102's pair supports): brand pairs with support ≥ 1% of
+    // baskets, emitted as DIRECTED rules with confidence
+    // sup(a∪b)/sup(a) and lift sup(a∪b)·N/(sup(a)·sup(b)). All
+    // thresholds and metrics stay in exact integer cross-multiplied
+    // form (`sup_ab·100 ≥ N`, one double division per metric at emit).
+    // Scale: candidate pairs come from the per-basket self-join — cost
+    // Σ_basket |items|² with |items| small and bounded, never catalog²;
+    // item supports are one partial-agg pass; N is a broadcast scalar.
+    // The directed expansion is a 2-row explode of the undirected pair —
+    // no second join.
+    QueryDef(
+      "q207_assoc_rules",
+      (s, dir) => {
+        val brands = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+        val nBaskets = brands.agg(count_distinct(col("ok")).as("n_baskets"))
+        val supports = brands.groupBy(col("p_brand")).agg(count(lit(1)).as("sup"))
+        val a = brands.select(col("ok"), col("p_brand").as("brand_a"))
+        val b = brands.select(col("ok"), col("p_brand").as("brand_b"))
+        val pairSup = a.join(b, Seq("ok")).where(col("brand_a") < col("brand_b"))
+          .groupBy(col("brand_a"), col("brand_b"))
+          .agg(count(lit(1)).as("sup_ab"))
+        val directed = pairSup.select(explode(array(
+            struct(col("brand_a").as("antecedent"), col("brand_b").as("consequent"),
+              col("sup_ab")),
+            struct(col("brand_b").as("antecedent"), col("brand_a").as("consequent"),
+              col("sup_ab")))).as("r"))
+          .select(col("r.antecedent").as("antecedent"),
+            col("r.consequent").as("consequent"), col("r.sup_ab").as("sup_ab"))
+        directed
+          .join(broadcast(supports.select(col("p_brand").as("antecedent"),
+            col("sup").as("sup_a"))), Seq("antecedent"))
+          .join(broadcast(supports.select(col("p_brand").as("consequent"),
+            col("sup").as("sup_b"))), Seq("consequent"))
+          .crossJoin(broadcast(nBaskets))
+          .where(col("sup_ab") * 100 >= col("n_baskets"))
+          .select(col("antecedent"), col("consequent"),
+            col("sup_ab"), col("sup_a"), col("sup_b"), col("n_baskets"),
+            (col("sup_ab").cast("double") / col("sup_a")).as("confidence"),
+            ((col("sup_ab") * col("n_baskets")).cast("double") /
+              (col("sup_a") * col("sup_b"))).as("lift"))
+          .orderBy(col("antecedent"), col("consequent"))
+      },
+      Some("""
+        WITH brands AS (
+          SELECT DISTINCT l_orderkey AS ok, p_brand
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_baskets FROM brands),
+        sup AS (SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS sup FROM brands GROUP BY 1),
+        pair_sup AS (
+          SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                 CAST(COUNT(*) AS BIGINT) AS sup_ab
+          FROM brands a JOIN brands b ON a.ok = b.ok AND a.p_brand < b.p_brand
+          GROUP BY 1, 2),
+        directed AS (
+          SELECT brand_a AS antecedent, brand_b AS consequent, sup_ab FROM pair_sup
+          UNION ALL
+          SELECT brand_b AS antecedent, brand_a AS consequent, sup_ab FROM pair_sup)
+        SELECT d.antecedent, d.consequent, d.sup_ab,
+               sa.sup AS sup_a, sb.sup AS sup_b, n.n_baskets,
+               d.sup_ab::DOUBLE / sa.sup AS confidence,
+               (d.sup_ab * n.n_baskets)::DOUBLE / (sa.sup * sb.sup) AS lift
+        FROM directed d
+        JOIN sup sa ON sa.p_brand = d.antecedent
+        JOIN sup sb ON sb.p_brand = d.consequent
+        CROSS JOIN n
+        WHERE d.sup_ab * 100 >= n.n_baskets
+        ORDER BY d.antecedent, d.consequent""")))
 }

@@ -407,6 +407,54 @@ object ExperimentQueries {
         LEFT JOIN pc ON pt.cust = pc.cust
         JOIN customer c ON pt.cust = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // l-diversity audit — k-anonymity's (q179) companion: a class of
+    // size 50 still leaks if all 50 share the sensitive value. Same
+    // quasi-identifier classes as q179 (nation × balance kilodollar
+    // band), sensitive attribute = market segment; l = distinct
+    // sensitive values per class. Output is the l histogram plus the
+    // rows exposed below l=3 — the release/suppress decision frame.
+    // Two partial-agg shuffles; the histogram frame is bounded by the
+    // class count, not the row count.
+    QueryDef(
+      "q210_l_diversity",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        // two-level rollup (per-(class, seg) counts → class frame) —
+        // never count + countDistinct in one agg (the Expand trap, q59)
+        val classes = c.select(col("c_nationkey").as("nk"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("band"),
+            col("c_mktsegment").as("seg"))
+          .groupBy(col("nk"), col("band"), col("seg"))
+          .agg(count(lit(1)).as("seg_rows"))
+          .groupBy(col("nk"), col("band"))
+          .agg(sum(col("seg_rows")).as("n_rows"), count(lit(1)).as("l"))
+        classes.groupBy(col("l"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(col("n_rows")).as("n_rows"),
+            min(col("n_rows")).as("min_class"),
+            max(col("n_rows")).as("max_class"),
+            sum(when(col("l") < 3L, col("n_rows")).otherwise(0L)).as("rows_exposed"))
+          .orderBy(col("l"))
+      },
+      Some("""
+        WITH cls AS (
+          SELECT c_nationkey AS nk,
+                 CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l
+          FROM customer
+          GROUP BY 1, 2)
+        SELECT l,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               CAST(MIN(n_rows) AS BIGINT) AS min_class,
+               CAST(MAX(n_rows) AS BIGINT) AS max_class,
+               CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS BIGINT)
+                 AS rows_exposed
+        FROM cls
+        GROUP BY 1
+        ORDER BY 1"""))
   )
 }

@@ -113,5 +113,51 @@ object JourneyQueries {
         FROM carried
         WHERE event_type = 'purchase'
         GROUP BY 1
-        ORDER BY 1""")))
+        ORDER BY 1""")),
+
+    // Top entry paths: each user's first three events (total order
+    // (ts, event_id) — no RNG ties), folded to an 'a>b>c' path string,
+    // counted across users. The sequence-mining primitive behind
+    // onboarding-funnel dashboards. One user_id window (rows ≤ 3 kept) +
+    // conditional-aggregate pivot — no collect_list (unordered) and no
+    // per-user driver logic; output cardinality is bounded by the
+    // event-type alphabet (≤ 5³ + 5² + 5 paths), so the final global
+    // sort is on a provably tiny frame. Users with fewer than 3 events
+    // still contribute their shorter path (concat_ws skips NULLs on both
+    // engines — semantics pinned by the oracle).
+    QueryDef(
+      "q206_entry_paths",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val first3 = e.select(col("user_id"), col("event_type"),
+            row_number().over(w).as("rn"))
+          .where(col("rn") <= 3)
+        first3.groupBy(col("user_id"))
+          .agg(
+            max(when(col("rn") === 1, col("event_type"))).as("e1"),
+            max(when(col("rn") === 2, col("event_type"))).as("e2"),
+            max(when(col("rn") === 3, col("event_type"))).as("e3"))
+          .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("n_users").desc, col("path"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        per_user AS (
+          SELECT user_id,
+                 MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+                 MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+                 MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+          FROM ranked WHERE rn <= 3
+          GROUP BY user_id)
+        SELECT concat_ws('>', e1, e2, e3) AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM per_user
+        GROUP BY 1
+        ORDER BY n_users DESC, path""")))
 }

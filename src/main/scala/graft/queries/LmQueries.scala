@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Kernels.{md5Bits, md5BitsModK}
+import graft.functions.TextKernels.tokens
+import graft.sources.Tables
+
+/** Statistical language-model data-curation operators — the two scoring
+  * primitives every pre-training corpus pipeline runs between dedup and
+  * mixing (cf. CCNet's KenLM perplexity filter and DSIR importance
+  * resampling):
+  *
+  *  - q202: held-out bigram-LM familiarity — train add-one-smoothed
+  *    bigram counts on one half of the corpus, score the held-out half.
+  *  - q203: DSIR-style hashed-feature importance weights — target
+  *    distribution vs general distribution over 256 hashed unigram
+  *    buckets, one importance ratio per document.
+  *
+  * Determinism stance: both scores are kept in INTEGER sum form
+  * (numerator/denominator of the average probability resp. likelihood
+  * ratio) with a SINGLE trailing double division, so cross-row float
+  * summation order never enters — the same transcendental-free design as
+  * the q172 BM25 (a true log-perplexity would hash-diverge across
+  * engines' libm).
+  */
+object LmQueries {
+
+  private val TrainSrc = Seq("src0", "src1", "src2", "src3", "src4")
+
+  // Every bigram occurrence (non-distinct — counts need multiplicity) as
+  // a (w1, bigram) struct array: size-1 bigrams for size tokens.
+  private def bigramRows(df: org.apache.spark.sql.DataFrame) = {
+    val ws = tokens(col("text"))
+    // Guard: sequence(0, -1) would DESCEND for 1-token docs; emit empty.
+    val idx = when(size(ws) >= 2, sequence(lit(0), size(ws) - 2))
+      .otherwise(array().cast("array<int>"))
+    df.select(col("doc_id"),
+        explode(transform(idx,
+          i => struct(element_at(ws, i + 1).as("w1"),
+            concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)).as("bg"))))
+          .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bg"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Held-out bigram-LM scoring (the KenLM-filter shape, log-free):
+    // train c(w1,w2), c(w1·) and vocab size V on the en docs of
+    // src0-src4; score the en docs of src5-src9 with add-one smoothing
+    // P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V). Per doc: Σnum, Σden (exact
+    // ints), unseen-bigram count, and the familiarity ratio as ONE
+    // division. 100 TB: the model tables are vocab-sized (≪ corpus);
+    // both joins hash-partition on the token key with map-side partial
+    // counts — at real scale the head of the bigram table is
+    // broadcastable and the tail stays in the shuffle join, and the
+    // corpus side streams through linearly.
+    QueryDef(
+      "q202_bigram_lm_score",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val en = d.where(col("lang") === "en")
+        val train = en.where(col("source").isin(TrainSrc: _*))
+        val held  = en.where(!col("source").isin(TrainSrc: _*))
+
+        val tb = bigramRows(train)
+        val bigramC  = tb.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+        val contextC = tb.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
+        val vocab = train
+          .select(explode(tokens(col("text"))).as("tok"))
+          .agg(count_distinct(col("tok")).as("v"))
+
+        bigramRows(held)
+          .join(bigramC, Seq("bg"), "left")
+          .join(contextC, Seq("w1"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            coalesce(col("bc"), lit(0L)).as("bcv"),
+            coalesce(col("cc"), lit(0L)).as("ccv"),
+            col("v"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("bcv") === 0L, 1L).otherwise(0L)).as("n_unseen"),
+            sum(col("bcv") + 1L).as("sum_num"),
+            sum(col("ccv") + col("v")).as("sum_den"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+            col("sum_num"), col("sum_den"),
+            (col("sum_num").cast("double") / col("sum_den")).as("familiarity"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, lang, string_split(text, ' ') ws FROM documents
+          WHERE lang = 'en'),
+        tb AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM toks WHERE source IN ('src0','src1','src2','src3','src4')),
+        bc AS (SELECT bg, COUNT(*) AS bc FROM tb GROUP BY 1),
+        cc AS (SELECT w1, COUNT(*) AS cc FROM tb GROUP BY 1),
+        vocab AS (
+          SELECT COUNT(DISTINCT t) AS v
+          FROM (SELECT unnest(ws) AS t FROM toks
+                WHERE source IN ('src0','src1','src2','src3','src4'))),
+        held AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM toks WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        j AS (
+          SELECT h.doc_id,
+                 COALESCE(b.bc, 0) AS bcv,
+                 COALESCE(c.cc, 0) AS ccv,
+                 (SELECT v FROM vocab) AS v
+          FROM held h
+          LEFT JOIN bc b USING (bg)
+          LEFT JOIN cc c USING (w1))
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN bcv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+               CAST(SUM(bcv + 1) AS BIGINT) AS sum_num,
+               CAST(SUM(ccv + v) AS BIGINT) AS sum_den,
+               CAST(SUM(bcv + 1) AS BIGINT)::DOUBLE
+                 / CAST(SUM(ccv + v) AS BIGINT) AS familiarity
+        FROM j
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // DSIR-style importance weights: hashed unigram features (md5 u64
+    // mod 256, cross-engine exact), target distribution = en docs,
+    // general distribution = whole corpus. Per doc the importance ratio
+    // is (Σ_tok (t_b+1)) · (G+B) / ((Σ_tok (g_b+1)) · (T+B)) — the
+    // average smoothed target-vs-general likelihood ratio of the doc's
+    // tokens, kept in exact int64 cross-multiplied form until the final
+    // division. 100 TB: both feature tables are exactly 256 rows
+    // (broadcast); scoring is a per-row map + one doc_id partial agg —
+    // fully linear, no wide state. (At corpus sizes where the int64
+    // cross-products would saturate, the two corpus-level constants fold
+    // into the final double division instead — noted, not needed at
+    // bench scale.)
+    QueryDef(
+      "q203_dsir_weights",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val tokRows = d.select(col("doc_id"), col("source"), col("lang"),
+            explode(tokens(col("text"))).as("tok"))
+          .withColumn("b", md5BitsModK(md5Bits(col("tok")), 256L))
+        val tBuckets = tokRows.where(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("tb"))
+        val gBuckets = tokRows.groupBy(col("b")).agg(count(lit(1)).as("gb"))
+        val totals = tokRows.agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tt"),
+          count(lit(1)).as("gt"))
+
+        tokRows
+          .join(broadcast(tBuckets), Seq("b"), "left")
+          .join(broadcast(gBuckets), Seq("b"))
+          .crossJoin(broadcast(totals))
+          .groupBy(col("doc_id"), col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_toks"),
+            sum(coalesce(col("tb"), lit(0L)) + 1L).as("t_sum"),
+            sum(col("gb") + 1L).as("g_sum"),
+            max(col("tt")).as("tt"), max(col("gt")).as("gt"))
+          .select(col("doc_id"), col("source"), col("lang"), col("n_toks"),
+            col("t_sum"), col("g_sum"),
+            ((col("t_sum") * (col("gt") + 256L)).cast("double") /
+              (col("g_sum") * (col("tt") + 256L))).as("importance"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH raw AS (
+          SELECT doc_id, source, lang,
+                 unnest(string_split(text, ' ')) AS tokstr
+          FROM documents),
+        tok AS (
+          SELECT doc_id, source, lang,
+                 CAST(md5_number_lower(tokstr) % 256 AS BIGINT) AS b
+          FROM raw),
+        tb AS (SELECT b, COUNT(*) AS tb FROM tok WHERE lang = 'en' GROUP BY 1),
+        gb AS (SELECT b, COUNT(*) AS gb FROM tok GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+                 CAST(COUNT(*) AS BIGINT) AS gt
+          FROM tok)
+        SELECT t.doc_id, t.source, t.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_toks,
+               CAST(SUM(COALESCE(tb.tb, 0) + 1) AS BIGINT) AS t_sum,
+               CAST(SUM(gb.gb + 1) AS BIGINT) AS g_sum,
+               (CAST(SUM(COALESCE(tb.tb, 0) + 1) AS BIGINT)
+                  * (MAX(tot.gt) + 256))::DOUBLE
+                 / (CAST(SUM(gb.gb + 1) AS BIGINT) * (MAX(tot.tt) + 256))
+                 AS importance
+        FROM tok t
+        LEFT JOIN tb ON t.b = tb.b
+        JOIN gb ON t.b = gb.b
+        CROSS JOIN tot
+        GROUP BY t.doc_id, t.source, t.lang
+        ORDER BY t.doc_id""")))
+}

@@ -255,5 +255,69 @@ object MasterDataQueries {
                CAST(CAST(SUM(amount) AS DECIMAL(38,6)) AS DOUBLE) AS amount_sum
         FROM feed
         GROUP BY 1, 2
-        ORDER BY 1, 2""")))
+        ORDER BY 1, 2""")),
+
+    // Fellegi-Sunter record-linkage scoring — the probabilistic step the
+    // q106/q170/q193 blocking stack feeds: every blocked candidate pair
+    // gets an agreement vector and a total match weight (fixed integer
+    // log-odds-style weights, stated in config — the m/u estimation step
+    // is offline), then link / possible / non-link classification at the
+    // standard two thresholds. Blocking key (nation, segment, acctbal
+    // kilodollar band) bounds candidates to Σ|block|² with the band width
+    // as the knob — never customers²; comparators are pure integer
+    // algebra (name-suffix distance, balance-cents distance). Output is
+    // the per-class audit frame with an exact pair checksum so both
+    // engines must classify EXACTLY the same pairs.
+    QueryDef(
+      "q208_linkage_scoring",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(
+          col("c_custkey").as("ck"),
+          col("c_nationkey").as("nk"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000.0).cast("long").as("band"),
+          substring(col("c_name"), 10, 9).cast("long").as("sfx"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+        val a = c.toDF("ck_a", "nk", "seg", "band", "sfx_a", "cents_a")
+        val b = c.toDF("ck_b", "nk", "seg", "band", "sfx_b", "cents_b")
+        val pairs = a.join(b, Seq("nk", "seg", "band"))
+          .where(col("ck_a") < col("ck_b"))
+        val scored = pairs.select(col("ck_a"), col("ck_b"),
+          (when(abs(col("sfx_a") - col("sfx_b")) <= 5L, 24L).otherwise(-8L) +
+            when(abs(col("cents_a") - col("cents_b")) <= 20000L, 16L).otherwise(-6L))
+            .as("weight"))
+        scored
+          .select(col("ck_a"), col("ck_b"), col("weight"),
+            when(col("weight") >= 30L, "link")
+              .when(col("weight") >= 0L, "possible")
+              .otherwise("non_link").as("cls"))
+          .groupBy(col("cls"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("weight")).as("weight_sum"),
+            sum(col("ck_a") * 31L + col("ck_b")).as("pair_checksum"))
+          .orderBy(col("cls"))
+      },
+      Some("""
+        WITH r AS (
+          SELECT c_custkey AS ck, c_nationkey AS nk, c_mktsegment AS seg,
+                 CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band,
+                 CAST(substring(c_name, 10, 9) AS BIGINT) AS sfx,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          FROM customer),
+        pairs AS (
+          SELECT a.ck AS ck_a, b.ck AS ck_b,
+                 (CASE WHEN abs(a.sfx - b.sfx) <= 5 THEN 24 ELSE -8 END
+                  + CASE WHEN abs(a.cents - b.cents) <= 20000 THEN 16 ELSE -6 END)
+                   AS weight
+          FROM r a JOIN r b
+            ON a.nk = b.nk AND a.seg = b.seg AND a.band = b.band
+           AND a.ck < b.ck)
+        SELECT CASE WHEN weight >= 30 THEN 'link'
+                    WHEN weight >= 0 THEN 'possible'
+                    ELSE 'non_link' END AS cls,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(weight) AS BIGINT) AS weight_sum,
+               CAST(SUM(ck_a * 31 + ck_b) AS BIGINT) AS pair_checksum
+        FROM pairs
+        GROUP BY 1
+        ORDER BY 1""")))
 }

@@ -341,5 +341,50 @@ object MixQueries {
                CAST(CASE WHEN is_capped THEN cap
                     ELSE wgt * (B - cap_c) // (W - cap_w) END AS BIGINT) AS alloc
         FROM totals
-        ORDER BY lang""")))
+        ORDER BY lang""")),
+
+    // Weighted sampling without replacement, deterministic: the
+    // Duffield-Lund-Thorup priority-sampling scheme with the uniform
+    // draw replaced by a content-keyed hash (u = md5 u64 mod 2⁵³) and
+    // the priority u/w kept as an exact integer floor-divide — higher
+    // weight → smaller priority → more likely in the per-segment top-k.
+    // No RNG: re-running on a grown table keeps every surviving row's
+    // priority, so samples are reproducible and incremental (the same
+    // property q58 gives unweighted splits). One shuffle on the segment
+    // key; the top-k window frame never materializes more than k rows
+    // per group downstream. Weights are balance cents shifted positive.
+    QueryDef(
+      "q209_weighted_sample",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val u = Kernels.md5BitsModK(
+          Kernels.md5Bits(concat(lit("ws:"), col("c_custkey"))), 9007199254740992L)
+        val w = (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long") + 100000L
+        val ranked = c.select(col("c_mktsegment").as("segment"),
+            col("c_custkey"), u.as("u"), w.as("w"))
+          .select(col("segment"), col("c_custkey"),
+            expr("u div w").as("priority"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy(col("segment"))
+              .orderBy(col("priority"), col("c_custkey"))))
+          .where(col("rank") <= 20)
+        ranked.select(col("segment"), col("rank").cast("long").as("rank"),
+            col("c_custkey"), col("priority"))
+          .orderBy(col("segment"), col("rank"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT c_mktsegment AS segment, c_custkey,
+                 CAST((md5_number_lower('ws:' || c_custkey) % 9007199254740992)
+                      // (CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 100000)
+                      AS BIGINT) AS priority
+          FROM customer),
+        r AS (
+          SELECT segment, c_custkey, priority,
+                 row_number() OVER (PARTITION BY segment
+                                    ORDER BY priority, c_custkey) AS rank
+          FROM p)
+        SELECT segment, CAST(rank AS BIGINT) AS rank, c_custkey, priority
+        FROM r WHERE rank <= 20
+        ORDER BY segment, rank""")))
 }

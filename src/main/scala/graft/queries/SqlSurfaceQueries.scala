@@ -121,5 +121,56 @@ object SqlSurfaceQueries {
           FROM du, range(0, 7) t(x))
         SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_7d
         FROM fan JOIN sp USING (day)
-        GROUP BY day ORDER BY day""")))
+        GROUP BY day ORDER BY day""")),
+
+    // Correlated-subquery surface: EXISTS, NOT EXISTS, a correlated
+    // scalar COUNT and a correlated filtered scalar SUM in one
+    // statement, run as SQL TEXT — gating Catalyst's decorrelation
+    // (RewriteCorrelatedScalarSubquery + RewritePredicateSubquery turn
+    // all four into joins; nothing executes per-row). The oracle runs
+    // the same ANSI text, so the gate pins SEMANTICS (NULL scalar
+    // subqueries, empty-group sums) across two independent
+    // decorrelation engines. Scale: each subquery decorrelates to an
+    // aggregate/semi/anti hash join on o_custkey — the plan a hand
+    // optimizer would write; no nested-loop anywhere.
+    QueryDef(
+      "q211_correlated_subqueries",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("cust_cs")
+        Tables.orders(s, dir).createOrReplaceTempView("ord_cs")
+        s.sql("""
+          SELECT c.c_custkey,
+                 (SELECT COUNT(*) FROM ord_cs o
+                   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+                 (SELECT CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                          AS DECIMAL(38,6)) AS DOUBLE)
+                    FROM ord_cs o
+                   WHERE o.o_custkey = c.c_custkey
+                     AND o.o_orderstatus = 'F') AS f_total
+          FROM cust_cs c
+          WHERE EXISTS (SELECT 1 FROM ord_cs o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 150000)
+            AND NOT EXISTS (SELECT 1 FROM ord_cs o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderstatus = 'P')
+          ORDER BY c.c_custkey""")
+      },
+      Some("""
+        SELECT c.c_custkey,
+               (SELECT COUNT(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6)))
+                        AS DECIMAL(38,6)) AS DOUBLE)
+                  FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                   AND o.o_orderstatus = 'F') AS f_total
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'P')
+        ORDER BY c.c_custkey""")))
 }

@@ -170,5 +170,77 @@ object TimeSeriesQueries {
         SELECT user_id, n_intervals, total_s,
                (area_uvs * 1000) // (total_s * 1000000) AS twap_milli
         FROM agg
-        ORDER BY user_id""")))
+        ORDER BY user_id""")),
+
+    // Sample autocorrelation of the daily-order-count series at lags 1-7
+    // — the seasonality probe behind every forecasting/anomaly pipeline
+    // (weekly cycle shows as a lag-7 peak). The series is zero-filled
+    // over the full calendar spine (missing day = 0 orders, NOT a
+    // dropped row — ACF over a gappy series is wrong), then each lag is
+    // a Pearson correlation over the overlapping pairs kept in exact
+    // int64 cross-multiplied form: r = (N·Σxy − Σx·Σy) /
+    // √((N·Σx²−(Σx)²)(N·Σy²−(Σy)²)), ONE double division + sqrt at the
+    // end. Scale: the heavy part (daily counts) is one partial-agg
+    // shuffle over orders; the spine/lag stage operates on days×7 rows —
+    // thousands, regardless of the fact-table size. The 7 lag copies
+    // come from one explode + a single co-partitioned self-join on day.
+    QueryDef(
+      "q205_daily_acf",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val daily = o.groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        val spine = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+        val series = spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("c"), lit(0L)).as("x"))
+        val lagged = series
+          .select(col("day"), col("x"), explode(sequence(lit(1), lit(7))).as("lag"))
+          .select(col("lag"), col("x"), date_add(col("day"), col("lag")).as("tday"))
+        val pairs = lagged.join(
+          series.select(col("day").as("tday"), col("x").as("y")), Seq("tday"))
+        pairs.groupBy(col("lag").cast("long").as("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("lag"), col("n_pairs"),
+            ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")))
+              .as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1),
+        span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        spine AS (
+          SELECT CAST(d AS DATE) AS day
+          FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM span)),
+        series AS (
+          SELECT s.day, COALESCE(d.c, 0) AS x
+          FROM spine s LEFT JOIN daily d USING (day)),
+        lagged AS (
+          SELECT l.lag, s.x, s.day + CAST(l.lag AS INTEGER) AS tday
+          FROM series s, (SELECT unnest(range(1, 8)) AS lag) l),
+        pairs AS (
+          SELECT lg.lag, lg.x, t.x AS y
+          FROM lagged lg JOIN series t ON t.day = lg.tday),
+        agg AS (
+          SELECT CAST(lag AS BIGINT) AS lag,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx,
+                 CAST(SUM(y*y) AS BIGINT) AS syy
+          FROM pairs GROUP BY 1)
+        SELECT lag, n_pairs,
+               (n_pairs * sxy - sx * sy)::DOUBLE
+                 / sqrt((n_pairs * sxx - sx * sx)::DOUBLE
+                        * (n_pairs * syy - sy * sy)::DOUBLE) AS acf
+        FROM agg
+        ORDER BY lag""")))
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, Similarity}
 import graft.sources.Tables
@@ -346,5 +347,154 @@ object VectorQueries {
                CAST(quantile_disc(pm, 0.5) AS BIGINT) AS med_pm,
                (quantile_disc(pm, 0.5) BETWEEN 600 AND 1800) AS is_bounded
         FROM pm
-        ORDER BY n_pairs""")))
+        ORDER BY n_pairs""")),
+
+    // One-pass covariance (Gram) matrix of the embedding columns — the
+    // d×d statistic PCA/whitening/drift-detection pipelines need from an
+    // n×d corpus. Inputs are quantized to exact int64 micro-units
+    // (round(x·10⁶)), so Σxᵢ, Σxᵢxⱼ are order-free integer sums; the
+    // population covariance combines them in DECIMAL(38,0) (n·Σxy
+    // overflows int64 past ~10⁵ rows) with ONE double division at the
+    // end. Per row the d(d+1)/2 upper-triangle products are generated by
+    // a per-row nested transform+flatten (no self-join); partial
+    // aggregation means the shuffle carries ≤2080 rows per map partition
+    // regardless of n — the canonical "wide statistic from tall data"
+    // map-combine shape, linear to 100 TB.
+    QueryDef(
+      "q204_embedding_covariance",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double").cast("decimal(18,6)") * 1000000).cast("long")).as("v"))
+        val d = 64
+        val pairRows = q.select(explode(flatten(
+            transform(sequence(lit(1), lit(d)), i =>
+              transform(sequence(i, lit(d)), j =>
+                struct(i.as("i"), j.as("j"),
+                  (element_at(col("v"), i) * element_at(col("v"), j)).as("xy"))))))
+            .as("p"))
+          .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+            col("p.xy").as("xy"))
+        val sums = pairRows.groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"))
+        val dims = q.select(posexplode(col("v")).as(Seq("i0", "x")))
+          .select((col("i0") + 1).cast("long").as("i"), col("x"))
+          .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+        val di = dims.select(col("i"), col("sx").as("sxi"))
+        val dj = dims.select(col("i").as("j"), col("sx").as("sxj"))
+        sums.join(broadcast(di), Seq("i")).join(broadcast(dj), Seq("j"))
+          .select(col("i"), col("j"), col("n"),
+            ((col("n").cast("decimal(38,0)") * col("sxy").cast("decimal(38,0)") -
+              col("sxi").cast("decimal(38,0)") * col("sxj").cast("decimal(38,0)"))
+              .cast("double") /
+              (col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)"))
+                .cast("double") / 1.0e12).as("cov"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(CAST(x::DOUBLE AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS v
+          FROM embeddings),
+        ij AS (
+          SELECT i.i AS i, j.j AS j
+          FROM (SELECT unnest(range(1, 65)) AS i) i,
+               (SELECT unnest(range(1, 65)) AS j) j
+          WHERE j.j >= i.i),
+        sums AS (
+          SELECT ij.i, ij.j,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q.v[ij.i] * q.v[ij.j]) AS BIGINT) AS sxy
+          FROM q, ij
+          GROUP BY 1, 2),
+        dims AS (
+          SELECT d.i, CAST(SUM(q.v[d.i]) AS BIGINT) AS sx
+          FROM q, (SELECT unnest(range(1, 65)) AS i) d
+          GROUP BY 1)
+        SELECT s.i, s.j, s.n,
+               (CAST(s.n AS DECIMAL(38,0)) * CAST(s.sxy AS DECIMAL(38,0))
+                  - CAST(di.sx AS DECIMAL(38,0)) * CAST(dj.sx AS DECIMAL(38,0)))::DOUBLE
+                 / (CAST(s.n AS DECIMAL(38,0)) * CAST(s.n AS DECIMAL(38,0)))::DOUBLE
+                 / 1.0e12 AS cov
+        FROM sums s
+        JOIN dims di ON di.i = s.i
+        JOIN dims dj ON dj.i = s.j
+        ORDER BY s.i, s.j""")),
+
+    // Energy-based voice-activity segmentation over REAL decoded PCM —
+    // the q86 WAV codec driven one level deeper: per-clip 8-sample
+    // windows with exact integer energy Σv² (no float anywhere), a
+    // fixed activity threshold, and adjacent active windows merged into
+    // segments via the islands trick (win_idx − row_number). The
+    // synthesis formula is the oracle's window-algebra twin, so any
+    // codec defect (header offset, endianness, window bounds) or
+    // segmentation defect hash-fails. Scale: the codec runs
+    // mapPartitions (one dispatch per partition, payloads never leave
+    // the executor); windows/doc are bounded, the islands window
+    // partitions per clip — everything linear in total audio bytes.
+    QueryDef(
+      "q212_audio_vad",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal.{MediaRow, WavCodec}
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), ((col("n_chars") % 50) + 8).cast("int").as("n"))
+          .as[(Long, Int)]
+          .map { case (id, n) =>
+            val samples = Array.tabulate(n)(i =>
+              ((id * 31 + i * 131) % 65536 - 32768).toShort)
+            MediaRow(id, "audio/wav",
+              WavCodec.encode(WavCodec.Audio(1, 8000, samples, 0)), 0, 0, 0)
+          }
+        val wins = Multimodal.decodeEnergyWindows(media, 8)(s).toDF()
+          .select(col("media_id"), col("win_idx"), col("energy"))
+        val perClip = wins.groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("energy") > 2800000000L, 1L).otherwise(0L)).as("n_active"))
+        val active = wins.where(col("energy") > 2800000000L)
+        val w = Window.partitionBy(col("media_id")).orderBy(col("win_idx"))
+        val segs = active
+          .withColumn("sid", col("win_idx") - row_number().over(w))
+          .groupBy(col("media_id"), col("sid"))
+          .agg(count(lit(1)).as("seg_len"))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_segments"), max(col("seg_len")).as("max_seg_len"))
+        perClip.join(segs, Seq("media_id"), "left")
+          .select(col("media_id"), col("n_windows"), col("n_active"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            coalesce(col("max_seg_len"), lit(0L)).as("max_seg_len"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, (n_chars % 50) + 8 AS n FROM documents),
+        smp AS (
+          SELECT doc_id, i // 8 AS win_idx,
+                 ((doc_id * 31 + i * 131) % 65536) - 32768 AS v
+          FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d)),
+        wins AS (
+          SELECT doc_id AS media_id, win_idx,
+                 CAST(SUM(v * v) AS BIGINT) AS energy
+          FROM smp GROUP BY 1, 2),
+        per_clip AS (
+          SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+                 CAST(SUM(CASE WHEN energy > 2800000000 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_active
+          FROM wins GROUP BY 1),
+        active AS (
+          SELECT media_id, win_idx,
+                 win_idx - row_number() OVER (PARTITION BY media_id ORDER BY win_idx)
+                   AS sid
+          FROM wins WHERE energy > 2800000000),
+        segs AS (
+          SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+                 CAST(MAX(seg_len) AS BIGINT) AS max_seg_len
+          FROM (SELECT media_id, sid, COUNT(*) AS seg_len
+                FROM active GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT p.media_id, p.n_windows, p.n_active,
+               COALESCE(s.n_segments, 0) AS n_segments,
+               COALESCE(s.max_seg_len, 0) AS max_seg_len
+        FROM per_clip p LEFT JOIN segs s USING (media_id)
+        ORDER BY p.media_id""")))
 }
