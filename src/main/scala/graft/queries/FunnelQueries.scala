@@ -190,5 +190,62 @@ object FunnelQueries {
         SELECT true_label, s_label AS predicted_label, COUNT(*) AS n_docs
         FROM pred
         GROUP BY 1, 2
-        ORDER BY true_label, predicted_label""")))
+        ORDER BY true_label, predicted_label""")),
+
+    // Conversion-latency histogram: per user, FIRST signup → first
+    // purchase AT-OR-AFTER it, latency in whole hours (integer
+    // epoch-µs floor division — no timestamp-rounding drift), bucketed
+    // into capped day bins. The time-to-convert distribution is the
+    // funnel metric q98's step counts don't expose. One user_id
+    // partial-agg (min signup, min qualifying purchase via conditional
+    // min) + an 8-row histogram frame. Users who never convert are
+    // counted in a sentinel bucket (-1) so the frame accounts for the
+    // whole cohort — the silent-drop trap a plain inner join would hit.
+    QueryDef(
+      "q215_time_to_convert",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val su = e.where(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("s_us"))
+        val pu = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        val conv = su.join(pu, Seq("user_id"), "left")
+          .groupBy(col("user_id"), col("s_us"))
+          .agg(min(when(col("p_us") >= col("s_us"), col("p_us"))).as("c_us"))
+        val bucketed = conv
+          .withColumn("lat_us", col("c_us") - col("s_us")) // `/` on longs is double division — div below
+          .select(
+            when(col("c_us").isNull, lit(-1L))
+              .otherwise(least(expr("lat_us div 86400000000"), lit(7L))).as("day_bucket"),
+            expr("lat_us div 3600000000").as("hours"))
+        bucketed.groupBy(col("day_bucket"))
+          .agg(count(lit(1)).as("n_users"),
+            min(col("hours")).as("min_hours"),
+            max(col("hours")).as("max_hours"))
+          .orderBy(col("day_bucket"))
+      },
+      Some("""
+        WITH su AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS s_us
+          FROM events WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (
+          SELECT user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'),
+        conv AS (
+          SELECT su.user_id, su.s_us,
+                 MIN(CASE WHEN pu.p_us >= su.s_us THEN pu.p_us END) AS c_us
+          FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+          GROUP BY 1, 2),
+        bucketed AS (
+          SELECT CASE WHEN c_us IS NULL THEN -1
+                      ELSE LEAST((c_us - s_us) // 86400000000, 7) END AS day_bucket,
+                 (c_us - s_us) // 3600000000 AS hours
+          FROM conv)
+        SELECT CAST(day_bucket AS BIGINT) AS day_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MIN(hours) AS BIGINT) AS min_hours,
+               CAST(MAX(hours) AS BIGINT) AS max_hours
+        FROM bucketed
+        GROUP BY 1
+        ORDER BY 1""")))
 }

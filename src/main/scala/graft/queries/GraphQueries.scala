@@ -195,5 +195,52 @@ object GraphQueries {
                CAST(COUNT(*) AS BIGINT) AS n_triangles,
                CAST(COALESCE(SUM(u + w1 + w2), 0) AS BIGINT) AS corner_checksum
         FROM tris
-        ORDER BY n_edges""")))
+        ORDER BY n_edges""")),
+
+    // k-core decomposition (k=30) of the supplier↔part co-occurrence
+    // graph — the dense-subgraph extraction behind community mining and
+    // spam/anomaly heuristics, and the iterative-peeling pattern CC
+    // (q48) and PageRank (q108) don't cover: the fixpoint is reached by
+    // REMOVING nodes, so each round's induced-degree recount must see
+    // the shrunken set. Graphs.kCore runs the peeling loop with
+    // constant-size localCheckpointed plans (the CC loop discipline);
+    // the oracle unrolls the peel to its sf0.01 fixpoint (full-degree
+    // filter + two induced rounds — hash equality IS the convergence
+    // proof: one round short and the node sets differ). All counts stay
+    // integers; scale is rounds × (two semi-joins + one partial agg) on
+    // the edge key.
+    QueryDef(
+      "q213_kcore",
+      (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        val edges = pairs.select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
+          .unionByName(pairs.select((col("pk") + 10000000L).as("src"), col("sk").as("dst")))
+        graft.operators.Graphs.kCore(edges, 30)
+          .select(col("node"), col("deg"))
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        edges AS (
+          SELECT sk AS src, pk + 10000000 AS dst FROM pairs
+          UNION ALL
+          SELECT pk + 10000000 AS src, sk AS dst FROM pairs),
+        d0 AS (
+          SELECT src AS node FROM edges
+          GROUP BY 1 HAVING COUNT(*) >= 30),
+        r1 AS (
+          SELECT e.src AS node FROM edges e
+          JOIN d0 a ON a.node = e.src
+          JOIN d0 b ON b.node = e.dst
+          GROUP BY 1 HAVING COUNT(*) >= 30),
+        r2 AS (
+          SELECT e.src AS node, COUNT(*) AS deg FROM edges e
+          JOIN r1 a ON a.node = e.src
+          JOIN r1 b ON b.node = e.dst
+          GROUP BY 1 HAVING COUNT(*) >= 30)
+        SELECT node, CAST(deg AS BIGINT) AS deg
+        FROM r2
+        ORDER BY node""")))
 }

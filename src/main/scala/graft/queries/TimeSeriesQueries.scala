@@ -242,5 +242,141 @@ object TimeSeriesQueries {
                  / sqrt((n_pairs * sxx - sx * sx)::DOUBLE
                         * (n_pairs * syy - sy * sy)::DOUBLE) AS acf
         FROM agg
-        ORDER BY lag""")))
+        ORDER BY lag""")),
+
+    // Clamped running balance — inventory semantics (stock can't go
+    // negative): bal_i = max(0, bal_{i-1} + delta_i). The clamp makes
+    // the recurrence NON-LINEAR, so no window/prefix-sum rewrite exists
+    // (unlike q113/q135 cumsums) — this is the operator that genuinely
+    // needs per-key ordered state. Implementation is the SECONDARY-SORT
+    // pattern: repartition on user_id, sortWithinPartitions, then ONE
+    // O(1)-memory streaming fold per partition (an iterator that never
+    // buffers a group — at 100 TB a hot key with 10⁸ events still
+    // streams; groupByKey/flatMapGroups would buffer it). The oracle
+    // walks the same recurrence with a recursive CTE. Flows are exact
+    // integer cents; view = +stock, purchase = −stock.
+    QueryDef(
+      "q214_clamped_balance",
+      (s, dir) => {
+        import s.implicits._
+        val flows = Tables.events(s, dir)
+          .where(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"),
+            unix_micros(col("ts")).as("tus"), col("event_id"),
+            when(col("event_type") === "purchase",
+              -(col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .otherwise((col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .as("delta"))
+        flows.repartition(col("user_id"))
+          .sortWithinPartitions(col("user_id"), col("tus"), col("event_id"))
+          .as[(Long, Long, Long, Long)]
+          .mapPartitions { rows =>
+            val it = rows.buffered
+            new Iterator[(Long, Long, Long, Long, Long)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, Long, Long, Long, Long) = {
+                val user = it.head._1
+                var n = 0L; var bal = 0L; var maxb = 0L; var clamps = 0L
+                while (it.hasNext && it.head._1 == user) {
+                  val d = it.next()._4
+                  n += 1
+                  val nb = bal + d
+                  if (nb < 0L) { clamps += 1; bal = 0L } else bal = nb
+                  if (bal > maxb) maxb = bal
+                }
+                (user, n, bal, maxb, clamps)
+              }
+            }
+          }
+          .toDF("user_id", "n_flows", "final_balance", "max_balance", "n_clamps")
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH RECURSIVE flows AS (
+          SELECT user_id,
+                 CASE WHEN event_type = 'purchase'
+                      THEN -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+                   AS delta,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        walk AS (
+          SELECT user_id, rn,
+                 GREATEST(delta, 0) AS bal,
+                 CASE WHEN delta < 0 THEN 1 ELSE 0 END AS clamps,
+                 GREATEST(delta, 0) AS maxbal
+          FROM flows WHERE rn = 1
+          UNION ALL
+          SELECT f.user_id, f.rn,
+                 GREATEST(w.bal + f.delta, 0),
+                 w.clamps + CASE WHEN w.bal + f.delta < 0 THEN 1 ELSE 0 END,
+                 GREATEST(w.maxbal, GREATEST(w.bal + f.delta, 0))
+          FROM walk w
+          JOIN flows f ON f.user_id = w.user_id AND f.rn = w.rn + 1)
+        SELECT user_id,
+               CAST(MAX(rn) AS BIGINT) AS n_flows,
+               CAST(max_by(bal, rn) AS BIGINT) AS final_balance,
+               CAST(MAX(maxbal) AS BIGINT) AS max_balance,
+               CAST(max_by(clamps, rn) AS BIGINT) AS n_clamps
+        FROM walk
+        GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // Maximum drawdown of each user's cumulative net flow (the running
+    // peak-to-trough risk statistic) — the LINEAR companion to q214's
+    // clamped fold: cumsum and running max ARE prefix-expressible, so
+    // this stays pure windows sharing ONE user_id exchange (both frames
+    // cluster on the partition key) — no state, no recursion. Exact
+    // integer cents throughout.
+    QueryDef(
+      "q216_max_drawdown",
+      (s, dir) => {
+        val flows = Tables.events(s, dir)
+          .where(col("event_type").isin("view", "purchase"))
+          .select(col("user_id"),
+            unix_micros(col("ts")).as("tus"), col("event_id"),
+            when(col("event_type") === "purchase",
+              -(col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .otherwise((col("value").cast("decimal(18,2)") * 100).cast("long"))
+              .as("delta"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val walked = flows
+          .withColumn("cum", sum(col("delta")).over(w))
+          .withColumn("peak", max(col("cum")).over(w))
+        walked.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_flows"),
+            max(col("peak")).as("peak"),
+            sum(col("delta")).as("final_net"),
+            max(col("peak") - col("cum")).as("max_drawdown"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH flows AS (
+          SELECT user_id, epoch_us(ts) AS tus, event_id,
+                 CASE WHEN event_type = 'purchase'
+                      THEN -CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END
+                   AS delta
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        cums AS (
+          SELECT user_id, tus, event_id, delta,
+                 SUM(delta) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM flows),
+        walked AS (
+          SELECT user_id, delta, cum,
+                 MAX(cum) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+          FROM cums)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_flows,
+               CAST(MAX(peak) AS BIGINT) AS peak,
+               CAST(SUM(delta) AS BIGINT) AS final_net,
+               CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown
+        FROM walked
+        GROUP BY user_id
+        ORDER BY user_id""")))
 }
