@@ -22,7 +22,8 @@ object SparkEntry {
       AuditQueries.defs ++ MasterDataQueries.defs ++ SqlSurfaceQueries.defs ++
       StatsQueries.defs ++ ExperimentQueries.defs ++ PlannerQueries.defs ++
       RobustStatsQueries.defs ++ ConcentrationQueries.defs ++
-      InstrumentationQueries.defs ++ ActivityQueries.defs ++ LmQueries.defs
+      InstrumentationQueries.defs ++ ActivityQueries.defs ++ LmQueries.defs ++
+      TokenizerQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q47 is the full fct_orders composite — line math, rollup, joins,

@@ -52,4 +52,37 @@ object Graphs {
 
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame =
     kCoreWithRounds(edges, k, maxRounds)._1
+
+  /** Multi-source BFS hop distance (unweighted single-source shortest
+    * paths, generalized to a source SET): frontier expansion with an
+    * anti-join against the visited set, so each node is labeled with its
+    * FIRST (minimal) hop and never re-expanded — per-round work is
+    * O(edges touching the frontier), total O(E) across all rounds, the
+    * textbook Pregel BFS. Rounds are bounded by min(graph diameter,
+    * maxHops); each is one hash join on src + distinct + anti-join, all
+    * clustered on the node key. `edges` symmetric, columns src/dst;
+    * `sources` column `node`. Returns (node, hop). */
+  def bfsHops(edges: DataFrame, sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var known = sources.select(col("node")).distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint(true)
+    var frontier = known
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val nxt = e.join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(known.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint(true)
+      if (nxt.isEmpty) done = true
+      else {
+        known = known.unionByName(nxt).localCheckpoint(true)
+        frontier = nxt
+      }
+      h += 1
+    }
+    known
+  }
 }

@@ -242,5 +242,65 @@ object GraphQueries {
           GROUP BY 1 HAVING COUNT(*) >= 30)
         SELECT node, CAST(deg AS BIGINT) AS deg
         FROM r2
-        ORDER BY node""")))
+        ORDER BY node""")),
+
+    // Multi-source BFS hop histogram on the supplier↔part co-occurrence
+    // graph from suppliers 1-3 — unweighted shortest-path labeling, the
+    // reachability primitive CC (q48) and PageRank (q108) both assume
+    // but neither exposes. Graphs.bfsHops expands a frontier with an
+    // anti-join against the visited set (each node labeled at its
+    // MINIMAL hop, never re-expanded — O(E) total across rounds);
+    // the oracle unrolls 3 frontier expansions, which the dense
+    // bipartite graph saturates (hash equality proves the fixpoint:
+    // one round short and the hop histogram differs). Output is the
+    // hop-distance histogram with an id checksum per hop.
+    QueryDef(
+      "q222_bfs_hops",
+      (s, dir) => {
+        val s_ = s
+        val pairs = Tables.lineitem(s_, dir)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        val edges = pairs.select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
+          .unionByName(pairs.select((col("pk") + 10000000L).as("src"), col("sk").as("dst")))
+        val sources = pairs.select(col("sk").as("node")).where(col("node") <= 3)
+        graft.operators.Graphs.bfsHops(edges, sources, 3)
+          .groupBy(col("hop"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_checksum"))
+          .orderBy(col("hop"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        edges AS (
+          SELECT sk AS src, pk + 10000000 AS dst FROM pairs
+          UNION ALL
+          SELECT pk + 10000000 AS src, sk AS dst FROM pairs),
+        d0 AS (
+          SELECT DISTINCT sk AS node FROM pairs WHERE sk <= 3),
+        f1 AS (
+          SELECT DISTINCT e.dst AS node FROM edges e
+          JOIN d0 ON d0.node = e.src
+          WHERE e.dst NOT IN (SELECT node FROM d0)),
+        f2 AS (
+          SELECT DISTINCT e.dst AS node FROM edges e
+          JOIN f1 ON f1.node = e.src
+          WHERE e.dst NOT IN (SELECT node FROM d0)
+            AND e.dst NOT IN (SELECT node FROM f1)),
+        f3 AS (
+          SELECT DISTINCT e.dst AS node FROM edges e
+          JOIN f2 ON f2.node = e.src
+          WHERE e.dst NOT IN (SELECT node FROM d0)
+            AND e.dst NOT IN (SELECT node FROM f1)
+            AND e.dst NOT IN (SELECT node FROM f2)),
+        labeled AS (
+          SELECT node, 0 AS hop FROM d0
+          UNION ALL SELECT node, 1 FROM f1
+          UNION ALL SELECT node, 2 FROM f2
+          UNION ALL SELECT node, 3 FROM f3)
+        SELECT CAST(hop AS BIGINT) AS hop,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(node) AS BIGINT) AS node_checksum
+        FROM labeled
+        GROUP BY 1
+        ORDER BY hop""")))
 }

@@ -159,5 +159,88 @@ object JourneyQueries {
                CAST(COUNT(*) AS BIGINT) AS n_users
         FROM per_user
         GROUP BY 1
-        ORDER BY n_users DESC, path""")))
+        ORDER BY n_users DESC, path""")),
+
+    // Sequence-pattern matching over sessions — the MATCH_RECOGNIZE /
+    // funnel-regex operator class: render each 30-min-gap session as an
+    // ordered event-initial string ("vvcp" = view view click purchase)
+    // and count sessions/users matching each of a small broadcast
+    // pattern table (regexes kept inside the RE2∩Java common dialect:
+    // classes, anchors, +, *). Path building is deterministic without
+    // any ordered-agg dependence: collect struct(rn, initial), sort the
+    // array (numeric on rn), join — the same total-order contract as the
+    // oracle's string_agg(ORDER BY rn). 100 TB: one exchange on user_id
+    // (sessionize + path both cluster on it), session strings are
+    // gap-bounded, and the pattern table is a literal cross join —
+    // rlike runs map-side per (session, pattern).
+    QueryDef(
+      "q219_session_path_regex",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser))
+        val sessioned = ev.select(col("user_id"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("initial"),
+            sum(when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L)
+              .otherwise(0L))
+              .over(byUser.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).as("session_no"),
+            row_number().over(byUser).as("rn"))
+        val paths = sessioned
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(array_join(transform(
+              array_sort(collect_list(struct(col("rn"), col("initial")))),
+              x => x.getField("initial")), "").as("path"))
+        val patterns = Seq(
+          ("browse_only", "^[vc]+$"),
+          ("converted", "^.*p.*$"),
+          ("error_then_purchase", "^.*e.*p.*$"),
+          ("signup_first", "^s.*$"))
+        val pat = patterns.toDF("pattern_name", "pattern")
+        paths.crossJoin(broadcast(pat))
+          .groupBy(col("pattern_name"))
+          .agg(sum(when(expr("regexp_like(path, pattern)"), 1L).otherwise(0L))
+              .as("n_sessions"),
+            count_distinct(when(expr("regexp_like(path, pattern)"),
+              col("user_id"))).as("n_users"))
+          .orderBy(col("pattern_name"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 substr(event_type, 1, 1) AS initial,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        sess AS (
+          SELECT user_id, rn, initial,
+                 SUM(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000
+                          THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+          FROM g),
+        paths AS (
+          SELECT user_id, session_no,
+                 string_agg(initial, '' ORDER BY rn) AS path
+          FROM sess GROUP BY 1, 2),
+        pat AS (
+          SELECT * FROM (VALUES
+            ('browse_only', '^[vc]+$'),
+            ('converted', '^.*p.*$'),
+            ('error_then_purchase', '^.*e.*p.*$'),
+            ('signup_first', '^s.*$')) AS t(pattern_name, pattern))
+        SELECT pattern_name,
+               CAST(SUM(CASE WHEN regexp_matches(path, pattern)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+               CAST(COUNT(DISTINCT CASE WHEN regexp_matches(path, pattern)
+                                        THEN user_id END) AS BIGINT) AS n_users
+        FROM paths CROSS JOIN pat
+        GROUP BY 1
+        ORDER BY pattern_name""")))
 }

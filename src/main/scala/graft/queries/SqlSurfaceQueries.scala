@@ -172,5 +172,68 @@ object SqlSurfaceQueries {
           AND NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderstatus = 'P')
-        ORDER BY c.c_custkey""")))
+        ORDER BY c.c_custkey""")),
+
+    // DISTINCT aggregate over a running window — COUNT(DISTINCT x) OVER
+    // (... ROWS UNBOUNDED PRECEDING) is unsupported in both engines, so
+    // this gates the standard rewrite: flag each row that is the FIRST
+    // occurrence of its (key, value) pair (row_number over the pair,
+    // ordered by the running window's own order), then a plain running
+    // SUM of flags — an exact running distinct count with two windows
+    // sharing ONE user_id exchange (both cluster on the partition key;
+    // the subset rule dedups the second shuffle). Emitted per user: the
+    // breadth trajectory summary — final distinct event-type count and
+    // the epoch-µs at which breadth 3 was first reached (-1 = never).
+    // At 100 TB this replaces a quadratic recompute-per-prefix with one
+    // linear pass; the flag trick is exact, unlike sketch-based
+    // running distincts.
+    QueryDef(
+      "q220_running_distinct",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("tus"))
+        val byTime = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val byPair = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("tus"), col("event_id"))
+        val flagged = ev.withColumn("first_seen",
+          when(row_number().over(byPair) === 1, 1L).otherwise(0L))
+        val run = flagged.withColumn("run_distinct",
+          sum(col("first_seen")).over(
+            byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        run.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            max(col("run_distinct")).as("n_distinct_types"),
+            coalesce(min(when(col("run_distinct") === 3, col("tus"))), lit(-1L))
+              .as("breadth3_at_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS tus
+          FROM events),
+        flagged AS (
+          SELECT user_id, tus, event_id,
+                 CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY tus, event_id) = 1
+                      THEN 1 ELSE 0 END AS first_seen
+          FROM ev),
+        run AS (
+          SELECT user_id, tus,
+                 SUM(first_seen) OVER (PARTITION BY user_id
+                   ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS run_distinct
+          FROM flagged)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(MAX(run_distinct) AS BIGINT) AS n_distinct_types,
+               CAST(COALESCE(MIN(CASE WHEN run_distinct = 3 THEN tus END), -1)
+                    AS BIGINT) AS breadth3_at_us
+        FROM run
+        GROUP BY user_id
+        ORDER BY user_id""")))
 }

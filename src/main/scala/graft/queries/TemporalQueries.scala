@@ -153,5 +153,89 @@ object TemporalQueries {
                CAST(SUM(c.o_custkey) AS BIGINT) AS cust_sum
         FROM cur c LEFT JOIN prev p USING (o_custkey)
         GROUP BY 1, 2
-        ORDER BY 1, 2""")))
+        ORDER BY 1, 2""")),
+
+    // Allen's interval algebra — classify every ordered pair of
+    // per-(user, event-type) activity spans [min ts, max ts] into the
+    // 13 Allen relations (precedes/meets/overlaps/starts/during/
+    // finishes/equals + the 6 inverses), counting pairs per (type_a,
+    // type_b, relation). This is the temporal-reasoning completeness op
+    // the interval queries (q103 concurrency, q174 k-coverage, q44
+    // range join) don't cover: an exact relation TAXONOMY, not a
+    // measure. The CASE ladder tests equality cases before the strict
+    // ones (meets before precedes, equals/starts/finishes before
+    // during/overlaps) — the decision order IS the spec, mirrored
+    // verbatim in the oracle. Scale: spans are one partial agg on
+    // (user, type); the pair fan-out is a per-user self-join bounded by
+    // |event types|² = 25, map-side after one user_id exchange.
+    QueryDef(
+      "q221_allen_relations",
+      (s, dir) => {
+        val spans = Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(min(unix_micros(col("ts"))).as("lo"),
+            max(unix_micros(col("ts"))).as("hi"))
+        val a = spans.select(col("user_id"), col("event_type").as("type_a"),
+          col("lo").as("a_lo"), col("hi").as("a_hi"))
+        val b = spans.select(col("user_id"), col("event_type").as("type_b"),
+          col("lo").as("b_lo"), col("hi").as("b_hi"))
+        val rel =
+          when(col("a_hi") < col("b_lo"), "precedes")
+            .when(col("a_hi") === col("b_lo"), "meets")
+            .when(col("b_hi") < col("a_lo"), "preceded_by")
+            .when(col("b_hi") === col("a_lo"), "met_by")
+            .when(col("a_lo") === col("b_lo") && col("a_hi") === col("b_hi"),
+              "equals")
+            .when(col("a_lo") === col("b_lo") && col("a_hi") < col("b_hi"),
+              "starts")
+            .when(col("a_lo") === col("b_lo"), "started_by")
+            .when(col("a_hi") === col("b_hi") && col("a_lo") > col("b_lo"),
+              "finishes")
+            .when(col("a_hi") === col("b_hi"), "finished_by")
+            .when(col("a_lo") > col("b_lo") && col("a_hi") < col("b_hi"),
+              "during")
+            .when(col("a_lo") < col("b_lo") && col("a_hi") > col("b_hi"),
+              "contains")
+            .when(col("a_lo") < col("b_lo"), "overlaps")
+            .otherwise("overlapped_by")
+        a.join(b, Seq("user_id"))
+          .where(col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"), rel.as("relation"))
+          .groupBy(col("type_a"), col("type_b"), col("relation"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("type_a"), col("type_b"), col("relation"))
+      },
+      Some("""
+        WITH spans AS (
+          SELECT user_id, event_type,
+                 MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+          FROM events GROUP BY 1, 2),
+        pairs AS (
+          SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+                 a.lo AS a_lo, a.hi AS a_hi, b.lo AS b_lo, b.hi AS b_hi
+          FROM spans a JOIN spans b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type),
+        classified AS (
+          SELECT type_a, type_b,
+                 CASE
+                   WHEN a_hi < b_lo THEN 'precedes'
+                   WHEN a_hi = b_lo THEN 'meets'
+                   WHEN b_hi < a_lo THEN 'preceded_by'
+                   WHEN b_hi = a_lo THEN 'met_by'
+                   WHEN a_lo = b_lo AND a_hi = b_hi THEN 'equals'
+                   WHEN a_lo = b_lo AND a_hi < b_hi THEN 'starts'
+                   WHEN a_lo = b_lo THEN 'started_by'
+                   WHEN a_hi = b_hi AND a_lo > b_lo THEN 'finishes'
+                   WHEN a_hi = b_hi THEN 'finished_by'
+                   WHEN a_lo > b_lo AND a_hi < b_hi THEN 'during'
+                   WHEN a_lo < b_lo AND a_hi > b_hi THEN 'contains'
+                   WHEN a_lo < b_lo THEN 'overlaps'
+                   ELSE 'overlapped_by'
+                 END AS relation
+          FROM pairs)
+        SELECT type_a, type_b, relation,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM classified
+        GROUP BY 1, 2, 3
+        ORDER BY type_a, type_b, relation""")))
 }

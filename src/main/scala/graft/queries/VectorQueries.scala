@@ -496,5 +496,88 @@ object VectorQueries {
                COALESCE(s.n_segments, 0) AS n_segments,
                COALESCE(s.max_seg_len, 0) AS max_seg_len
         FROM per_clip p LEFT JOIN segs s USING (media_id)
-        ORDER BY p.media_id""")))
+        ORDER BY p.media_id""")),
+
+    // Product quantization (PQ) — the embedding-compression standard
+    // behind billion-vector ANN indexes (FAISS IVF-PQ): split the 64-d
+    // vector into 4 subspaces of 16 dims, train an independent k=4
+    // codebook per subspace (one fixed-point Lloyd round from the
+    // deterministic first-4-vec seeds, the q114 contract), assign every
+    // vector its per-subspace code, and account the total squared
+    // quantization error per (subspace, code). A 64-d float vector
+    // compresses to 4 code bytes — 64× — and the audit columns are how
+    // you decide the codebook is good enough before rewriting a corpus.
+    // Same integer micro-unit determinism as q114: coordinates quantize
+    // ONCE to BIGINT (floor(x·10⁶)); distances, argmins and centroid
+    // means stay integer (the mean's floor-div is a <2⁵³ IEEE-exact
+    // double op). 100 TB: codebooks are k×d literals (broadcast), so
+    // train is two exchanges on the vector key and ASSIGN is map-side
+    // only — the corpus-rewrite pass shuffles nothing.
+    QueryDef(
+      "q218_product_quantization",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val ex = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), (col("dim") % 16).cast("long").as("dim"),
+            (col("dim").cast("long") / 16).cast("long").as("sub"),
+            floor(col("xf").cast("double") * lit(1000000.0d)).cast("long").as("xq"))
+          .localCheckpoint(true)
+        val c0 = ex.where(col("vec_id") < 4)
+          .select(col("sub"), col("vec_id").as("cid"), col("dim"), col("xq").as("cq"))
+
+        def assign(cent: DataFrame): DataFrame = {
+          val d2 = ex.join(broadcast(cent), Seq("sub", "dim"))
+            .groupBy(col("vec_id"), col("sub"), col("cid"))
+            .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+          val w = Window.partitionBy(col("vec_id"), col("sub"))
+            .orderBy(col("d2"), col("cid"))
+          d2.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+            .select(col("vec_id"), col("sub"), col("cid"), col("d2"))
+        }
+        val c1 = ex.join(assign(c0).select(col("vec_id"), col("sub"), col("cid")),
+            Seq("vec_id", "sub"))
+          .groupBy(col("sub"), col("cid"), col("dim"))
+          .agg(floor(sum(col("xq")).cast("double") / count(lit(1)))
+            .cast("long").as("cq"))
+        assign(c1)
+          .groupBy(col("sub"), col("cid"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("d2")).as("sq_err"),
+            sum(col("vec_id")).as("id_checksum"))
+          .orderBy(col("sub"), col("cid"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id, CAST(unnest(range(len(embedding))) % 16 AS BIGINT) AS dim,
+                 CAST(unnest(range(len(embedding))) // 16 AS BIGINT) AS sub,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xq
+          FROM embeddings),
+        c0 AS (SELECT sub, vec_id AS cid, dim, xq AS cq FROM ex WHERE vec_id < 4),
+        d1 AS (SELECT e.vec_id, e.sub, c.cid,
+                      SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+               FROM ex e JOIN c0 c ON c.sub = e.sub AND c.dim = e.dim
+               GROUP BY 1, 2, 3),
+        a1 AS (SELECT vec_id, sub, cid FROM (
+                 SELECT vec_id, sub, cid, row_number() OVER (
+                   PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        c1 AS (SELECT e.sub, a.cid, e.dim,
+                      CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+               FROM ex e JOIN a1 a ON a.vec_id = e.vec_id AND a.sub = e.sub
+               GROUP BY 1, 2, 3),
+        d2_ AS (SELECT e.vec_id, e.sub, c.cid,
+                       SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+                FROM ex e JOIN c1 c ON c.sub = e.sub AND c.dim = e.dim
+                GROUP BY 1, 2, 3),
+        a2 AS (SELECT vec_id, sub, cid, d2 FROM (
+                 SELECT vec_id, sub, cid, d2, row_number() OVER (
+                   PARTITION BY vec_id, sub ORDER BY d2, cid) AS rn
+                 FROM d2_) WHERE rn = 1)
+        SELECT sub, cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(d2) AS BIGINT) AS sq_err,
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+        FROM a2 GROUP BY 1, 2
+        ORDER BY sub, cid""")))
 }
