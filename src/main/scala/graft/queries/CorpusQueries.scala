@@ -326,5 +326,70 @@ object CorpusQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000)
                  // t.total AS BIGINT) AS cum_permille
         FROM bins, t
-        ORDER BY bin""")))
+        ORDER BY bin""")),
+
+    // Cross-source n-gram novelty — the "is another crawl dump worth
+    // ingesting" audit: process sources in id order and measure, for
+    // each one, how many of its distinct 5-grams are NOVEL (first seen
+    // there) vs already covered by earlier sources, plus the cumulative
+    // vocabulary curve. The diminishing-returns signal that decides
+    // corpus-acquisition spend. Grams ride the string-free Horner-fold
+    // hashes (TextDedup.ngramHash62, q87's k=13 contract at k=5) — no
+    // 5-gram string is ever materialized. 100 TB: one token-stream
+    // shuffle per doc for hashing, one (source, h) distinct + one
+    // min-per-h partial agg on the 8-byte key; the per-source frame is
+    // |sources| rows, so the cumulative window is bounded-global.
+    QueryDef(
+      "q224_source_novelty",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+        val grams = graft.operators.TextDedup
+          .ngramHash62(d, "doc_id", "ws", 5)
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"), col("h62").as("h")).distinct()
+        val first = grams.groupBy(col("h"))
+          .agg(min(col("source")).as("first_source"))
+        val per = grams.join(first, Seq("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_source") === col("source"), 1L).otherwise(0L))
+              .as("n_novel"))
+        per.select(col("source"), col("n_grams"), col("n_novel"),
+            expr("1000000 * n_novel div n_grams").as("novelty_ppm"),
+            sum(col("n_novel")).over(Window.orderBy(col("source"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("cum_vocab"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        th AS (
+          SELECT doc_id, source, list_transform(ws,
+                   t -> CAST(md5_number_lower(t) % 2147483647 AS BIGINT)) AS hs
+          FROM toks WHERE len(ws) >= 5),
+        sh AS (
+          SELECT DISTINCT source,
+                 unnest(list_transform(range(1, len(hs) - 3),
+                   i -> list_reduce(list_slice(hs, i, i + 4),
+                          (a, x) -> (a * 131 + x) % 2147483647) * 2147483648 +
+                        list_reduce(list_slice(hs, i, i + 4),
+                          (a, x) -> (a * 137 + x) % 2147483647))) AS h
+          FROM th),
+        fs AS (SELECT h, MIN(source) AS first_source FROM sh GROUP BY 1),
+        per AS (
+          SELECT s.source, COUNT(*) AS n_grams,
+                 SUM(CASE WHEN f.first_source = s.source THEN 1 ELSE 0 END)
+                   AS n_novel
+          FROM sh s JOIN fs f USING (h) GROUP BY 1)
+        SELECT source,
+               CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_novel AS BIGINT) AS n_novel,
+               CAST(1000000 * n_novel // n_grams AS BIGINT) AS novelty_ppm,
+               CAST(SUM(n_novel) OVER (ORDER BY source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS cum_vocab
+        FROM per
+        ORDER BY source""")))
 }

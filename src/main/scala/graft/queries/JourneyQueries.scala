@@ -242,5 +242,91 @@ object JourneyQueries {
                                         THEN user_id END) AS BIGINT) AS n_users
         FROM paths CROSS JOIN pat
         GROUP BY 1
-        ORDER BY pattern_name""")))
+        ORDER BY pattern_name""")),
+
+    // Sequential-pattern support (the 2-item PrefixSpan core): for every
+    // ordered event-type pair (a → b), count sessions where some a
+    // occurs STRICTLY BEFORE some b — "eventually follows", the support
+    // metric sequence miners grow patterns from. Distinct from q102
+    // (unordered co-occurrence) and q111 (adjacent transitions only):
+    // order matters and gaps are allowed. The exists-before predicate
+    // compresses to min_pos(a) < max_pos(b) over per-session type spans
+    // (pos = row_number on the total (ts, event_id) order — integer,
+    // no composite-key overflow). Scale: spans are one partial agg on
+    // (user, session, type); the pair fan-out is a per-session self-join
+    // bounded by |types|² = 25; support ratios are integer ppm.
+    QueryDef(
+      "q226_seq_pattern_support",
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gapUs = unix_micros(col("ts")) -
+          unix_micros(lag(col("ts"), 1).over(byUser))
+        val sessioned = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            row_number().over(byUser).as("pos"),
+            sum(when(gapUs.isNull || gapUs > 30L * 60 * 1000000, 1L)
+              .otherwise(0L))
+              .over(byUser.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).as("session_no"))
+        val spans = sessioned
+          .groupBy(col("user_id"), col("session_no"), col("event_type"))
+          .agg(min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+          .localCheckpoint(true)
+        val total = spans.select(col("user_id"), col("session_no")).distinct()
+          .agg(count(lit(1)).as("n_total"))
+        val a = spans.select(col("user_id"), col("session_no"),
+          col("event_type").as("type_a"), col("min_pos"))
+        val b = spans.select(col("user_id"), col("session_no"),
+          col("event_type").as("type_b"), col("max_pos"))
+        a.join(b, Seq("user_id", "session_no"))
+          .where(col("type_a") =!= col("type_b"))
+          .groupBy(col("type_a"), col("type_b"))
+          .agg(count(lit(1)).as("n_sessions_both"),
+            sum(when(col("min_pos") < col("max_pos"), 1L).otherwise(0L))
+              .as("n_sessions_ab"))
+          .crossJoin(broadcast(total))
+          .select(col("type_a"), col("type_b"), col("n_sessions_both"),
+            col("n_sessions_ab"),
+            expr("n_sessions_ab * 1000000 div n_total").as("support_ppm"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT user_id, event_type, ts, event_id,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us,
+                 row_number() OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+          FROM events),
+        sess AS (
+          SELECT user_id, event_type, pos,
+                 SUM(CASE WHEN gap_us IS NULL OR gap_us > 30*60*1000000
+                          THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+          FROM g),
+        spans AS (
+          SELECT user_id, session_no, event_type,
+                 MIN(pos) AS min_pos, MAX(pos) AS max_pos
+          FROM sess GROUP BY 1, 2, 3),
+        total AS (
+          SELECT COUNT(*) AS n FROM
+            (SELECT DISTINCT user_id, session_no FROM spans)),
+        pairs AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 COUNT(*) AS n_sessions_both,
+                 SUM(CASE WHEN a.min_pos < b.max_pos THEN 1 ELSE 0 END)
+                   AS n_sessions_ab
+          FROM spans a JOIN spans b
+            ON a.user_id = b.user_id AND a.session_no = b.session_no
+           AND a.event_type <> b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b,
+               CAST(n_sessions_both AS BIGINT) AS n_sessions_both,
+               CAST(n_sessions_ab AS BIGINT) AS n_sessions_ab,
+               CAST(n_sessions_ab * 1000000 // t.n AS BIGINT) AS support_ppm
+        FROM pairs, total t
+        ORDER BY type_a, type_b""")))
 }

@@ -392,6 +392,76 @@ object RobustStatsQueries {
                CAST(SUM(CASE WHEN 20000*d.dev2 > 44478*m.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                CAST(MAX(d.dev2) AS BIGINT) AS max_dev2
         FROM dev d JOIN mad m ON d.segment = m.segment
-        GROUP BY d.segment ORDER BY d.segment"""))
+        GROUP BY d.segment ORDER BY d.segment""")),
+
+    // Winsorized and trimmed means — the two standard outlier-robust
+    // location estimates the MAD gate (q194) flags FOR: per market
+    // segment, clamp order totals to the [p05, p95] element quantiles
+    // (winsorize) or drop outside them (trim). percentile_disc returns
+    // CORPUS ELEMENTS (integer cents — the q128 contract), so clamping
+    // and both sums stay exact BIGINT; each mean is ONE exactAvg double
+    // division at the end. 100 TB: the quantile pass and the clamped
+    // re-aggregation are two partial-aggregable scans over the same
+    // segment key (the bounds frame is |segments| rows, broadcast back);
+    // contrast with q194's windowed median — element quantiles per
+    // group need no global sort.
+    QueryDef(
+      "q223_winsorized_mean",
+      (s, dir) => {
+        import graft.functions.Kernels.exactAvg
+        val cents = Tables.orders(s, dir)
+          .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"),
+            col("o_orderpriority").as("segment"))
+        val bounds = cents.groupBy(col("segment"))
+          .agg(expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)")
+              .cast("long").as("lo"),
+            expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+              .cast("long").as("hi"))
+        cents.join(broadcast(bounds), Seq("segment"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(col("lo")).as("p05_cents"), min(col("hi")).as("p95_cents"),
+            exactAvg(sum(greatest(least(col("cents"), col("hi")), col("lo"))),
+              count(lit(1))).as("winsorized_mean_cents"),
+            exactAvg(
+              sum(when(col("cents").between(col("lo"), col("hi")),
+                col("cents"))),
+              sum(when(col("cents").between(col("lo"), col("hi")), 1L)
+                .otherwise(0L))).as("trimmed_mean_cents"),
+            sum(when(col("cents") < col("lo"), 1L).otherwise(0L))
+              .as("n_clamped_lo"),
+            sum(when(col("cents") > col("hi"), 1L).otherwise(0L))
+              .as("n_clamped_hi"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT o_orderpriority AS segment,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders),
+        bounds AS (
+          SELECT segment,
+                 quantile_disc(cents, 0.05) AS lo,
+                 quantile_disc(cents, 0.95) AS hi
+          FROM cents GROUP BY 1)
+        SELECT c.segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(b.lo) AS BIGINT) AS p05_cents,
+               CAST(MIN(b.hi) AS BIGINT) AS p95_cents,
+               CAST(SUM(GREATEST(LEAST(c.cents, b.hi), b.lo)) AS DOUBLE)
+                 / COUNT(*) AS winsorized_mean_cents,
+               CAST(SUM(CASE WHEN c.cents BETWEEN b.lo AND b.hi
+                             THEN c.cents END) AS DOUBLE)
+                 / SUM(CASE WHEN c.cents BETWEEN b.lo AND b.hi
+                            THEN 1 ELSE 0 END) AS trimmed_mean_cents,
+               CAST(SUM(CASE WHEN c.cents < b.lo THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clamped_lo,
+               CAST(SUM(CASE WHEN c.cents > b.hi THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clamped_hi
+        FROM cents c JOIN bounds b USING (segment)
+        GROUP BY c.segment
+        ORDER BY c.segment"""))
   )
 }

@@ -579,5 +579,110 @@ object VectorQueries {
                CAST(SUM(d2) AS BIGINT) AS sq_err,
                CAST(SUM(vec_id) AS BIGINT) AS id_checksum
         FROM a2 GROUP BY 1, 2
-        ORDER BY sub, cid""")))
+        ORDER BY sub, cid""")),
+
+    // Maximal Marginal Relevance (MMR) — the diversity re-ranker layered
+    // on every retrieval stack (RAG context selection, dedup-aware
+    // search): greedily pick 5 of the top-12 relevance candidates,
+    // scoring each round mmr = 0.7·rel − 0.3·max-sim-to-selected. The
+    // greedy argmax is inherently sequential, but each of the 4 rounds
+    // is a BOUNDED frame op (12 candidates × ≤5 picks), so the loop is
+    // driver-orchestrated yet collect-free: anti-join remaining, max-sim
+    // partial agg, 1-row limit, union into the selected frame (the
+    // k-core/BFS loop discipline, localCheckpointed per round). Dots are
+    // the native codegen'd VectorDot with the oracle's left-to-right
+    // fold twin (q30 contract); 0.7/0.3 are explicit DOUBLE literals on
+    // both engines (bare DuckDB decimals would widen differently).
+    // 100 TB: relevance top-12 is the only corpus-wide pass (broadcast
+    // 1-row query, rank cut); re-ranking cost is O(k²) regardless of
+    // corpus size.
+    QueryDef(
+      "q225_mmr_rerank",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val qv = e.where(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+        val cand = e.where(col("vec_id") > 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("embedding"),
+            Similarity.dot(col("embedding"), col("q_vec")).as("rel"))
+          .orderBy(col("rel").desc, col("vec_id")).limit(12)
+          .localCheckpoint(true)
+        var selected = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("embedding"), col("rel"),
+            lit(1L).as("pick_order"), lit(0.0d).as("maxsim"))
+          .localCheckpoint(true)
+        for (r <- 2 to 5) {
+          val remaining = cand
+            .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          val sims = remaining
+            .crossJoin(broadcast(selected.select(col("embedding").as("s_emb"))))
+            .groupBy(col("vec_id"))
+            .agg(max(Similarity.dot(col("embedding"), col("s_emb"))).as("ms"))
+          val top1 = remaining.join(sims, Seq("vec_id"))
+            .orderBy((lit(0.7d) * col("rel") - lit(0.3d) * col("ms")).desc,
+              col("vec_id"))
+            .limit(1)
+            .select(col("vec_id"), col("embedding"), col("rel"),
+              lit(r.toLong).as("pick_order"), col("ms").as("maxsim"))
+          selected = selected.unionByName(top1).localCheckpoint(true)
+        }
+        selected.select(col("pick_order"), col("vec_id"), col("rel"),
+            col("maxsim"),
+            (lit(0.7d) * col("rel") - lit(0.3d) * col("maxsim")).as("mmr"))
+          .orderBy(col("pick_order"))
+      },
+      Some(s"""
+        WITH qv AS (SELECT embedding q_vec FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, e.embedding,
+                 ${dotSql("e.embedding", "q.q_vec")} AS rel
+          FROM embeddings e, qv q WHERE e.vec_id > 0),
+        cand AS (SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT 12),
+        p1 AS (SELECT vec_id, embedding, rel, 1 AS pick_order,
+                      0.0::DOUBLE AS maxsim
+               FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        m2 AS (SELECT c.vec_id,
+                      MAX(${dotSql("c.embedding", "p.embedding")}) AS ms
+               FROM cand c, p1 p
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+               GROUP BY c.vec_id),
+        p2 AS (SELECT c.vec_id, c.embedding, c.rel, 2, m.ms
+               FROM cand c JOIN m2 m USING (vec_id)
+               ORDER BY 0.7::DOUBLE * c.rel - 0.3::DOUBLE * m.ms DESC, c.vec_id
+               LIMIT 1),
+        s2 AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+        m3 AS (SELECT c.vec_id,
+                      MAX(${dotSql("c.embedding", "p.embedding")}) AS ms
+               FROM cand c, s2 p
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM s2)
+               GROUP BY c.vec_id),
+        p3 AS (SELECT c.vec_id, c.embedding, c.rel, 3, m.ms
+               FROM cand c JOIN m3 m USING (vec_id)
+               ORDER BY 0.7::DOUBLE * c.rel - 0.3::DOUBLE * m.ms DESC, c.vec_id
+               LIMIT 1),
+        s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM p3),
+        m4 AS (SELECT c.vec_id,
+                      MAX(${dotSql("c.embedding", "p.embedding")}) AS ms
+               FROM cand c, s3 p
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM s3)
+               GROUP BY c.vec_id),
+        p4 AS (SELECT c.vec_id, c.embedding, c.rel, 4, m.ms
+               FROM cand c JOIN m4 m USING (vec_id)
+               ORDER BY 0.7::DOUBLE * c.rel - 0.3::DOUBLE * m.ms DESC, c.vec_id
+               LIMIT 1),
+        s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM p4),
+        m5 AS (SELECT c.vec_id,
+                      MAX(${dotSql("c.embedding", "p.embedding")}) AS ms
+               FROM cand c, s4 p
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM s4)
+               GROUP BY c.vec_id),
+        p5 AS (SELECT c.vec_id, c.embedding, c.rel, 5, m.ms
+               FROM cand c JOIN m5 m USING (vec_id)
+               ORDER BY 0.7::DOUBLE * c.rel - 0.3::DOUBLE * m.ms DESC, c.vec_id
+               LIMIT 1),
+        s5 AS (SELECT * FROM s4 UNION ALL SELECT * FROM p5)
+        SELECT CAST(pick_order AS BIGINT) AS pick_order, vec_id, rel, maxsim,
+               0.7::DOUBLE * rel - 0.3::DOUBLE * maxsim AS mmr
+        FROM s5
+        ORDER BY pick_order""")))
 }
