@@ -85,4 +85,34 @@ object Graphs {
     }
     known
   }
+
+  /** Synchronous label propagation (LPA community detection), a FIXED
+    * number of rounds: every node starts as its own label and each round
+    * adopts the most frequent label among its neighbors (ties broken on
+    * the smaller label — the determinism rule that makes synchronous LPA
+    * reproducible at any parallelism; free-running async LPA is not).
+    * Each round is one join on the edge key + a (node, label) partial
+    * count + an argmax window clustered on the node — the Pregel
+    * superstep rhythm, constant plan size via per-round localCheckpoint.
+    * Fixed rounds (not convergence-probed) because synchronous LPA can
+    * 2-cycle on bipartite structure; callers pick the budget. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    (1 to rounds).foreach { _ =>
+      val counts = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("lbl"))
+      labels = counts.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -302,6 +302,45 @@ object Multimodal {
     }
   }
 
+  /** One perceptual hash per image: (media_id, 64-bit dHash). */
+  final case class DHashRow(media_id: Long, dhash: Long)
+
+  /** Difference hash (dHash) over decoded PPM payloads — THE cheap
+    * perceptual near-dup signature (pHash's DCT refines it; the pipeline
+    * shape is identical): the raster must already be the canonical
+    * (w+1)×h thumb (callers resize first — q229 goes 18×16 → 9×8 through
+    * the real resampler), then bit (y·w+x) = [gray(x+1,y) > gray(x,y)],
+    * horizontal gradient signs packed little-endian into an int64. Gray
+    * is the red channel (callers encode grayscale rasters, r=g=b).
+    * Same one-codec-dispatch-per-partition shape as decodeFrames;
+    * undecodable or wrong-geometry payloads emit nothing. */
+  def dHash(media: Dataset[MediaRow], w: Int, h: Int)(
+      implicit spark: SparkSession): Dataset[DHashRow] = {
+    import spark.implicits._
+    require(w * h <= 64, s"dHash needs w*h <= 64 bits, got ${w}x$h")
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        PpmCodec.decode(m.content) match {
+          case Some(img) if img.width == w + 1 && img.height == h =>
+            var bits = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g0 = img.rgb(3 * (y * (w + 1) + x)) & 0xff
+                val g1 = img.rgb(3 * (y * (w + 1) + x + 1)) & 0xff
+                if (g1 > g0) bits |= 1L << (y * w + x)
+                x += 1
+              }
+              y += 1
+            }
+            Iterator.single(DHashRow(m.media_id, bits))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   /** Byte value at a fixed 1-based offset of a binary column (hex→int
     * round trip; conv is case-insensitive so either engine's hex casing
     * works). */

@@ -455,6 +455,93 @@ object ExperimentQueries {
                  AS rows_exposed
         FROM cls
         GROUP BY 1
-        ORDER BY 1"""))
+        ORDER BY 1""")),
+
+    // Poisson bootstrap — distribution-free confidence intervals at
+    // data-parallel scale, fully DETERMINISTIC: the classic bootstrap
+    // resamples n rows WITH replacement (impossible to parallelize
+    // exactly); the Poisson approximation gives every row an independent
+    // Poisson(1) multiplicity per resample, which here comes from a
+    // hashed permille against the Poisson(1) CDF table (368/736/920/
+    // 981/996, tail capped at 5) — no RNG, so both engines build the
+    // IDENTICAL 32 resamples. Per (segment, resample): one weighted
+    // partial agg; per segment: element quantiles of the 32 resample
+    // means (p05/p50/p95 — the CI). 100 TB: the 32× fan-out is
+    // map-side (explode + flat projection), everything after is
+    // partial-aggregable; the quantile frame is 32 rows per segment.
+    QueryDef(
+      "q235_poisson_bootstrap",
+      (s, dir) => {
+        import graft.functions.Kernels.exactAvg
+        val cents = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("segment"), col("o_orderkey").as("k"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"))
+        val point = cents.groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            exactAvg(sum(col("cents")), count(lit(1))).as("mean_cents"))
+        val h = md5BitsModK(md5Bits(
+          concat(lit("boot:"), col("b"), lit(":"), col("k"))), 1000L)
+        val w = when(h < 368, 0L).when(h < 736, 1L).when(h < 920, 2L)
+          .when(h < 981, 3L).when(h < 996, 4L).otherwise(5L)
+        val resampled = cents
+          .select(col("segment"), col("k"), col("cents"),
+            explode(sequence(lit(0), lit(31))).as("b"))
+          .select(col("segment"), col("b"), col("cents"), w.as("w"))
+          .groupBy(col("segment"), col("b"))
+          .agg(exactAvg(sum(col("w") * col("cents")), sum(col("w")))
+            .as("mean_b"))
+        val ci = resampled.groupBy(col("segment"))
+          .agg(
+            expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY mean_b)")
+              .as("ci_lo"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY mean_b)")
+              .as("ci_med"),
+            expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY mean_b)")
+              .as("ci_hi"))
+        point.join(ci, Seq("segment")).orderBy(col("segment"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT o_orderpriority AS segment, o_orderkey AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders),
+        point AS (
+          SELECT segment, COUNT(*) AS n_orders,
+                 CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mean_cents
+          FROM cents GROUP BY 1),
+        fan AS (
+          SELECT segment, k, cents, unnest(range(0, 32)) AS b FROM cents),
+        weighted AS (
+          SELECT segment, b, cents,
+                 CASE
+                   WHEN md5_number_lower('boot:' || b || ':' || k) % 1000
+                        < 368 THEN 0
+                   WHEN md5_number_lower('boot:' || b || ':' || k) % 1000
+                        < 736 THEN 1
+                   WHEN md5_number_lower('boot:' || b || ':' || k) % 1000
+                        < 920 THEN 2
+                   WHEN md5_number_lower('boot:' || b || ':' || k) % 1000
+                        < 981 THEN 3
+                   WHEN md5_number_lower('boot:' || b || ':' || k) % 1000
+                        < 996 THEN 4
+                   ELSE 5 END AS w
+          FROM fan),
+        means AS (
+          SELECT segment, b,
+                 CAST(SUM(w * cents) AS DOUBLE) / SUM(w) AS mean_b
+          FROM weighted GROUP BY 1, 2),
+        ci AS (
+          SELECT segment,
+                 quantile_disc(mean_b, 0.05) AS ci_lo,
+                 quantile_disc(mean_b, 0.5) AS ci_med,
+                 quantile_disc(mean_b, 0.95) AS ci_hi
+          FROM means GROUP BY 1)
+        SELECT p.segment,
+               CAST(p.n_orders AS BIGINT) AS n_orders, p.mean_cents,
+               c.ci_lo, c.ci_med, c.ci_hi
+        FROM point p JOIN ci c USING (segment)
+        ORDER BY p.segment"""))
   )
 }

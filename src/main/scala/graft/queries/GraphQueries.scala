@@ -302,5 +302,60 @@ object GraphQueries {
                CAST(SUM(node) AS BIGINT) AS node_checksum
         FROM labeled
         GROUP BY 1
-        ORDER BY hop""")))
+        ORDER BY hop""")),
+
+    // Label-propagation communities (3 synchronous rounds) on the
+    // supplier↔part graph — the community-DETECTION member of the graph
+    // family (CC q48 finds connectivity, k-core q213 density, LPA finds
+    // modular clusters without a modularity objective). Determinism:
+    // most-frequent-neighbor-label with min-label ties, synchronized
+    // rounds — the oracle unrolls the identical three supersteps, so
+    // the gate pins round count AND tie policy (one wrong argmax and
+    // the cluster checksums diverge). Output is the community size
+    // distribution with per-community checksums.
+    QueryDef(
+      "q233_label_propagation",
+      (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        val edges = pairs.select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
+          .unionByName(pairs.select((col("pk") + 10000000L).as("src"), col("sk").as("dst")))
+        graft.operators.Graphs.labelPropagation(edges, 3)
+          .groupBy(col("lbl"))
+          .agg(count(lit(1)).as("cluster_size"), min(col("node")).as("min_node"),
+            sum(col("node")).as("node_checksum"))
+          .orderBy(col("lbl"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        edges AS (
+          SELECT sk AS src, pk + 10000000 AS dst FROM pairs
+          UNION ALL
+          SELECT pk + 10000000 AS src, sk AS dst FROM pairs),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        c1 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+               FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        l1 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                 FROM c1) WHERE rn = 1),
+        c2 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+               FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        l2 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                 FROM c2) WHERE rn = 1),
+        c3 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+               FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        l3 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                 FROM c3) WHERE rn = 1)
+        SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(MIN(node) AS BIGINT) AS min_node,
+               CAST(SUM(node) AS BIGINT) AS node_checksum
+        FROM l3
+        GROUP BY 1
+        ORDER BY lbl""")))
 }

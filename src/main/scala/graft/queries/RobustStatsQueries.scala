@@ -462,6 +462,80 @@ object RobustStatsQueries {
                  AS n_clamped_hi
         FROM cents c JOIN bounds b USING (segment)
         GROUP BY c.segment
-        ORDER BY c.segment"""))
+        ORDER BY c.segment""")),
+
+    // Theil-Sen estimator — the robust trend line (median of all
+    // pairwise slopes; 29% breakdown point vs OLS q168's zero): monthly
+    // revenue per order priority, slopes over ALL month pairs, median
+    // slope and median-residual intercept via element quantiles. The
+    // pair set is O(months²) — bounded by CALENDAR SPAN (84 months →
+    // ≤3.5k pairs/group), NOT by corpus size, so the estimator's cost is
+    // scale-free once the monthly rollup (one partial-aggregable
+    // exchange) is done. Slopes are exact-integer differences with ONE
+    // double division each (bit-identical IEEE on both engines);
+    // medians are percentile_disc ELEMENTS (q128 contract), never
+    // interpolated.
+    QueryDef(
+      "q227_theil_sen",
+      (s, dir) => {
+        val monthly = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority").as("segment"),
+            ((year(col("o_orderdate")) - 1992) * 12 +
+              month(col("o_orderdate")) - 1).cast("long").as("mi"))
+          .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("cents"))
+          .localCheckpoint(true)
+        val a = monthly.select(col("segment"), col("mi").as("mi_a"),
+          col("cents").as("c_a"))
+        val b = monthly.select(col("segment"), col("mi").as("mi_b"),
+          col("cents").as("c_b"))
+        val slopes = a.join(b, Seq("segment"))
+          .where(col("mi_a") < col("mi_b"))
+          .select(col("segment"),
+            ((col("c_b") - col("c_a")).cast("double") /
+              (col("mi_b") - col("mi_a")).cast("double")).as("slope"))
+        val fit = slopes.groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_pairs"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)")
+              .as("ts_slope"))
+        monthly.join(broadcast(fit), Seq("segment"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_months"),
+            min(col("n_pairs")).as("n_pairs"),
+            min(col("ts_slope")).as("ts_slope"),
+            expr("""percentile_disc(0.5) WITHIN GROUP
+                    (ORDER BY cast(cents as double)
+                              - ts_slope * cast(mi as double))""")
+              .as("ts_intercept"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT o_orderpriority AS segment,
+                 CAST((year(o_orderdate) - 1992) * 12
+                      + month(o_orderdate) - 1 AS BIGINT) AS mi,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS cents
+          FROM orders GROUP BY 1, 2),
+        slopes AS (
+          SELECT a.segment,
+                 CAST(b.cents - a.cents AS DOUBLE)
+                   / CAST(b.mi - a.mi AS DOUBLE) AS slope
+          FROM monthly a JOIN monthly b
+            ON a.segment = b.segment AND a.mi < b.mi),
+        fit AS (
+          SELECT segment, COUNT(*) AS n_pairs,
+                 quantile_disc(slope, 0.5) AS ts_slope
+          FROM slopes GROUP BY 1)
+        SELECT m.segment,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(MIN(f.n_pairs) AS BIGINT) AS n_pairs,
+               MIN(f.ts_slope) AS ts_slope,
+               quantile_disc(CAST(m.cents AS DOUBLE)
+                             - f.ts_slope * CAST(m.mi AS DOUBLE), 0.5)
+                 AS ts_intercept
+        FROM monthly m JOIN fit f USING (segment)
+        GROUP BY m.segment
+        ORDER BY m.segment"""))
   )
 }

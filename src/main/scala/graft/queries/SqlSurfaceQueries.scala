@@ -235,5 +235,53 @@ object SqlSurfaceQueries {
                     AS BIGINT) AS breadth3_at_us
         FROM run
         GROUP BY user_id
-        ORDER BY user_id""")))
+        ORDER BY user_id""")),
+
+    // LISTAGG — the SQL:2016 ordered-set string aggregate, native in
+    // Spark 4 (ListAgg with WITHIN GROUP) and gated here against
+    // DuckDB's string_agg(... ORDER BY ...): per order priority, the
+    // top-3 order keys by price as a CSV. Determinism demands a TOTAL
+    // within-group order (price ties broken by key — the q95/q176
+    // contract); the top-3 cut is a rank window sharing the same sort.
+    // The aggregate's scale story is the cut, not the concat: LISTAGG
+    // over an unbounded group is an anti-pattern (unbounded row), so
+    // the operator composes rank-prune → bounded ordered concat.
+    QueryDef(
+      "q231_listagg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("priority"),
+            col("o_orderkey").as("k"),
+            (col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"))
+        val w = Window.partitionBy(col("priority"))
+          .orderBy(col("cents").desc, col("k"))
+        cents.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+          .groupBy(col("priority"))
+          .agg(
+            expr("listagg(cast(k as string), ',') " +
+              "WITHIN GROUP (ORDER BY cents DESC, k)").as("top3_keys"),
+            sum(col("cents")).as("top3_cents"))
+          .orderBy(col("priority"))
+      },
+      Some("""
+        WITH cents AS (
+          SELECT o_orderpriority AS priority, o_orderkey AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders),
+        ranked AS (
+          SELECT priority, k, cents,
+                 row_number() OVER (PARTITION BY priority
+                   ORDER BY cents DESC, k) AS rn
+          FROM cents)
+        SELECT priority,
+               string_agg(CAST(k AS VARCHAR), ',' ORDER BY cents DESC, k)
+                 AS top3_keys,
+               CAST(SUM(cents) AS BIGINT) AS top3_cents
+        FROM ranked WHERE rn <= 3
+        GROUP BY priority
+        ORDER BY priority""")))
 }

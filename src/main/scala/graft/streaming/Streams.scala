@@ -171,13 +171,14 @@ object Streams {
   def intervalJoinStream(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTs: String, rightTs: String, watermark: String,
-      maxDelay: String): DataFrame = {
+      maxDelay: String, joinType: String = "inner"): DataFrame = {
     require(leftKey != rightKey,
       "leftKey and rightKey must have distinct column names")
     left.withWatermark(leftTs, watermark)
       .join(right.withWatermark(rightTs, watermark),
         expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs AND " +
-          s"$rightTs <= $leftTs + INTERVAL $maxDelay"))
+          s"$rightTs <= $leftTs + INTERVAL $maxDelay"),
+        joinType)
   }
 
   /** Streaming incremental-merge sink: every micro-batch merges into a
