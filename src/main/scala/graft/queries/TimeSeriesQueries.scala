@@ -381,7 +381,9 @@ object TimeSeriesQueries {
         ORDER BY user_id""")),
 
     // Overlapping-interval merge (islands over REAL intervals): each
-    // lineitem occupies [l_shipdate, l_receiptdate]; per supplier, merge
+    // lineitem occupies [l_shipdate, l_shipdate + transit], with transit a
+    // deterministic 1-14-day function of the line identity (the driver's
+    // lineitem has no receipt date); per supplier, merge
     // overlapping/touching intervals into islands and account coverage.
     // The generalization of integer gaps-and-islands (q113) to interval
     // endpoints — and the per-key complement of q174's global sweep: an
@@ -397,7 +399,9 @@ object TimeSeriesQueries {
       (s, dir) => {
         val iv = Tables.lineitem(s, dir)
           .select(col("l_suppkey").as("sk"), col("l_shipdate").as("lo"),
-            col("l_receiptdate").as("hi"),
+            date_add(col("l_shipdate"),
+              ((col("l_orderkey") + col("l_linenumber")) % 14 + 1).cast("int"))
+              .as("hi"),
             col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
         val sort = Window.partitionBy(col("sk"))
           .orderBy(col("lo"), col("hi"), col("ok"), col("ln"))
@@ -422,7 +426,9 @@ object TimeSeriesQueries {
       },
       Some("""
         WITH iv AS (
-          SELECT l_suppkey AS sk, l_shipdate AS lo, l_receiptdate AS hi,
+          SELECT l_suppkey AS sk, l_shipdate AS lo,
+                 l_shipdate + CAST((l_orderkey + l_linenumber) % 14 + 1
+                                   AS INTEGER) AS hi,
                  l_orderkey AS ok, l_linenumber AS ln
           FROM lineitem),
         flagged AS (
@@ -477,7 +483,8 @@ object TimeSeriesQueries {
         val iv = Tables.lineitem(s, dir)
           .select(col("l_suppkey").as("sk"),
             datediff(col("l_shipdate"), epoch).cast("long").as("lo"),
-            datediff(col("l_receiptdate"), epoch).cast("long").as("hi"),
+            (datediff(col("l_shipdate"), epoch).cast("long")
+              + (col("l_orderkey") + col("l_linenumber")) % 14 + 1).as("hi"),
             (col("l_orderkey") * 10 + col("l_linenumber")).as("line"))
         iv.repartition(col("sk"))
           .sortWithinPartitions(col("sk"), col("hi"), col("lo"), col("line"))
@@ -507,7 +514,8 @@ object TimeSeriesQueries {
           SELECT l_suppkey AS sk,
                  CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
                       AS BIGINT) AS lo,
-                 CAST(date_diff('day', DATE '1970-01-01', l_receiptdate)
+                 CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                      + (l_orderkey + l_linenumber) % 14 + 1
                       AS BIGINT) AS hi,
                  l_orderkey * 10 + l_linenumber AS line
           FROM lineitem),

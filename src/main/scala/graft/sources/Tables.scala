@@ -18,14 +18,17 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read as epoch-nanos long and rebuild the timestamp (integer
-    // `div` — a double division would lose precision on ~1e18 nanos).
-    // Oracle parity: DuckDB also reads TIMESTAMP_NS as µs TIMESTAMP
-    // (truncating, same direction for post-1970 data), so both engines see
-    // identical µs values by construction — no oracle-side trunc needed.
-    // Set-once: repeated conf.set on every load was harmless but mutated
-    // session state per call.
+    // ts normalization: the driver's generator has shipped events.ts as both
+    // parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    // read as epoch-nanos long via the legacy conf and rebuild with integer
+    // `div`; a double division would lose precision on ~1e18 nanos) and as
+    // µs TIMESTAMP_NTZ (isAdjustedToUTC=false, which Spark ≥3.4 infers as
+    // TIMESTAMP_NTZ). Both are normalized to TimestampType here: every
+    // operator and its oracle were verified against TimestampType with a
+    // UTC session (Verify/Bench/tests all pin spark.sql.session.timeZone=
+    // UTC), so the NTZ→TZ cast is value-identity and watermarks /
+    // session_window / unix_micros keep working regardless of which
+    // physical type the generator emitted.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -33,6 +36,11 @@ object Tables {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         acc.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (acc, f) if f.name == "ts" &&
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        acc.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case (acc, _) => acc
     }
   }
