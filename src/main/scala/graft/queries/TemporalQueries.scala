@@ -289,7 +289,7 @@ object TemporalQueries {
       },
       Some("""
         WITH base AS (
-          SELECT o_orderkey AS k, o_orderdate AS vf,
+          SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS vf,
                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                    AS cents
           FROM orders),

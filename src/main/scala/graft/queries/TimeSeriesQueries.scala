@@ -426,9 +426,10 @@ object TimeSeriesQueries {
       },
       Some("""
         WITH iv AS (
-          SELECT l_suppkey AS sk, l_shipdate AS lo,
-                 l_shipdate + CAST((l_orderkey + l_linenumber) % 14 + 1
-                                   AS INTEGER) AS hi,
+          SELECT l_suppkey AS sk, CAST(l_shipdate AS DATE) AS lo,
+                 CAST(l_shipdate AS DATE)
+                   + CAST((l_orderkey + l_linenumber) % 14 + 1
+                          AS INTEGER) AS hi,
                  l_orderkey AS ok, l_linenumber AS ln
           FROM lineitem),
         flagged AS (
