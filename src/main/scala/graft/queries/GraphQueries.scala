@@ -45,9 +45,15 @@ object GraphQueries {
       (s, dir) => {
         val pairs = Tables.lineitem(s, dir)
           .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk")).distinct()
+        // edges feeds every superstep and deg every contribution — without
+        // materialization the distinct-pair scan re-executes once per
+        // reference (~7× through the 3-round lineage). localCheckpoint is
+        // the pin-neutral form (q48/q167 precedent).
         val edges = pairs.select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
           .unionByName(pairs.select((col("pk") + 10000000L).as("src"), col("sk").as("dst")))
+          .localCheckpoint(true)
         val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+          .localCheckpoint(true)
         val r0 = deg.select(col("node"), lit(1000000L).as("r"))
         val r3 = (1 to 3).foldLeft(r0)((r, _) => prRound(r, edges, deg))
         r3.select(
@@ -357,5 +363,86 @@ object GraphQueries {
                CAST(SUM(node) AS BIGINT) AS node_checksum
         FROM l3
         GROUP BY 1
-        ORDER BY lbl""")))
+        ORDER BY lbl""")),
+
+    // HITS hubs-and-authorities over the bipartite customer→part purchase
+    // graph — the OTHER eigenvector centrality next to q108's PageRank
+    // (PageRank ranks within one node set; HITS co-ranks two roles:
+    // customers as hubs, parts as authorities). Two unrolled synchronized
+    // rounds in EXACT integer arithmetic: hub⁰ = 10⁶ per customer,
+    // auth = Σ hub over in-edges, hub = Σ auth, each normalized to a
+    // 10¹²-scaled share by a positive integral divide (floor == trunc) —
+    // a fixed round count is bit-reproducible on any engine, the
+    // q108/q48/q93 determinism stance. Scale: the edge list is touched
+    // once per half-round through partial-aggregable sums; score frames
+    // are |parts| and |customers| (1-2 orders below the fact), joined
+    // back to edges — auto-broadcast at test scale, co-partitioned
+    // shuffle joins at 100 TB. The edge frame is localCheckpoint'd once
+    // (consumed 3×; pin-neutral). Top-15 authorities ride the
+    // (score desc, key) total order.
+    QueryDef(
+      "q237_hits",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint(true)
+        val auth1 = edges.groupBy(col("p"))
+          .agg((count(lit(1)) * 1000000L).as("a1"))
+        val s1 = auth1.groupBy().agg(sum(col("a1")).as("sa1"))
+        val authn1 = auth1.crossJoin(broadcast(s1))
+          .select(col("p"),
+            expr("CAST((CAST(a1 AS DECIMAL(38,0)) * 1000000000000) div sa1 AS BIGINT)")
+              .as("an1"))
+        val hub1 = edges.join(authn1, "p")
+          .groupBy(col("c")).agg(sum(col("an1")).as("h1"))
+        val s2 = hub1.groupBy().agg(sum(col("h1")).as("sh1"))
+        val hubn1 = hub1.crossJoin(broadcast(s2))
+          .select(col("c"),
+            expr("CAST((CAST(h1 AS DECIMAL(38,0)) * 1000000000000) div sh1 AS BIGINT)")
+              .as("hn1"))
+        val auth2 = edges.join(hubn1, "c")
+          .groupBy(col("p")).agg(sum(col("hn1")).as("a2"))
+        val s3 = auth2.groupBy().agg(sum(col("a2")).as("sa2"))
+        val authn2 = auth2.crossJoin(broadcast(s3))
+          .select(col("p"),
+            expr("CAST((CAST(a2 AS DECIMAL(38,0)) * 1000000000000) div sa2 AS BIGINT)")
+              .as("auth_score"))
+        authn2.orderBy(col("auth_score").desc, col("p")).limit(15)
+          .select(col("p").as("part_key"), col("auth_score"))
+          .orderBy(col("auth_score").desc, col("part_key"))
+      },
+      Some("""
+        WITH edges AS (
+          SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        a1 AS (
+          SELECT p, CAST(COUNT(*) AS BIGINT) * 1000000 AS a1
+          FROM edges GROUP BY p),
+        s1 AS (SELECT CAST(SUM(a1) AS HUGEINT) AS sa1 FROM a1),
+        an1 AS (
+          SELECT p, CAST((CAST(a1 AS HUGEINT) * 1000000000000) // sa1 AS BIGINT) AS an1
+          FROM a1, s1),
+        h1 AS (
+          SELECT e.c, CAST(SUM(an1) AS BIGINT) AS h1
+          FROM edges e JOIN an1 USING (p) GROUP BY e.c),
+        s2 AS (SELECT CAST(SUM(h1) AS HUGEINT) AS sh1 FROM h1),
+        hn1 AS (
+          SELECT c, CAST((CAST(h1 AS HUGEINT) * 1000000000000) // sh1 AS BIGINT) AS hn1
+          FROM h1, s2),
+        a2 AS (
+          SELECT e.p, CAST(SUM(hn1) AS BIGINT) AS a2
+          FROM edges e JOIN hn1 USING (c) GROUP BY e.p),
+        s3 AS (SELECT CAST(SUM(a2) AS HUGEINT) AS sa2 FROM a2),
+        an2 AS (
+          SELECT p, CAST((CAST(a2 AS HUGEINT) * 1000000000000) // sa2 AS BIGINT) AS auth_score
+          FROM a2, s3)
+        SELECT p AS part_key, auth_score
+        FROM an2
+        ORDER BY auth_score DESC, part_key
+        LIMIT 15""")))
 }

@@ -536,6 +536,94 @@ object RobustStatsQueries {
                  AS ts_intercept
         FROM monthly m JOIN fit f USING (segment)
         GROUP BY m.segment
-        ORDER BY m.segment"""))
+        ORDER BY m.segment""")),
+
+    // Kolmogorov-Smirnov two-sample test — the distribution-SHAPE drift
+    // detector next to q185's chi-square (binned) and q191's Mann-Whitney
+    // (location): D = max over the merged support of |ECDF_a - ECDF_b|,
+    // here between urgent-priority and normal-priority order values.
+    // Exactness: the max gap is computed on the INTEGER lattice
+    // |n_b*cumA - n_a*cumB| (the common denominator n_a*n_b never
+    // divides until the final ppm emit), so D's argmax and the
+    // significance verdict involve no floats at all. The cumulative
+    // counts reuse q191's two-level scheme — distinct-value partial agg,
+    // then a value-range bucket (v div 65536) whose per-bucket totals
+    // prefix-sum on a frame bounded by VALUE RANGE, then within-bucket
+    // windows — so no global single-partition rank exists at any scale.
+    // Significance at alpha=0.05: D² > c²(n_a+n_b)/(n_a·n_b) with
+    // c² = -ln(0.025)/2 ≈ 1.844439727, cross-multiplied to the integer
+    // predicate d_num²·10⁹ > 1844439727·(n_a+n_b)·n_a·n_b riding
+    // DECIMAL(38,0) (headroom to ~sf10 at the gate's scales; beyond
+    // that the ppm form divides first).
+    QueryDef(
+      "q236_ks_two_sample",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val base = o.select(cents(col("o_totalprice")).as("v"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("is_a"))
+        val dv = base.groupBy(col("v")).agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"))
+        val bucketed = dv.withColumn("bucket", expr("v div 65536"))
+        val wOff = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = bucketed.groupBy(col("bucket"))
+          .agg(sum(col("cnt")).as("bcnt"), sum(col("cnt_a")).as("bcnt_a"))
+          .withColumn("off", coalesce(sum(col("bcnt")).over(wOff), lit(0L)))
+          .withColumn("off_a", coalesce(sum(col("bcnt_a")).over(wOff), lit(0L)))
+          .select(col("bucket"), col("off"), col("off_a"))
+        val wB = Window.partitionBy(col("bucket")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cums = bucketed.join(broadcast(boff), "bucket")
+          .withColumn("cum", col("off") + sum(col("cnt")).over(wB))
+          .withColumn("cum_a", col("off_a") + sum(col("cnt_a")).over(wB))
+        val tot = dv.groupBy().agg(
+          sum(col("cnt")).as("n"), sum(col("cnt_a")).as("n_a"))
+        val gaps = cums.crossJoin(broadcast(tot))
+          .select(col("n_a"), (col("n") - col("n_a")).as("n_b"),
+            abs((col("n") - col("n_a")).cast(DecimalType(38, 0)) * col("cum_a")
+              - col("n_a").cast(DecimalType(38, 0)) * (col("cum") - col("cum_a")))
+              .as("gap"))
+        gaps.groupBy(col("n_a"), col("n_b"))
+          .agg(max(col("gap")).as("d_num_dec"))
+          .select(col("n_a"), col("n_b"),
+            expr("CAST(d_num_dec AS BIGINT)").as("d_num"),
+            expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * d_num_dec) div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+              .as("ks_ppm"),
+            (expr("d_num_dec * d_num_dec * CAST(1000000000 AS DECIMAL(38,0))") >
+              expr("CAST(1844439727 AS DECIMAL(38,0)) * (n_a + n_b) * n_a * n_b"))
+              .as("significant"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS v,
+                 o_orderpriority IN ('1-URGENT','2-HIGH') AS is_a
+          FROM orders),
+        dv AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a
+          FROM base GROUP BY v),
+        cums AS (
+          SELECT v,
+                 CAST(SUM(cnt) OVER w AS BIGINT) AS cum,
+                 CAST(SUM(cnt_a) OVER w AS BIGINT) AS cum_a
+          FROM dv
+          WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        tot AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(cnt_a) AS BIGINT) AS n_a
+          FROM dv),
+        gaps AS (
+          SELECT t.n_a, t.n - t.n_a AS n_b,
+                 abs(CAST(t.n - t.n_a AS HUGEINT)*c.cum_a
+                     - CAST(t.n_a AS HUGEINT)*(c.cum - c.cum_a)) AS gap
+          FROM cums c CROSS JOIN tot t)
+        SELECT n_a, n_b,
+               CAST(MAX(gap) AS BIGINT) AS d_num,
+               CAST((1000000 * MAX(gap)) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_ppm,
+               MAX(gap)*MAX(gap)*CAST(1000000000 AS HUGEINT)
+                 > CAST(1844439727 AS HUGEINT)*(n_a+n_b)*n_a*n_b AS significant
+        FROM gaps
+        GROUP BY n_a, n_b"""))
   )
 }

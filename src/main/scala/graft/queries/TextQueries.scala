@@ -827,5 +827,66 @@ object TextQueries {
                     THEN (SUM(CASE WHEN is_true AND is_cand THEN 1 ELSE 0 END) * 1000)
                          // SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) END AS BIGINT) AS precision_permille
         FROM joined
-        ORDER BY n_truth_pairs""")))
+        ORDER BY n_truth_pairs""")),
+
+    // Flesch reading-ease banding per language — the classic readability
+    // quality filter next to q24's ratio stats and q202's LM familiarity.
+    // Syllables are vowel-group runs ([aeiouy]+ matches — the standard
+    // heuristic, a plain character class identical in Java and RE2
+    // regex); the synthetic corpus has no sentence punctuation, so
+    // sentence segmentation is SPEC'D as fixed 15-token windows
+    // (S = ceil(W/15)) — the segmentation is part of the operator
+    // contract, mirrored verbatim in the oracle. The score never
+    // becomes a float: FRE = 206.835 − 1.015·W/S − 84.6·Y/W is
+    // cross-multiplied by 1000·S·W to the integer lattice
+    // fre1000 = 206835·S·W − 1015·W² − 84600·Y·S, and the easy/standard/
+    // hard band cuts (60, 30) compare against 60000·S·W / 30000·S·W —
+    // pure BIGINT per doc. Scale: one linear scan, band rollup
+    // partial-aggregates; no joins, no windows.
+    QueryDef(
+      "q239_readability_bands",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ws = tokens(col("text"))
+        val base = d.select(col("doc_id"), col("lang"),
+            size(ws).cast("long").as("nw"),
+            regexp_count(lower(col("text")), lit("[aeiouy]+"))
+              .cast("long").as("ny"))
+          .withColumn("ns", expr("(nw + 14) div 15"))
+          .withColumn("fre1000",
+            expr("206835*ns*nw - 1015*nw*nw - 84600*ny*ns"))
+          .withColumn("band",
+            when(expr("fre1000 >= 60000*ns*nw"), "easy")
+              .when(expr("fre1000 >= 30000*ns*nw"), "standard")
+              .otherwise("hard"))
+        base.groupBy(col("lang"), col("band"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("nw")).as("n_tokens"),
+            sum(col("doc_id")).as("doc_checksum"))
+          .orderBy(col("lang"), col("band"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, lang, text, string_split(text, ' ') ws FROM documents),
+        m AS (
+          SELECT doc_id, lang,
+                 len(ws)::BIGINT AS nw,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS ny,
+                 (len(ws)::BIGINT + 14) // 15 AS ns
+          FROM toks),
+        b AS (
+          SELECT doc_id, lang, nw,
+                 CASE WHEN 206835*ns*nw - 1015*nw*nw - 84600*ny*ns >= 60000*ns*nw
+                        THEN 'easy'
+                      WHEN 206835*ns*nw - 1015*nw*nw - 84600*ny*ns >= 30000*ns*nw
+                        THEN 'standard'
+                      ELSE 'hard' END AS band
+          FROM m)
+        SELECT lang, band,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(nw) AS BIGINT) AS n_tokens,
+               CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
+        FROM b
+        GROUP BY 1, 2
+        ORDER BY lang, band""")))
 }

@@ -545,5 +545,73 @@ object TimeSeriesQueries {
                CAST(max_by(cks, rn) AS BIGINT) AS end_checksum
         FROM walk
         GROUP BY sk
-        ORDER BY sk""")))
+        ORDER BY sk""")),
+
+    // Arbitrary-alpha exponential smoothing (EWMA, alpha=0.3) of each
+    // customer's daily spend — the general-alpha companion to q104's
+    // power-of-two decay (whose weights were chosen to stay integral).
+    // An arbitrary alpha forces a DOUBLE recurrence, which is exactly
+    // the sequential-fold contract: level_i = 0.3·x_i + 0.7·level_{i-1}
+    // seeded with the first element, evaluated strictly in day order.
+    // Spark runs it as the q214 secondary-sort pattern (repartition on
+    // customer, sortWithinPartitions, one O(1)-memory streaming fold per
+    // partition — a hot key never buffers); DuckDB folds the identical
+    // recurrence with list_reduce over the day-ordered list, whose
+    // first-element seed matches the Spark fold. Identical IEEE ops in
+    // identical order are bit-stable cross-engine (the q214/q234
+    // precedent). Scale: one exchange on customer carries the sort and
+    // the fold; the daily pre-agg partial-aggregates before it.
+    QueryDef(
+      "q238_ewma_smoothing",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("ck"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("cents"))
+          .select(col("ck"),
+            datediff(col("day"), lit("1990-01-01").cast("date")).cast("long")
+              .as("d"),
+            col("cents"))
+        daily.repartition(col("ck"))
+          .sortWithinPartitions(col("ck"), col("d"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { rows =>
+            val it = rows.buffered
+            new Iterator[(Long, Long, Long, Double)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, Long, Long, Double) = {
+                val ck = it.head._1
+                var n = 0L; var tot = 0L; var level = 0.0
+                while (it.hasNext && it.head._1 == ck) {
+                  val cents = it.next()._3
+                  val x = cents.toDouble
+                  level = if (n == 0L) x else 0.3 * x + 0.7 * level
+                  n += 1; tot += cents
+                }
+                (ck, n, tot, level)
+              }
+            }
+          }
+          .toDF("ck", "n_days", "total_cents", "ewma_cents")
+          .orderBy(col("ck"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        serie AS (
+          SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 list(CAST(cents AS DOUBLE) ORDER BY day) AS xs
+          FROM daily GROUP BY ck)
+        SELECT ck, n_days, total_cents,
+               list_reduce(xs, (acc, x) -> CAST(0.3 AS DOUBLE)*x
+                                           + CAST(0.7 AS DOUBLE)*acc)
+                 AS ewma_cents
+        FROM serie
+        ORDER BY ck""")))
 }
