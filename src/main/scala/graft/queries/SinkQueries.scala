@@ -306,5 +306,73 @@ object SinkQueries {
                  AS BIGINT) AS sum_cents
         FROM orders
         GROUP BY 1
-        ORDER BY 1""")))
+        ORDER BY 1""")),
+
+    // Incremental view maintenance for JOINS — the delta-propagation
+    // algebra next to q163's mergeable agg state: a materialized join
+    // view absorbs batch deltas on EITHER side without rescanning the
+    // base, V_new = V_old ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB). Delta
+    // membership is a deterministic key predicate (orders key%10=7,
+    // customers key%50=3), and every output row is tagged with the term
+    // that produced it — the gate therefore pins that the four terms
+    // are a DISJOINT EXACT COVER of the direct join (the oracle
+    // computes the direct join and classifies rows by the same
+    // predicates; any overlap or gap in the delta algebra breaks the
+    // per-term counts). Scale: the two cross-delta terms are
+    // delta×dim / fact×delta joins — the delta side broadcasts; the
+    // base term stands in for the already-materialized V_old, which a
+    // real deployment reads back instead of recomputing.
+    QueryDef(
+      "q240_ivm_join_delta",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val aOld = o.where(col("o_orderkey") % 10 =!= 7)
+        val dA = o.where(col("o_orderkey") % 10 === 7)
+        val bOld = c.where(col("c_custkey") % 50 =!= 3)
+        val dB = c.where(col("c_custkey") % 50 === 3)
+        def term(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame, tag: String) =
+          a.join(broadcast(b), col("o_custkey") === col("c_custkey"))
+            .select(col("segment"), col("cents"), lit(tag).as("term"))
+        val v = term(aOld, bOld, "base")
+          .unionByName(term(dA, bOld, "da"))
+          .unionByName(term(aOld, dB, "db"))
+          .unionByName(term(dA, dB, "dab"))
+        v.groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("term") === "base", 1L).otherwise(0L)).as("n_base"),
+            sum(when(col("term") === "da", 1L).otherwise(0L)).as("n_delta_a"),
+            sum(when(col("term") === "db", 1L).otherwise(0L)).as("n_delta_b"),
+            sum(when(col("term") === "dab", 1L).otherwise(0L)).as("n_delta_ab"),
+            sum(col("cents")).as("rev_cents"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey AS k, o_custkey AS ck,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+          FROM orders),
+        c AS (SELECT c_custkey AS ck, c_mktsegment AS segment FROM customer),
+        v AS (
+          SELECT c.segment, o.cents,
+                 CASE WHEN o.k % 10 <> 7 AND c.ck % 50 <> 3 THEN 'base'
+                      WHEN o.k % 10 = 7  AND c.ck % 50 <> 3 THEN 'da'
+                      WHEN o.k % 10 <> 7 AND c.ck % 50 = 3  THEN 'db'
+                      ELSE 'dab' END AS term
+          FROM o JOIN c ON o.ck = c.ck)
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN term='base' THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+               CAST(SUM(CASE WHEN term='da' THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_a,
+               CAST(SUM(CASE WHEN term='db' THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_b,
+               CAST(SUM(CASE WHEN term='dab' THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_ab,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM v
+        GROUP BY segment
+        ORDER BY segment""")))
 }

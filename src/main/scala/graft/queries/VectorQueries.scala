@@ -18,6 +18,53 @@ object VectorQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Hard-negative mining for contrastive/embedding training — per
+    // anchor, the top-3 MOST-similar candidates from a DIFFERENT class
+    // (the negatives that actually move a contrastive loss; easy
+    // negatives are uninformative). Same exact-cosine machinery as q30
+    // (native codegen'd VectorDot, broadcast anchor set) plus the
+    // cross-label exclusion predicate pushed into the pair scan — the
+    // filter runs before any ranking, so excluded same-label pairs
+    // never reach the window. 100 TB: swap the brute-force pair scan
+    // for the q31/q45 bucketed paths unchanged; the exclusion predicate
+    // rides the candidate scan either way.
+    QueryDef(
+      "q241_hard_negatives",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("q_label"))
+        val cand = e.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_vec"), col("label").as("n_label"))
+        val scored = cand.crossJoin(broadcast(q))
+          .where(col("n_label") =!= col("q_label"))
+          .select(col("q_id"), col("n_id"),
+            col("n_label").cast("long").as("n_label"),
+            Similarity.cosine(col("q_vec"), col("n_vec")).as("cos"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("cos").desc, col("n_id"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .where(col("rnk") <= 3)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH q AS (
+          SELECT vec_id q_id, embedding q_vec, label q_label
+          FROM embeddings WHERE vec_id < 10),
+        dots AS (
+          SELECT q_id, e.vec_id n_id, CAST(e.label AS BIGINT) n_label,
+                 ${dotSql("q_vec", "e.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+          FROM embeddings e, q WHERE e.label <> q.q_label),
+        ranked AS (
+          SELECT q_id, n_id, n_label, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM dots)
+        SELECT q_id, n_id, n_label, cos, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= 3
+        ORDER BY q_id, rnk""")),
+
     // Brute-force exact cosine top-k: the ANN baseline. Query set (10
     // vectors) broadcast against the candidate scan; per-query top-k via
     // rank window.
