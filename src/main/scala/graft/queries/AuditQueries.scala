@@ -153,5 +153,73 @@ object AuditQueries {
                  AS DOUBLE) AS norm_sum
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         GROUP BY d.lang
-        ORDER BY d.lang""")))
+        ORDER BY d.lang""")),
+
+    // Right-to-be-forgotten cascade sweep — the governance op behind
+    // every deletion request: given a deterministic tombstone predicate
+    // (subject key % 97 == 13), account for every affected row across
+    // the fact graph INCLUDING the cascade (lineitems die because their
+    // parent order died, not because they carry the key). Per table:
+    // purged/kept counts and a kept-side checksum, so a sweep that
+    // misses a cascade edge or over-deletes is caught by exact numbers.
+    // Scale: the direct tables evaluate the predicate in the scan (no
+    // join); the cascade is one LEFT SEMI/ANTI join of lineitem against
+    // the ~1% purged-order key set — broadcast at any realistic purge
+    // rate, and the three audits partial-aggregate independently.
+    QueryDef(
+      "q243_forget_sweep",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val o = Tables.orders(s, dir)
+        val l = Tables.lineitem(s, dir)
+        val evA = ev.groupBy()
+          .agg(sum(when(col("user_id") % 97 === 13, 1L).otherwise(0L)).as("n_purged"),
+            sum(when(col("user_id") % 97 =!= 13, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("user_id") % 97 =!= 13, col("event_id"))).as("kept_checksum"))
+          .select(lit("events").as("tbl"), col("n_purged"), col("n_kept"),
+            col("kept_checksum"))
+        val oA = o.groupBy()
+          .agg(sum(when(col("o_custkey") % 97 === 13, 1L).otherwise(0L)).as("n_purged"),
+            sum(when(col("o_custkey") % 97 =!= 13, 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("o_custkey") % 97 =!= 13, col("o_orderkey"))).as("kept_checksum"))
+          .select(lit("orders").as("tbl"), col("n_purged"), col("n_kept"),
+            col("kept_checksum"))
+        val purgedOrders = o.where(col("o_custkey") % 97 === 13)
+          .select(col("o_orderkey"))
+        val lPurged = l.join(broadcast(purgedOrders),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy().agg(count(lit(1)).as("n_purged"))
+        val lKept = l.join(broadcast(purgedOrders),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .groupBy().agg(count(lit(1)).as("n_kept"),
+            sum(col("l_orderkey") * 10 + col("l_linenumber")).as("kept_checksum"))
+        val lA = lPurged.crossJoin(lKept)
+          .select(lit("lineitem").as("tbl"), col("n_purged"), col("n_kept"),
+            col("kept_checksum"))
+        evA.unionByName(oA).unionByName(lA).orderBy(col("tbl"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT 'events' AS tbl,
+                 CAST(SUM(CASE WHEN user_id % 97 = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+                 CAST(SUM(CASE WHEN user_id % 97 <> 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN user_id % 97 <> 13 THEN event_id END) AS BIGINT) AS kept_checksum
+          FROM events),
+        o AS (
+          SELECT 'orders' AS tbl,
+                 CAST(SUM(CASE WHEN o_custkey % 97 = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+                 CAST(SUM(CASE WHEN o_custkey % 97 <> 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN o_custkey % 97 <> 13 THEN o_orderkey END) AS BIGINT) AS kept_checksum
+          FROM orders),
+        li AS (
+          SELECT 'lineitem' AS tbl,
+                 CAST(SUM(CASE WHEN oo.o_custkey % 97 = 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+                 CAST(SUM(CASE WHEN oo.o_custkey % 97 <> 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN oo.o_custkey % 97 <> 13
+                           THEN l.l_orderkey * 10 + l.l_linenumber END) AS BIGINT) AS kept_checksum
+          FROM lineitem l JOIN orders oo ON l.l_orderkey = oo.o_orderkey)
+        SELECT * FROM ev
+        UNION ALL SELECT * FROM o
+        UNION ALL SELECT * FROM li
+        ORDER BY tbl""")))
 }

@@ -542,6 +542,115 @@ object ExperimentQueries {
                CAST(p.n_orders AS BIGINT) AS n_orders, p.mean_cents,
                c.ci_lo, c.ci_med, c.ci_hi
         FROM point p JOIN ci c USING (segment)
-        ORDER BY p.segment"""))
+        ORDER BY p.segment""")),
+
+    // Isotonic (monotone) calibration by PAVA — fit the best monotone
+    // non-decreasing curve to per-bin positive rates (score→probability
+    // calibration, the step after any model score ships: q178 estimates
+    // selectivity, this repairs a score's probabilities). The fit is
+    // computed by the MINIMAX characterization of isotonic regression,
+    // ŷ_i = max_{j≤i} min_{k≥i} avg(y_j..y_k) — equivalent to the
+    // pool-adjacent-violators result but expressible as bounded joins
+    // instead of a sequential merge stack, so BOTH engines evaluate the
+    // identical closed form. Exactness: range averages enter as
+    // floor'd ppm integral divides, and floor is monotone, so
+    // floor(min)=min(floor) and floor(max)=max(floor) — the minimax of
+    // floors IS the floor of the minimax; no rational comparison ever
+    // happens in floats. Binning is value-level ventiles from the q191
+    // two-level cumulative scheme (ties atomic, no global row window);
+    // everything after lives on a ≤20-row bin frame where the
+    // range/minimax joins are O(bins³) map-side work independent of
+    // corpus size.
+    QueryDef(
+      "q242_isotonic_calibration",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val base = o.select(
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("v"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("pos"))
+        val dv = base.groupBy(col("v"))
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("npos"))
+        val bucketed = dv.withColumn("bucket", expr("v div 65536"))
+        val wOff = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = bucketed.groupBy(col("bucket"))
+          .agg(sum(col("cnt")).as("bcnt"))
+          .withColumn("off", coalesce(sum(col("bcnt")).over(wOff), lit(0L)))
+          .select(col("bucket"), col("off"))
+        val wB = Window.partitionBy(col("bucket")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = dv.groupBy().agg(sum(col("cnt")).as("n"))
+        val binned = bucketed.join(broadcast(boff), "bucket")
+          .withColumn("cume", col("off") + sum(col("cnt")).over(wB) - col("cnt"))
+          .crossJoin(broadcast(tot))
+          .withColumn("bin", expr("(cume * 20) div n"))
+        val bins = binned.groupBy(col("bin"))
+          .agg(sum(col("cnt")).as("c"), sum(col("npos")).as("y"))
+        val wBin = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pre = bins
+          .withColumn("sc", sum(col("c")).over(wBin))
+          .withColumn("sy", sum(col("y")).over(wBin))
+          .localCheckpoint(true)
+        val ranges = pre.select(col("bin").as("j"),
+            (col("sc") - col("c")).as("scj"), (col("sy") - col("y")).as("syj"))
+          .crossJoin(pre.select(col("bin").as("k"),
+            col("sc").as("sck"), col("sy").as("syk")))
+          .where(col("k") >= col("j"))
+          .select(col("j"), col("k"),
+            expr("(1000000 * (syk - syj)) div (sck - scj)").as("avg_ppm"))
+        val i = pre.select(col("bin").as("i"))
+        val mij = i.join(ranges,
+            col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy(col("i"), col("j")).agg(min(col("avg_ppm")).as("m"))
+        val fitted = mij.groupBy(col("i")).agg(max(col("m")).as("fitted_ppm"))
+        pre.join(fitted, col("bin") === col("i"))
+          .select(col("bin"), col("c").as("n"), col("y").as("n_pos"),
+            expr("(1000000 * y) div c").as("raw_ppm"), col("fitted_ppm"))
+          .orderBy(col("bin"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS v,
+                 CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END AS pos
+          FROM orders),
+        dv AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(pos) AS BIGINT) AS npos
+          FROM base GROUP BY v),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM dv),
+        binned AS (
+          SELECT v, cnt, npos,
+                 ((CAST(SUM(cnt) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   - cnt) * 20) // (SELECT n FROM tot) AS bin
+          FROM dv),
+        bins AS (
+          SELECT bin, CAST(SUM(cnt) AS BIGINT) AS c,
+                 CAST(SUM(npos) AS BIGINT) AS y
+          FROM binned GROUP BY bin),
+        pre AS (
+          SELECT bin, c, y,
+                 CAST(SUM(c) OVER w AS BIGINT) AS sc,
+                 CAST(SUM(y) OVER w AS BIGINT) AS sy
+          FROM bins
+          WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        ranges AS (
+          SELECT j.bin AS j, k.bin AS k,
+                 (1000000 * (k.sy - (j.sy - j.y))) // (k.sc - (j.sc - j.c)) AS avg_ppm
+          FROM pre j CROSS JOIN pre k
+          WHERE k.bin >= j.bin),
+        mij AS (
+          SELECT i.bin AS i, r.j, MIN(r.avg_ppm) AS m
+          FROM pre i JOIN ranges r ON r.j <= i.bin AND r.k >= i.bin
+          GROUP BY 1, 2),
+        fitted AS (
+          SELECT i, CAST(MAX(m) AS BIGINT) AS fitted_ppm FROM mij GROUP BY i)
+        SELECT p.bin, p.c AS n, p.y AS n_pos,
+               (1000000 * p.y) // p.c AS raw_ppm, f.fitted_ppm
+        FROM pre p JOIN fitted f ON f.i = p.bin
+        ORDER BY p.bin"""))
   )
 }

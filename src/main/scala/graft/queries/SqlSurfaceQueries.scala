@@ -283,5 +283,74 @@ object SqlSurfaceQueries {
                CAST(SUM(cents) AS BIGINT) AS top3_cents
         FROM ranked WHERE rn <= 3
         GROUP BY priority
-        ORDER BY priority""")))
+        ORDER BY priority""")),
+
+    // Window-function surface completeness — the navigation functions a
+    // SQL migration exercises beyond the rank/frame families already
+    // gated (q70/q71/q115/q132): lag WITH DEFAULT (no COALESCE wrapper),
+    // lead with a string default, nth_value over the FULL partition
+    // frame, and IGNORE NULLS first_value (first fulfilled order's
+    // value — the LOCF primitive in its window form). All four ride ONE
+    // customer exchange and the same (date, key) total order; frames
+    // are spelled ROWS UNBOUNDED..UNBOUNDED explicitly on both engines
+    // because the default ORDER BY frame (RANGE ..CURRENT ROW) would
+    // make nth_value/first_value prefix-dependent. Output folds the
+    // per-row navigation values into per-status checksums.
+    QueryDef(
+      "q244_window_surface",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_custkey"),
+          col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val wFull = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val derived = o
+          .withColumn("prev_cents", lag(col("cents"), 1, 0L).over(w))
+          .withColumn("next_status", lead(col("o_orderstatus"), 1, "NONE").over(w))
+          .withColumn("second_cents",
+            coalesce(nth_value(col("cents"), 2).over(wFull), lit(0L)))
+          .withColumn("first_f_cents",
+            coalesce(first_value(
+              when(col("o_orderstatus") === "F", col("cents")), lit(true)).over(wFull),
+              lit(0L)))
+        derived.groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("prev_cents")).as("sum_prev_cents"),
+            sum(when(col("next_status") === "NONE", 1L).otherwise(0L))
+              .as("n_last_in_seq"),
+            sum(col("second_cents")).as("sum_second_cents"),
+            sum(col("first_f_cents")).as("sum_first_f_cents"))
+          .orderBy(col("status"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+          FROM orders),
+        derived AS (
+          SELECT o_orderstatus,
+                 lag(cents, 1, 0) OVER w AS prev_cents,
+                 lead(o_orderstatus, 1, 'NONE') OVER w AS next_status,
+                 COALESCE(nth_value(cents, 2) OVER wf, 0) AS second_cents,
+                 COALESCE(first_value(CASE WHEN o_orderstatus = 'F' THEN cents END
+                                      IGNORE NULLS) OVER wf, 0) AS first_f_cents
+          FROM o
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                 wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(prev_cents) AS BIGINT) AS sum_prev_cents,
+               CAST(SUM(CASE WHEN next_status = 'NONE' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_last_in_seq,
+               CAST(SUM(second_cents) AS BIGINT) AS sum_second_cents,
+               CAST(SUM(first_f_cents) AS BIGINT) AS sum_first_f_cents
+        FROM derived
+        GROUP BY 1
+        ORDER BY status""")))
 }
