@@ -138,6 +138,100 @@ object ActivityQueries {
                CAST(SUM(CASE WHEN cls='retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
                CAST(SUM(CASE WHEN cls='resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
                CAST(SUM(CASE WHEN cls='churned' THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
-        FROM u GROUP BY ym ORDER BY ym"""))
+        FROM u GROUP BY ym ORDER BY ym""")),
+
+    // Kaplan-Meier survival curve — the CENSORING-aware estimator the
+    // discrete hazard (q197) can't replace: customers whose last order
+    // falls within 3 months of the corpus horizon are right-censored
+    // (still alive as far as the data knows), and KM discounts the
+    // at-risk set without counting them as deaths. Tenure = 30-day
+    // buckets of first→last order span (pure datediff integers — month
+    // arithmetic differs across engines); per segment and tenure t:
+    // n_t (at risk) is a SUFFIX sum over the tenure histogram, d_t the
+    // uncensored exits, and S(t) = Π_{u≤t} (1 − d_u/n_u). The survival
+    // product is the one place a float is allowed, under the q238
+    // sequential-fold contract: factors (n−d)/n are exact-operand
+    // double divisions multiplied in strictly ascending-tenure order —
+    // Spark folds them in a per-segment sorted mapPartitions walk
+    // (segments are a 5-key frame; the heavy work is the per-customer
+    // rollup before it), the oracle walks the identical recurrence with
+    // a recursive CTE (q214 precedent). Frames after the rollup are
+    // bounded by CALENDAR SPAN (~85 tenures), never row count.
+    QueryDef(
+      "q248_kaplan_meier",
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val horizon = o.groupBy().agg(max(col("d")).as("hmax"))
+        val cust = o.groupBy(col("o_custkey"))
+          .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+          .crossJoin(broadcast(horizon))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("segment"),
+            expr("CAST(datediff(last_d, first_d) AS BIGINT) div 30").as("tenure"),
+            (datediff(col("hmax"), col("last_d")) >= 90).as("event"))
+        val hist = cust.groupBy(col("segment"), col("tenure"))
+          .agg(count(lit(1)).as("m"),
+            sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+        val wSuf = Window.partitionBy(col("segment")).orderBy(col("tenure"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val risk = hist.withColumn("n_risk", sum(col("m")).over(wSuf))
+        risk.select(col("segment"), col("tenure"), col("n_risk"), col("d"))
+          .repartition(col("segment"))
+          .sortWithinPartitions(col("segment"), col("tenure"))
+          .as[(String, Long, Long, Long)]
+          .mapPartitions { rows =>
+            var curSeg: String = null
+            var surv = 1.0
+            rows.map { case (seg, t, n, d) =>
+              if (seg != curSeg) { curSeg = seg; surv = 1.0 }
+              surv = surv * ((n - d).toDouble / n.toDouble)
+              (seg, t, n, d, surv)
+            }
+          }
+          .toDF("segment", "tenure", "n_risk", "n_events", "survival")
+          .orderBy(col("segment"), col("tenure"))
+      },
+      Some("""
+        WITH RECURSIVE horizon AS (
+          SELECT MAX(CAST(o_orderdate AS DATE)) AS hmax FROM orders),
+        cust AS (
+          SELECT o_custkey,
+                 MIN(CAST(o_orderdate AS DATE)) AS first_d,
+                 MAX(CAST(o_orderdate AS DATE)) AS last_d
+          FROM orders GROUP BY 1),
+        tagged AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(date_diff('day', u.first_d, u.last_d) AS BIGINT) // 30 AS tenure,
+                 (date_diff('day', u.last_d, h.hmax) >= 90) AS ev
+          FROM cust u
+          JOIN customer c ON u.o_custkey = c.c_custkey
+          CROSS JOIN horizon h),
+        hist AS (
+          SELECT segment, tenure, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM tagged GROUP BY 1, 2),
+        risk AS (
+          SELECT segment, tenure, m, d,
+                 CAST(SUM(m) OVER (PARTITION BY segment ORDER BY tenure
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+                   AS n_risk,
+                 row_number() OVER (PARTITION BY segment ORDER BY tenure) AS rn
+          FROM hist),
+        walk AS (
+          SELECT segment, tenure, n_risk, d, rn,
+                 (n_risk - d)::DOUBLE / n_risk::DOUBLE AS surv
+          FROM risk WHERE rn = 1
+          UNION ALL
+          SELECT r.segment, r.tenure, r.n_risk, r.d, r.rn,
+                 w.surv * ((r.n_risk - r.d)::DOUBLE / r.n_risk::DOUBLE)
+          FROM walk w JOIN risk r
+            ON r.segment = w.segment AND r.rn = w.rn + 1)
+        SELECT segment, tenure, n_risk, d AS n_events, surv AS survival
+        FROM walk
+        ORDER BY segment, tenure"""))
   )
 }

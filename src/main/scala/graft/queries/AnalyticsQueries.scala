@@ -647,5 +647,100 @@ object AnalyticsQueries {
         JOIN sup sb ON sb.p_brand = d.consequent
         CROSS JOIN n
         WHERE d.sup_ab * 100 >= n.n_baskets
-        ORDER BY d.antecedent, d.consequent""")))
+        ORDER BY d.antecedent, d.consequent""")),
+
+    // Price-volume-mix decomposition — the FP&A bridge explaining a
+    // period-over-period revenue delta (1996 → 1997 shipped revenue per
+    // brand): for parts sold in BOTH periods, Δrev splits into
+    // volume (Δq·p₀), price (q₀·Δp) and cross (Δq·Δp) effects with
+    // p = r/q the per-part average unit price; parts sold only in one
+    // period contribute their whole revenue as new/discontinued. The
+    // rational unit prices never become floats: each per-part effect is
+    // a micro-cent integral divide with the part's OWN denominator
+    // (q₀ or q₀·q₁), truncation-toward-zero — Spark `div` and DuckDB
+    // `//` agree on signed operands — so vol+price+cross reconciles to
+    // Δrev up to the per-part truncation the spec fixes. Scale: one
+    // (part, year) partial agg, a self-join on the part key, then a
+    // brand rollup — all equi-shuffles on p_partkey/brand.
+    QueryDef(
+      "q247_mix_shift",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .where(year(col("l_shipdate")).isin(1996, 1997))
+          .select(col("l_partkey").as("pk"),
+            year(col("l_shipdate")).as("yr"),
+            col("l_quantity").cast("long").as("q"),
+            (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("r"))
+        val py = l.groupBy(col("pk"), col("yr"))
+          .agg(sum(col("q")).as("q"), sum(col("r")).as("r"))
+        val p0 = py.where(col("yr") === 1996)
+          .select(col("pk"), col("q").as("q0"), col("r").as("r0"))
+        val p1 = py.where(col("yr") === 1997)
+          .select(col("pk"), col("q").as("q1"), col("r").as("r1"))
+        val brand = Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand").as("brand"))
+        val joined = p0.join(p1, Seq("pk"), "full_outer")
+          .join(broadcast(brand), col("pk") === col("p_partkey"))
+        val effects = joined.select(col("brand"),
+          coalesce(col("r0"), lit(0L)).as("r0"),
+          coalesce(col("r1"), lit(0L)).as("r1"),
+          when(col("q0").isNotNull && col("q1").isNotNull,
+            expr("(1000000 * (q1 - q0) * r0) div q0")).otherwise(0L).as("vol_uc"),
+          when(col("q0").isNotNull && col("q1").isNotNull,
+            expr("(1000000 * (CAST(r1 AS DECIMAL(38,0)) * q0 - CAST(r0 AS DECIMAL(38,0)) * q1)) div (CAST(q0 AS DECIMAL(38,0)) * q1)"))
+            .otherwise(0L).cast("long").as("price_uc"),
+          when(col("q0").isNotNull && col("q1").isNotNull,
+            expr("CAST((1000000 * (CAST(q1 - q0 AS DECIMAL(38,0)) * (CAST(r1 AS DECIMAL(38,0)) * q0 - CAST(r0 AS DECIMAL(38,0)) * q1))) div (CAST(q0 AS DECIMAL(38,0)) * q0 * q1) AS BIGINT)"))
+            .otherwise(0L).as("cross_uc"),
+          when(col("q0").isNull, col("r1")).otherwise(0L).as("new_cents"),
+          when(col("q1").isNull, col("r0")).otherwise(0L).as("gone_cents"))
+        effects.groupBy(col("brand"))
+          .agg(sum(col("r0")).as("rev0_cents"), sum(col("r1")).as("rev1_cents"),
+            sum(col("vol_uc")).as("vol_effect_ucents"),
+            sum(col("price_uc")).as("price_effect_ucents"),
+            sum(col("cross_uc")).as("cross_effect_ucents"),
+            sum(col("new_cents")).as("new_parts_cents"),
+            sum(col("gone_cents")).as("discontinued_cents"))
+          .orderBy(col("brand"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+                 CAST(l_quantity AS BIGINT) AS q,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS r
+          FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)),
+        py AS (
+          SELECT pk, yr, CAST(SUM(q) AS BIGINT) AS q, CAST(SUM(r) AS BIGINT) AS r
+          FROM l GROUP BY 1, 2),
+        p0 AS (SELECT pk, q AS q0, r AS r0 FROM py WHERE yr = 1996),
+        p1 AS (SELECT pk, q AS q1, r AS r1 FROM py WHERE yr = 1997),
+        joined AS (
+          SELECT COALESCE(p0.pk, p1.pk) AS pk, q0, r0, q1, r1
+          FROM p0 FULL OUTER JOIN p1 ON p0.pk = p1.pk),
+        effects AS (
+          SELECT b.p_brand AS brand,
+                 COALESCE(r0, 0) AS r0, COALESCE(r1, 0) AS r1,
+                 CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                      THEN (1000000 * (q1 - q0) * r0) // q0 ELSE 0 END AS vol_uc,
+                 CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                      THEN CAST((1000000 * (CAST(r1 AS HUGEINT) * q0 - CAST(r0 AS HUGEINT) * q1))
+                           // (CAST(q0 AS HUGEINT) * q1) AS BIGINT) ELSE 0 END AS price_uc,
+                 CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+                      THEN CAST((1000000 * (CAST(q1 - q0 AS HUGEINT) * (CAST(r1 AS HUGEINT) * q0 - CAST(r0 AS HUGEINT) * q1)))
+                           // (CAST(q0 AS HUGEINT) * q0 * q1) AS BIGINT) ELSE 0 END AS cross_uc,
+                 CASE WHEN q0 IS NULL THEN r1 ELSE 0 END AS new_cents,
+                 CASE WHEN q1 IS NULL THEN r0 ELSE 0 END AS gone_cents
+          FROM joined j JOIN part b ON j.pk = b.p_partkey)
+        SELECT brand,
+               CAST(SUM(r0) AS BIGINT) AS rev0_cents,
+               CAST(SUM(r1) AS BIGINT) AS rev1_cents,
+               CAST(SUM(vol_uc) AS BIGINT) AS vol_effect_ucents,
+               CAST(SUM(price_uc) AS BIGINT) AS price_effect_ucents,
+               CAST(SUM(cross_uc) AS BIGINT) AS cross_effect_ucents,
+               CAST(SUM(new_cents) AS BIGINT) AS new_parts_cents,
+               CAST(SUM(gone_cents) AS BIGINT) AS discontinued_cents
+        FROM effects
+        GROUP BY brand
+        ORDER BY brand""")))
 }

@@ -328,5 +328,73 @@ object JourneyQueries {
                CAST(n_sessions_ab AS BIGINT) AS n_sessions_ab,
                CAST(n_sessions_ab * 1000000 // t.n AS BIGINT) AS support_ppm
         FROM pairs, total t
-        ORDER BY type_a, type_b""")))
+        ORDER BY type_a, type_b""")),
+
+    // Negation CEP — "A then B with NO C between": the complex-event
+    // pattern the funnel family can't express (q98 windows steps, q219
+    // regex-matches whole sessions, but neither excludes an intervening
+    // event). Per user: a view converts iff the NEXT purchase after it
+    // exists and no error fires strictly between the two. No self-join:
+    // each event gets next-purchase / next-error sequence positions from
+    // two conditional MINs over ONE future-frame window (ROWS 1
+    // FOLLOWING..UNBOUNDED), positions being the per-user row_number so
+    // tie handling is the (ts, event_id) total order; the negation is
+    // then a pure three-way position comparison per view row. One
+    // user_id exchange carries row-numbering and both windows; the
+    // cohort rollup partial-aggregates.
+    QueryDef(
+      "q245_negation_cep",
+      (s, dir) => {
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val wFut = wSeq.rowsBetween(1, Window.unboundedFollowing)
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id"), col("event_type"))
+          .withColumn("rn", row_number().over(wSeq).cast("long"))
+          .withColumn("np",
+            min(when(col("event_type") === "purchase", col("rn"))).over(wFut))
+          .withColumn("ne",
+            min(when(col("event_type") === "error", col("rn"))).over(wFut))
+        val views = ev.where(col("event_type") === "view")
+          .select((col("user_id") % 10).as("cohort"),
+            col("event_id"),
+            (col("np").isNotNull &&
+              (col("ne").isNull || col("ne") > col("np"))).as("converted"))
+        views.groupBy(col("cohort"))
+          .agg(count(lit(1)).as("n_views"),
+            sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"),
+            sum(when(col("converted"), col("event_id"))).as("converted_checksum"))
+          .withColumn("conversion_ppm",
+            expr("(1000000 * n_converted) div n_views"))
+          .orderBy(col("cohort"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER w AS rn
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        nav AS (
+          SELECT user_id, event_id, event_type, rn,
+                 MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER wf AS np,
+                 MIN(CASE WHEN event_type = 'error' THEN rn END) OVER wf AS ne
+          FROM seq
+          WINDOW wf AS (PARTITION BY user_id ORDER BY rn
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        views AS (
+          SELECT user_id % 10 AS cohort, event_id,
+                 (np IS NOT NULL AND (ne IS NULL OR ne > np)) AS converted
+          FROM nav WHERE event_type = 'view')
+        SELECT cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_views,
+               CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_converted,
+               CAST(SUM(CASE WHEN converted THEN event_id END) AS BIGINT)
+                 AS converted_checksum,
+               (1000000 * CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT))
+                 // CAST(COUNT(*) AS BIGINT) AS conversion_ppm
+        FROM views
+        GROUP BY cohort
+        ORDER BY cohort""")))
 }

@@ -983,5 +983,75 @@ object StatsQueries {
                abs(e.est_rows - a.actual_rows) <= 2 * ((a.n_total + 7) // 8) + 2
                  AS within_bound
         FROM est e JOIN actual a USING (pred)
-        ORDER BY pred""")))
+        ORDER BY pred""")),
+
+    // Typed Dataset Aggregator — the Spark-native custom-aggregation API
+    // surface (expressions.Aggregator compiled to a TypedColumn over
+    // groupByKey) that every migration with bespoke aggregates reaches
+    // for; everything else in the suite gates the untyped Column path.
+    // The aggregator accumulates exact integer moments (n, Σx, Σx²) of
+    // floor-dollar order values per priority — buffer merges are
+    // associative/commutative integer adds, so any partition split
+    // yields identical state (the partial-agg contract made visible in
+    // user code). Mean/variance leave the engine as ppm integral
+    // divides on DECIMAL(38,0) (n·Σx² ≈ 5·10²¹ overflows int64 — the
+    // widening is the point where a naive long buffer would silently
+    // wrap). Oracle computes the identical moments in plain SQL.
+    QueryDef(
+      "q246_typed_aggregator",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("prio"),
+            floor(col("o_totalprice")).cast("long").as("d"))
+          .as[(String, Long)]
+        val agged = ds.groupByKey(_._1).mapValues(_._2)
+          .agg(DollarMoments.toColumn)
+          .toDF("prio", "m")
+        agged.select(col("prio"), col("m.n").as("n"),
+            col("m.s").as("sum_dollars"), col("m.s2").as("sum_sq_dollars"))
+          .withColumn("mean_ppm",
+            expr("(1000000 * sum_dollars) div n"))
+          .withColumn("var_ppm",
+            expr("CAST(((CAST(n AS DECIMAL(38,0)) * sum_sq_dollars" +
+              " - CAST(sum_dollars AS DECIMAL(38,0)) * sum_dollars)" +
+              " * 1000000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+          .orderBy(col("prio"))
+      },
+      Some("""
+        WITH m AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_dollars,
+                 CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)
+                          * CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT)
+                   AS sum_sq_dollars
+          FROM orders GROUP BY 1)
+        SELECT prio, n, sum_dollars, sum_sq_dollars,
+               (1000000 * sum_dollars) // n AS mean_ppm,
+               CAST(((CAST(n AS HUGEINT) * sum_sq_dollars
+                      - CAST(sum_dollars AS HUGEINT) * sum_dollars)
+                     * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_ppm
+        FROM m
+        ORDER BY prio"""))
+  )
+
+  /** Exact integer moment buffer for the typed-Aggregator gate (q246):
+    * associative/commutative adds — partition-split-invariant by
+    * construction. */
+  case class MomentBuf(n: Long, s: Long, s2: Long)
+
+  object DollarMoments
+      extends org.apache.spark.sql.expressions.Aggregator[Long, MomentBuf, MomentBuf] {
+    def zero: MomentBuf = MomentBuf(0L, 0L, 0L)
+    def reduce(b: MomentBuf, x: Long): MomentBuf =
+      MomentBuf(b.n + 1L, b.s + x, b.s2 + x * x)
+    def merge(a: MomentBuf, b: MomentBuf): MomentBuf =
+      MomentBuf(a.n + b.n, a.s + b.s, a.s2 + b.s2)
+    def finish(b: MomentBuf): MomentBuf = b
+    def bufferEncoder: org.apache.spark.sql.Encoder[MomentBuf] =
+      org.apache.spark.sql.Encoders.product[MomentBuf]
+    def outputEncoder: org.apache.spark.sql.Encoder[MomentBuf] =
+      org.apache.spark.sql.Encoders.product[MomentBuf]
+  }
 }
