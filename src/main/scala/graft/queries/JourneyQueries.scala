@@ -396,5 +396,64 @@ object JourneyQueries {
                  // CAST(COUNT(*) AS BIGINT) AS conversion_ppm
         FROM views
         GROUP BY cohort
+        ORDER BY cohort""")),
+
+    // Exact MRR@10 — the retrieval-eval metric (mean reciprocal rank of
+    // the first purchase within each user's first 10 events) WITHOUT a
+    // float sum: reciprocals 1/r for r ≤ 10 all divide lcm(1..10)=2520,
+    // so Σ1/r accumulates as the exact BIGINT Σ(2520/r) and
+    // MRR_ppm = 10⁶·Σ(2520/r) div (2520·n) — the q172 BM25 stance
+    // (odds-idf) applied to the eval side of retrieval. Rank comes from
+    // ONE user-partitioned row_number; users with no purchase in their
+    // first 10 events contribute 0 to the numerator and stay in n.
+    QueryDef(
+      "q250_mrr_at10",
+      (s, dir) => {
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("tus"), col("event_id"))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+            col("event_id"), col("event_type"))
+          .withColumn("rn", row_number().over(wSeq).cast("long"))
+          .where(col("rn") <= 10)
+        val firstHit = ev
+          .groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "purchase", col("rn"))).as("r"))
+        firstHit
+          .select((col("user_id") % 10).as("cohort"),
+            when(col("r").isNotNull, expr("2520 div r")).otherwise(0L).as("w"),
+            when(col("r").isNotNull, 1L).otherwise(0L).as("hit"))
+          .groupBy(col("cohort"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("hit")).as("n_hits"),
+            sum(col("w")).as("recip_sum_2520"))
+          .withColumn("mrr_ppm",
+            expr("(1000000 * recip_sum_2520) div (2520 * n_users)"))
+          .orderBy(col("cohort"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT user_id, event_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events),
+        hits AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'purchase' THEN rn END) AS r
+          FROM seq WHERE rn <= 10
+          GROUP BY user_id),
+        weighted AS (
+          SELECT user_id % 10 AS cohort,
+                 CASE WHEN r IS NOT NULL THEN 2520 // r ELSE 0 END AS w,
+                 CASE WHEN r IS NOT NULL THEN 1 ELSE 0 END AS hit
+          FROM hits)
+        SELECT cohort,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               CAST(SUM(w) AS BIGINT) AS recip_sum_2520,
+               (1000000 * CAST(SUM(w) AS BIGINT)) // (2520 * CAST(COUNT(*) AS BIGINT))
+                 AS mrr_ppm
+        FROM weighted
+        GROUP BY cohort
         ORDER BY cohort""")))
 }

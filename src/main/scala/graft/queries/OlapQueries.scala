@@ -426,5 +426,77 @@ object OlapQueries {
           (c_mktsegment, year(o_orderdate)),
           (year(o_orderdate)),
           ())
-        ORDER BY seg, pri, yr""")))
+        ORDER BY seg, pri, yr""")),
+
+    // Array / higher-order-function surface — collect each order's line
+    // amounts into a SORTED array (array_sort over collect_list: the
+    // only deterministic form; bare collect_list order is shuffle-
+    // dependent), then drive the HOF quartet over it: transform (VAT
+    // uplift per element), filter (elements above the order mean),
+    // aggregate (sequential sum fold from 0), zip_with (pairing each
+    // element with its VAT twin). Arrays stay BOUNDED (order width ≤ 7
+    // lines) and everything leaves as scalars, so the known HOF
+    // CodegenFallback cost applies to ≤7-element frames — the
+    // documented reason HOFs are banned from corpus-scale hot paths
+    // (q30/q46 precedent) while still part of the API surface a
+    // migration exercises. Oracle mirrors with DuckDB's list_* twins.
+    QueryDef(
+      "q249_array_hof_surface",
+      (s, dir) => {
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"),
+            (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"))
+        val arr = l.groupBy(col("ok"))
+          .agg(array_sort(collect_list(col("cents"))).as("xs"))
+        val derived = arr.select(col("ok"),
+          size(col("xs")).cast("long").as("n_lines"),
+          expr("aggregate(xs, 0L, (acc, x) -> acc + x)").as("total_cents"),
+          expr("aggregate(transform(xs, x -> (x * 120) div 100), 0L, (acc, x) -> acc + x)")
+            .as("vat_cents"),
+          expr("size(filter(xs, x -> x * CAST(size(xs) AS BIGINT) > aggregate(xs, 0L, (acc, y) -> acc + y)))")
+            .cast("long").as("n_above_mean"),
+          expr("aggregate(zip_with(xs, transform(xs, x -> (x * 120) div 100), (a, b) -> b - a), 0L, (acc, x) -> acc + x)")
+            .as("vat_delta_cents"))
+        derived.groupBy(col("n_lines"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("total_cents")).as("sum_cents"),
+            sum(col("vat_cents")).as("sum_vat_cents"),
+            sum(col("n_above_mean")).as("sum_above_mean"),
+            sum(col("vat_delta_cents")).as("sum_vat_delta"))
+          .orderBy(col("n_lines"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT l_orderkey AS ok,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+          FROM lineitem),
+        arr AS (
+          SELECT ok, list_sort(list(cents)) AS xs FROM l GROUP BY ok),
+        derived AS (
+          SELECT ok,
+                 CAST(len(xs) AS BIGINT) AS n_lines,
+                 CAST(list_reduce(list_prepend(0, xs), (acc, x) -> acc + x) AS BIGINT)
+                   AS total_cents,
+                 CAST(list_reduce(list_prepend(0, list_transform(xs, x -> (x * 120) // 100)),
+                                  (acc, x) -> acc + x) AS BIGINT) AS vat_cents,
+                 CAST(len(list_filter(xs, x -> x * len(xs) >
+                        list_reduce(list_prepend(0, xs), (acc, y) -> acc + y)))
+                   AS BIGINT) AS n_above_mean,
+                 -- zip_with(a, b, (x,y) -> y - x) summed == Σb - Σa exactly in
+                 -- integers; the oracle pins the VALUE of the Spark-side zip
+                 CAST(list_reduce(list_prepend(0, list_transform(xs, x -> (x * 120) // 100)),
+                                  (acc, x) -> acc + x)
+                      - list_reduce(list_prepend(0, xs), (acc, x) -> acc + x)
+                   AS BIGINT) AS vat_delta_cents
+          FROM arr)
+        SELECT n_lines,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+               CAST(SUM(vat_cents) AS BIGINT) AS sum_vat_cents,
+               CAST(SUM(n_above_mean) AS BIGINT) AS sum_above_mean,
+               CAST(SUM(vat_delta_cents) AS BIGINT) AS sum_vat_delta
+        FROM derived
+        GROUP BY n_lines
+        ORDER BY n_lines""")))
 }
