@@ -651,6 +651,61 @@ object ExperimentQueries {
         SELECT p.bin, p.c AS n, p.y AS n_pos,
                (1000000 * p.y) // p.c AS raw_ppm, f.fitted_ppm
         FROM pre p JOIN fitted f ON f.i = p.bin
-        ORDER BY p.bin"""))
+        ORDER BY p.bin""")),
+
+    // Leakage-free K-fold target encoding — the feature-engineering op
+    // behind every gradient-boosted tabular model: replace a
+    // high-cardinality category with the target mean computed OUT OF
+    // FOLD, so a row never sees its own fold's labels (in-fold means
+    // leak the target and inflate validation scores — the bug this
+    // op class exists to prevent). Folds are deterministic md5 buckets
+    // (the q58/q96 split contract); the OOF mean for (category c,
+    // fold f) is the subtraction identity
+    // (sum_c − sum_{c,f}) / (cnt_c − cnt_{c,f}) — one (category, fold)
+    // partial agg plus a category rollup joined back, never a 5×
+    // re-scan. Emitted on the exact ppm lattice. Scale: both aggs are
+    // map-side combinable on the category key; the encoding table is
+    // |categories|×K rows, broadcast back to facts in a real pipeline.
+    QueryDef(
+      "q252_target_encoding",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(
+          (col("o_custkey") % 100).as("cat"),
+          md5BitsModK(md5Bits(concat(lit("fold:"), col("o_orderkey"))), 5L)
+            .as("fold"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("y"))
+        val cf = o.groupBy(col("cat"), col("fold"))
+          .agg(count(lit(1)).as("n_cf"), sum(col("y")).as("sum_cf"))
+        val c = cf.groupBy(col("cat"))
+          .agg(sum(col("n_cf")).as("n_c"), sum(col("sum_cf")).as("sum_c"))
+        cf.join(c, Seq("cat"))
+          .select(col("cat"), col("fold"), col("n_cf"),
+            expr("(1000000 * (sum_c - sum_cf)) div (n_c - n_cf)")
+              .as("oof_mean_ppm"),
+            expr("(1000000 * sum_c) div n_c").as("infold_leaky_ppm"))
+          .orderBy(col("cat"), col("fold"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey % 100 AS cat,
+                 CAST(md5_number_lower('fold:' || o_orderkey) % 5 AS BIGINT) AS fold,
+                 CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END AS y
+          FROM orders),
+        cf AS (
+          SELECT cat, fold, CAST(COUNT(*) AS BIGINT) AS n_cf,
+                 CAST(SUM(y) AS BIGINT) AS sum_cf
+          FROM o GROUP BY 1, 2),
+        c AS (
+          SELECT cat, CAST(SUM(n_cf) AS BIGINT) AS n_c,
+                 CAST(SUM(sum_cf) AS BIGINT) AS sum_c
+          FROM cf GROUP BY 1)
+        SELECT cf.cat, cf.fold, cf.n_cf,
+               (1000000 * (c.sum_c - cf.sum_cf)) // (c.n_c - cf.n_cf)
+                 AS oof_mean_ppm,
+               (1000000 * c.sum_c) // c.n_c AS infold_leaky_ppm
+        FROM cf JOIN c ON cf.cat = c.cat
+        ORDER BY cf.cat, cf.fold"""))
   )
 }

@@ -444,5 +444,64 @@ object GraphQueries {
         SELECT p AS part_key, auth_score
         FROM an2
         ORDER BY auth_score DESC, part_key
-        LIMIT 15""")))
+        LIMIT 15""")),
+
+    // Common-neighbor link prediction — recommend part pairs that SHARE
+    // customers but have never appeared together in one order (the
+    // complement of q102's co-purchase support: q102 ranks existing
+    // links, this ranks ABSENT ones — the bipartite-projection
+    // recommender primitive). Candidate pairs are generated per
+    // customer (degree-bounded wedges, the q162 stance: cost is
+    // Σdeg², never |parts|²), scored by distinct common customers,
+    // and the already-linked set is removed with one LEFT ANTI join
+    // against the order-level pair set. Top-20 on the (score desc,
+    // pair) total order. Scale: both pair sets partial-aggregate;
+    // the anti-join is equi-hash on the pair key.
+    QueryDef(
+      "q254_link_prediction",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        val cp = l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .distinct()
+          .localCheckpoint(true)
+        val custPairs = cp.select(col("c"), col("p").as("pa"))
+          .join(cp.select(col("c"), col("p").as("pb")), Seq("c"))
+          .where(col("pa") < col("pb"))
+          .groupBy(col("pa"), col("pb"))
+          .agg(count(lit(1)).as("common_customers"))
+        val op = l.select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+        val linked = op.select(col("ok"), col("l_partkey").as("pa"))
+          .join(op.select(col("ok"), col("l_partkey").as("pb")), Seq("ok"))
+          .where(col("pa") < col("pb"))
+          .select(col("pa"), col("pb")).distinct()
+        custPairs.join(linked, Seq("pa", "pb"), "left_anti")
+          .orderBy(col("common_customers").desc, col("pa"), col("pb"))
+          .limit(20)
+          .select(col("pa").as("part_a"), col("pb").as("part_b"),
+            col("common_customers"))
+          .orderBy(col("common_customers").desc, col("part_a"), col("part_b"))
+      },
+      Some("""
+        WITH cp AS (
+          SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        cust_pairs AS (
+          SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS common_customers
+          FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+          GROUP BY 1, 2),
+        op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        linked AS (
+          SELECT DISTINCT a.p AS pa, b.p AS pb
+          FROM op a JOIN op b ON a.ok = b.ok AND a.p < b.p)
+        SELECT cp2.pa AS part_a, cp2.pb AS part_b, cp2.common_customers
+        FROM cust_pairs cp2
+        WHERE NOT EXISTS (
+          SELECT 1 FROM linked lk
+          WHERE lk.pa = cp2.pa AND lk.pb = cp2.pb)
+        ORDER BY cp2.common_customers DESC, part_a, part_b
+        LIMIT 20""")))
 }

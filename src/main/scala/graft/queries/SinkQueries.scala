@@ -374,5 +374,72 @@ object SinkQueries {
                CAST(SUM(cents) AS BIGINT) AS rev_cents
         FROM v
         GROUP BY segment
+        ORDER BY segment""")),
+
+    // Late-arriving dimension handling — the warehouse-load pattern the
+    // SCD2/merge family (q65/q20) assumes away: facts land BEFORE their
+    // dimension row exists (here: customers with key % 11 == 4 arrive in
+    // a later dim batch), so the load inserts INFERRED members
+    // (placeholder attributes) to keep referential integrity, and the
+    // late batch BACKFILLS them in place. The gate accounts for both
+    // phases at once: per final segment, how many facts initially
+    // resolved to an inferred member vs a real one, and that the
+    // post-backfill totals equal the direct join (the oracle computes
+    // the direct join and classifies by the same lateness predicate —
+    // any member dropped or double-inserted by the backfill breaks the
+    // counts). Scale: the inferred-member set is a broadcast anti-join
+    // key list; both phases are one equi-join of facts to the dim.
+    QueryDef(
+      "q251_late_arriving_dim",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_custkey"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        val dimFull = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val dimEarly = dimFull.where(col("c_custkey") % 11 =!= 4)
+        // phase 1: facts vs early dim — missing keys become inferred members
+        val inferred = o.select(col("o_custkey").as("c_custkey")).distinct()
+          .join(broadcast(dimEarly.select(col("c_custkey"))), Seq("c_custkey"),
+            "left_anti")
+          .select(col("c_custkey"), lit("INFERRED").as("segment"))
+        val dimPhase1 = dimEarly.unionByName(inferred)
+        val phase1 = o.join(broadcast(dimPhase1),
+            col("o_custkey") === dimPhase1("c_custkey"))
+          .select(col("o_custkey"), col("cents"),
+            (col("segment") === "INFERRED").as("was_inferred"))
+        // phase 2: late batch backfills the inferred members in place
+        val dimLate = dimFull.where(col("c_custkey") % 11 === 4)
+          .select(col("c_custkey").as("lk"), col("segment").as("late_segment"))
+        val dimEarly2 = dimEarly
+          .select(col("c_custkey").as("ek"), col("segment").as("early_segment"))
+        val backfilled = phase1
+          .join(broadcast(dimLate), col("o_custkey") === col("lk"), "left")
+          .join(broadcast(dimEarly2), col("o_custkey") === col("ek"), "left")
+          .select(coalesce(col("late_segment"), col("early_segment"))
+            .as("segment"), col("cents"), col("was_inferred"))
+        backfilled.groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("was_inferred"), 1L).otherwise(0L))
+              .as("n_was_inferred"),
+            sum(col("cents")).as("rev_cents"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+          FROM orders),
+        j AS (
+          SELECT c.c_mktsegment AS segment, o.cents,
+                 (c.c_custkey % 11 = 4) AS was_inferred
+          FROM o JOIN customer c ON o.o_custkey = c.c_custkey)
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN was_inferred THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_was_inferred,
+               CAST(SUM(cents) AS BIGINT) AS rev_cents
+        FROM j
+        GROUP BY segment
         ORDER BY segment""")))
 }

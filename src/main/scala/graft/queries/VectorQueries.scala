@@ -16,6 +16,10 @@ object VectorQueries {
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1,65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y)->x+y)"
 
+  // 16-dim prefix twin (q253 matryoshka audit) — same fold order.
+  private def dotSql16(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1,17), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x,y)->x+y)"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Hard-negative mining for contrastive/embedding training — per
@@ -64,6 +68,79 @@ object VectorQueries {
         SELECT q_id, n_id, n_label, cos, CAST(rnk AS BIGINT) AS rnk
         FROM ranked WHERE rnk <= 3
         ORDER BY q_id, rnk""")),
+
+    // Matryoshka truncation audit — how much retrieval quality survives
+    // when only the first 16 of 64 embedding dims are used (the
+    // MRL-style serve-cheap/rerank-precise tradeoff): per anchor,
+    // top-5 by FULL-dim cosine vs top-5 by PREFIX-dim cosine,
+    // recall = overlap/5 emitted as exact permille plus both neighbor
+    // checksums so a single swapped neighbor is visible. Both passes
+    // ride the q30 brute-force contract (codegen'd VectorDot, broadcast
+    // anchors, identical fold order in the oracle); the prefix pass
+    // dots 4× fewer components — the audit itself demonstrates the
+    // serving saving. Scale: two bounded-anchor passes + one
+    // 5-row-per-anchor join; swap in the bucketed ANN paths unchanged.
+    QueryDef(
+      "q253_matryoshka_recall",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val full = Similarity.bruteForceTopK(
+            e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+          .select(col("q_id"), col("n_id").as("fn"))
+          .localCheckpoint(true)
+        val pre = e.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding"))
+        val prefix = Similarity.bruteForceTopK(
+            pre.where(col("vec_id") < 10), pre, "vec_id", "embedding", 5)
+          .select(col("q_id").as("q2"), col("n_id").as("pn"))
+          .localCheckpoint(true)
+        val fAgg = full.groupBy(col("q_id"))
+          .agg(sum(col("fn")).as("full_checksum"))
+        val pAgg = prefix.groupBy(col("q2").as("q_id"))
+          .agg(sum(col("pn")).as("prefix_checksum"))
+        val iAgg = full.join(prefix,
+            full("q_id") === prefix("q2") && col("fn") === col("pn"))
+          .groupBy(full("q_id")).agg(count(lit(1)).as("n_common"))
+        fAgg.join(pAgg, "q_id").join(iAgg, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"),
+            (coalesce(col("n_common"), lit(0L)) * 200L).as("recall_permille"),
+            col("full_checksum"), col("prefix_checksum"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""
+        WITH q AS (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 10),
+        fdots AS (
+          SELECT q_id, e.vec_id n_id,
+                 ${dotSql("q_vec", "e.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cos
+          FROM embeddings e, q WHERE e.vec_id <> q_id),
+        franked AS (
+          SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM fdots),
+        ftop AS (SELECT q_id, n_id FROM franked WHERE rnk <= 5),
+        pdots AS (
+          SELECT q_id, e.vec_id n_id,
+                 ${dotSql16("q_vec", "e.embedding")}
+                   / (sqrt(${dotSql16("q_vec", "q_vec")}) * sqrt(${dotSql16("e.embedding", "e.embedding")})) AS cos
+          FROM embeddings e, q WHERE e.vec_id <> q_id),
+        pranked AS (
+          SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM pdots),
+        ptop AS (SELECT q_id, n_id FROM pranked WHERE rnk <= 5),
+        inter AS (
+          SELECT f.q_id, COUNT(*) AS n_common
+          FROM ftop f JOIN ptop p ON f.q_id = p.q_id AND f.n_id = p.n_id
+          GROUP BY 1)
+        SELECT f.q_id,
+               CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common,
+               CAST(COALESCE(i.n_common, 0) * 200 AS BIGINT) AS recall_permille,
+               CAST(f.cs AS BIGINT) AS full_checksum,
+               CAST(p.cs AS BIGINT) AS prefix_checksum
+        FROM (SELECT q_id, SUM(n_id) cs FROM ftop GROUP BY 1) f
+        JOIN (SELECT q_id, SUM(n_id) cs FROM ptop GROUP BY 1) p USING (q_id)
+        LEFT JOIN inter i USING (q_id)
+        ORDER BY f.q_id""")),
 
     // Brute-force exact cosine top-k: the ANN baseline. Query set (10
     // vectors) broadcast against the candidate scan; per-query top-k via
