@@ -706,6 +706,124 @@ object ExperimentQueries {
                  AS oof_mean_ppm,
                (1000000 * c.sum_c) // c.n_c AS infold_leaky_ppm
         FROM cf JOIN c ON cf.cat = c.cat
-        ORDER BY cf.cat, cf.fold"""))
+        ORDER BY cf.cat, cf.fold""")),
+
+    // Benjamini-Hochberg FDR correction — what turns ONE A/B test
+    // (q181) into a testing PROGRAM: 20 parallel two-proportion tests
+    // (customer-key cells, md5 arms, urgent-priority outcome), ranked
+    // by z² descending, accepted while z²_(r) clears the BH critical
+    // ladder χ²₁(1 − α·r/m · ½-tail) — the ladder is 20 spec'd DOUBLE
+    // literals (computed offline from the normal quantile; embedding
+    // them keeps both engines transcendental-free), and the cutoff is
+    // max{r : z²_(r) ≥ crit_r} applied to ALL ranks ≤ cutoff (the BH
+    // step-up rule — a cell may be significant under BH even though
+    // its own rank fails, when a later rank passes). z² itself is the
+    // one-shot all-double pooled form from int64-exact counts in
+    // identical op order. Scale: one partial agg to 20 cells; the
+    // ladder join and cutoff window live on the 20-row frame.
+    QueryDef(
+      "q257_bh_fdr",
+      (s, dir) => {
+        val crit = Seq(
+          9.140593461244016, 7.879438576622458, 7.1491386083838355,
+          6.634896601021211, 6.23853263690954, 5.91646788464017,
+          5.645522561950897, 5.411894431054339, 5.206700155589299,
+          5.0238861873148934, 4.85914255610666, 4.709292246885099,
+          4.571926354981466, 4.445175139346929, 4.327558440040948,
+          4.217884587921396, 4.115180092638893, 4.018639511074708,
+          3.927588924489973, 3.8414588206941236)
+        val ladder = crit.zipWithIndex
+          .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}d" }
+          .mkString("CASE rnk ", " ", " END")
+        val o = Tables.orders(s, dir).select(
+          (col("o_custkey") % 20).as("cell"),
+          md5BitsModK(md5Bits(concat(lit("bh:"), col("o_orderkey"))), 2L)
+            .as("arm"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("y"))
+        val cells = o.groupBy(col("cell")).agg(
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("ya"),
+          sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("yb"))
+        val z2 = cells.select(col("cell"), col("na"), col("nb"),
+          expr("""
+            (CAST(na + nb AS DOUBLE)
+              * (CAST(na AS DOUBLE)*CAST(yb AS DOUBLE) - CAST(nb AS DOUBLE)*CAST(ya AS DOUBLE))
+              * (CAST(na AS DOUBLE)*CAST(yb AS DOUBLE) - CAST(nb AS DOUBLE)*CAST(ya AS DOUBLE)))
+            / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)
+               *CAST(ya + yb AS DOUBLE)*CAST(na + nb - ya - yb AS DOUBLE))
+          """).as("z2"))
+        val ranked = z2.withColumn("rnk",
+            row_number().over(Window.orderBy(col("z2").desc, col("cell")))
+              .cast("long"))
+          .withColumn("crit", expr(ladder))
+          .withColumn("pass", col("z2") >= col("crit"))
+        val cutoff = ranked.groupBy()
+          .agg(max(when(col("pass"), col("rnk")).otherwise(0L)).as("cut"))
+        ranked.crossJoin(broadcast(cutoff))
+          .select(col("cell"), col("rnk"), col("z2"), col("crit"),
+            (col("z2") >= lit(3.8414588206941236)).as("significant_raw"),
+            (col("rnk") <= col("cut")).as("significant_bh"))
+          .orderBy(col("rnk"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey % 20 AS cell,
+                 CAST(md5_number_lower('bh:' || o_orderkey) % 2 AS BIGINT) AS arm,
+                 CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END AS y
+          FROM orders),
+        cells AS (
+          SELECT cell,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                 CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS ya,
+                 CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS yb
+          FROM o GROUP BY cell),
+        z AS (
+          SELECT cell, na, nb,
+                 (CAST(na + nb AS DOUBLE)
+                   * (CAST(na AS DOUBLE)*CAST(yb AS DOUBLE) - CAST(nb AS DOUBLE)*CAST(ya AS DOUBLE))
+                   * (CAST(na AS DOUBLE)*CAST(yb AS DOUBLE) - CAST(nb AS DOUBLE)*CAST(ya AS DOUBLE)))
+                 / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)
+                    *CAST(ya + yb AS DOUBLE)*CAST(na + nb - ya - yb AS DOUBLE)) AS z2
+          FROM cells),
+        ranked AS (
+          SELECT cell, z2,
+                 row_number() OVER (ORDER BY z2 DESC, cell) AS rnk
+          FROM z),
+        laddered AS (
+          SELECT cell, z2, rnk,
+                 CASE rnk
+                   WHEN 1 THEN CAST('9.140593461244016' AS DOUBLE)
+                   WHEN 2 THEN CAST('7.879438576622458' AS DOUBLE)
+                   WHEN 3 THEN CAST('7.1491386083838355' AS DOUBLE)
+                   WHEN 4 THEN CAST('6.634896601021211' AS DOUBLE)
+                   WHEN 5 THEN CAST('6.23853263690954' AS DOUBLE)
+                   WHEN 6 THEN CAST('5.91646788464017' AS DOUBLE)
+                   WHEN 7 THEN CAST('5.645522561950897' AS DOUBLE)
+                   WHEN 8 THEN CAST('5.411894431054339' AS DOUBLE)
+                   WHEN 9 THEN CAST('5.206700155589299' AS DOUBLE)
+                   WHEN 10 THEN CAST('5.0238861873148934' AS DOUBLE)
+                   WHEN 11 THEN CAST('4.85914255610666' AS DOUBLE)
+                   WHEN 12 THEN CAST('4.709292246885099' AS DOUBLE)
+                   WHEN 13 THEN CAST('4.571926354981466' AS DOUBLE)
+                   WHEN 14 THEN CAST('4.445175139346929' AS DOUBLE)
+                   WHEN 15 THEN CAST('4.327558440040948' AS DOUBLE)
+                   WHEN 16 THEN CAST('4.217884587921396' AS DOUBLE)
+                   WHEN 17 THEN CAST('4.115180092638893' AS DOUBLE)
+                   WHEN 18 THEN CAST('4.018639511074708' AS DOUBLE)
+                   WHEN 19 THEN CAST('3.927588924489973' AS DOUBLE)
+                   WHEN 20 THEN CAST('3.8414588206941236' AS DOUBLE)
+                 END AS crit
+          FROM ranked),
+        cut AS (
+          SELECT MAX(CASE WHEN z2 >= crit THEN rnk ELSE 0 END) AS c FROM laddered)
+        SELECT l.cell, CAST(l.rnk AS BIGINT) AS rnk, l.z2, l.crit,
+               l.z2 >= CAST('3.8414588206941236' AS DOUBLE) AS significant_raw,
+               l.rnk <= cut.c AS significant_bh
+        FROM laddered l CROSS JOIN cut
+        ORDER BY l.rnk"""))
   )
 }

@@ -503,5 +503,139 @@ object GraphQueries {
           SELECT 1 FROM linked lk
           WHERE lk.pa = cp2.pa AND lk.pb = cp2.pb)
         ORDER BY cp2.common_customers DESC, part_a, part_b
-        LIMIT 20""")))
+        LIMIT 20""")),
+
+    // Subtree rollup over the q155 org hierarchy (parent = key div 10)
+    // WITHOUT recursion: in a decimal prefix tree, x's depth-k
+    // descendants are exactly the keys with y div 10^k = x, so
+    // subtree_sum(x) = Σ_k S_k(x) where each S_k is one partial-
+    // aggregable groupBy on a projected key — six map-side combinable
+    // aggregates replace the per-node tree walk (which is O(n·depth)
+    // joins in the recursive form and needs no such closed form on a
+    // general tree; the closed form IS the point: hierarchy rollups
+    // over materialized path/prefix encodings beat recursion at scale).
+    // Balances ride exact cents. Emitted for the management layers
+    // (nodes < 100, depth ≤ 1) with self+descendant counts.
+    QueryDef(
+      "q255_subtree_rollup",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(col("c_custkey").as("k"),
+          (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * 100).cast("long").as("cents"))
+        val levels = (0 to 5).map { kk =>
+          val p = math.pow(10, kk).toLong
+          c.select(expr(s"k div $p").as("node"),
+            col("cents"), lit(1L).as("cnt"))
+        }.reduce(_ unionByName _)
+        levels.groupBy(col("node"))
+          .agg(sum(col("cnt")).as("n_subtree"), sum(col("cents")).as("subtree_cents"))
+          .join(c.select(col("k").as("node")), Seq("node"), "left_semi")
+          .where(col("node") < 100)
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey AS k,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+          FROM customer),
+        levels AS (
+          SELECT k // 1 AS node, cents FROM c
+          UNION ALL SELECT k // 10, cents FROM c
+          UNION ALL SELECT k // 100, cents FROM c
+          UNION ALL SELECT k // 1000, cents FROM c
+          UNION ALL SELECT k // 10000, cents FROM c
+          UNION ALL SELECT k // 100000, cents FROM c),
+        agg AS (
+          SELECT node, CAST(COUNT(*) AS BIGINT) AS n_subtree,
+                 CAST(SUM(cents) AS BIGINT) AS subtree_cents
+          FROM levels GROUP BY node)
+        SELECT a.node, a.n_subtree, a.subtree_cents
+        FROM agg a
+        WHERE a.node < 100
+          AND EXISTS (SELECT 1 FROM c WHERE c.k = a.node)
+        ORDER BY a.node""")),
+
+    // Local clustering coefficient per node — the per-node companion of
+    // q162's global triangle count (same degree-ordered wedge
+    // enumeration, same co-purchase projection): cc(v) = 2·tri(v) /
+    // (deg(v)·(deg(v)−1)) as an exact ppm integral divide. Triangles
+    // attribute to all three corners by unioning the corner columns —
+    // one extra partial agg over the q162 triangle frame; zero new
+    // exchanges beyond it. Nodes of degree < 2 emit 0.
+    QueryDef(
+      "q256_clustering_coefficient",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .where(col("l_partkey") % 10 === 0)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.select(col("k"), col("p").as("a"))
+          .join(li.select(col("k"), col("p").as("b")), Seq("k"))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+          .localCheckpoint(true)
+        val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        val dir2 = e
+          .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+          .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+          .select(
+            when(col("da") < col("db") ||
+                 (col("da") === col("db") && col("a") < col("b")),
+              struct(col("a").as("u"), col("b").as("v")))
+              .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("uv"))
+          .select(col("uv.u").as("u"), col("uv.v").as("v"))
+        val wedges = dir2.select(col("u"), col("v").as("w1"))
+          .join(dir2.select(col("u"), col("v").as("w2")), Seq("u"))
+          .where(col("w1") < col("w2"))
+        val tris = wedges.join(
+          e.select(col("a").as("w1"), col("b").as("w2")), Seq("w1", "w2"))
+        val triPerNode = tris.select(col("u").as("n"))
+          .unionAll(tris.select(col("w1").as("n")))
+          .unionAll(tris.select(col("w2").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+        deg.join(triPerNode, Seq("n"), "left")
+          .select(col("n").as("node"), col("d").as("degree"),
+            coalesce(col("tri"), lit(0L)).as("n_triangles"),
+            when(col("d") >= 2,
+              expr("(1000000 * 2 * coalesce(tri, 0)) div (d * (d - 1))"))
+              .otherwise(0L).as("cc_ppm"))
+          .orderBy(col("node"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+          FROM lineitem WHERE l_partkey % 10 = 0),
+        e AS (
+          SELECT DISTINCT a.p AS a, b.p AS b
+          FROM li a JOIN li b ON a.k = b.k AND a.p < b.p),
+        deg AS (
+          SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+          GROUP BY n),
+        dir2 AS (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS v
+          FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        wedges AS (
+          SELECT x.u, x.v AS w1, y.v AS w2
+          FROM dir2 x JOIN dir2 y ON x.u = y.u AND x.v < y.v),
+        tris AS (
+          SELECT w.u, w.w1, w.w2
+          FROM wedges w JOIN e ON e.a = w.w1 AND e.b = w.w2),
+        tpn AS (
+          SELECT n, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+            SELECT u AS n FROM tris
+            UNION ALL SELECT w1 FROM tris
+            UNION ALL SELECT w2 FROM tris)
+          GROUP BY n)
+        SELECT d.n AS node, d.d AS degree,
+               CAST(COALESCE(t.tri, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.d >= 2
+                    THEN (1000000 * 2 * COALESCE(t.tri, 0)) // (d.d * (d.d - 1))
+                    ELSE 0 END AS cc_ppm
+        FROM deg d LEFT JOIN tpn t ON t.n = d.n
+        ORDER BY node""")))
 }

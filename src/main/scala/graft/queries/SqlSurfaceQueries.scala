@@ -352,5 +352,38 @@ object SqlSurfaceQueries {
                CAST(SUM(first_f_cents) AS BIGINT) AS sum_first_f_cents
         FROM derived
         GROUP BY 1
-        ORDER BY status""")))
+        ORDER BY status""")),
+
+    // GROUP BY ALL / ORDER BY ALL — the modern-dialect sugar (Spark 3.4+
+    // / DuckDB both support it) a migrating analyst's saved queries are
+    // full of: every non-aggregate select item becomes a grouping key,
+    // and ORDER BY ALL totalizes the output order. Run as SQL TEXT on
+    // both engines so the gate pins that the RESOLUTION RULES agree
+    // (which items are grouping keys, and the all-columns sort order) —
+    // not just the aggregate values.
+    QueryDef(
+      "q258_group_by_all",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("g_q258_orders")
+        s.sql("""
+          SELECT o_orderstatus,
+                 o_orderpriority,
+                 CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                   AS BIGINT) AS rev_cents
+          FROM g_q258_orders
+          GROUP BY ALL
+          ORDER BY ALL""")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS rev_cents
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL""")))
 }
