@@ -450,13 +450,16 @@ object GraphQueries {
     // customers but have never appeared together in one order (the
     // complement of q102's co-purchase support: q102 ranks existing
     // links, this ranks ABSENT ones — the bipartite-projection
-    // recommender primitive). Candidate pairs are generated per
-    // customer (degree-bounded wedges, the q162 stance: cost is
-    // Σdeg², never |parts|²), scored by distinct common customers,
-    // and the already-linked set is removed with one LEFT ANTI join
-    // against the order-level pair set. Top-20 on the (score desc,
-    // pair) total order. Scale: both pair sets partial-aggregate;
-    // the anti-join is equi-hash on the pair key.
+    // recommender primitive). Candidates are BLOCKED within brand (the
+    // standard recommender constraint — and the wedge-cost governor:
+    // unblocked, Σ(deg over all parts)² measured 142M pair rows and a
+    // GC storm at sf1; within-brand wedges are Σ over (customer, brand)
+    // of deg², ~25× smaller, and stay proportional as brands scale with
+    // the catalog). Scored by distinct common customers; the
+    // already-linked set is removed with one LEFT ANTI join against the
+    // order-level pair set. Top-20 on the (score desc, pair) total
+    // order. Scale: both pair sets partial-aggregate; the anti-join is
+    // equi-hash on the pair key.
     QueryDef(
       "q254_link_prediction",
       (s, dir) => {
@@ -464,18 +467,29 @@ object GraphQueries {
           .select(col("o_orderkey"), col("o_custkey"))
         val l = Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_partkey"))
+        val brand = Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand").as("brand"))
         val cp = l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+          .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+          .select(col("o_custkey").as("c"), col("brand"),
+            col("l_partkey").as("p"))
           .distinct()
           .localCheckpoint(true)
-        val custPairs = cp.select(col("c"), col("p").as("pa"))
-          .join(cp.select(col("c"), col("p").as("pb")), Seq("c"))
+        val custPairs = cp.select(col("c"), col("brand"), col("p").as("pa"))
+          .join(cp.select(col("c"), col("brand"), col("p").as("pb")),
+            Seq("c", "brand"))
           .where(col("pa") < col("pb"))
           .groupBy(col("pa"), col("pb"))
           .agg(count(lit(1)).as("common_customers"))
-        val op = l.select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
-        val linked = op.select(col("ok"), col("l_partkey").as("pa"))
-          .join(op.select(col("ok"), col("l_partkey").as("pb")), Seq("ok"))
+        // linked pairs need only the same-brand subset: cross-brand order
+        // pairs can never match a (within-brand) candidate, so blocking
+        // here too is value-neutral and cuts the distinct ~10×
+        val op = l.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("ok"), col("brand"), col("l_partkey"))
+          .distinct()
+        val linked = op.select(col("ok"), col("brand"), col("l_partkey").as("pa"))
+          .join(op.select(col("ok"), col("brand"), col("l_partkey").as("pb")),
+            Seq("ok", "brand"))
           .where(col("pa") < col("pb"))
           .select(col("pa"), col("pb")).distinct()
         custPairs.join(linked, Seq("pa", "pb"), "left_anti")
@@ -487,11 +501,15 @@ object GraphQueries {
       },
       Some("""
         WITH cp AS (
-          SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
-          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+          SELECT DISTINCT o.o_custkey AS c, p.p_brand AS brand,
+                 l.l_partkey AS p
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN part p ON l.l_partkey = p.p_partkey),
         cust_pairs AS (
           SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS common_customers
-          FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+          FROM cp a JOIN cp b
+            ON a.c = b.c AND a.brand = b.brand AND a.p < b.p
           GROUP BY 1, 2),
         op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
         linked AS (
