@@ -568,5 +568,87 @@ object StreamQueries {
                CAST(SUM(CASE WHEN r_id IS NULL THEN l_id END)
                     AS BIGINT) AS unmatched_l_id_sum
         FROM j
-        ORDER BY n_matched""")))
+        ORDER BY n_matched""")),
+
+    // UPDATE output mode — the one output semantics the streaming gates
+    // didn't cover (q116 append, q79 foreachBatch-on-append rows, q134
+    // flatMapGroupsWithState): an UNWATERMARKED running aggregate whose
+    // state lives forever, where each trigger emits only the CHANGED
+    // keys, consumed by a foreachBatch UPSERT into versioned keyed
+    // state (union of untouched old keys + emitted rows — the
+    // changed-keys contract is load-bearing: re-emitting unchanged
+    // keys would be invisible here but a perf bug at scale). Three
+    // checkpointed query lifetimes replay nothing (AvailableNow +
+    // checkpoint), so the final state equals the direct batch
+    // aggregate — the gate. Keys are exact integer cents per
+    // event_type; 100 TB: running-agg state is |keys|, the upsert
+    // touches only changed keys per trigger.
+    QueryDef(
+      "q259_stream_update_mode",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_upd")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val ckpt = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              * 100).cast("long").as("cents"))
+        val cut1 = lit("2024-01-08 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val slices = Seq(
+          ev.where(col("ts") < cut1),
+          ev.where(col("ts") >= cut1 && col("ts") < cut2),
+          ev.where(col("ts") >= cut2))
+
+        withStatePartitions(s, 8) {
+          slices.zipWithIndex.foreach { case (slice, i) =>
+            slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
+            // one micro-batch per lifetime: the upsert below merges against
+            // state_{i-1}, which is only correct if this lifetime's changed
+            // keys arrive in a single foreachBatch call (AvailableNow
+            // otherwise chunks at 1000 files)
+            val q = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1000000")
+              .parquet(s"$spool/*")
+              .groupBy(col("event_type"))
+              .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+              .writeStream
+              .outputMode("update")
+              .option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+                val changed = df.localCheckpoint(true)
+                val prev = s"$root/state_${i - 1}"
+                val merged =
+                  if (i == 0) changed
+                  else {
+                    val old = s.read.parquet(prev)
+                    old.join(changed.select(col("event_type").as("k")),
+                        col("event_type") === col("k"), "left_anti")
+                      .unionByName(changed)
+                  }
+                merged.write.mode("overwrite").parquet(s"$root/state_$i")
+                ()
+              }
+              .start()
+            q.awaitTermination()
+          }
+        }
+
+        s.read.parquet(s"$root/state_2")
+          .select(col("event_type"), col("n_events"), col("sum_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")))
 }
