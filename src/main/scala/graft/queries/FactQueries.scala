@@ -434,5 +434,142 @@ object FactQueries {
                CAST(SUM(allocated) AS BIGINT) AS alloc_sum,
                CAST(SUM(pos_checksum) AS BIGINT) AS pos_checksum
         FROM per_order
-        ORDER BY n_orders""")))
+        ORDER BY n_orders""")),
+
+    // Accumulating-snapshot fact — the Kimball pattern for processes
+    // with milestones (ordered → first shipment → final shipment): ONE
+    // row per order carrying every milestone date plus the lags between
+    // them, re-written as the process advances (here built in one pass:
+    // milestone picks are min/max partial aggs over lineitem, lags are
+    // exact day integers). The monthly rollup gates milestone coverage
+    // (orders with no shipments stay visible with null-safe zero lags)
+    // and the exact average lags as ppm-days. Scale: one lineitem
+    // partial agg + one broadcast-sized month frame — the accumulating
+    // snapshot is exactly the shape that AVOIDS re-scanning history at
+    // 100 TB (milestones update in place keyed by order).
+    QueryDef(
+      "q260_accumulating_snapshot",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+        val ship = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(min(col("l_shipdate").cast("date")).as("first_ship"),
+            max(col("l_shipdate").cast("date")).as("last_ship"),
+            count(lit(1)).as("n_lines"))
+        val snap = o.join(ship, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"), col("od"),
+            (year(col("od")) * 100 + month(col("od"))).cast("long").as("ym"),
+            coalesce(datediff(col("first_ship"), col("od")), lit(0))
+              .cast("long").as("days_to_first"),
+            coalesce(datediff(col("last_ship"), col("od")), lit(0))
+              .cast("long").as("days_to_complete"),
+            when(col("first_ship").isNull, 0L).otherwise(1L).as("has_ship"),
+            coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+        snap.groupBy(col("ym"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("has_ship")).as("n_shipped"),
+            sum(col("n_lines")).as("n_lines"),
+            expr("CAST((1000000 * SUM(days_to_first)) div SUM(has_ship) AS BIGINT)")
+              .as("avg_days_to_first_ppm"),
+            expr("CAST((1000000 * SUM(days_to_complete)) div SUM(has_ship) AS BIGINT)")
+              .as("avg_days_to_complete_ppm"))
+          .orderBy(col("ym"))
+      },
+      Some("""
+        WITH ship AS (
+          SELECT l_orderkey,
+                 MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+                 MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+                 CAST(COUNT(*) AS BIGINT) AS n_lines
+          FROM lineitem GROUP BY 1),
+        snap AS (
+          SELECT o.o_orderkey,
+                 CAST(YEAR(CAST(o.o_orderdate AS DATE))*100
+                      + MONTH(CAST(o.o_orderdate AS DATE)) AS BIGINT) AS ym,
+                 COALESCE(date_diff('day', CAST(o.o_orderdate AS DATE), s.first_ship), 0)
+                   AS days_to_first,
+                 COALESCE(date_diff('day', CAST(o.o_orderdate AS DATE), s.last_ship), 0)
+                   AS days_to_complete,
+                 CASE WHEN s.first_ship IS NULL THEN 0 ELSE 1 END AS has_ship,
+                 COALESCE(s.n_lines, 0) AS n_lines
+          FROM orders o LEFT JOIN ship s ON o.o_orderkey = s.l_orderkey)
+        SELECT ym,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(has_ship) AS BIGINT) AS n_shipped,
+               CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+               CAST((1000000 * SUM(days_to_first)) // SUM(has_ship) AS BIGINT)
+                 AS avg_days_to_first_ppm,
+               CAST((1000000 * SUM(days_to_complete)) // SUM(has_ship) AS BIGINT)
+                 AS avg_days_to_complete_ppm
+        FROM snap
+        GROUP BY ym
+        ORDER BY ym""")),
+
+    // Semi-additive balance measures — the fact-modeling rule additive
+    // rollups silently violate: a BALANCE sums across ACCOUNTS but NOT
+    // across TIME (summing a month's daily balances overstates 30×).
+    // Build per-customer running balances from signed order flows
+    // (orders add, every 3rd key's orders debit), snapshot the LAST
+    // balance per (customer, month) via max_by over the (date, key)
+    // total order, then aggregate the month frame ACROSS customers only
+    // (sum + ppm average). The month spine is each customer's OBSERVED
+    // months — carrying balances through silent months is q97's LOCF
+    // gap-fill, composable downstream. One customer exchange carries
+    // the running-sum window and the month snapshot; the cross-account
+    // rollup partial-aggregates.
+    QueryDef(
+      "q261_semiadditive_balance",
+      (s, dir) => {
+        val flows = Tables.orders(s, dir).select(
+          col("o_custkey").as("ck"), col("o_orderdate").cast("date").as("d"),
+          col("o_orderkey").as("ok"),
+          when(col("o_orderkey") % 3 === 0,
+            -(col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long"))
+            .otherwise((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long")).as("delta"))
+        val w = Window.partitionBy(col("ck")).orderBy(col("d"), col("ok"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bal = flows.withColumn("balance", sum(col("delta")).over(w))
+          .withColumn("ym", (year(col("d")) * 100 + month(col("d"))).cast("long"))
+        val monthEnd = bal.groupBy(col("ck"), col("ym"))
+          .agg(max_by(col("balance"), struct(col("d"), col("ok")))
+            .as("eom_balance"))
+        monthEnd.groupBy(col("ym"))
+          .agg(count(lit(1)).as("n_accounts"),
+            sum(col("eom_balance")).as("total_eom_cents"),
+            expr("CAST((1000000 * SUM(eom_balance)) div COUNT(*) AS BIGINT)")
+              .as("avg_eom_ppm"))
+          .orderBy(col("ym"))
+      },
+      Some("""
+        WITH flows AS (
+          SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+                 o_orderkey AS ok,
+                 CASE WHEN o_orderkey % 3 = 0
+                      THEN -CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                      ELSE CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                 END AS delta
+          FROM orders),
+        bal AS (
+          SELECT ck, d, ok,
+                 CAST(SUM(delta) OVER (PARTITION BY ck ORDER BY d, ok
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS balance,
+                 CAST(YEAR(d)*100 + MONTH(d) AS BIGINT) AS ym
+          FROM flows),
+        eom AS (
+          SELECT ck, ym, balance AS eom_balance FROM (
+            SELECT ck, ym, balance,
+                   row_number() OVER (PARTITION BY ck, ym
+                     ORDER BY d DESC, ok DESC) AS rn
+            FROM bal) WHERE rn = 1)
+        SELECT ym,
+               CAST(COUNT(*) AS BIGINT) AS n_accounts,
+               CAST(SUM(eom_balance) AS BIGINT) AS total_eom_cents,
+               CAST((1000000 * SUM(eom_balance)) // COUNT(*) AS BIGINT)
+                 AS avg_eom_ppm
+        FROM eom
+        GROUP BY ym
+        ORDER BY ym""")))
 }
