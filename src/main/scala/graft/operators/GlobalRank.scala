@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranking without a single-partition global sort.
+  *
+  * `row_number()/ntile(k)` over `Window.orderBy(...)` (no partition keys)
+  * moves the whole input through ONE task — Spark even warns
+  * "No Partition Defined for Window operation". Correct at sf0.1,
+  * fatal at 100 TB. This helper computes the identical rank with the
+  * two-level bucketed cumulative scheme (the same construction q236's
+  * KS statistic and q242's isotonic binning already use):
+  *
+  *   1. bucket every row by a caller-supplied MONOTONE COARSENING of the
+  *      total order (see contract below);
+  *   2. aggregate per-bucket row counts — a table orders of magnitude
+  *      smaller than the input — and prefix-sum those counts into
+  *      per-bucket rank offsets (the only unpartitioned window, over the
+  *      bounded bucket table);
+  *   3. rank rows WITHIN each bucket (partitioned window), and add the
+  *      broadcast bucket offset.
+  *
+  * Bucket contract: for any rows a, b — if bucket(a) < bucket(b) then a
+  * precedes b in the total order `orderCols`. Equivalently the bucket is
+  * a prefix-coarsening of the sort key: `v div 65536` for a wide-range
+  * numeric leading key, `struct(k1, tiebreak div K)` when k1 is the full
+  * leading key and the refinement divides the tiebreak column itself.
+  * A refinement by a column that is NOT part of the already-fixed order
+  * prefix violates the contract (rows would interleave across buckets).
+  */
+object GlobalRank {
+
+  /** Adds `rankCol` = exact 1-based `row_number()` under the total order
+    * `orderCols`, computed distributively per the scheme above.
+    */
+  def withGlobalRank(
+      df: DataFrame,
+      rankCol: String,
+      bucket: Column,
+      orderCols: Column*): DataFrame = {
+    val b = df.withColumn("__gr_bkt", bucket)
+    val wOff = Window.orderBy(col("__gr_bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boff = b.groupBy(col("__gr_bkt"))
+      .agg(count(lit(1)).as("__gr_bcnt"))
+      .withColumn("__gr_off", coalesce(sum(col("__gr_bcnt")).over(wOff), lit(0L)))
+      .select(col("__gr_bkt"), col("__gr_off"))
+    val wIn = Window.partitionBy(col("__gr_bkt")).orderBy(orderCols: _*)
+    b.join(broadcast(boff), "__gr_bkt")
+      .withColumn(rankCol, col("__gr_off") + row_number().over(wIn))
+      .drop("__gr_bkt", "__gr_off")
+  }
+
+  /** Exact integer division for non-negative operands, expressed in
+    * codegen-friendly primitives (`pmod` + exact double divide of a
+    * multiple — exact below 2^53).
+    */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** SQL-standard `ntile(k)` reconstructed from an exact global rank
+    * `rn` (1-based) and total row count `n`: the first `n mod k` tiles
+    * hold `n div k + 1` rows, the rest `n div k` — byte-identical to
+    * Spark's and DuckDB's ntile over the same total order.
+    */
+  def ntileFromRank(rn: Column, n: Column, k: Int): Column = {
+    val kc = lit(k.toLong)
+    val q = idiv(n, kc)
+    val r = pmod(n, kc)
+    val cut = r * (q + lit(1L))
+    when(rn <= cut, idiv(rn - lit(1L), q + lit(1L)) + lit(1L))
+      .otherwise(r + idiv(rn - lit(1L) - cut, q) + lit(1L))
+  }
+}

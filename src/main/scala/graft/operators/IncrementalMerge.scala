@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions.col
   */
 object IncrementalMerge {
 
+  /** Hard cap on the distinct partition keys one incremental batch may
+    * touch. The partition-pruned merge collects the touched-key list to
+    * the driver (to prune the target read and scope the dynamic
+    * overwrite) — sound ONLY while that list is batch-cadence-sized
+    * (days/months per batch, documented at each call site). A batch
+    * touching more than this is a full-table rewrite in disguise and
+    * fails fast rather than melting the driver at 100 TB. */
+  val MaxTouchedPartitions: Int = 10000
+
   def merge(existing: DataFrame, fresh: DataFrame, keys: Seq[String]): DataFrame =
     existing.join(fresh, keys, "left_anti").unionByName(fresh)
 
@@ -72,11 +81,24 @@ object IncrementalMerge {
     * streaming foreachBatch sink. */
   def mergeIntoPartitionedTarget(spark: SparkSession, targetPath: String,
       fresh: DataFrame, keys: Seq[String], partitionCol: String,
-      stagePath: String): Unit = {
+      stagePath: String,
+      maxTouched: Int = MaxTouchedPartitions): Unit = {
     val b = fresh.persist()
     try {
+      // bounded: dates per batch. The bound is a CONTRACT, not a hope —
+      // limit(cap+1) keeps the driver fetch itself capped, and exceeding
+      // the cap fails loudly instead of silently hauling a partition list
+      // (and then a read + dynamic overwrite) of unbounded size through
+      // the driver.
       val touched = b.select(col(partitionCol)).distinct()
-        .collect().map(_.get(0)).filter(_ != null) // bounded: dates per batch
+        .limit(maxTouched + 1)
+        .collect().map(_.get(0)).filter(_ != null)
+      if (touched.length > maxTouched)
+        throw new IllegalStateException(
+          s"mergeIntoPartitionedTarget: batch touches > $maxTouched " +
+            s"distinct '$partitionCol' partitions — that is a full-table " +
+            "rewrite wearing incremental clothes; repartition the batch " +
+            "cadence or run a full merge")
       if (touched.nonEmpty) {
         // explicit existence probe, NOT a catch-all: swallowing a transient
         // read failure (corrupt footer, FS hiccup) as "empty target" would

@@ -95,7 +95,8 @@ object Scd2 {
       fresh: DataFrame, key: String, payloadCols: Seq[String],
       updatedAtCol: String, stagePath: String,
       validFromCol: String = "valid_from",
-      validToCol: String = "valid_to"): Unit = {
+      validToCol: String = "valid_to",
+      maxTouched: Int = IncrementalMerge.MaxTouchedPartitions): Unit = {
     val tp = new org.apache.hadoop.fs.Path(targetPath)
     val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tp)) {
@@ -110,10 +111,18 @@ object Scd2 {
       return
     }
     // bounded: the distinct close months a batch can touch = the months of
-    // its own updated_at values (a CDC batch spans one or two months)
+    // its own updated_at values (a CDC batch spans one or two months).
+    // Same explicit cap contract as IncrementalMerge.MaxTouchedPartitions:
+    // the limit bounds the driver fetch, the check fails loudly.
     val touchedMonths = fresh
       .select(date_format(col(updatedAtCol), "yyyy-MM").as("m"))
-      .distinct().collect().map(_.getString(0)).filter(_ != null)
+      .distinct().limit(maxTouched + 1)
+      .collect().map(_.getString(0)).filter(_ != null)
+    if (touchedMonths.length > maxTouched)
+      throw new IllegalStateException(
+        s"mergeIntoPartitionedSnapshot: batch spans > $maxTouched " +
+          "distinct close months — not an incremental CDC batch; run a " +
+          "full snapshot rebuild")
     val snap = spark.read.parquet(targetPath)
       .withColumn(PartitionCol, col(PartitionCol).cast("string"))
     val current = snap.where(col(PartitionCol) === CurrentPartition)

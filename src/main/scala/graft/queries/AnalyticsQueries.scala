@@ -376,8 +376,13 @@ object AnalyticsQueries {
     // order-count weight reaches half the segment total — all weight
     // arithmetic exact integers (2·cumw ≥ totw cross-multiplication, no
     // halves), the median itself an actual element picked by total order
-    // (balance, custkey). Cumulative window partitions by segment; the
-    // weight table is one partial agg on the customer key.
+    // (balance, custkey). The cumulative weight uses the q236/q242
+    // two-level bucketed scheme PER SEGMENT — per-(segment, cents/4096)
+    // bucket totals prefix-summed on the bounded bucket table, row-level
+    // windows partitioned by (segment, bucket) — so parallelism is
+    // segments × buckets, not capped at the 5 segments. The median row
+    // itself falls out of a plain min(struct) aggregate over the
+    // past-half rows (no pick window at all).
     QueryDef(
       "q133_weighted_median",
       (s, dir) => {
@@ -387,19 +392,29 @@ object AnalyticsQueries {
           .join(weights, col("c_custkey") === col("o_custkey"), "left")
           .select(col("c_mktsegment").as("segment"), col("c_custkey"),
             col("c_acctbal"), coalesce(col("w"), lit(0L)).as("w"))
-        val wCum = Window.partitionBy(col("segment"))
+        val b = c.withColumn("cents",
+            (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
+              .cast("long"))
+          .withColumn("bkt", expr("cents div 4096"))
+        val wOff = Window.partitionBy(col("segment")).orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = b.groupBy(col("segment"), col("bkt"))
+          .agg(sum(col("w")).as("bw"))
+          .withColumn("offw", coalesce(sum(col("bw")).over(wOff), lit(0L)))
+          .select(col("segment"), col("bkt"), col("offw"))
+        val totw = b.groupBy(col("segment")).agg(sum(col("w")).as("totw"))
+        val wIn = Window.partitionBy(col("segment"), col("bkt"))
           .orderBy(col("c_acctbal"), col("c_custkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy(col("segment"))
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val ranked = c.withColumn("cumw", sum(col("w")).over(wCum))
-          .withColumn("totw", sum(col("w")).over(wAll))
+        val past = b.join(broadcast(boff), Seq("segment", "bkt"))
+          .withColumn("cumw", col("offw") + sum(col("w")).over(wIn))
+          .join(broadcast(totw), "segment")
           .where(col("cumw") * 2 >= col("totw"))
-        val wPick = Window.partitionBy(col("segment"))
-          .orderBy(col("c_acctbal"), col("c_custkey"))
-        ranked.withColumn("rn", row_number().over(wPick)).where(col("rn") === 1)
-          .select(col("segment"), col("c_acctbal").as("weighted_median"),
-            col("c_custkey").as("median_custkey"), col("totw"))
+        past.groupBy(col("segment"))
+          .agg(min(struct(col("c_acctbal"), col("c_custkey"))).as("m"),
+            min(col("totw")).as("totw"))
+          .select(col("segment"), col("m.c_acctbal").as("weighted_median"),
+            col("m.c_custkey").as("median_custkey"), col("totw"))
           .orderBy(col("segment"))
       },
       Some("""
@@ -685,8 +700,13 @@ object AnalyticsQueries {
         val effects = joined.select(col("brand"),
           coalesce(col("r0"), lit(0L)).as("r0"),
           coalesce(col("r1"), lit(0L)).as("r1"),
+          // vol numerator rides DECIMAL(38,0) like the price/cross terms:
+          // plain BIGINT has ~100x headroom at sf1 but WRAPS silently on
+          // overflow (non-ANSI) where DuckDB HUGEINT keeps going — the
+          // engines must fail/succeed together at any scale
           when(col("q0").isNotNull && col("q1").isNotNull,
-            expr("(1000000 * (q1 - q0) * r0) div q0")).otherwise(0L).as("vol_uc"),
+            expr("(1000000 * (CAST(q1 - q0 AS DECIMAL(38,0)) * r0)) div CAST(q0 AS DECIMAL(38,0))"))
+            .otherwise(0L).cast("long").as("vol_uc"),
           when(col("q0").isNotNull && col("q1").isNotNull,
             expr("(1000000 * (CAST(r1 AS DECIMAL(38,0)) * q0 - CAST(r0 AS DECIMAL(38,0)) * q1)) div (CAST(q0 AS DECIMAL(38,0)) * q1)"))
             .otherwise(0L).cast("long").as("price_uc"),
@@ -722,7 +742,8 @@ object AnalyticsQueries {
           SELECT b.p_brand AS brand,
                  COALESCE(r0, 0) AS r0, COALESCE(r1, 0) AS r1,
                  CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
-                      THEN (1000000 * (q1 - q0) * r0) // q0 ELSE 0 END AS vol_uc,
+                      THEN CAST((1000000 * (CAST(q1 - q0 AS HUGEINT) * r0))
+                           // q0 AS BIGINT) ELSE 0 END AS vol_uc,
                  CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
                       THEN CAST((1000000 * (CAST(r1 AS HUGEINT) * q0 - CAST(r0 AS HUGEINT) * q1))
                            // (CAST(q0 AS HUGEINT) * q1) AS BIGINT) ELSE 0 END AS price_uc,

@@ -527,20 +527,23 @@ object GraphQueries {
     // WITHOUT recursion: in a decimal prefix tree, x's depth-k
     // descendants are exactly the keys with y div 10^k = x, so
     // subtree_sum(x) = Σ_k S_k(x) where each S_k is one partial-
-    // aggregable groupBy on a projected key — six map-side combinable
+    // aggregable groupBy on a projected key — eight map-side combinable
     // aggregates replace the per-node tree walk (which is O(n·depth)
     // joins in the recursive form and needs no such closed form on a
     // general tree; the closed form IS the point: hierarchy rollups
     // over materialized path/prefix encodings beat recursion at scale).
-    // Balances ride exact cents. Emitted for the management layers
-    // (nodes < 100, depth ≤ 1) with self+descendant counts.
+    // Levels run to 10^7, covering custkeys < 10^8 (sf ≲ 600) — BOTH
+    // sides share the depth, so the gate stays exact; deeper corpora
+    // extend the range the same way on both sides. Balances ride exact
+    // cents. Emitted for the management layers (nodes < 100, depth ≤ 1)
+    // with self+descendant counts.
     QueryDef(
       "q255_subtree_rollup",
       (s, dir) => {
         val c = Tables.customer(s, dir).select(col("c_custkey").as("k"),
           (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2))
             * 100).cast("long").as("cents"))
-        val levels = (0 to 5).map { kk =>
+        val levels = (0 to 7).map { kk =>
           val p = math.pow(10, kk).toLong
           c.select(expr(s"k div $p").as("node"),
             col("cents"), lit(1L).as("cnt"))
@@ -562,7 +565,9 @@ object GraphQueries {
           UNION ALL SELECT k // 100, cents FROM c
           UNION ALL SELECT k // 1000, cents FROM c
           UNION ALL SELECT k // 10000, cents FROM c
-          UNION ALL SELECT k // 100000, cents FROM c),
+          UNION ALL SELECT k // 100000, cents FROM c
+          UNION ALL SELECT k // 1000000, cents FROM c
+          UNION ALL SELECT k // 10000000, cents FROM c),
         agg AS (
           SELECT node, CAST(COUNT(*) AS BIGINT) AS n_subtree,
                  CAST(SUM(cents) AS BIGINT) AS subtree_cents

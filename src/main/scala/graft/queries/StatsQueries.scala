@@ -219,33 +219,42 @@ object StatsQueries {
     // the n mod 8 extra rows in the leading bins, so boundaries are
     // deterministic. One long-format frame: (stat_kind, k, v1, v2, v3).
     //
-    // Scale: histogram via one window sort (at 100 TB you'd swap in
-    // approx_percentile boundaries — same output contract); MCV + NDV
-    // ride one partial aggregate each. The long format is what makes the
-    // stats joinable by a planner rule at lookup time.
+    // Scale: the ntile is NOT a global window sort — the exact rank comes
+    // from GlobalRank's two-level bucketed scheme (per-bucket offsets on
+    // a ~900-row `cents div 65536` table, within-bucket windows) and the
+    // tile index is reconstructed arithmetically from (rank, n). The MCV
+    // denominator n rides a broadcast one-row aggregate (no eager
+    // driver-side count); MCV + NDV ride one partial aggregate each; the
+    // MCV rank window orders the 5-value priority domain. The long
+    // format is what makes the stats joinable by a planner rule.
     QueryDef(
       "q169_analyze_stats",
       (s, dir) => {
+        import graft.operators.GlobalRank
         val o = Tables.orders(s, dir)
           .select(col("o_orderkey"),
             (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
               .cast("long").as("cents"),
             col("o_orderpriority").as("prio"),
             col("o_custkey"))
-        val binned = o.withColumn("bin",
-          ntile(8).over(Window.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+        val tot = o.groupBy().agg(count(lit(1)).as("n_rows"))
+        val ranked = GlobalRank.withGlobalRank(
+          o, "rn", expr("cents div 65536"), col("cents"), col("o_orderkey"))
+        val binned = ranked.crossJoin(broadcast(tot))
+          .withColumn("bin",
+            GlobalRank.ntileFromRank(col("rn"), col("n_rows"), 8).cast("long"))
         val hist = binned.groupBy(col("bin"))
           .agg(min(col("cents")).as("v1"), max(col("cents")).as("v2"),
             count(lit(1)).as("v3"))
           .select(lit("hist:o_totalprice_cents").as("stat_kind"),
             col("bin").cast("string").as("k"), col("v1"), col("v2"), col("v3"))
-        val n = o.count() // tiny driver-side scalar: total row count for MCV shares
         val mcv = o.groupBy(col("prio")).agg(count(lit(1)).as("cnt"))
           .withColumn("rnk",
             row_number().over(Window.orderBy(col("cnt").desc, col("prio"))).cast("long"))
           .where(col("rnk") <= 5)
+          .crossJoin(broadcast(tot))
           .select(lit("mcv:o_orderpriority").as("stat_kind"), col("prio").as("k"),
-            col("cnt").as("v1"), col("rnk").as("v2"), lit(n).as("v3"))
+            col("cnt").as("v1"), col("rnk").as("v2"), col("n_rows").as("v3"))
         val tbl = o.agg(count(lit(1)).as("v1"),
             countDistinct(col("o_custkey")).as("v2"),
             countDistinct(col("prio")).as("v3"))
@@ -295,21 +304,24 @@ object StatsQueries {
     //
     // Scale: window adjacency is re-expressed as an EQUI-join on
     // rank + offset (offsets exploded 1..3) — no O(n²) pass, no range
-    // join; cost is exactly 3n candidate rows. The global row_number is
-    // the one concession to the gate's determinism — a cluster run would
-    // range-partition the sort and overlap partition boundaries by w
-    // (the standard distributed sorted-neighborhood construction).
+    // join; cost is exactly 3n candidate rows. The sort rank itself is
+    // the distributed sorted-neighborhood construction: GlobalRank's
+    // bucketed two-level scheme on `struct(nation, cents div 2048)`
+    // (a monotone coarsening of the (nation, cents, ck) total order),
+    // so no row ever transits a single-partition global window, and the
+    // rank+offset join plays the role of the w-row boundary overlap.
     QueryDef(
       "q170_sorted_neighborhood",
       (s, dir) => {
+        import graft.operators.GlobalRank
         val c = Tables.customer(s, dir).select(
           col("c_custkey").as("ck"),
           col("c_nationkey").cast("long").as("nation"),
           (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
             .cast("long").as("cents"))
-        val rn = row_number()
-          .over(Window.orderBy(col("nation"), col("cents"), col("ck"))).cast("long")
-        val r = c.withColumn("rn", rn)
+        val r = GlobalRank.withGlobalRank(
+          c, "rn", struct(col("nation"), expr("cents div 2048")),
+          col("nation"), col("cents"), col("ck"))
         val probes = r.withColumn("off", explode(array(lit(1L), lit(2L), lit(3L))))
           .select(col("ck").as("ck_a"), col("nation").as("nation_a"),
             col("cents").as("cents_a"), (col("rn") + col("off")).as("rn_b"))
@@ -378,9 +390,10 @@ object StatsQueries {
           .select(col("row_i"), bucket(col("row_i"), col("l_partkey")).as("bkt"))
           .groupBy(col("row_i"), col("bkt")).agg(count(lit(1)).as("cnt"))
         val truth = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("true_cnt"))
-        val top = truth.withColumn("rnk",
-            row_number().over(Window.orderBy(col("true_cnt").desc, col("l_partkey"))))
-          .where(col("rnk") <= 10).drop("rnk")
+        // Top-k as orderBy+limit, NOT a global rank window: Spark plans
+        // this as TakeOrderedAndProject (per-partition heaps, driver
+        // merge of k rows) — the same pattern as the q112 vocab cut.
+        val top = truth.orderBy(col("true_cnt").desc, col("l_partkey")).limit(10)
         val est = top
           .withColumn("row_i", explode(array(lit(0L), lit(1L), lit(2L), lit(3L))))
           .select(col("l_partkey"), col("true_cnt"), col("row_i"),
@@ -758,13 +771,21 @@ object StatsQueries {
     // labels segments. Scores are oriented so 5 = best: recency ntile
     // runs DESC (most-recent customers land in the highest tile).
     //
-    // Scale: one aggregate per customer, then three window sorts over
-    // the customer-level frame (1% of fact size); the rule table is a
-    // projection. At 100 TB the fact scan dominates and it's a single
-    // partial-aggregated pass.
+    // Scale: one aggregate per customer, then three EXACT quintile
+    // assignments over the customer-level frame — each via GlobalRank's
+    // bucketed two-level scheme (no single-partition window anywhere):
+    // recency and frequency bucket per-value with a `ck div 2^20`
+    // tiebreak refinement (both are the full leading sort key, so the
+    // refinement divides the tiebreak column itself — contract-safe);
+    // monetary buckets by `monetary_c div 2^20` (wide-range key). The
+    // tile index is reconstructed arithmetically from (rank, n) with n
+    // on a broadcast one-row aggregate. At 100 TB the fact scan
+    // dominates and it's a single partial-aggregated pass plus three
+    // customer-level shuffles.
     QueryDef(
       "q176_rfm_segments",
       (s, dir) => {
+        import graft.operators.GlobalRank
         val horizon = lit("1998-08-02").cast("date")
         val o = Tables.orders(s, dir)
         val rfm = o.groupBy(col("o_custkey").as("ck"))
@@ -773,13 +794,23 @@ object StatsQueries {
             sum((col("o_totalprice")
               .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
               .cast("long")).as("monetary_c"))
+        val tot = rfm.groupBy().agg(count(lit(1)).as("n_cust"))
+        def quintile(rankDf: org.apache.spark.sql.DataFrame, scoreName: String) =
+          rankDf.crossJoin(broadcast(tot))
+            .withColumn(scoreName,
+              GlobalRank.ntileFromRank(col("__rn"), col("n_cust"), 5).cast("long"))
+            .select(col("ck"), col(scoreName))
+        val rScore = quintile(GlobalRank.withGlobalRank(
+          rfm, "__rn", struct(-col("recency_d"), expr("ck div 1048576")),
+          col("recency_d").desc, col("ck")), "r_score")
+        val fScore = quintile(GlobalRank.withGlobalRank(
+          rfm, "__rn", struct(col("frequency"), expr("ck div 1048576")),
+          col("frequency"), col("ck")), "f_score")
+        val mScore = quintile(GlobalRank.withGlobalRank(
+          rfm, "__rn", expr("monetary_c div 1048576"),
+          col("monetary_c"), col("ck")), "m_score")
         val scored = rfm
-          .withColumn("r_score",
-            ntile(5).over(Window.orderBy(col("recency_d").desc, col("ck"))).cast("long"))
-          .withColumn("f_score",
-            ntile(5).over(Window.orderBy(col("frequency"), col("ck"))).cast("long"))
-          .withColumn("m_score",
-            ntile(5).over(Window.orderBy(col("monetary_c"), col("ck"))).cast("long"))
+          .join(rScore, "ck").join(fScore, "ck").join(mScore, "ck")
         scored
           .withColumn("segment",
             when(col("r_score") >= 4 && col("f_score") >= 4 && col("m_score") >= 4, "champion")
@@ -897,20 +928,26 @@ object StatsQueries {
     // must hold (`within_bound` literal true) — the CBO contract that
     // makes histogram-planned scans trustworthy.
     //
-    // Scale: the histogram build is the q169 shape (one window sort at
-    // gate scale, approx-boundary swap at 100 TB); estimation itself
+    // Scale: the histogram build is the q169 shape — GlobalRank's
+    // bucketed two-level exact rank + arithmetic ntile reconstruction,
+    // no single-partition window sort at any scale; estimation itself
     // touches 8 histogram rows × 3 predicates — the entire point of
     // collecting stats is that the PLANNING cost is independent of the
     // data; the exact counts ride one conditional-sum pass.
     QueryDef(
       "q178_selectivity_estimate",
       (s, dir) => {
+        import graft.operators.GlobalRank
         val o = Tables.orders(s, dir)
           .select(col("o_orderkey"),
             (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
               .cast("long").as("cents"))
-        val binned = o.withColumn("bin",
-          ntile(8).over(Window.orderBy(col("cents"), col("o_orderkey"))).cast("long"))
+        val nTot = o.groupBy().agg(count(lit(1)).as("__n"))
+        val binned = GlobalRank.withGlobalRank(
+            o, "rn", expr("cents div 65536"), col("cents"), col("o_orderkey"))
+          .crossJoin(broadcast(nTot))
+          .withColumn("bin",
+            GlobalRank.ntileFromRank(col("rn"), col("__n"), 8).cast("long"))
         val hist = binned.groupBy(col("bin"))
           .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
             count(lit(1)).as("cnt"))

@@ -650,5 +650,80 @@ object StreamQueries {
                  AS BIGINT) AS sum_cents
         FROM events
         GROUP BY event_type
-        ORDER BY event_type""")))
+        ORDER BY event_type""")),
+
+    // COMPLETE output mode — closes the output-semantics matrix (q116
+    // append, q259 update, q79 foreachBatch): an unwatermarked running
+    // aggregate over (event_type, week) where EVERY trigger re-emits the
+    // ENTIRE result table. The sink is therefore a BLIND OVERWRITE — no
+    // upsert, no anti-join — and that contract is load-bearing: the
+    // final lifetime's slice touches only the last weeks, so the early
+    // weeks' groups survive ONLY if complete mode really re-emits
+    // unchanged groups from state (update-mode changed-keys semantics
+    // would drop them and the oracle would catch the loss). Three
+    // checkpointed AvailableNow lifetimes replay nothing. 100 TB:
+    // complete mode re-emits |groups| rows per trigger — right only
+    // when the result table is aggregate-sized (here: types × weeks),
+    // which is exactly the documented complete-mode fit.
+    QueryDef(
+      "q262_stream_complete_mode",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_cpl")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val ckpt = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              * 100).cast("long").as("cents"))
+        val cut1 = lit("2024-01-08 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val slices = Seq(
+          ev.where(col("ts") < cut1),
+          ev.where(col("ts") >= cut1 && col("ts") < cut2),
+          ev.where(col("ts") >= cut2))
+
+        withStatePartitions(s, 8) {
+          slices.zipWithIndex.foreach { case (slice, i) =>
+            slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
+            val q = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1000000")
+              .parquet(s"$spool/*")
+              // date-level week bucket: integer day diff div 7 (epoch()
+              // casts round vs truncate differently across engines)
+              .withColumn("wk",
+                expr("datediff(to_date(ts), DATE'2024-01-01') div 7").cast("long"))
+              .groupBy(col("event_type"), col("wk"))
+              .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+              .writeStream
+              .outputMode("complete")
+              .option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+                // complete mode: df IS the whole result — overwrite, never merge
+                df.write.mode("overwrite").parquet(s"$root/state")
+                ()
+              }
+              .start()
+            q.awaitTermination()
+          }
+        }
+
+        s.read.parquet(s"$root/state")
+          .select(col("event_type"), col("wk"), col("n_events"), col("sum_cents"))
+          .orderBy(col("event_type"), col("wk"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                 AS BIGINT) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY event_type, wk""")))
 }

@@ -167,6 +167,42 @@ class OperatorsSpec extends SparkSpec {
       (2L, "b1", jan, Some(mar)), (2L, "b2", mar, None)))
   }
 
+  test("mergeIntoPartitionedTarget fails fast past the touched-partition cap, target untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap").toString
+    val target = s"$dir/t"
+    val fresh = (1 to 5).map(i => (i.toLong, s"v$i", s"d$i")).toDF("k", "v", "dt")
+    val e = intercept[IllegalStateException] {
+      IncrementalMerge.mergeIntoPartitionedTarget(spark, target,
+        fresh, Seq("k"), "dt", s"$dir/s", maxTouched = 3)
+    }
+    assert(e.getMessage.contains("distinct 'dt' partitions"))
+    assert(!new java.io.File(target).exists(),
+      "cap must fire before any write reaches the target")
+    // the default cap (10k) admits the same batch
+    IncrementalMerge.mergeIntoPartitionedTarget(spark, target,
+      fresh, Seq("k"), "dt", s"$dir/s2")
+    assert(spark.read.parquet(target).count() === 5)
+  }
+
+  test("mergeIntoPartitionedSnapshot fails fast past the touched-month cap") {
+    import graft.operators.Scd2
+    val root = java.nio.file.Files.createTempDirectory("scd2cap").toString
+    val target = s"$root/snap"
+    // seed the target (cap only guards the incremental path)
+    Scd2.mergeIntoPartitionedSnapshot(spark, target,
+      Seq((1L, "a", Timestamp.valueOf("2024-01-10 00:00:00")))
+        .toDF("k", "v", "updated_at"),
+      "k", Seq("v"), "updated_at", stagePath = s"$root/s0")
+    val wide = (1 to 4).map(m =>
+      (m.toLong, s"v$m", Timestamp.valueOf(f"2024-0${m + 1}%d-01 00:00:00")))
+      .toDF("k", "v", "updated_at")
+    val e = intercept[IllegalStateException] {
+      Scd2.mergeIntoPartitionedSnapshot(spark, target, wide,
+        "k", Seq("v"), "updated_at", stagePath = s"$root/s1", maxTouched = 2)
+    }
+    assert(e.getMessage.contains("distinct close months"))
+  }
+
   test("IncrementalMerge.mergeWithLookback filters fresh side first") {
     val existing = Seq((1L, 10, "old1"), (2L, 20, "old2")).toDF("k", "d", "v")
     val source = Seq((2L, 99, "new2"), (3L, 5, "too_old")).toDF("k", "d", "v")

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+
+/** Suite-wide single-partition-window lint (round-7 verdict item 3).
+  *
+  * An unpartitioned `Window.orderBy(...)` moves its whole input through
+  * ONE task — invisible at sf0.1 (everything fits one partition) and
+  * fatal at 100 TB. The oracle gate can never catch it, so this spec
+  * sweeps EVERY batch query's optimized logical plan and asserts each
+  * `Window` node with an empty partitionSpec belongs to a documented
+  * allowlist of BOUNDED inputs: bucket/bin/band/vocabulary tables whose
+  * row count is set by a value domain or bucket width, not by the data
+  * volume. Restoring a data-proportional global window (e.g. q169's old
+  * `ntile(8).over(Window.orderBy(cents, okey))` over all orders, killed
+  * in round 7 for GlobalRank's two-level bucketed scheme) turns this
+  * spec red.
+  *
+  * Streaming queries are excluded: their `fn` executes full checkpointed
+  * stream lifetimes at call time and their windows live inside
+  * micro-batches planned by the streaming runner.
+  */
+class WindowLintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** query -> max allowed unpartitioned Window NODES in the optimized
+    * plan (shared subtrees count once per occurrence), with the bounded
+    * input that justifies each. Everything else must have zero.
+    */
+  private val allow: Map[String, Int] = Map(
+    "q95_training_shuffle" -> 1, // 256-row shard-bucket count prefix-sum
+    "q109_pareto_frontier" -> 1, // price-band table (value-domain bins)
+    "q119_length_histogram" -> 1, // fixed length-histogram bin table
+    "q121_key_skew_audit" -> 1, // <=5-row log2-occupancy bucket table
+    "q141_split_drift_tv" -> 1, // length-histogram bin table
+    "q166_waterfill_mix" -> 6, // language-level table (bounded vocab)
+    "q169_analyze_stats" -> 2, // GlobalRank bucket offsets + 5-row MCV rank
+    "q170_sorted_neighborhood" -> 2, // one GlobalRank offset table, subtree appears twice in the self-join
+    "q176_rfm_segments" -> 3, // three GlobalRank offset tables (R/F/M)
+    "q178_selectivity_estimate" -> 1, // GlobalRank bucket offsets
+    "q186_ooo_watermark_audit" -> 1, // 4-row displacement-bucket table
+    "q188_cusum_changepoint" -> 3, // daily series (calendar-bounded, ~2.4k rows)
+    "q191_mann_whitney" -> 1, // value-range bucket offsets (two-level scheme)
+    "q197_retention_hazard" -> 1, // age-level life table (calendar-bounded)
+    "q224_source_novelty" -> 1, // source-level table (bounded domain)
+    "q236_ks_two_sample" -> 1, // value-range bucket offsets (two-level scheme)
+    "q257_bh_fdr" -> 2 // spatial grid-cell table (fixed grid)
+  )
+
+  test("no query plans a data-proportional single-partition window") {
+    val streaming = graft.queries.StreamQueries.defs.map(_.name).toSet
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.allDefs.filterNot(d => streaming(d.name)).foreach { d =>
+      val unpart = d.fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      val cap = allow.getOrElse(d.name, 0)
+      if (unpart.size > cap)
+        offenders += s"${d.name}: ${unpart.size} unpartitioned Window nodes (allowed $cap); " +
+          s"order keys: ${unpart.map(_.orderSpec.map(_.child.sql).mkString(",")).mkString(" | ")}"
+    }
+    assert(offenders.isEmpty,
+      "unpartitioned windows over data-proportional inputs (single-partition " +
+        "sort at scale):\n" + offenders.mkString("\n"))
+  }
+
+  test("the allowlist itself stays tight (entries drop out when fixed)") {
+    val streaming = graft.queries.StreamQueries.defs.map(_.name).toSet
+    val byName = SparkEntry.allDefs.map(d => d.name -> d).toMap
+    allow.foreach { case (name, cap) =>
+      assert(byName.contains(name), s"allowlist names unknown query $name")
+      assert(!streaming(name), s"allowlist lists streaming query $name")
+      val n = byName(name).fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }.size
+      assert(n == cap,
+        s"$name: allowlist says $cap unpartitioned windows, plan has $n — " +
+          "tighten or document the drift")
+    }
+  }
+}
