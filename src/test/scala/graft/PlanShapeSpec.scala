@@ -147,6 +147,41 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q171 truth-side top-10 plans as TakeOrderedAndProject, not a rank window") {
+    val p = plan("q171_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q171: orderBy+limit must plan per-partition top-k heaps:\n$p")
+  }
+
+  test("q169/q178 run no eager job at query-construction time") {
+    // the round-6 verdict flagged q169's `o.count()` (a driver-side
+    // action inside the builder); pin: no DATA-scanning job during plan
+    // construction. Every fresh `spark.read.parquet` fires one 1-task
+    // footer/schema-inference job at read time (metadata-sized, callsite
+    // = the Tables.scala read line, identical for every query) — that is
+    // the ONLY job construction may run; a builder-embedded action like
+    // count() carries its own callsite and trips the pin.
+    Seq("q169_analyze_stats", "q178_selectivity_estimate").foreach { q =>
+      val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.add(s"job ${s.jobId} [" +
+            s.stageInfos.map(_.name).mkString(" | ") + "]")
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+        Thread.sleep(300) // let any async job-start events drain
+      } finally spark.sparkContext.removeSparkListener(l)
+      val scanning = jobs.toArray(Array.empty[String])
+        .filterNot(_.contains("parquet at Tables.scala"))
+      assert(scanning.isEmpty,
+        s"$q: building the query ran eager data job(s): " +
+          scanning.mkString("; "))
+    }
+  }
+
   test("q167 verify joins run on 8-byte digests, never shingle strings") {
     // The candidate and intersection joins must key on the md5 digest
     // column (LongType) — a join keyed on the _sh string doubles the
