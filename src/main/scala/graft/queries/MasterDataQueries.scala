@@ -319,5 +319,126 @@ object MasterDataQueries {
                CAST(SUM(ck_a * 31 + ck_b) AS BIGINT) AS pair_checksum
         FROM pairs
         GROUP BY 1
-        ORDER BY 1""")))
+        ORDER BY 1""")),
+
+    // Fellegi-Sunter probabilistic linkage with FREQUENCY-BASED
+    // u-probabilities — the principled upgrade of q208's hand-set
+    // weights: for each equality field, u = P(agree | random pair) has
+    // the exact closed form Σ_v f_v(f_v−1) / N(N−1) over the field's
+    // value frequencies, estimated from the data itself in one partial
+    // aggregate per field and floored to exact ppm (m stays a rule
+    // constant — estimating m needs labeled matches or EM). A pair's
+    // match odds are then the EXACT RATIONAL product
+    // Π (agree ? m : 1e6−m) / Π (agree ? u : 1e6−u) carried as two
+    // DECIMAL(38,0) integer products (3 ppm factors ≤ 1e18 — no log, no
+    // float, no engine drift), classified by cross-multiplied odds
+    // thresholds: match > 64:1, non-match < 1:8.
+    //
+    // Scale: u estimation is three frequency aggregates (field-value
+    // sized); candidates come from (nation, 512-cent band) equality
+    // blocking — never all-pairs; the three u scalars ride one broadcast
+    // row onto the pair stream.
+    QueryDef(
+      "q263_fellegi_sunter",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(
+          col("c_custkey").as("ck"),
+          col("c_nationkey").cast("long").as("nation"),
+          col("c_mktsegment").as("seg"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"),
+          (expr("CAST(substring(c_name, 10, 9) AS BIGINT)") % 97).as("sfx"))
+          .withColumn("balb", expr("(cents + 100000) div 2000"))
+          .withColumn("blk", expr("(cents + 100000) div 512"))
+        def uPpm(field: String, alias: String) =
+          c.groupBy(col(field)).agg(count(lit(1)).as("f"))
+            // DECIMAL(38,0): Σf(f−1)·1e6 passes BIGINT at ~1e9 rows
+            .agg(sum(expr("CAST(f AS DECIMAL(38,0)) * (f - 1)")).as("num"),
+              sum(col("f")).as("n"))
+            .select(expr(
+              "CAST((CAST(1000000 AS DECIMAL(38,0)) * num) div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)")
+              .as(alias))
+        val u = uPpm("seg", "u_seg")
+          .crossJoin(uPpm("balb", "u_bal"))
+          .crossJoin(uPpm("sfx", "u_sfx"))
+        val a = c.select(col("nation"), col("blk"), col("ck").as("ck_a"),
+          col("seg").as("seg_a"), col("balb").as("balb_a"), col("sfx").as("sfx_a"))
+        val b = c.select(col("nation"), col("blk"), col("ck").as("ck_b"),
+          col("seg").as("seg_b"), col("balb").as("balb_b"), col("sfx").as("sfx_b"))
+        val pairs = a.join(b, Seq("nation", "blk"))
+          .where(col("ck_a") < col("ck_b"))
+          .crossJoin(broadcast(u))
+          .withColumn("num", expr(
+            """CAST(CASE WHEN seg_a = seg_b THEN 950000 ELSE 50000 END AS DECIMAL(38,0))
+               * CASE WHEN balb_a = balb_b THEN 900000 ELSE 100000 END
+               * CASE WHEN sfx_a = sfx_b THEN 980000 ELSE 20000 END"""))
+          .withColumn("den", expr(
+            """CAST(CASE WHEN seg_a = seg_b THEN u_seg ELSE 1000000 - u_seg END AS DECIMAL(38,0))
+               * CASE WHEN balb_a = balb_b THEN u_bal ELSE 1000000 - u_bal END
+               * CASE WHEN sfx_a = sfx_b THEN u_sfx ELSE 1000000 - u_sfx END"""))
+          .withColumn("cls",
+            when(col("num") > col("den") * 64, "match")
+              .when(col("num") * 8 < col("den"), "non_match")
+              .otherwise("possible"))
+        pairs.groupBy(col("nation"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("cls") === "match", 1L).otherwise(0L)).as("n_match"),
+            sum(when(col("cls") === "possible", 1L).otherwise(0L)).as("n_possible"),
+            sum(when(col("cls") === "match", col("ck_a") * 100000L + col("ck_b"))
+              .otherwise(0L)).as("match_checksum"))
+          .orderBy(col("nation"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey AS ck, CAST(c_nationkey AS BIGINT) AS nation,
+                 c_mktsegment AS seg,
+                 CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+                 CAST(substring(c_name, 10, 9) AS BIGINT) % 97 AS sfx
+          FROM customer),
+        c2 AS (
+          SELECT *, (cents + 100000) // 2000 AS balb,
+                 (cents + 100000) // 512 AS blk
+          FROM c),
+        u_seg_t AS (
+          SELECT CAST((1000000 * SUM(CAST(f AS HUGEINT) * (f - 1)))
+                 // (CAST(SUM(f) AS HUGEINT) * (SUM(f) - 1)) AS BIGINT) AS u_seg
+          FROM (SELECT COUNT(*) AS f FROM c2 GROUP BY seg)),
+        u_bal_t AS (
+          SELECT CAST((1000000 * SUM(CAST(f AS HUGEINT) * (f - 1)))
+                 // (CAST(SUM(f) AS HUGEINT) * (SUM(f) - 1)) AS BIGINT) AS u_bal
+          FROM (SELECT COUNT(*) AS f FROM c2 GROUP BY balb)),
+        u_sfx_t AS (
+          SELECT CAST((1000000 * SUM(CAST(f AS HUGEINT) * (f - 1)))
+                 // (CAST(SUM(f) AS HUGEINT) * (SUM(f) - 1)) AS BIGINT) AS u_sfx
+          FROM (SELECT COUNT(*) AS f FROM c2 GROUP BY sfx)),
+        pairs AS (
+          SELECT a.nation, a.ck AS ck_a, b.ck AS ck_b,
+                 CAST(CASE WHEN a.seg = b.seg THEN 950000 ELSE 50000 END AS HUGEINT)
+                   * CASE WHEN a.balb = b.balb THEN 900000 ELSE 100000 END
+                   * CASE WHEN a.sfx = b.sfx THEN 980000 ELSE 20000 END AS num,
+                 CAST(CASE WHEN a.seg = b.seg THEN u.u_seg
+                           ELSE 1000000 - u.u_seg END AS HUGEINT)
+                   * CASE WHEN a.balb = b.balb THEN u.u_bal
+                          ELSE 1000000 - u.u_bal END
+                   * CASE WHEN a.sfx = b.sfx THEN u.u_sfx
+                          ELSE 1000000 - u.u_sfx END AS den
+          FROM c2 a
+          JOIN c2 b ON a.nation = b.nation AND a.blk = b.blk AND a.ck < b.ck
+          CROSS JOIN (SELECT * FROM u_seg_t, u_bal_t, u_sfx_t) u),
+        cls AS (
+          SELECT nation, ck_a, ck_b,
+                 CASE WHEN num > den * 64 THEN 'match'
+                      WHEN num * 8 < den THEN 'non_match'
+                      ELSE 'possible' END AS cls
+          FROM pairs)
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN cls = 'match' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_match,
+               CAST(SUM(CASE WHEN cls = 'possible' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_possible,
+               CAST(SUM(CASE WHEN cls = 'match' THEN ck_a * 100000 + ck_b
+                        ELSE 0 END) AS BIGINT) AS match_checksum
+        FROM cls
+        GROUP BY nation
+        ORDER BY nation""")))
 }

@@ -186,5 +186,116 @@ object ReconQueries {
                (SELECT COUNT(*) FROM b) AS n_b,
                (SELECT COUNT(*) FROM a JOIN b USING (k)) AS n_intersect,
                true AS est_within_15pct
-        ORDER BY n_a""")))
+        ORDER BY n_a""")),
+
+    // Anti-entropy replica comparison (Merkle/digest-tree, the
+    // Cassandra/Dynamo repair primitive): detect WHERE two copies of a
+    // table diverge without shipping either copy. Per 4096-key range
+    // bucket, a commutative digest = Σ md5-u64(row) (order-independent,
+    // so no sort anywhere) + a row count; replicas exchange only the
+    // bucket-digest table, and the exact full-outer row diff runs ONLY
+    // inside the buckets whose digests disagree. The "remote" replica is
+    // derived deterministically in-query: keys ≡0 mod 9973 dropped
+    // (missing rows) and values ≡1 mod 7919 shifted (corruption) — both
+    // engines build bit-identical replicas and digests (md5_number_lower
+    // parity), so the drill-down counts and key checksums gate exactly.
+    //
+    // Scale: two scans (one per replica) into a partial-aggregated
+    // bucket digest ~n/4096 rows; the digest compare is bucket-sized;
+    // the drill re-reads only differing buckets (here via a broadcast
+    // semi-join on the bad-bucket list — on a real deployment, partition
+    // pruning on the bucket column). Nothing row-sized ever crosses
+    // replicas.
+    QueryDef(
+      "q264_merkle_antientropy",
+      (s, dir) => {
+        import graft.functions.Kernels.{md5Bits, md5BitsU64}
+        val a = Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"),
+          (col("o_totalprice").cast(DecimalType(18, 6)) * 100)
+            .cast("long").as("cents"))
+        val b = a.where(pmod(col("k"), lit(9973L)) =!= 0)
+          .withColumn("cents",
+            when(pmod(col("k"), lit(7919L)) === 1, col("cents") + 5)
+              .otherwise(col("cents")))
+        def dig(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("k"), expr("k div 4096").as("bucket"),
+          md5BitsU64(md5Bits(concat(lit("ae:"), col("k").cast("string"),
+            lit(":"), col("cents").cast("string")))).as("d"))
+        val da = dig(a)
+        val db = dig(b)
+        def lvl(df: org.apache.spark.sql.DataFrame, h: String, n: String) =
+          df.groupBy(col("bucket"))
+            .agg(sum(col("d")).as(h), count(lit(1)).as(n))
+        val cmp = lvl(da, "ha", "na").join(lvl(db, "hb", "nb"),
+            Seq("bucket"), "full_outer")
+          .withColumn("differ",
+            !(col("ha") <=> col("hb")) || !(col("na") <=> col("nb")))
+        val bad = cmp.where(col("differ")).select(col("bucket"))
+        val buckets = cmp.agg(
+          sum(when(col("differ"), 1L).otherwise(0L)).as("v1"),
+          count(lit(1)).as("v2"))
+          .select(lit("bucket_digest_diff").as("check_kind"),
+            col("v1"), col("v2"))
+        val drill = da.join(broadcast(bad), "bucket")
+          .select(col("k"), col("d").as("d_a"))
+          .join(db.join(broadcast(bad), "bucket")
+            .select(col("k"), col("d").as("d_b")), Seq("k"), "full_outer")
+        val missing = drill.where(col("d_b").isNull)
+          .agg(count(lit(1)).as("v1"), sum(col("k")).as("v2"))
+          .select(lit("keys_missing_in_b").as("check_kind"), col("v1"), col("v2"))
+        val valdiff = drill
+          .where(col("d_a").isNotNull && col("d_b").isNotNull &&
+            col("d_a") =!= col("d_b"))
+          .agg(count(lit(1)).as("v1"), sum(col("k")).as("v2"))
+          .select(lit("keys_value_diff").as("check_kind"), col("v1"), col("v2"))
+        buckets.unionByName(missing).unionByName(valdiff)
+          .orderBy(col("check_kind"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT o_orderkey AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT) AS cents
+          FROM orders),
+        b AS (
+          SELECT k, CASE WHEN k % 7919 = 1 THEN cents + 5 ELSE cents END AS cents
+          FROM a WHERE k % 9973 <> 0),
+        da AS (
+          SELECT k, k // 4096 AS bucket,
+                 md5_number_lower('ae:' || CAST(k AS VARCHAR) || ':' ||
+                                  CAST(cents AS VARCHAR)) AS d
+          FROM a),
+        db AS (
+          SELECT k, k // 4096 AS bucket,
+                 md5_number_lower('ae:' || CAST(k AS VARCHAR) || ':' ||
+                                  CAST(cents AS VARCHAR)) AS d
+          FROM b),
+        la AS (SELECT bucket, SUM(CAST(d AS HUGEINT)) AS ha, COUNT(*) AS na
+               FROM da GROUP BY 1),
+        lb AS (SELECT bucket, SUM(CAST(d AS HUGEINT)) AS hb, COUNT(*) AS nb
+               FROM db GROUP BY 1),
+        cmp AS (
+          SELECT COALESCE(la.bucket, lb.bucket) AS bucket,
+                 (la.ha IS DISTINCT FROM lb.hb
+                  OR la.na IS DISTINCT FROM lb.nb) AS differ
+          FROM la FULL OUTER JOIN lb ON la.bucket = lb.bucket),
+        bad AS (SELECT bucket FROM cmp WHERE differ),
+        drill AS (
+          SELECT COALESCE(x.k, y.k) AS k, x.d AS d_a, y.d AS d_b
+          FROM (SELECT da.* FROM da JOIN bad USING (bucket)) x
+          FULL OUTER JOIN (SELECT db.* FROM db JOIN bad USING (bucket)) y
+            ON x.k = y.k)
+        SELECT 'bucket_digest_diff' AS check_kind,
+               CAST((SELECT SUM(CASE WHEN differ THEN 1 ELSE 0 END) FROM cmp)
+                 AS BIGINT) AS v1,
+               CAST((SELECT COUNT(*) FROM cmp) AS BIGINT) AS v2
+        UNION ALL
+        SELECT 'keys_missing_in_b',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT)
+        FROM drill WHERE d_b IS NULL
+        UNION ALL
+        SELECT 'keys_value_diff',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(k) AS BIGINT)
+        FROM drill WHERE d_a IS NOT NULL AND d_b IS NOT NULL AND d_a <> d_b
+        ORDER BY check_kind""")))
 }

@@ -1070,8 +1070,56 @@ object StatsQueries {
                       - CAST(sum_dollars AS HUGEINT) * sum_dollars)
                      * 1000000) // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_ppm
         FROM m
-        ORDER BY prio"""))
-  )
+        ORDER BY prio""")),
+
+    // Exact arbitrary-quantile SELECTION over the biggest table — the
+    // distributed complement of the percentile family (q07/q128 exact
+    // percentile aggregates, q46 gated sketches): P50/P90/P99/P99.9 of
+    // line revenue as the ACTUAL element at rank ceil(p·n), found by
+    // GlobalRank's two-level bucketed scheme + one broadcast join of the
+    // 4-row target-rank table. No value-frequency map on any single
+    // node, no global sort — this is how you take an exact P99.9 at
+    // 100 TB. The selected VALUE is deterministic even where the rank
+    // order is not (ties in cents occupy contiguous ranks, so the value
+    // at a fixed rank is unique); target ranks ride DECIMAL(38,0) so
+    // n·p_ppm never wraps.
+    QueryDef(
+      "q265_exact_quantile_select",
+      (s, dir) => {
+        import graft.operators.GlobalRank
+        val li = Tables.lineitem(s, dir).select(
+          (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
+            .cast("long").as("cents"))
+        val tot = li.groupBy().agg(count(lit(1)).as("n"))
+        val targets = tot.select(
+            explode(array(lit(500000L), lit(900000L), lit(990000L),
+              lit(999000L))).as("p_ppm"), col("n"))
+          .withColumn("sel_rank", expr(
+            "CAST((CAST(n AS DECIMAL(38,0)) * p_ppm + 999999) div 1000000 AS BIGINT)"))
+        val ranked = GlobalRank.withGlobalRank(
+          li, "rn", expr("cents div 65536"), col("cents"))
+        ranked.join(broadcast(targets), col("rn") === col("sel_rank"))
+          .select(col("p_ppm"), col("n"), col("sel_rank"),
+            col("cents").as("value"))
+          .orderBy(col("p_ppm"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * 100 AS BIGINT)
+                   AS cents
+          FROM lineitem),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM li),
+        ranked AS (
+          SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM li),
+        tgt AS (
+          SELECT CAST(p.p_ppm AS BIGINT) AS p_ppm, nt.n,
+                 CAST((CAST(nt.n AS HUGEINT) * p.p_ppm + 999999) // 1000000
+                   AS BIGINT) AS sel_rank
+          FROM (SELECT unnest([500000, 900000, 990000, 999000]) AS p_ppm) p
+          CROSS JOIN nt)
+        SELECT t.p_ppm, t.n, t.sel_rank, r.cents AS value
+        FROM tgt t JOIN ranked r ON r.rn = t.sel_rank
+        ORDER BY p_ppm""")))
 
   /** Exact integer moment buffer for the typed-Aggregator gate (q246):
     * associative/commutative adds — partition-split-invariant by

@@ -45,6 +45,7 @@ class WindowLintSpec extends SparkSpec {
     "q197_retention_hazard" -> 1, // age-level life table (calendar-bounded)
     "q224_source_novelty" -> 1, // source-level table (bounded domain)
     "q236_ks_two_sample" -> 1, // value-range bucket offsets (two-level scheme)
+    "q265_exact_quantile_select" -> 1, // GlobalRank bucket offsets
     "q257_bh_fdr" -> 2 // spatial grid-cell table (fixed grid)
   )
 
