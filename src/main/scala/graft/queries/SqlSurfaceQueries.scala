@@ -385,5 +385,69 @@ object SqlSurfaceQueries {
                  AS BIGINT) AS rev_cents
         FROM orders
         GROUP BY ALL
-        ORDER BY ALL""")))
+        ORDER BY ALL""")),
+
+    // WITH RECURSIVE — the declarative-recursion surface Spark gained in
+    // 4.x (Catalyst UnionLoop): exact ascending-path counting over the
+    // co-purchase DAG, per hop depth. Edges = distinct same-order part
+    // pairs (sampled part families), DIRECTED by key order so the graph
+    // is acyclic and UNION ALL recursion terminates by construction (the
+    // lvl < 3 cap bounds it independently); path multiplicity is the
+    // POINT — UNION ALL recursion counts distinct paths, not reachable
+    // nodes, which no closed-form rewrite (q255's prefix trick) can
+    // express over an irregular graph. Both engines run the literally
+    // identical recursion and must agree on every path count.
+    //
+    // Scale: recursion depth is a constant (3); each step is one
+    // equi-join frontier × edges — the same shape as the q108/q233
+    // hand-rolled iterative loops, but planned by the engine. Edge
+    // sampling (part families ≡ 0 mod 100) keeps fanout^depth bounded;
+    // the frontier never leaves the executors.
+    QueryDef(
+      "q267_recursive_cte",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("g_q267_li")
+        s.sql("""
+          WITH RECURSIVE
+          sel AS (
+            SELECT l_orderkey AS ok, l_partkey AS pk
+            FROM g_q267_li WHERE l_partkey % 100 = 0),
+          edges AS (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM sel a JOIN sel b ON a.ok = b.ok AND a.pk < b.pk),
+          paths(node, lvl) AS (
+            SELECT DISTINCT pk, 0 FROM sel WHERE pk % 2000 = 0
+            UNION ALL
+            SELECT e.dst, p.lvl + 1
+            FROM paths p JOIN edges e ON e.src = p.node
+            WHERE p.lvl < 3)
+          SELECT CAST(lvl AS BIGINT) AS lvl,
+                 CAST(COUNT(*) AS BIGINT) AS n_paths,
+                 CAST(SUM(node) AS BIGINT) AS node_checksum
+          FROM paths
+          WHERE lvl >= 1
+          GROUP BY lvl
+          ORDER BY lvl""")
+      },
+      Some("""
+        WITH RECURSIVE
+        sel AS (
+          SELECT l_orderkey AS ok, l_partkey AS pk
+          FROM lineitem WHERE l_partkey % 100 = 0),
+        edges AS (
+          SELECT DISTINCT a.pk AS src, b.pk AS dst
+          FROM sel a JOIN sel b ON a.ok = b.ok AND a.pk < b.pk),
+        paths(node, lvl) AS (
+          SELECT DISTINCT pk, 0 FROM sel WHERE pk % 2000 = 0
+          UNION ALL
+          SELECT e.dst, p.lvl + 1
+          FROM paths p JOIN edges e ON e.src = p.node
+          WHERE p.lvl < 3)
+        SELECT CAST(lvl AS BIGINT) AS lvl,
+               CAST(COUNT(*) AS BIGINT) AS n_paths,
+               CAST(SUM(node) AS BIGINT) AS node_checksum
+        FROM paths
+        WHERE lvl >= 1
+        GROUP BY lvl
+        ORDER BY lvl""")))
 }
