@@ -34,6 +34,13 @@ object GlobalRank {
 
   /** Adds `rankCol` = exact 1-based `row_number()` under the total order
     * `orderCols`, computed distributively per the scheme above.
+    *
+    * The input subtree is consumed TWICE (bucket counts + the ranked
+    * join). A plain projected scan pays one extra columnar read — fine;
+    * callers passing an EXPENSIVE frame (an aggregate, a join) should
+    * materialize it first with `localCheckpoint(true)` (the repo's
+    * pin-neutral pattern) or the subtree recomputes per reference —
+    * and doubles per call when chaining ranks on one frame.
     */
   def withGlobalRank(
       df: DataFrame,

@@ -396,6 +396,9 @@ object AnalyticsQueries {
             (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
               .cast("long"))
           .withColumn("bkt", expr("cents div 4096"))
+          // consumed 3x (bucket totals, segment totals, cumulative join):
+          // materialize the orders-weights join once
+          .localCheckpoint(true)
         val wOff = Window.partitionBy(col("segment")).orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val boff = b.groupBy(col("segment"), col("bkt"))

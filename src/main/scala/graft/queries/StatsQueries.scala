@@ -794,6 +794,12 @@ object StatsQueries {
             sum((col("o_totalprice")
               .cast(org.apache.spark.sql.types.DecimalType(18, 6)) * 100)
               .cast("long")).as("monetary_c"))
+        // rfm is referenced 7x (three GlobalRanks x2 + the score join);
+        // measured: recomputing the 2-column scan+agg beats an eager
+        // localCheckpoint at every gate scale (2.0 vs 2.4 s at sf0.1,
+        // 2.5 vs 4.2 s at sf1) — the materialization job + lineage break
+        // cost more than the repeated columnar scan. Revisit only if the
+        // upstream ever becomes a join.
         val tot = rfm.groupBy().agg(count(lit(1)).as("n_cust"))
         def quintile(rankDf: org.apache.spark.sql.DataFrame, scoreName: String) =
           rankDf.crossJoin(broadcast(tot))

@@ -725,5 +725,79 @@ object StreamQueries {
                  AS BIGINT) AS sum_cents
         FROM events
         GROUP BY 1, 2
-        ORDER BY event_type, wk""")))
+        ORDER BY event_type, wk""")),
+
+    // dropDuplicatesWithinWatermark — the BUILT-IN streaming dedup
+    // operator (Spark 3.5+), gated separately from q151's hand-rolled
+    // flatMapGroupsWithState dedup: every slice is spooled with
+    // re-delivered copies of 1-in-7 of its events (at-least-once
+    // delivery, dupes land inside the originating micro-batch's
+    // watermark window — the operator's contract), the stream dedups on
+    // event_id with a 2-day watermark bounding the state, and the
+    // append-mode output accumulated across THREE checkpointed
+    // AvailableNow lifetimes must equal the batch aggregate over the
+    // duplicate-free source — every injected duplicate swallowed, every
+    // original kept exactly once.
+    //
+    // Scale: dedup state is watermark-bounded (2 days of event_ids, not
+    // the full corpus) — the same eviction argument as q151; the rest is
+    // one append-mode pass.
+    QueryDef(
+      "q268_stream_dedup_watermark",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_ddw")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val ckpt = s"$root/ckpt"
+        val out = s"$root/out"
+
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              * 100).cast("long").as("cents"))
+        val cut1 = lit("2024-01-08 00:00:00").cast("timestamp")
+        val cut2 = lit("2024-01-20 00:00:00").cast("timestamp")
+        val slices = Seq(
+          ev.where(col("ts") < cut1),
+          ev.where(col("ts") >= cut1 && col("ts") < cut2),
+          ev.where(col("ts") >= cut2))
+
+        withStatePartitions(s, 8) {
+          slices.zipWithIndex.foreach { case (slice, i) =>
+            val redelivered = slice.where(pmod(col("event_id"), lit(7L)) === 0)
+            slice.unionByName(redelivered)
+              .write.mode("overwrite").parquet(s"$spool/batch_$i")
+            val q = s.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "1000000")
+              .parquet(s"$spool/*")
+              .withWatermark("ts", "2 days")
+              .dropDuplicatesWithinWatermark("event_id")
+              .writeStream
+              .outputMode("append")
+              .option("checkpointLocation", ckpt)
+              .trigger(Trigger.AvailableNow())
+              .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+                df.write.mode("append").parquet(out)
+                ()
+              }
+              .start()
+            q.awaitTermination()
+          }
+        }
+
+        s.read.parquet(out)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                 AS BIGINT) AS sum_cents
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")))
 }
