@@ -67,7 +67,14 @@ object TextDedup {
     * distinct grams per join domain, and IDENTICAL on both engines
     * (the oracle computes the same folds), so the gate stays exact.
     * Output: (idCol, h62) — one row per full k-window. */
-  def ngramHash62(docs: DataFrame, idCol: String, tokCol: String, k: Int): DataFrame = {
+  def ngramHash62(docs: DataFrame, idCol: String, tokCol: String, k: Int): DataFrame =
+    ngramHash62Pos(docs, idCol, tokCol, k).select(col(idCol), col("h62"))
+
+  /** ngramHash62 retaining the 0-based start position of each window
+    * (`pos`) — needed by span-level audits (q269) that reconstruct runs
+    * of consecutive duplicated windows. Output: (idCol, pos, h62). */
+  def ngramHash62Pos(docs: DataFrame, idCol: String, tokCol: String,
+      k: Int): DataFrame = {
     val t = docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("_pos", "_w")))
       .select(col(idCol), col("_pos"),
         Kernels.md5BitsMod31(Kernels.md5Bits(col("_w"))).as("_h"))
@@ -76,11 +83,11 @@ object TextDedup {
     val all = col("_h") +: leads
     def horner(b: Long): Column =
       all.reduce((acc, x) => (acc * lit(b) + x) % lit(MinhashP))
-    t.select(col(idCol),
+    t.select(col(idCol), col("_pos").cast("long").as("pos"),
         (horner(131) * lit(2147483648L) + horner(137)).as("h62"),
         leads.last.isNotNull.as("_full"))
       .where(col("_full"))
-      .select(col(idCol), col("h62"))
+      .select(col(idCol), col("pos"), col("h62"))
   }
 
   /** Per-doc MinHash signature from flat (idCol, shCol) shingle rows: ONE

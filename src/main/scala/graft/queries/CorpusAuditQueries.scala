@@ -1,0 +1,228 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextKernels._
+import graft.operators.TextDedup
+import graft.sources.Tables
+
+/** Round-7 corpus audits: span-level exact-duplication measurement and
+  * rank-fusion retrieval over the `documents` corpus.
+  *
+  * Like the rest of the text surface these are DuckDB-parity exact gates:
+  * shingle hashes are the q87 two-fold Horner 62-bit keys, so the oracle
+  * reproduces every hash bit-for-bit.
+  */
+object CorpusAuditQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Duplicate-SPAN coverage (the Lee et al. 2022 "Deduplicating
+    // Training Data Makes Language Models Better" audit shape): for each
+    // document, how much of it is covered by 13-token windows that also
+    // occur verbatim in ANOTHER document, and how long is the longest
+    // such run? q87 answers "is a test doc contaminated by train"; this
+    // answers the corpus-self-duplication question that decides whether
+    // substring-level dedup is worth a rewrite pass. Windows hash via
+    // TextDedup.ngramHash62Pos (one 8-byte digest per token, two Horner
+    // folds — never a materialized 13-gram string); a window is
+    // "duplicated" iff its hash occurs in >= 2 DISTINCT docs; runs of
+    // consecutive duplicated positions collapse via the gaps-and-islands
+    // row_number trick under a per-doc window (partitioned — lint-clean).
+    // Scale: shuffles ride 8-byte hash / doc_id keys only; the dup-hash
+    // set is bounded by true cross-doc duplication, and the islands pass
+    // touches only duplicated positions. At 100 TB this is exactly the
+    // suffix-dedup candidate audit you run before committing the rewrite.
+    QueryDef(
+      "q269_dup_span_coverage",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val sh = TextDedup.ngramHash62Pos(
+            d.select(col("doc_id"), tokens(col("text")).as("ws")),
+            "doc_id", "ws", 13)
+          .select(col("doc_id"), col("pos"), col("h62").as("h"))
+        val dupH = sh.select(col("h"), col("doc_id")).distinct()
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .where(col("df") >= 2).select(col("h"))
+        val perDoc = sh.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"))
+        val dupPos = sh.join(dupH, Seq("h")).select(col("doc_id"), col("pos"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val runs = dupPos
+          .withColumn("grp", col("pos") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(count(lit(1)).as("run_len"))
+        val perDup = runs.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("run_len")).as("n_dup_shingles"),
+            max(col("run_len")).as("max_run"))
+        perDoc.join(perDup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_shingles"),
+            coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"),
+            coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+            when(col("max_run").isNull, lit(0L))
+              .otherwise(col("max_run") + lit(12L)).as("max_dup_run_tokens"),
+            (coalesce(col("n_dup_shingles"), lit(0L)).cast("double") /
+              col("n_shingles")).as("dup_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        th AS (
+          SELECT doc_id, list_transform(ws,
+                   t -> CAST(md5_number_lower(t) % 2147483647 AS BIGINT)) AS hs
+          FROM toks WHERE len(ws) >= 13),
+        sh AS (
+          SELECT doc_id, unnest(range(0, len(hs) - 12)) AS pos,
+                 unnest(list_transform(range(1, len(hs) - 11),
+                   i -> list_reduce(list_slice(hs, i, i + 12),
+                          (a, x) -> (a * 131 + x) % 2147483647) * 2147483648 +
+                        list_reduce(list_slice(hs, i, i + 12),
+                          (a, x) -> (a * 137 + x) % 2147483647))) AS h
+          FROM th),
+        duph AS (
+          SELECT h FROM (
+            SELECT h, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1)
+          WHERE df >= 2),
+        per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY 1),
+        dup_pos AS (SELECT doc_id, pos FROM sh JOIN duph USING (h)),
+        runs AS (
+          SELECT doc_id, grp, COUNT(*) AS run_len FROM (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM dup_pos) GROUP BY 1, 2),
+        per_dup AS (
+          SELECT doc_id, COUNT(*) AS n_dup_spans,
+                 SUM(run_len) AS n_dup_shingles, MAX(run_len) AS max_run
+          FROM runs GROUP BY 1)
+        SELECT p.doc_id, CAST(p.n_shingles AS BIGINT) AS n_shingles,
+               CAST(COALESCE(d.n_dup_shingles, 0) AS BIGINT) AS n_dup_shingles,
+               CAST(COALESCE(d.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+               CAST(CASE WHEN d.max_run IS NULL THEN 0
+                         ELSE d.max_run + 12 END AS BIGINT) AS max_dup_run_tokens,
+               CAST(COALESCE(d.n_dup_shingles, 0) AS DOUBLE) / p.n_shingles
+                 AS dup_frac
+        FROM per_doc p LEFT JOIN per_dup d USING (doc_id)
+        ORDER BY p.doc_id""")),
+
+    // Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of two
+    // retrieval rankers over the corpus: q172's BM25 and a query-term
+    // density ranker (Σtf / doclen). At scale each ranker contributes
+    // only its TRUNCATED top-50 — produced by orderBy().limit(50), which
+    // plans as TakeOrderedAndProject (never a global sort) — and fusion
+    // happens on the tiny union: rrf(d) = Σ_lists 1/(60 + rank_d). This
+    // truncated-list fusion is exactly how distributed RRF ships (fusing
+    // full rankings would mean ranking every doc globally). The two
+    // row_number windows run over ≤50-row inputs (lint-allowlisted
+    // bounded tables). BM25 per-doc scores pivot to fixed-order named
+    // term columns before the final addition — float sums stay in one
+    // deterministic order on both engines (the q172 contract). Absent
+    // ranks coalesce to rank 0 / contribution 0.0.
+    QueryDef(
+      "q273_rrf_fusion",
+      (s, dir) => {
+        val terms = Seq("dup", "vector", "merge", "stream", "hash")
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val qtoks = toks.where(col("tk").isInCollection(terms))
+        val df0 = qtoks.select(col("doc_id"), col("tk")).distinct()
+          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        val tf = qtoks.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+        val scored = tf.join(broadcast(df0), "tk")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .withColumn("idf",
+            (lit(2L) * (col("n_docs") - col("df")) + lit(1L)).cast("double") /
+              (lit(2L) * col("df") + lit(1L)).cast("double"))
+          .withColumn("tfn",
+            (col("tf").cast("double") * lit(2.2d)) /
+              (col("tf").cast("double") +
+                lit(1.2d) * (lit(0.25d) +
+                  lit(0.75d) * col("dl").cast("double") / col("avgdl"))))
+          .withColumn("score_t", col("idf") * col("tfn"))
+        val termAggs = terms.map(t =>
+          coalesce(max(when(col("tk") === t, col("score_t"))), lit(0.0d))
+            .as("s_" + t))
+        val bm = scored.groupBy(col("doc_id"))
+          .agg(termAggs.head, termAggs.tail: _*)
+          .select(col("doc_id"),
+            (col("s_dup") + col("s_vector") + col("s_merge") + col("s_stream") +
+              col("s_hash")).as("score1"))
+        val w1 = Window.orderBy(col("score1").desc, col("doc_id"))
+        val top1 = bm.orderBy(col("score1").desc, col("doc_id")).limit(50)
+          .withColumn("r1", row_number().over(w1).cast("long"))
+        val den = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("qtf"))
+          .join(dl, "doc_id")
+          .select(col("doc_id"),
+            (col("qtf").cast("double") / col("dl").cast("double")).as("score2"))
+        val w2 = Window.orderBy(col("score2").desc, col("doc_id"))
+        val top2 = den.orderBy(col("score2").desc, col("doc_id")).limit(50)
+          .withColumn("r2", row_number().over(w2).cast("long"))
+        top1.select(col("doc_id"), col("r1"))
+          .join(top2.select(col("doc_id"), col("r2")), Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("r1"), lit(0L)).as("rank_bm25"),
+            coalesce(col("r2"), lit(0L)).as("rank_density"),
+            (coalesce(lit(1.0d) / (lit(60.0d) + col("r1").cast("double")),
+              lit(0.0d)) +
+             coalesce(lit(1.0d) / (lit(60.0d) + col("r2").cast("double")),
+               lit(0.0d))).as("rrf_score"))
+          .orderBy(col("rrf_score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        qtoks AS (SELECT * FROM toks
+                  WHERE tk IN ('dup','vector','merge','stream','hash')),
+        df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1),
+        tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM qtoks GROUP BY 1, 2),
+        scored AS (
+          SELECT t.doc_id, t.tk,
+                 CAST(2 * (s.n_docs - f.df) + 1 AS DOUBLE) /
+                   CAST(2 * f.df + 1 AS DOUBLE) *
+                 ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE) /
+                  (CAST(t.tf AS DOUBLE) +
+                   1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * CAST(l.dl AS DOUBLE) /
+                     (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS score_t
+          FROM tf t JOIN df f USING (tk) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        bm AS (
+          SELECT doc_id,
+                 COALESCE(MAX(CASE WHEN tk = 'dup' THEN score_t END), 0.0::DOUBLE) +
+                 COALESCE(MAX(CASE WHEN tk = 'vector' THEN score_t END), 0.0::DOUBLE) +
+                 COALESCE(MAX(CASE WHEN tk = 'merge' THEN score_t END), 0.0::DOUBLE) +
+                 COALESCE(MAX(CASE WHEN tk = 'stream' THEN score_t END), 0.0::DOUBLE) +
+                 COALESCE(MAX(CASE WHEN tk = 'hash' THEN score_t END), 0.0::DOUBLE)
+                   AS score1
+          FROM scored GROUP BY 1),
+        t1 AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score1 DESC, doc_id) AS r1
+          FROM bm QUALIFY r1 <= 50),
+        den AS (
+          SELECT f.doc_id,
+                 CAST(SUM(f.tf) AS DOUBLE) / CAST(MAX(l.dl) AS DOUBLE) AS score2
+          FROM tf f JOIN dl l USING (doc_id) GROUP BY 1),
+        t2 AS (
+          SELECT doc_id, row_number() OVER (ORDER BY score2 DESC, doc_id) AS r2
+          FROM den QUALIFY r2 <= 50),
+        fused AS (
+          SELECT COALESCE(t1.doc_id, t2.doc_id) AS doc_id,
+                 CAST(COALESCE(t1.r1, 0) AS BIGINT) AS rank_bm25,
+                 CAST(COALESCE(t2.r2, 0) AS BIGINT) AS rank_density,
+                 COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(t1.r1 AS DOUBLE)),
+                          0.0::DOUBLE) +
+                 COALESCE(1.0::DOUBLE / (60.0::DOUBLE + CAST(t2.r2 AS DOUBLE)),
+                          0.0::DOUBLE) AS rrf_score
+          FROM t1 FULL OUTER JOIN t2 ON t1.doc_id = t2.doc_id)
+        SELECT doc_id, rank_bm25, rank_density, rrf_score
+        FROM fused
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 10""")))
+}

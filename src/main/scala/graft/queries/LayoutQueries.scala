@@ -174,5 +174,126 @@ object LayoutQueries {
                true AS no_false_negatives,
                true AS fp_rate_ok
         FROM fresh
-        ORDER BY n_new""")))
+        ORDER BY n_new""")),
+
+    // Zone-map (min/max statistics) pruning audit — the data-skipping
+    // decision every 100 TB table layout lives or dies by. Lineitem is
+    // carved into simulated files two ways: `ingest` order (contiguous
+    // l_orderkey ranges, what a naive append produces) and `date_sorted`
+    // (rank by l_shipdate via GlobalRank's two-level bucketed scheme —
+    // no global sort is ever executed, the rank IS the layout). Each
+    // file's zone map is min/max of ship date and partkey; three
+    // workload predicates are then evaluated against the zone maps
+    // alone: files kept, rows inside kept files, and true matching rows.
+    // The date-sorted layout prunes the date predicates to near-optimal
+    // while the partkey predicate prunes in NEITHER layout (zone maps
+    // only skip on correlated-with-layout columns) — the result table
+    // states the re-layout decision quantitatively, parquet/Iceberg
+    // style. Scale: two hash aggs over the fact (zone build), bounded
+    // calendar-day bucket table inside GlobalRank, 6-row output.
+    QueryDef(
+      "q272_zone_map_pruning",
+      (s, dir) => {
+        import graft.operators.GlobalRank
+        val base = Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_shipdate").cast("date").as("sd"),
+          col("l_partkey").as("pk"))
+        def zones(filed: DataFrame): DataFrame =
+          filed.groupBy(col("f"))
+            .agg(min(col("sd")).as("lo"), max(col("sd")).as("hi"),
+              min(col("pk")).as("plo"), max(col("pk")).as("phi"),
+              count(lit(1)).as("n"))
+        val za = zones(base.withColumn("f", expr("ok div 2048")))
+        val ranked = GlobalRank.withGlobalRank(
+          base, "rn",
+          datediff(col("sd"), lit("1990-01-01").cast("date")),
+          col("sd"), col("ok"), col("ln"))
+        val zb = zones(ranked.withColumn("f", expr("(rn - 1) div 2048")))
+        val d1lo = lit("1995-01-01").cast("date")
+        val d1hi = lit("1995-03-31").cast("date")
+        val d2lo = lit("1998-06-01").cast("date")
+        def profile(z: DataFrame, layout: String): DataFrame =
+          z.agg(count(lit(1)).as("files_total"),
+              count(when(col("hi") >= d1lo && col("lo") <= d1hi, 1)).as("f1"),
+              coalesce(sum(when(col("hi") >= d1lo && col("lo") <= d1hi,
+                col("n"))), lit(0L)).as("r1"),
+              count(when(col("hi") >= d2lo, 1)).as("f2"),
+              coalesce(sum(when(col("hi") >= d2lo, col("n"))), lit(0L)).as("r2"),
+              count(when(col("phi") >= 1000 && col("plo") <= 1099, 1)).as("f3"),
+              coalesce(sum(when(col("phi") >= 1000 && col("plo") <= 1099,
+                col("n"))), lit(0L)).as("r3"))
+            .selectExpr(s"'$layout' as layout", "files_total",
+              "stack(3, 'date_range_95q1', f1, r1, 'date_tail_98h2', f2, r2, " +
+                "'partkey_1k', f3, r3) as (pred, files_kept, rows_in_kept)")
+        val matched = base.agg(
+            count(when(col("sd").between(d1lo, d1hi), 1)).as("m1"),
+            count(when(col("sd") >= d2lo, 1)).as("m2"),
+            count(when(col("pk").between(1000, 1099), 1)).as("m3"))
+          .selectExpr("stack(3, 'date_range_95q1', m1, 'date_tail_98h2', m2, " +
+            "'partkey_1k', m3) as (pred, rows_matched)")
+        profile(za, "ingest").unionByName(profile(zb, "date_sorted"))
+          .join(broadcast(matched), Seq("pred"))
+          .select(col("layout"), col("pred"), col("files_total"),
+            col("files_kept"), col("rows_in_kept"), col("rows_matched"))
+          .orderBy(col("layout"), col("pred"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_orderkey AS ok, l_linenumber AS ln,
+                 CAST(l_shipdate AS DATE) AS sd, l_partkey AS pk
+          FROM lineitem),
+        za AS (
+          SELECT ok // 2048 AS f, min(sd) AS lo, max(sd) AS hi,
+                 min(pk) AS plo, max(pk) AS phi, count(*) AS n
+          FROM base GROUP BY 1),
+        rb AS (
+          SELECT sd, pk, row_number() OVER (ORDER BY sd, ok, ln) AS rn
+          FROM base),
+        zb AS (
+          SELECT (rn - 1) // 2048 AS f, min(sd) AS lo, max(sd) AS hi,
+                 min(pk) AS plo, max(pk) AS phi, count(*) AS n
+          FROM rb GROUP BY 1),
+        pa AS (
+          SELECT 'ingest' AS layout, count(*) AS files_total,
+                 count(*) FILTER (hi >= DATE '1995-01-01' AND lo <= DATE '1995-03-31') AS f1,
+                 COALESCE(sum(n) FILTER (hi >= DATE '1995-01-01' AND lo <= DATE '1995-03-31'), 0) AS r1,
+                 count(*) FILTER (hi >= DATE '1998-06-01') AS f2,
+                 COALESCE(sum(n) FILTER (hi >= DATE '1998-06-01'), 0) AS r2,
+                 count(*) FILTER (phi >= 1000 AND plo <= 1099) AS f3,
+                 COALESCE(sum(n) FILTER (phi >= 1000 AND plo <= 1099), 0) AS r3
+          FROM za),
+        pb AS (
+          SELECT 'date_sorted' AS layout, count(*) AS files_total,
+                 count(*) FILTER (hi >= DATE '1995-01-01' AND lo <= DATE '1995-03-31') AS f1,
+                 COALESCE(sum(n) FILTER (hi >= DATE '1995-01-01' AND lo <= DATE '1995-03-31'), 0) AS r1,
+                 count(*) FILTER (hi >= DATE '1998-06-01') AS f2,
+                 COALESCE(sum(n) FILTER (hi >= DATE '1998-06-01'), 0) AS r2,
+                 count(*) FILTER (phi >= 1000 AND plo <= 1099) AS f3,
+                 COALESCE(sum(n) FILTER (phi >= 1000 AND plo <= 1099), 0) AS r3
+          FROM zb),
+        p AS (SELECT * FROM pa UNION ALL SELECT * FROM pb),
+        u AS (
+          SELECT layout, 'date_range_95q1' AS pred, files_total,
+                 f1 AS files_kept, r1 AS rows_in_kept FROM p
+          UNION ALL
+          SELECT layout, 'date_tail_98h2', files_total, f2, r2 FROM p
+          UNION ALL
+          SELECT layout, 'partkey_1k', files_total, f3, r3 FROM p),
+        m AS (
+          SELECT 'date_range_95q1' AS pred,
+                 count(*) FILTER (sd BETWEEN DATE '1995-01-01' AND DATE '1995-03-31') AS rows_matched
+          FROM base
+          UNION ALL
+          SELECT 'date_tail_98h2',
+                 count(*) FILTER (sd >= DATE '1998-06-01') FROM base
+          UNION ALL
+          SELECT 'partkey_1k',
+                 count(*) FILTER (pk BETWEEN 1000 AND 1099) FROM base)
+        SELECT u.layout, u.pred, CAST(u.files_total AS BIGINT) AS files_total,
+               CAST(u.files_kept AS BIGINT) AS files_kept,
+               CAST(u.rows_in_kept AS BIGINT) AS rows_in_kept,
+               CAST(m.rows_matched AS BIGINT) AS rows_matched
+        FROM u JOIN m USING (pred)
+        ORDER BY layout, pred""")))
 }

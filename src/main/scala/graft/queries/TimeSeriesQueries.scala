@@ -613,5 +613,88 @@ object TimeSeriesQueries {
                                            + CAST(0.7 AS DOUBLE)*acc)
                  AS ewma_cents
         FROM serie
+        ORDER BY ck""")),
+
+    // Holt linear-trend (double exponential) smoothing of each customer's
+    // daily spend — the 2-state extension of q238's single-state EWMA:
+    //   l_i = α·x_i + (1−α)·(l_{i−1} + b_{i−1})
+    //   b_i = β·(l_i − l_{i−1}) + (1−β)·b_{i−1}        (α=0.4, β=0.3)
+    // seeded (l,b) = (x_1, 0). A coupled 2-dim recurrence is still a
+    // strict sequential fold, so Spark reuses the q214/q238 secondary-sort
+    // contract (repartition on customer, sortWithinPartitions, one
+    // O(1)-memory streaming fold per partition); DuckDB folds the same
+    // recurrence with a LIST[l, b] accumulator over the day-ordered list.
+    // Both engines evaluate the identical IEEE expressions on identical
+    // operands in identical order (DuckDB's lambda inlines l_i twice —
+    // same double ops, same value), so the gate is bit-exact. Output adds
+    // the 3-step-ahead forecast l + 3b, the thing Holt exists to produce.
+    // Scale: one exchange on customer; the daily pre-agg partial-combines
+    // map-side; a hot customer streams, never buffers.
+    QueryDef(
+      "q271_holt_linear",
+      (s, dir) => {
+        import s.implicits._
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("ck"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("cents"))
+          .select(col("ck"),
+            datediff(col("day"), lit("1990-01-01").cast("date")).cast("long")
+              .as("d"),
+            col("cents"))
+        daily.repartition(col("ck"))
+          .sortWithinPartitions(col("ck"), col("d"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { rows =>
+            val it = rows.buffered
+            new Iterator[(Long, Long, Long, Double, Double, Double)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, Long, Long, Double, Double, Double) = {
+                val ck = it.head._1
+                var n = 0L; var tot = 0L; var l = 0.0; var b = 0.0
+                while (it.hasNext && it.head._1 == ck) {
+                  val cents = it.next()._3
+                  val x = cents.toDouble
+                  if (n == 0L) { l = x; b = 0.0 }
+                  else {
+                    val l1 = 0.4 * x + 0.6 * (l + b)
+                    b = 0.3 * (l1 - l) + 0.7 * b
+                    l = l1
+                  }
+                  n += 1; tot += cents
+                }
+                (ck, n, tot, l, b, l + 3.0 * b)
+              }
+            }
+          }
+          .toDF("ck", "n_days", "total_cents", "holt_level", "holt_trend",
+            "forecast_h3")
+          .orderBy(col("ck"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS day,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1, 2),
+        serie AS (
+          SELECT ck, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 list(CAST(cents AS DOUBLE) ORDER BY day) AS xs
+          FROM daily GROUP BY ck),
+        holt AS (
+          SELECT ck, n_days, total_cents,
+                 list_reduce(list_transform(xs, x -> [x, CAST(0 AS DOUBLE)]),
+                   (acc, e) -> [CAST(0.4 AS DOUBLE)*e[1]
+                                  + CAST(0.6 AS DOUBLE)*(acc[1]+acc[2]),
+                                CAST(0.3 AS DOUBLE)*((CAST(0.4 AS DOUBLE)*e[1]
+                                  + CAST(0.6 AS DOUBLE)*(acc[1]+acc[2])) - acc[1])
+                                  + CAST(0.7 AS DOUBLE)*acc[2]]) AS hb
+          FROM serie)
+        SELECT ck, n_days, total_cents,
+               hb[1] AS holt_level, hb[2] AS holt_trend,
+               hb[1] + CAST(3 AS DOUBLE)*hb[2] AS forecast_h3
+        FROM holt
         ORDER BY ck""")))
 }

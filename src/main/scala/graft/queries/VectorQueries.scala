@@ -907,5 +907,140 @@ object VectorQueries {
         SELECT id_a, id_b, hamming
         FROM pairs
         WHERE hamming <= 6
-        ORDER BY id_a, id_b""")))
+        ORDER BY id_a, id_b""")),
+
+    // SemDeDup (Abbas et al. 2023): semantic dedup = cluster the
+    // embedding space, then remove near-duplicates WITHIN each cluster,
+    // keeping one representative (here: the lowest vec_id of each dup
+    // pair survives). Clusters are q114's fixed-point k-means (two
+    // exact integer-quantized rounds from 4 seed centroids — identical
+    // assignment, gate-proven there); within a cluster, candidates come
+    // from a 6-plane SRP sub-bucket (64 cells — the paper's "don't do
+    // all-pairs" at scale: cost is Σ cell², never cluster²), and the
+    // dup decision is the EXACT quantized L2² ≤ (1.2e6)² on the
+    // candidate pairs (integer arithmetic, engine-exact; recall is
+    // bounded by the SRP blocking, stated like q27/q41). Per-cluster
+    // output: sizes, candidate volume, dup pairs, removed set + checksum
+    // — the numbers a curation run reports before committing the drop.
+    // Scale: every join is equi (dim / cid+bucket / pair keys); the
+    // shared quantized frame is localCheckpointed once (q167 pattern).
+    QueryDef(
+      "q270_semdedup",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val e = Tables.embeddings(s, dir)
+        val ex = e
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            floor(col("xf").cast("double") * lit(1000000.0d)).cast("long").as("xq"))
+          .localCheckpoint(true)
+        val c0 = ex.where(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("dim"), col("xq").as("cq"))
+        def assign(cent: DataFrame): DataFrame = {
+          val d2 = ex.join(broadcast(cent), Seq("dim"))
+            .groupBy(col("vec_id"), col("cid"))
+            .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+          val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+          d2.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+            .select(col("vec_id"), col("cid"))
+        }
+        def update(asg: DataFrame): DataFrame =
+          ex.join(asg, Seq("vec_id"))
+            .groupBy(col("cid"), col("dim"))
+            .agg(floor(sum(col("xq")).cast("double") / count(lit(1)))
+              .cast("long").as("cq"))
+        val asg = assign(update(assign(c0))).localCheckpoint(true)
+        val bucketed = e
+          .select(col("vec_id"),
+            Similarity.srpBucket(col("embedding"), 6, 64).as("bkt"))
+          .join(asg, Seq("vec_id"))
+        val a = bucketed.select(col("cid"), col("bkt"), col("vec_id").as("id_a"))
+        val b2 = bucketed.select(col("cid"), col("bkt"), col("vec_id").as("id_b"))
+        val cand = a.join(b2, Seq("cid", "bkt")).where(col("id_a") < col("id_b"))
+          .select(col("cid"), col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val e1 = ex.select(col("vec_id").as("id_a"), col("dim"), col("xq").as("qa"))
+        val e2 = ex.select(col("vec_id").as("id_b"), col("dim"), col("xq").as("qb"))
+        val dup = cand.join(e1, Seq("id_a")).join(e2, Seq("id_b", "dim"))
+          .groupBy(col("cid"), col("id_a"), col("id_b"))
+          .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("d2"))
+          .where(col("d2") <= lit(1440000000000L))
+          .localCheckpoint(true)
+        val removed = dup.select(col("cid"), col("id_b")).distinct()
+        val nv = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+        val nc = cand.groupBy(col("cid")).agg(count(lit(1)).as("n_candidate_pairs"))
+        val nd = dup.groupBy(col("cid")).agg(count(lit(1)).as("n_dup_pairs"))
+        val nr = removed.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_removed"), sum(col("id_b")).as("removed_checksum"))
+        nv.join(nc, Seq("cid"), "left").join(nd, Seq("cid"), "left")
+          .join(nr, Seq("cid"), "left")
+          .select(col("cid"), col("n_vectors"),
+            coalesce(col("n_candidate_pairs"), lit(0L)).as("n_candidate_pairs"),
+            coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            coalesce(col("removed_checksum"), lit(0L)).as("removed_checksum"))
+          .orderBy(col("cid"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xq
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM ex WHERE vec_id < 4),
+        d1 AS (SELECT e.vec_id, c.cid,
+                      SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+               FROM ex e JOIN c0 c USING (dim) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        c1 AS (SELECT a.cid, e.dim,
+                      CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+               FROM ex e JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        d2_ AS (SELECT e.vec_id, c.cid,
+                       SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+                FROM ex e JOIN c1 c USING (dim) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                 FROM d2_) WHERE rn = 1),
+        bkt AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(range(0, 6), j ->
+                   CASE WHEN list_reduce(list_transform(range(0, 64), d ->
+                          embedding[d+1]::DOUBLE *
+                          ((((j*97 + d*31) % 13) - 6)::DOUBLE / 6.0::DOUBLE)),
+                          (x, y) -> x + y) > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bkt
+          FROM embeddings),
+        bc AS (SELECT b.vec_id, b.bkt, a.cid FROM bkt b JOIN a2 a USING (vec_id)),
+        cand AS (
+          SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b
+          FROM bc x JOIN bc y
+            ON x.cid = y.cid AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+        dup AS (
+          SELECT c.cid, c.id_a, c.id_b
+          FROM cand c
+          JOIN ex ea ON ea.vec_id = c.id_a
+          JOIN ex eb ON eb.vec_id = c.id_b AND eb.dim = ea.dim
+          GROUP BY 1, 2, 3
+          HAVING SUM((ea.xq - eb.xq) * (ea.xq - eb.xq)) <= 1440000000000),
+        removed AS (SELECT DISTINCT cid, id_b FROM dup),
+        nv AS (SELECT cid, COUNT(*) AS n_vectors FROM a2 GROUP BY 1),
+        nc AS (SELECT cid, COUNT(*) AS n_candidate_pairs FROM cand GROUP BY 1),
+        nd AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM dup GROUP BY 1),
+        nr AS (SELECT cid, COUNT(*) AS n_removed,
+                      CAST(SUM(id_b) AS BIGINT) AS removed_checksum
+               FROM removed GROUP BY 1)
+        SELECT v.cid, CAST(v.n_vectors AS BIGINT) AS n_vectors,
+               CAST(COALESCE(c.n_candidate_pairs, 0) AS BIGINT) AS n_candidate_pairs,
+               CAST(COALESCE(d.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+               CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(COALESCE(r.removed_checksum, 0) AS BIGINT) AS removed_checksum
+        FROM nv v
+        LEFT JOIN nc c USING (cid)
+        LEFT JOIN nd d USING (cid)
+        LEFT JOIN nr r USING (cid)
+        ORDER BY v.cid""")))
 }

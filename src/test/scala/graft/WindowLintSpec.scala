@@ -46,7 +46,9 @@ class WindowLintSpec extends SparkSpec {
     "q224_source_novelty" -> 1, // source-level table (bounded domain)
     "q236_ks_two_sample" -> 1, // value-range bucket offsets (two-level scheme)
     "q265_exact_quantile_select" -> 1, // GlobalRank bucket offsets
-    "q257_bh_fdr" -> 2 // spatial grid-cell table (fixed grid)
+    "q257_bh_fdr" -> 2, // spatial grid-cell table (fixed grid)
+    "q272_zone_map_pruning" -> 1, // GlobalRank calendar-day bucket offsets
+    "q273_rrf_fusion" -> 2 // rank over the two <=50-row truncated top lists
   )
 
   test("no query plans a data-proportional single-partition window") {
