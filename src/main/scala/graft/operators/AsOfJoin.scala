@@ -136,4 +136,62 @@ object AsOfJoin {
           rightCols.map(c => col("__best").getField(c).as(c)) :+
           col("matched_side"): _*)
   }
+
+  /** pandas `merge_asof(direction='nearest')`: the candidate minimizing
+    * |ts − anchor|; equal-distance ties resolve to the at-or-before side,
+    * then to the smallest `tiebreakCol` (the per-side window order already
+    * guarantees that). Same linear union + per-key window plan as
+    * `bestAtTime` — both directional bests are carried WITH their
+    * timestamps and the winner is picked arithmetically per row, so the
+    * O(left × candidates) join form never materializes. Output adds
+    * `matched_side` ('before'/'after'/null). Timestamps compare in
+    * microseconds (`unix_micros`). */
+  def nearestAtTime(
+      left: DataFrame,
+      right: DataFrame,
+      joinKeys: Seq[String],
+      leftTs: Column,
+      rightTs: Column,
+      tiebreakCol: String): DataFrame = {
+    val leftCols  = left.columns.filterNot(joinKeys.contains).toSeq
+    val rightCols = right.columns.filterNot(joinKeys.contains).toSeq
+
+    val lTagged = left.select(
+      joinKeys.map(col) ++ Seq(
+        leftTs.as("__ts"), lit(1).as("__tag"),
+        struct(leftCols.map(col): _*).as("__l")): _*)
+    val rTagged = right.select(
+      joinKeys.map(col) ++ Seq(
+        rightTs.as("__ts"), lit(0).as("__tag"),
+        col(tiebreakCol).as("__tb"),
+        struct((unix_micros(rightTs).as("__cus") +: rightCols.map(col)): _*).as("__r")): _*)
+    val u = lTagged.unionByName(rTagged, allowMissingColumns = true)
+
+    val keys = joinKeys.map(col)
+    val wPrev = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keys: _*)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val prevR = last(col("__r"), ignoreNulls = true).over(wPrev)
+    val nextR = first(col("__r"), ignoreNulls = true).over(wNext)
+    val anchorUs = unix_micros(col("__ts"))
+    val dPrev = anchorUs - prevR.getField("__cus")
+    val dNext = nextR.getField("__cus") - anchorUs
+    val takePrev = prevR.isNotNull && (nextR.isNull || dPrev <= dNext)
+    val best = when(takePrev, prevR).otherwise(nextR)
+    val side = when(takePrev, "before").when(nextR.isNotNull, "after")
+
+    u.select(
+        (joinKeys.map(col) :+ col("__tag") :+ col("__l") :+
+          best.as("__best") :+ side.as("matched_side")): _*)
+      .where(col("__tag") === 1)
+      .select(
+        joinKeys.map(col) ++
+          leftCols.map(c => col("__l").getField(c).as(c)) ++
+          rightCols.map(c => col("__best").getField(c).as(c)) :+
+          col("matched_side"): _*)
+  }
 }

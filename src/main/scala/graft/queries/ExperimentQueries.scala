@@ -824,6 +824,97 @@ object ExperimentQueries {
                l.z2 >= CAST('3.8414588206941236' AS DOUBLE) AS significant_raw,
                l.rnk <= cut.c AS significant_bh
         FROM laddered l CROSS JOIN cut
-        ORDER BY l.rnk"""))
+        ORDER BY l.rnk""")),
+
+    // Wald SPRT (sequential probability ratio test) — the sequential
+    // companion to the fixed-horizon q181 z-test: 64 cohorts
+    // (user_id % 64) each walk their event stream in time order
+    // accumulating the Bernoulli log-likelihood ratio for H1: p=0.22 vs
+    // H0: p=0.18 (success = purchase), stopping at the first crossing of
+    // ±ln(19) (α=β=0.05). The LLR increments are PINNED integer
+    // micro-nats (success +200671 ≈ 10⁶·ln(22/18), failure −50011 ≈
+    // 10⁶·ln(78/82); bounds ±2944439 ≈ 10⁶·ln 19) so the walk is pure
+    // integer addition — no transcendental evaluated at query time,
+    // bit-identical on both engines. The stopping time needs the cum at
+    // EVERY step, but per-cohort it is a strict sequential fold — the
+    // q214/q238 secondary-sort contract: repartition on cohort, sort
+    // within, one O(1)-memory pass emitting (decision, stopping index,
+    // final LLR); a hot cohort streams, never buffers. The oracle walks
+    // the same lattice with a window cumsum + first-crossing pick.
+    QueryDef(
+      "q276_sprt_sequential",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+          .select((col("user_id") % 64).as("exp"),
+            unix_micros(col("ts")).as("us"), col("event_id"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("succ"))
+        val folded = e.repartition(col("exp"))
+          .sortWithinPartitions(col("exp"), col("us"), col("event_id"))
+          .as[(Long, Long, Long, Long)]
+          .mapPartitions { rows =>
+            val it = rows.buffered
+            new Iterator[(Long, Long, Long, Int, Long, Long, Long)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (Long, Long, Long, Int, Long, Long, Long) = {
+                val exp = it.head._1
+                var n = 0L; var nSucc = 0L; var cum = 0L
+                var dcode = 0; var nAt = 0L; var llrAt = 0L
+                while (it.hasNext && it.head._1 == exp) {
+                  val succ = it.next()._4
+                  cum += (if (succ == 1L) 200671L else -50011L)
+                  n += 1; nSucc += succ
+                  if (dcode == 0 && (cum >= 2944439L || cum <= -2944439L)) {
+                    dcode = if (cum >= 2944439L) 1 else -1
+                    nAt = n; llrAt = cum
+                  }
+                }
+                (exp, n, nSucc, dcode, nAt, llrAt, cum)
+              }
+            }
+          }
+          .toDF("exp", "n_total", "n_success", "dcode", "n_at_decision",
+            "llr_at_decision", "llr_final")
+        folded.select(col("exp"), col("n_total"), col("n_success"),
+            when(col("dcode") === 1, lit("accept_h1"))
+              .when(col("dcode") === -1, lit("accept_h0"))
+              .otherwise(lit("continue")).as("decision"),
+            col("n_at_decision"), col("llr_at_decision"), col("llr_final"))
+          .orderBy(col("exp"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id % 64 AS exp, epoch_us(ts) AS us, event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+          FROM events),
+        w AS (
+          SELECT exp, succ,
+                 SUM(CASE WHEN succ = 1 THEN 200671 ELSE -50011 END)
+                   OVER (PARTITION BY exp ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS cum,
+                 row_number() OVER (PARTITION BY exp
+                   ORDER BY us, event_id) AS rn
+          FROM e),
+        tot AS (
+          SELECT exp, COUNT(*) AS n_total,
+                 CAST(SUM(succ) AS BIGINT) AS n_success,
+                 CAST(max_by(cum, rn) AS BIGINT) AS llr_final
+          FROM w GROUP BY 1),
+        crossing AS (
+          SELECT exp, rn, cum,
+                 row_number() OVER (PARTITION BY exp ORDER BY rn) AS cr
+          FROM w WHERE cum >= 2944439 OR cum <= -2944439),
+        first_cross AS (
+          SELECT exp, rn AS n_at_decision, cum AS llr_at_decision
+          FROM crossing WHERE cr = 1)
+        SELECT t.exp, t.n_total, t.n_success,
+               CASE WHEN f.exp IS NULL THEN 'continue'
+                    WHEN f.llr_at_decision >= 2944439 THEN 'accept_h1'
+                    ELSE 'accept_h0' END AS decision,
+               CAST(COALESCE(f.n_at_decision, 0) AS BIGINT) AS n_at_decision,
+               CAST(COALESCE(f.llr_at_decision, 0) AS BIGINT) AS llr_at_decision,
+               t.llr_final
+        FROM tot t LEFT JOIN first_cross f ON t.exp = f.exp
+        ORDER BY t.exp"""))
   )
 }

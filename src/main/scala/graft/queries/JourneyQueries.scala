@@ -455,5 +455,179 @@ object JourneyQueries {
                  AS mrr_ppm
         FROM weighted
         GROUP BY cohort
-        ORDER BY cohort""")))
+        ORDER BY cohort""")),
+
+    // Markov removal-effect attribution (the data-driven alternative to
+    // last-touch q115 / position q180): build the first-order chain over
+    // pre-conversion journeys (start → {view,click,signup,error} →
+    // conv|null), then for each channel c ask "what fraction of
+    // conversions survive if c is deleted?" — edges INTO c re-point to
+    // null, edges out of c drop. Absorption probabilities come from 16
+    // fixed-point power iterations in ppm INTEGERS (p = cnt·10⁶ div
+    // row-total; mass step = Σ m·p div 10⁶ — floor per term, so both
+    // engines walk bit-identical lattices; conv/null carry 10⁶
+    // self-loops). Removal effect = p_conv(base) − p_conv(−c);
+    // attribution normalizes effects to ppm shares. Scale: journeys
+    // shuffle once on user_id; the chain is a ≤49-cell table
+    // (localCheckpointed — 16 reuses), the iteration loops 5 variants ×
+    // 7 states = 35 rows; the DuckDB twin walks the identical recursion
+    // in a recursive CTE. Output: one row per channel.
+    QueryDef(
+      "q275_markov_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        val fp = ev.where(col("event_type") === "purchase")
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("ts").as("pts"), col("event_id").as("pid"))
+        val j = ev.where(col("event_type") =!= "purchase")
+          .join(fp, Seq("user_id"), "left")
+          .where(col("pts").isNull ||
+            struct(col("ts"), col("event_id")) < struct(col("pts"), col("pid")))
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            col("pts").isNotNull.as("converted"))
+        val seq0 = j
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        val t1 = seq0.where(col("prev").isNull)
+          .select(lit("start").as("f"), col("event_type").as("t"))
+        val t2 = seq0.where(col("prev").isNotNull)
+          .select(col("prev").as("f"), col("event_type").as("t"))
+        val t3 = seq0.where(col("nxt").isNull)
+          .select(col("event_type").as("f"),
+            when(col("converted"), lit("conv")).otherwise(lit("null")).as("t"))
+        val t4 = fp.join(j.select(col("user_id")).distinct(), Seq("user_id"), "left_anti")
+          .select(lit("start").as("f"), lit("conv").as("t"))
+        val cells = t1.unionByName(t2).unionByName(t3).unionByName(t4)
+          .groupBy(col("f"), col("t")).agg(count(lit(1)).as("cnt"))
+          .withColumn("p",
+            expr("(cnt * 1000000) div sum(cnt) over (partition by f)"))
+          .select(col("f"), col("t"), col("p"))
+        import s.implicits._
+        val channels = Seq("view", "click", "signup", "error")
+        val variantDf = ("base" +: channels).toDF("variant")
+        val vc = cells.crossJoin(broadcast(variantDf))
+          .where(col("f") =!= col("variant"))
+          .withColumn("t2",
+            when(col("t") === col("variant"), lit("null")).otherwise(col("t")))
+          .groupBy(col("variant"), col("f"), col("t2"))
+          .agg(sum(col("p")).as("p"))
+          .select(col("variant"), col("f"), col("t2").as("t"), col("p"))
+        val absorb = variantDf
+          .crossJoin(broadcast(Seq("conv", "null").toDF("fs")))
+          .select(col("variant"), col("fs").as("f"), col("fs").as("t"),
+            lit(1000000L).as("p"))
+        val chain = vc.unionByName(absorb).localCheckpoint(true)
+        val cf = chain.select(col("variant").as("cvariant"), col("f"),
+          col("t").as("ct"), col("p"))
+        var v = variantDf.select(col("variant"), lit("start").as("state"),
+          lit(1000000L).as("m"))
+        for (_ <- 1 to 16) {
+          v = v.join(cf, col("variant") === col("cvariant") && col("state") === col("f"))
+            .groupBy(col("variant"), col("ct"))
+            .agg(sum(expr("(m * p) div 1000000")).as("m"))
+            .select(col("variant"), col("ct").as("state"), col("m"))
+        }
+        val pconv = variantDf.join(
+            v.where(col("state") === "conv").select(col("variant"), col("m")),
+            Seq("variant"), "left")
+          .select(col("variant"), coalesce(col("m"), lit(0L)).as("p_conv"))
+        val base = pconv.where(col("variant") === "base")
+          .select(col("p_conv").as("p_base"))
+        val re = pconv.where(col("variant") =!= "base")
+          .crossJoin(broadcast(base))
+          .select(col("variant").as("channel"), col("p_base"), col("p_conv"),
+            (col("p_base") - col("p_conv")).as("re"))
+        val tot = re.agg(sum(col("re")).as("re_tot"))
+        re.crossJoin(broadcast(tot))
+          .select(col("channel"),
+            col("p_base").as("p_conv_base_ppm"),
+            col("p_conv").as("p_conv_removed_ppm"),
+            col("re").as("removal_effect_ppm"),
+            when(col("re_tot") <= 0, lit(0L))
+              .otherwise(expr("(re * 1000000) div re_tot")).as("attribution_ppm"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH RECURSIVE ev AS (
+          SELECT user_id, ts, event_id, event_type FROM events),
+        fp AS (
+          SELECT user_id, ts AS pts, event_id AS pid FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS rn
+            FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+        j AS (
+          SELECT e.user_id, e.ts, e.event_id, e.event_type,
+                 fp.pts IS NOT NULL AS converted
+          FROM ev e LEFT JOIN fp ON e.user_id = fp.user_id
+          WHERE e.event_type <> 'purchase'
+            AND (fp.pts IS NULL OR (e.ts, e.event_id) < (fp.pts, fp.pid))),
+        seq AS (
+          SELECT user_id, event_type, converted,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS nxt
+          FROM j),
+        t1 AS (SELECT 'start' AS f, event_type AS t FROM seq WHERE prev IS NULL),
+        t2 AS (SELECT prev AS f, event_type AS t FROM seq WHERE prev IS NOT NULL),
+        t3 AS (SELECT event_type AS f,
+                      CASE WHEN converted THEN 'conv' ELSE 'null' END AS t
+               FROM seq WHERE nxt IS NULL),
+        t4 AS (SELECT 'start' AS f, 'conv' AS t FROM fp p
+               WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.user_id = p.user_id)),
+        cells AS (
+          SELECT f, t, COUNT(*) AS cnt FROM (
+            SELECT * FROM t1 UNION ALL SELECT * FROM t2
+            UNION ALL SELECT * FROM t3 UNION ALL SELECT * FROM t4)
+          GROUP BY 1, 2),
+        b AS (
+          SELECT f, t,
+                 (cnt * 1000000) // SUM(cnt) OVER (PARTITION BY f) AS p
+          FROM cells),
+        variants AS (
+          SELECT unnest(['base','view','click','signup','error']) AS variant),
+        vc AS (
+          SELECT v.variant, b.f,
+                 CASE WHEN b.t = v.variant THEN 'null' ELSE b.t END AS t,
+                 CAST(SUM(b.p) AS BIGINT) AS p
+          FROM b CROSS JOIN variants v
+          WHERE b.f <> v.variant GROUP BY 1, 2, 3),
+        chain AS (
+          SELECT * FROM vc
+          UNION ALL
+          SELECT variant, u.s, u.s, 1000000::BIGINT
+          FROM variants, (SELECT unnest(['conv','null']) AS s) u),
+        walk(it, variant, state, m) AS (
+          SELECT 0, variant, 'start', 1000000::BIGINT FROM variants
+          UNION ALL
+          SELECT w.it + 1, w.variant, c.t,
+                 CAST(SUM((w.m * c.p) // 1000000) AS BIGINT)
+          FROM walk w JOIN chain c
+            ON c.variant = w.variant AND c.f = w.state
+          WHERE w.it < 16
+          GROUP BY 1, 2, 3),
+        pconv AS (
+          SELECT v.variant, CAST(COALESCE(w.m, 0) AS BIGINT) AS p_conv
+          FROM variants v LEFT JOIN
+            (SELECT variant, m FROM walk WHERE it = 16 AND state = 'conv') w
+            ON v.variant = w.variant),
+        base AS (SELECT p_conv AS p_base FROM pconv WHERE variant = 'base'),
+        re AS (
+          SELECT p.variant AS channel, b.p_base, p.p_conv,
+                 b.p_base - p.p_conv AS re
+          FROM pconv p CROSS JOIN base b WHERE p.variant <> 'base'),
+        tot AS (SELECT CAST(SUM(re) AS BIGINT) AS re_tot FROM re)
+        SELECT r.channel,
+               CAST(r.p_base AS BIGINT) AS p_conv_base_ppm,
+               CAST(r.p_conv AS BIGINT) AS p_conv_removed_ppm,
+               CAST(r.re AS BIGINT) AS removal_effect_ppm,
+               CAST(CASE WHEN t.re_tot <= 0 THEN 0
+                         ELSE (r.re * 1000000) // t.re_tot END AS BIGINT)
+                 AS attribution_ppm
+        FROM re r CROSS JOIN tot t
+        ORDER BY r.channel""")))
 }

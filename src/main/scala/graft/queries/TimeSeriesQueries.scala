@@ -696,5 +696,50 @@ object TimeSeriesQueries {
                hb[1] AS holt_level, hb[2] AS holt_trend,
                hb[1] + CAST(3 AS DOUBLE)*hb[2] AS forecast_h3
         FROM holt
-        ORDER BY ck""")))
+        ORDER BY ck""")),
+
+    // merge_asof(direction='nearest'): each purchase matched to its
+    // closest click in |time| per user — before OR after, whichever is
+    // nearer; equal distance prefers the at-or-before side, then the
+    // smaller event id. Completes the as-of direction surface (backward
+    // q09/q47, tolerance-both q129, bitemporal q230). Same linear
+    // union + per-key window plan (AsOfJoin.nearestAtTime): both
+    // directional bests carried with their timestamps, winner picked
+    // arithmetically — the O(purchases × clicks) pair join the oracle
+    // uses never materializes in the engine.
+    QueryDef(
+      "q274_asof_nearest",
+      (s, dir) => {
+        import graft.operators.AsOfJoin
+        val e = Tables.events(s, dir)
+        val purchases = e.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"))
+        val clicks = e.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"), col("event_id").as("cid"))
+        AsOfJoin.nearestAtTime(purchases, clicks, Seq("user_id"),
+            col("ts"), col("cts"), "cid")
+          .select(col("event_id"), col("user_id"), col("cid"),
+            coalesce(col("matched_side"), lit("none")).as("matched_side"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH p AS (
+          SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+        c AS (
+          SELECT user_id, ts AS cts, event_id AS cid FROM events
+          WHERE event_type = 'click'),
+        best AS (
+          SELECT p.event_id, p.user_id, c.cid,
+                 CASE WHEN c.cts IS NULL THEN 'none'
+                      WHEN c.cts <= p.ts THEN 'before'
+                      ELSE 'after' END AS matched_side,
+                 row_number() OVER (PARTITION BY p.event_id ORDER BY
+                   abs(epoch_us(c.cts) - epoch_us(p.ts)),
+                   CASE WHEN c.cts <= p.ts THEN 0 ELSE 1 END,
+                   c.cid) AS rn
+          FROM p LEFT JOIN c USING (user_id))
+        SELECT event_id, user_id, cid, matched_side
+        FROM best WHERE rn = 1
+        ORDER BY event_id""")))
 }
