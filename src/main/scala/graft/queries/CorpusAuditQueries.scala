@@ -224,5 +224,111 @@ object CorpusAuditQueries {
         SELECT doc_id, rank_bm25, rank_density, rrf_score
         FROM fused
         ORDER BY rrf_score DESC, doc_id
-        LIMIT 10""")))
+        LIMIT 10""")),
+
+    // Content-defined chunking (CDC — the rsync/LBFS/backup-dedup
+    // boundary trick) vs fixed-stride chunking, head to head on the
+    // same corpus: a token starts a new chunk iff its content hash
+    // satisfies h % 8 == 0, so boundaries move WITH the content and an
+    // insertion near a doc's head re-chunks only its neighborhood —
+    // fixed-stride (8-token) chunks after the edit all shift and dedup
+    // dies. Both methods share one pipeline: boundary flag → per-doc
+    // cumulative chunk id (partitioned window) → ordered chunk rebuild
+    // (q88's sort-before-concat contract) → 8-byte digest → corpus-wide
+    // distinct. Output one row per method with chunk counts, duplicate
+    // instances, and the chars-saved dedup ratio — the CDC row's higher
+    // saved-ppm on the planted near-dup corpus IS the operator's value
+    // statement. Scale: one doc_id exchange for the windows, digest-key
+    // hash aggs after; chunks are bounded by token count (linear).
+    QueryDef(
+      "q277_cdc_chunk_dedup",
+      (s, dir) => {
+        import graft.functions.Kernels
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"),
+            (Kernels.md5BitsMod31(Kernels.md5Bits(col("tok"))) % 8 === 0)
+              .as("isb"))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val marked = toks
+          .withColumn("cdc_chunk",
+            sum(when(col("isb"), 1L).otherwise(0L))
+              .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("fix_chunk", expr("pos div 8"))
+        def stats(chunkCol: String, label: String) = {
+          val chunks = marked
+            .groupBy(col("doc_id"), col(chunkCol).as("ck"))
+            .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+              .as("parts"))
+            .select(
+              concat_ws(" ", expr("transform(parts, p -> p.tok)")).as("chunk"))
+            .select(Kernels.md5Bits(col("chunk")).as("h"),
+              length(col("chunk")).cast("long").as("chars"))
+          val per = chunks.groupBy(col("h"))
+            .agg(count(lit(1)).as("n"), max(col("chars")).as("chars"))
+          per.agg(sum(col("n")).as("n_chunks"),
+              count(lit(1)).as("n_distinct_chunks"),
+              sum(col("n") * col("chars")).as("chars_total"),
+              sum(col("chars")).as("chars_distinct"))
+            .select(lit(label).as("method"), col("n_chunks"),
+              col("n_distinct_chunks"),
+              (col("n_chunks") - col("n_distinct_chunks")).as("dup_instances"),
+              col("chars_total"), col("chars_distinct"),
+              expr("((chars_total - chars_distinct) * 1000000) div chars_total")
+                .as("saved_ppm"))
+        }
+        stats("cdc_chunk", "cdc").unionByName(stats("fix_chunk", "fixed"))
+          .orderBy(col("method"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(range(0, len(string_split(text, ' ')))) AS pos,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+        flagged AS (
+          SELECT doc_id, pos, tok,
+                 (CAST(md5_number_lower(tok) % 2147483647 AS BIGINT) % 8 = 0)
+                   AS isb
+          FROM toks),
+        marked AS (
+          SELECT doc_id, pos, tok,
+                 SUM(CASE WHEN isb THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS cdc_chunk,
+                 pos // 8 AS fix_chunk
+          FROM flagged),
+        cdc_chunks AS (
+          SELECT md5_number_lower(string_agg(tok, ' ' ORDER BY pos)) AS h,
+                 CAST(len(string_agg(tok, ' ' ORDER BY pos)) AS BIGINT) AS chars
+          FROM marked GROUP BY doc_id, cdc_chunk),
+        fix_chunks AS (
+          SELECT md5_number_lower(string_agg(tok, ' ' ORDER BY pos)) AS h,
+                 CAST(len(string_agg(tok, ' ' ORDER BY pos)) AS BIGINT) AS chars
+          FROM marked GROUP BY doc_id, fix_chunk),
+        cdc_per AS (SELECT h, COUNT(*) AS n, MAX(chars) AS chars
+                    FROM cdc_chunks GROUP BY 1),
+        fix_per AS (SELECT h, COUNT(*) AS n, MAX(chars) AS chars
+                    FROM fix_chunks GROUP BY 1),
+        cdc_s AS (
+          SELECT 'cdc' AS method, CAST(SUM(n) AS BIGINT) AS n_chunks,
+                 COUNT(*) AS n_distinct_chunks,
+                 CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_instances,
+                 CAST(SUM(n * chars) AS BIGINT) AS chars_total,
+                 CAST(SUM(chars) AS BIGINT) AS chars_distinct
+          FROM cdc_per),
+        fix_s AS (
+          SELECT 'fixed' AS method, CAST(SUM(n) AS BIGINT) AS n_chunks,
+                 COUNT(*) AS n_distinct_chunks,
+                 CAST(SUM(n) - COUNT(*) AS BIGINT) AS dup_instances,
+                 CAST(SUM(n * chars) AS BIGINT) AS chars_total,
+                 CAST(SUM(chars) AS BIGINT) AS chars_distinct
+          FROM fix_per),
+        u AS (SELECT * FROM cdc_s UNION ALL SELECT * FROM fix_s)
+        SELECT method, n_chunks, n_distinct_chunks, dup_instances,
+               chars_total, chars_distinct,
+               ((chars_total - chars_distinct) * 1000000) // chars_total
+                 AS saved_ppm
+        FROM u
+        ORDER BY method""")))
 }

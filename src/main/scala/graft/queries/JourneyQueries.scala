@@ -462,16 +462,16 @@ object JourneyQueries {
     // pre-conversion journeys (start → {view,click,signup,error} →
     // conv|null), then for each channel c ask "what fraction of
     // conversions survive if c is deleted?" — edges INTO c re-point to
-    // null, edges out of c drop. Absorption probabilities come from 16
-    // fixed-point power iterations in ppm INTEGERS (p = cnt·10⁶ div
-    // row-total; mass step = Σ m·p div 10⁶ — floor per term, so both
-    // engines walk bit-identical lattices; conv/null carry 10⁶
-    // self-loops). Removal effect = p_conv(base) − p_conv(−c);
-    // attribution normalizes effects to ppm shares. Scale: journeys
-    // shuffle once on user_id; the chain is a ≤49-cell table
-    // (localCheckpointed — 16 reuses), the iteration loops 5 variants ×
-    // 7 states = 35 rows; the DuckDB twin walks the identical recursion
-    // in a recursive CTE. Output: one row per channel.
+    // null, edges out of c drop. Absorption probabilities are T¹⁶[start,
+    // conv] computed by exponentiation-by-squaring in ppm INTEGERS
+    // (p = cnt·10⁶ div row-total; each squaring entry = Σ pₐ·p_b div 10⁶
+    // — floor per term, so both engines walk bit-identical lattices;
+    // conv/null carry 10⁶ self-loops). Removal effect = p_conv(base) −
+    // p_conv(−c); attribution normalizes effects to ppm shares. Scale:
+    // journeys shuffle once on user_id; the chain is a ≤49-cell×5-variant
+    // table (localCheckpointed), and 4 tiny self-joins replace a 16-step
+    // vector walk; the DuckDB twin squares the same four matrices.
+    // Output: one row per channel.
     QueryDef(
       "q275_markov_attribution",
       (s, dir) => {
@@ -519,21 +519,26 @@ object JourneyQueries {
           .crossJoin(broadcast(Seq("conv", "null").toDF("fs")))
           .select(col("variant"), col("fs").as("f"), col("fs").as("t"),
             lit(1000000L).as("p"))
-        val chain = vc.unionByName(absorb).localCheckpoint(true)
-        val cf = chain.select(col("variant").as("cvariant"), col("f"),
-          col("t").as("ct"), col("p"))
-        var v = variantDf.select(col("variant"), lit("start").as("state"),
-          lit(1000000L).as("m"))
-        for (_ <- 1 to 16) {
-          v = v.join(cf, col("variant") === col("cvariant") && col("state") === col("f"))
-            .groupBy(col("variant"), col("ct"))
-            .agg(sum(expr("(m * p) div 1000000")).as("m"))
-            .select(col("variant"), col("ct").as("state"), col("m"))
+        // T^16 by exponentiation-by-squaring: 4 self-joins of the <=49-cell
+        // chain table (per-entry ppm floor at each squaring, the lattice the
+        // oracle mirrors) instead of 16 chained vector steps — same
+        // absorption read, quarter the stages.
+        var m = vc.unionByName(absorb).localCheckpoint(true)
+        for (_ <- 1 to 4) {
+          val a = m.select(col("variant"), col("f"), col("t").as("mid"),
+            col("p").as("pa"))
+          val b = m.select(col("variant").as("bvariant"), col("f").as("mid"),
+            col("t"), col("p").as("pb"))
+          m = a.join(b, col("variant") === col("bvariant") && a("mid") === b("mid"))
+            .groupBy(col("variant"), col("f"), col("t"))
+            .agg(sum(expr("(pa * pb) div 1000000")).as("p"))
+            .localCheckpoint(true)
         }
         val pconv = variantDf.join(
-            v.where(col("state") === "conv").select(col("variant"), col("m")),
+            m.where(col("f") === "start" && col("t") === "conv")
+              .select(col("variant"), col("p").as("pm")),
             Seq("variant"), "left")
-          .select(col("variant"), coalesce(col("m"), lit(0L)).as("p_conv"))
+          .select(col("variant"), coalesce(col("pm"), lit(0L)).as("p_conv"))
         val base = pconv.where(col("variant") === "base")
           .select(col("p_conv").as("p_base"))
         val re = pconv.where(col("variant") =!= "base")
@@ -551,7 +556,7 @@ object JourneyQueries {
           .orderBy(col("channel"))
       },
       Some("""
-        WITH RECURSIVE ev AS (
+        WITH ev AS (
           SELECT user_id, ts, event_id, event_type FROM events),
         fp AS (
           SELECT user_id, ts AS pts, event_id AS pid FROM (
@@ -601,19 +606,31 @@ object JourneyQueries {
           UNION ALL
           SELECT variant, u.s, u.s, 1000000::BIGINT
           FROM variants, (SELECT unnest(['conv','null']) AS s) u),
-        walk(it, variant, state, m) AS (
-          SELECT 0, variant, 'start', 1000000::BIGINT FROM variants
-          UNION ALL
-          SELECT w.it + 1, w.variant, c.t,
-                 CAST(SUM((w.m * c.p) // 1000000) AS BIGINT)
-          FROM walk w JOIN chain c
-            ON c.variant = w.variant AND c.f = w.state
-          WHERE w.it < 16
+        m2 AS (
+          SELECT a.variant, a.f, b.t,
+                 CAST(SUM((a.p * b.p) // 1000000) AS BIGINT) AS p
+          FROM chain a JOIN chain b
+            ON a.variant = b.variant AND a.t = b.f
+          GROUP BY 1, 2, 3),
+        m4 AS (
+          SELECT a.variant, a.f, b.t,
+                 CAST(SUM((a.p * b.p) // 1000000) AS BIGINT) AS p
+          FROM m2 a JOIN m2 b ON a.variant = b.variant AND a.t = b.f
+          GROUP BY 1, 2, 3),
+        m8 AS (
+          SELECT a.variant, a.f, b.t,
+                 CAST(SUM((a.p * b.p) // 1000000) AS BIGINT) AS p
+          FROM m4 a JOIN m4 b ON a.variant = b.variant AND a.t = b.f
+          GROUP BY 1, 2, 3),
+        m16 AS (
+          SELECT a.variant, a.f, b.t,
+                 CAST(SUM((a.p * b.p) // 1000000) AS BIGINT) AS p
+          FROM m8 a JOIN m8 b ON a.variant = b.variant AND a.t = b.f
           GROUP BY 1, 2, 3),
         pconv AS (
-          SELECT v.variant, CAST(COALESCE(w.m, 0) AS BIGINT) AS p_conv
+          SELECT v.variant, CAST(COALESCE(w.p, 0) AS BIGINT) AS p_conv
           FROM variants v LEFT JOIN
-            (SELECT variant, m FROM walk WHERE it = 16 AND state = 'conv') w
+            (SELECT variant, p FROM m16 WHERE f = 'start' AND t = 'conv') w
             ON v.variant = w.variant),
         base AS (SELECT p_conv AS p_base FROM pconv WHERE variant = 'base'),
         re AS (

@@ -950,21 +950,40 @@ object VectorQueries {
             .agg(floor(sum(col("xq")).cast("double") / count(lit(1)))
               .cast("long").as("cq"))
         val asg = assign(update(assign(c0))).localCheckpoint(true)
+        // Planes scale with corpus size (q41's autoPlanes contract, target
+        // cell occupancy 256 BEFORE the 4-way cluster split): fixed cells
+        // would make within-cell pairs quadratic at 10x the vectors.
+        val planes = Similarity.autoPlanes(e.count(), targetOccupancy = 256L)
         val bucketed = e
           .select(col("vec_id"),
-            Similarity.srpBucket(col("embedding"), 6, 64).as("bkt"))
+            Similarity.srpBucket(col("embedding"), planes, 64).as("bkt"))
           .join(asg, Seq("vec_id"))
         val a = bucketed.select(col("cid"), col("bkt"), col("vec_id").as("id_a"))
         val b2 = bucketed.select(col("cid"), col("bkt"), col("vec_id").as("id_b"))
         val cand = a.join(b2, Seq("cid", "bkt")).where(col("id_a") < col("id_b"))
           .select(col("cid"), col("id_a"), col("id_b"))
           .localCheckpoint(true)
-        val e1 = ex.select(col("vec_id").as("id_a"), col("dim"), col("xq").as("qa"))
-        val e2 = ex.select(col("vec_id").as("id_b"), col("dim"), col("xq").as("qb"))
-        val dup = cand.join(e1, Seq("id_a")).join(e2, Seq("id_b", "dim"))
-          .groupBy(col("cid"), col("id_a"), col("id_b"))
-          .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("d2"))
-          .where(col("d2") <= lit(1440000000000L))
+        // Exact d2 per candidate via ONE codegen'd VectorDot per pair on the
+        // quantized-to-double arrays (|xq| <= 2e6 -> every product and sum
+        // stays an exact integer < 2^53): d2 = <a,a> - 2<a,b> + <b,b>.
+        // Equals the oracle's per-dim integer SUM bit-for-bit, without the
+        // 64x row fan-out of a dim-join (measured 3x on the sf1 twin).
+        val qv = e.select(col("vec_id"),
+            expr("transform(embedding, x -> " +
+              "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS DOUBLE))")
+              .as("qv"))
+          .withColumn("self", Similarity.dot(col("qv"), col("qv")))
+          .localCheckpoint(true)
+        val q1 = qv.select(col("vec_id").as("id_a"), col("qv").as("va"),
+          col("self").as("sa"))
+        val q2 = qv.select(col("vec_id").as("id_b"), col("qv").as("vb"),
+          col("self").as("sb"))
+        val dup = cand.join(q1, Seq("id_a")).join(q2, Seq("id_b"))
+          .withColumn("d2",
+            col("sa") - lit(2.0d) * Similarity.dot(col("va"), col("vb")) +
+              col("sb"))
+          .where(col("d2") <= lit(1.44e12d))
+          .select(col("cid"), col("id_a"), col("id_b"))
           .localCheckpoint(true)
         val removed = dup.select(col("cid"), col("id_b")).distinct()
         val nv = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
@@ -1005,9 +1024,12 @@ object VectorQueries {
                  SELECT vec_id, cid,
                         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
                  FROM d2_) WHERE rn = 1),
+        np AS (
+          SELECT GREATEST(4, LEAST(20, CAST(ceil(log2(GREATEST(1,
+                   (SELECT COUNT(*) FROM embeddings) // 256))) AS INT))) AS np),
         bkt AS (
           SELECT vec_id,
-                 CAST(list_sum(list_transform(range(0, 6), j ->
+                 CAST(list_sum(list_transform(range(0, (SELECT np FROM np)), j ->
                    CASE WHEN list_reduce(list_transform(range(0, 64), d ->
                           embedding[d+1]::DOUBLE *
                           ((((j*97 + d*31) % 13) - 6)::DOUBLE / 6.0::DOUBLE)),
