@@ -97,21 +97,20 @@ object Graphs {
     * Fixed rounds (not convergence-probed) because synchronous LPA can
     * 2-cycle on bipartite structure; callers pick the budget. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
     (1 to rounds).foreach { _ =>
       val counts = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("cnt").desc, col("lbl"))
-      labels = counts.withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("node"), col("lbl"))
-        .localCheckpoint(true)
+      // argmax by (cnt desc, lbl asc) as a partial-aggregable max of
+      // struct(cnt, -lbl): no per-round window sort, no exchange beyond
+      // the (node) agg — the rank form cost one extra sort per round.
+      labels = counts
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m").getField("nl")).as("lbl"))
     }
     labels
   }

@@ -570,6 +570,122 @@ object StreamQueries {
         FROM j
         ORDER BY n_matched""")),
 
+    // Stream-stream FULL OUTER interval join — completes the streaming
+    // join matrix (inner q153, LEFT OUTER q228, stream-static q154):
+    // BOTH sides' unmatched rows must be emitted, each only when ITS
+    // state expires past the watermark, across three checkpointed
+    // lifetimes plus two watermark-flush lifetimes that force every
+    // pending row to finalize. The gate counts matched pairs and each
+    // side's null-extended rows against the batch FULL JOIN — an engine
+    // that drops right-side state on restart, or emits an unmatched row
+    // twice (once per lifetime), hash-fails. Same q228 economics: state
+    // is watermark-bounded, cost is flat lifetime machinery.
+    QueryDef(
+      "q278_stream_full_outer",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_foj")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val out  = s"$root/out"
+        val ckpt = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val left = ev.where(col("event_id") % 2 === 0)
+          .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+            col("ts").as("l_ts"))
+        val right = ev.where(col("event_id") % 2 === 1)
+          .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+            col("ts").as("r_ts"))
+        def tercile(c: org.apache.spark.sql.Column, i: Int) =
+          if (i == 0) dayofmonth(c) <= 10
+          else if (i == 1) dayofmonth(c) > 10 && dayofmonth(c) <= 20
+          else dayofmonth(c) > 20
+
+        def runOnce(): Unit = {
+          val joined = graft.streaming.Streams.intervalJoinStream(
+            s.readStream.schema(left.schema).parquet(s"$root/l/*"),
+            s.readStream.schema(right.schema).parquet(s"$root/r/*"),
+            "l_user", "r_user", "l_ts", "r_ts",
+            watermark = "1 hour", maxDelay = "10 MINUTES",
+            joinType = "full_outer")
+          val q = joined
+            .select(col("l_id"), col("r_id"), col("l_user"), col("r_user"))
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+
+        withStatePartitions(s, 8) {
+          (0 until 3).foreach { i =>
+            left.where(tercile(col("l_ts"), i))
+              .write.mode("overwrite").parquet(s"$root/l/batch_$i")
+            right.where(tercile(col("r_ts"), i))
+              .write.mode("overwrite").parquet(s"$root/r/batch_$i")
+            runOnce()
+          }
+          (0 until 2).foreach { f =>
+            import s.implicits._
+            val day = 5 + 5 * f
+            Seq((-1000000L - f, -999L,
+                java.sql.Timestamp.valueOf(f"2024-02-$day%02d 00:00:00")))
+              .toDF("l_id", "l_user", "l_ts")
+              .write.mode("overwrite").parquet(s"$root/l/flush_$f")
+            Seq((-2000000L - f, -999L,
+                java.sql.Timestamp.valueOf(f"2024-02-${day + 1}%02d 00:00:00")))
+              .toDF("r_id", "r_user", "r_ts")
+              .write.mode("overwrite").parquet(s"$root/r/flush_$f")
+            runOnce()
+          }
+        }
+
+        s.read.parquet(out)
+          .where(coalesce(col("l_user"), col("r_user")) >= 0)
+          .agg(
+            sum(when(col("l_id").isNotNull && col("r_id").isNotNull, 1L)
+              .otherwise(0L)).as("n_matched"),
+            sum(when(col("l_id").isNotNull && col("r_id").isNull, 1L)
+              .otherwise(0L)).as("n_unmatched_left"),
+            sum(when(col("l_id").isNull && col("r_id").isNotNull, 1L)
+              .otherwise(0L)).as("n_unmatched_right"),
+            sum(when(col("l_id").isNotNull && col("r_id").isNotNull,
+              col("l_id") + col("r_id"))).as("matched_checksum"),
+            sum(when(col("r_id").isNull, col("l_id")))
+              .as("unmatched_l_id_sum"),
+            sum(when(col("l_id").isNull, col("r_id")))
+              .as("unmatched_r_id_sum"))
+          .orderBy(col("n_matched"))
+      },
+      Some("""
+        WITH l AS (
+          SELECT event_id AS l_id, user_id AS l_user, ts AS l_ts
+          FROM events WHERE event_id % 2 = 0),
+        r AS (
+          SELECT event_id AS r_id, user_id AS r_user, ts AS r_ts
+          FROM events WHERE event_id % 2 = 1),
+        j AS (
+          SELECT l.l_id, r.r_id
+          FROM l FULL OUTER JOIN r ON l_user = r_user
+            AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 10 MINUTE)
+        SELECT CAST(SUM(CASE WHEN l_id IS NOT NULL AND r_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN l_id IS NOT NULL AND r_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_left,
+               CAST(SUM(CASE WHEN l_id IS NULL AND r_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_right,
+               CAST(SUM(CASE WHEN l_id IS NOT NULL AND r_id IS NOT NULL
+                             THEN l_id + r_id END) AS BIGINT) AS matched_checksum,
+               CAST(SUM(CASE WHEN r_id IS NULL THEN l_id END)
+                    AS BIGINT) AS unmatched_l_id_sum,
+               CAST(SUM(CASE WHEN l_id IS NULL THEN r_id END)
+                    AS BIGINT) AS unmatched_r_id_sum
+        FROM j
+        ORDER BY n_matched""")),
+
     // UPDATE output mode — the one output semantics the streaming gates
     // didn't cover (q116 append, q79 foreachBatch-on-append rows, q134
     // flatMapGroupsWithState): an UNWATERMARKED running aggregate whose

@@ -888,5 +888,84 @@ object TextQueries {
                CAST(SUM(doc_id) AS BIGINT) AS doc_checksum
         FROM b
         GROUP BY 1, 2
-        ORDER BY lang, band""")))
+        ORDER BY lang, band""")),
+
+    // Post-dedup weighted mix — the report a curation run hands the
+    // training-mix planner AFTER near-dup clustering: each document is
+    // down-weighted by its MinHash-LSH duplicate-cluster size (weight =
+    // 10⁶ div |cluster| ppm, singletons keep 10⁶), so a family of N
+    // near-copies contributes ~one document's worth of tokens instead
+    // of N (the "count duplicates once" stance of every dedup paper,
+    // without deleting anything). Per language: raw vs effective token
+    // mass and both mix shares in ppm — the delta IS the skew that
+    // naive token counting would have baked into the sampling weights.
+    // Reuses the q27 signature path and q48/q120's large-star CC; every
+    // new stage is a hash agg or broadcast of bounded tables.
+    QueryDef(
+      "q279_dedup_weighted_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val shRows = TextDedup.shingleRows(
+          d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+        val sig = TextDedup.minhashSignatures(shRows, "doc_id", "_sh", 16)
+        val pairs = TextDedup.lshCandidatePairs(sig, "doc_id", "sig", 4, 4)
+          .select(col("id_a"), col("id_b"))
+        val labels = TextDedup.connectedComponents(pairs, "id_a", "id_b")
+        val csize = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cs"))
+        val weighted = d
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+          .join(csize, Seq("cluster_id"), "left")
+          .select(col("lang"), col("n_tokens"),
+            coalesce(col("cs"), lit(1L)).as("cs"))
+          .withColumn("eff_micro", expr("(n_tokens * 1000000) div cs"))
+        val perLang = weighted.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+            sum(col("eff_micro")).as("eff_micro"))
+        val tot = perLang.agg(sum(col("n_tokens")).as("tok_tot"),
+          sum(col("eff_micro")).as("eff_tot"))
+        perLang.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            col("eff_micro"),
+            expr("(n_tokens * 1000000) div tok_tot").as("raw_share_ppm"),
+            expr("(eff_micro * 1000000) div eff_tot").as("eff_share_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""
+        WITH RECURSIVE $ToksCte, $ShCte, $MhCte, $BandsCte,
+        pairs AS (
+          SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM bands a JOIN bands b
+            ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+        reach AS (
+          SELECT u AS node, u AS reachable FROM edges
+          UNION
+          SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.reachable),
+        labels AS (SELECT node, MIN(reachable) AS cluster_id
+                   FROM reach GROUP BY node),
+        csize AS (SELECT cluster_id, COUNT(*) AS cs FROM labels GROUP BY 1),
+        weighted AS (
+          SELECT t.lang, len(t.ws) AS n_tokens,
+                 COALESCE(c.cs, 1) AS cs,
+                 (len(t.ws) * 1000000) // COALESCE(c.cs, 1) AS eff_micro
+          FROM toks t
+          LEFT JOIN labels l ON l.node = t.doc_id
+          LEFT JOIN csize c ON c.cluster_id = l.cluster_id),
+        per_lang AS (
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 CAST(SUM(eff_micro) AS BIGINT) AS eff_micro
+          FROM weighted GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tok_tot,
+                       CAST(SUM(eff_micro) AS BIGINT) AS eff_tot
+                FROM per_lang)
+        SELECT p.lang, p.n_docs, p.n_tokens, p.eff_micro,
+               (p.n_tokens * 1000000) // t.tok_tot AS raw_share_ppm,
+               (p.eff_micro * 1000000) // t.eff_tot AS eff_share_ppm
+        FROM per_lang p CROSS JOIN tot t
+        ORDER BY p.lang""")))
 }

@@ -153,6 +153,18 @@ class PlanShapeSpec extends SparkSpec {
       s"q171: orderBy+limit must plan per-partition top-k heaps:\n$p")
   }
 
+  test("rank-filter top-k per group plans WindowGroupLimit") {
+    // Spark 4.x rewrites `rank() <= k` after a partitioned window into
+    // WindowGroupLimit (partial before the exchange + final after), so
+    // each group keeps only k rows through the shuffle instead of
+    // sorting and materializing whole groups. This is the per-group
+    // analogue of q171's TakeOrderedAndProject pin — at 100 TB the
+    // difference is shuffling k rows per key vs every row per key.
+    val p = plan("q132_topk_with_ties")
+    assert(p.contains("WindowGroupLimit"),
+      s"q132: rank<=k must push a per-group limit below the window:\n$p")
+  }
+
   test("q169/q178 run no eager job at query-construction time") {
     // the round-6 verdict flagged q169's `o.count()` (a driver-side
     // action inside the builder); pin: no DATA-scanning job during plan
