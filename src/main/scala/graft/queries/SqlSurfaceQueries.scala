@@ -449,5 +449,78 @@ object SqlSurfaceQueries {
         FROM paths
         WHERE lvl >= 1
         GROUP BY lvl
-        ORDER BY lvl""")))
+        ORDER BY lvl""")),
+
+    // MAP-type function surface (the q249 array-HOF companion): monthly
+    // revenue per customer materialized as map<month, cents> via
+    // map_from_entries over a SORTED entry array (collect_list order is
+    // partition-dependent — the sort is what makes the map deterministic),
+    // then the map algebra: map_zip_with (key-union YoY delta),
+    // map_filter (growth months), map_values + aggregate (delta sum).
+    // The oracle never builds a map — it proves the same numbers from
+    // plain FULL-key-union group-bys, pinning the map ops' semantics
+    // (union keys, null for absent, filter on value) rather than their
+    // representation. Customers restricted to activity in BOTH years so
+    // no empty-map typing edge cases leak into the gate. Scale: two
+    // partial aggs + one equi-join on customer; maps are ≤12 entries.
+    QueryDef(
+      "q280_map_surface",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey").as("ck"), year(col("o_orderdate")).as("yr"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+            (col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"))
+        def mapped(y: Int, name: String) = o.where(col("yr") === y)
+          .groupBy(col("ck"), col("mon")).agg(sum(col("cents")).as("cents"))
+          .groupBy(col("ck"))
+          .agg(map_from_entries(
+            array_sort(collect_list(struct(col("mon"), col("cents")))))
+            .as(name))
+        val joined = mapped(1996, "m96").join(mapped(1997, "m97"), Seq("ck"))
+          .withColumn("delta",
+            expr("map_zip_with(m96, m97, (k, a, b) -> " +
+              "coalesce(b, CAST(0 AS BIGINT)) - coalesce(a, CAST(0 AS BIGINT)))"))
+          .withColumn("grown", expr("map_filter(delta, (k, v) -> v > 0)"))
+        joined.select(col("ck"),
+            size(col("m96")).cast("long").as("n_months_96"),
+            size(col("m97")).cast("long").as("n_months_97"),
+            size(col("delta")).cast("long").as("n_union_months"),
+            size(col("grown")).cast("long").as("n_grown_months"),
+            expr("aggregate(map_values(grown), CAST(0 AS BIGINT), " +
+              "(acc, v) -> acc + v)").as("growth_cents"))
+          .orderBy(col("ck"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey AS ck, year(o_orderdate) AS yr,
+                 strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS mon,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+          FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+        pm AS (SELECT ck, yr, mon, CAST(SUM(cents) AS BIGINT) AS cents
+               FROM o GROUP BY 1, 2, 3),
+        m96 AS (SELECT ck, mon, cents FROM pm WHERE yr = 1996),
+        m97 AS (SELECT ck, mon, cents FROM pm WHERE yr = 1997),
+        both_yrs AS (
+          SELECT a.ck FROM (SELECT DISTINCT ck FROM m96) a
+          JOIN (SELECT DISTINCT ck FROM m97) b ON a.ck = b.ck),
+        u AS (
+          SELECT COALESCE(a.ck, b.ck) AS ck, COALESCE(a.mon, b.mon) AS mon,
+                 a.cents AS c96, b.cents AS c97
+          FROM m96 a FULL OUTER JOIN m97 b
+            ON a.ck = b.ck AND a.mon = b.mon
+          WHERE COALESCE(a.ck, b.ck) IN (SELECT ck FROM both_yrs))
+        SELECT ck,
+               CAST(COUNT(c96) AS BIGINT) AS n_months_96,
+               CAST(COUNT(c97) AS BIGINT) AS n_months_97,
+               COUNT(*) AS n_union_months,
+               CAST(SUM(CASE WHEN COALESCE(c97, 0) - COALESCE(c96, 0) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_grown_months,
+               CAST(SUM(CASE WHEN COALESCE(c97, 0) - COALESCE(c96, 0) > 0
+                             THEN COALESCE(c97, 0) - COALESCE(c96, 0)
+                             ELSE 0 END) AS BIGINT) AS growth_cents
+        FROM u
+        GROUP BY ck
+        ORDER BY ck""")))
 }

@@ -174,6 +174,162 @@ object StreamQueries {
         GROUP BY 1, 2
         ORDER BY 1, 2""")),
 
+    // SLIDING window streaming parity — q116's tumbling twin with
+    // size 6 h / slide 2 h, so every event feeds exactly 3 overlapping
+    // windows and the state store holds 3× the keys: the gate proves
+    // the overlap bookkeeping (each window's count/sum must equal the
+    // batch fan-out) across the same two chronological slices + flush
+    // sentinel and checkpointed AvailableNow lifetimes. The oracle
+    // fans each event to its 3 window starts explicitly ((ts÷2h − x)·2h,
+    // x ∈ 0..2 — epoch-aligned exactly like Spark's window()).
+    QueryDef(
+      "q281_stream_sliding_window",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_slide")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val out   = s"$root/out"
+        val ckpt  = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        val cut = lit("2024-01-10 00:00:00").cast("timestamp")
+        val sentinel = ev.limit(1).select(
+          lit(-1L).as("event_id"),
+          lit("2024-02-02 00:00:00").cast("timestamp").as("ts"),
+          lit("flush").as("event_type"), lit(0.0d).as("value"))
+        val slices = Seq(
+          ev.where(col("ts") < cut),
+          ev.where(col("ts") >= cut),
+          sentinel)
+
+        withStatePartitions(s, 8) {
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
+          val q = s.readStream.schema(ev.schema).parquet(s"$spool/*")
+            .withWatermark("ts", "1 minute")
+            .groupBy(window(col("ts"), "6 hours", "2 hours"), col("event_type"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+                .as("sum_value"))
+            .select(col("window.start").as("window_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+            .writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } }
+
+        s.read.parquet(out)
+          .where(col("event_type") =!= "flush")
+          .select(col("window_start"), col("event_type"), col("n_events"),
+            col("sum_value").cast("double").as("sum_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      },
+      Some("""
+        WITH fan AS (
+          SELECT make_timestamp(((((CAST(epoch_us(ts) AS BIGINT) // 1000000)
+                                   // 7200) - t.x) * 7200) * 1000000)
+                   AS window_start,
+                 event_type, value
+          FROM events, range(0, 3) t(x))
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(28,6))
+                    AS DOUBLE) AS sum_value
+        FROM fan
+        GROUP BY 1, 2
+        ORDER BY 1, 2""")),
+
+    // Built-in SESSION windows in streaming (session_window + watermark,
+    // append mode) — the engine-managed-state counterpart of q134's
+    // hand-rolled flatMapGroupsWithState sessions: per user, events
+    // within a 30-minute inactivity gap merge into one session whose
+    // window END is last-event + gap; sessions only emit once the
+    // watermark passes that end, and MERGING sessions across two
+    // checkpointed lifetimes (a batch-2 event extending a batch-1
+    // session) is exactly what the gate's per-session counts pin. The
+    // oracle is the classic gaps-and-islands rebuild. Values ride exact
+    // integer micro-units.
+    QueryDef(
+      "q282_stream_session_window",
+      (s, dir) => {
+        val root = scratchDir("graft_stream_sesswin")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val out   = s"$root/out"
+        val ckpt  = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+              * 1000000).cast("long").as("micro"))
+        val cut = lit("2024-01-10 00:00:00").cast("timestamp")
+        val sentinel = ev.limit(1).select(
+          lit(-1L).as("event_id"),
+          lit("2024-02-02 00:00:00").cast("timestamp").as("ts"),
+          lit(-999L).as("user_id"), lit(0L).as("micro"))
+        val slices = Seq(
+          ev.where(col("ts") < cut),
+          ev.where(col("ts") >= cut),
+          sentinel)
+
+        withStatePartitions(s, 8) {
+        slices.zipWithIndex.foreach { case (slice, i) =>
+          slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
+          val q = s.readStream.schema(ev.schema).parquet(s"$spool/*")
+            .withWatermark("ts", "1 minute")
+            .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+            .agg(count(lit(1)).as("n_events"), sum(col("micro")).as("micro_sum"))
+            .select(col("session_window.start").as("session_start"),
+              col("user_id"), col("n_events"), col("micro_sum"))
+            .writeStream
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        } }
+
+        s.read.parquet(out)
+          .where(col("user_id") >= 0)
+          .select(col("session_start"), col("user_id"), col("n_events"),
+            col("micro_sum"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, ts, event_id,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micro,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800000000
+                      OR lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        g AS (
+          SELECT user_id, ts, micro,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e)
+        SELECT MIN(ts) AS session_start, user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(micro) AS BIGINT) AS micro_sum
+        FROM g
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")),
+
     // Custom stateful streaming (flatMapGroupsWithState) gated against
     // the batch oracle: 30-minute-gap sessionization with EVENT-TIME
     // timeouts — sessions close in-batch when a sorted slice shows the
