@@ -330,5 +330,171 @@ object CorpusAuditQueries {
                ((chars_total - chars_distinct) * 1000000) // chars_total
                  AS saved_ppm
         FROM u
-        ORDER BY method""")))
+        ORDER BY method""")),
+
+    // Exact nDCG@10 — the graded companion to q250's binary MRR: three
+    // two-term queries ranked by q172's rational BM25, graded relevance
+    // = number of the query's terms a document contains (gain 2^rel−1 ∈
+    // {1,3}), and the 1/log₂(rank+1) discounts PINNED as micro integers
+    // (rank 1..10 → 1000000, 630929, 500000, 430676, 386852, 356207,
+    // 333333, 315464, 301029, 289064 — constants evaluated once at spec
+    // time, the q276 stance: no transcendental runs at query time, both
+    // engines walk the same integer lattice). IDCG needs no sort: with
+    // two grades it is a closed form of (n_rel2, n_rel1) over the same
+    // weight table. Each query's top-10 comes from orderBy+limit
+    // (TakeOrderedAndProject) + a ≤10-row rank window; per-term score
+    // sums add in fixed alphabetical order on both engines.
+    QueryDef(
+      "q283_ndcg_at10",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import s.implicits._
+        val queriesDef = Seq((1L, "dup", "vector"), (2L, "merge", "stream"),
+          (3L, "filter", "hash"))
+        val allTerms = queriesDef.flatMap(q => Seq(q._2, q._3))
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val qtoks = toks.where(col("tk").isInCollection(allTerms))
+        val df0 = qtoks.select(col("doc_id"), col("tk")).distinct()
+          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
+        val tf = qtoks.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
+        val scoredT = tf.join(broadcast(df0), "tk")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .withColumn("idf",
+            (lit(2L) * (col("n_docs") - col("df")) + lit(1L)).cast("double") /
+              (lit(2L) * col("df") + lit(1L)).cast("double"))
+          .withColumn("tfn",
+            (col("tf").cast("double") * lit(2.2d)) /
+              (col("tf").cast("double") +
+                lit(1.2d) * (lit(0.25d) +
+                  lit(0.75d) * col("dl").cast("double") / col("avgdl"))))
+          .withColumn("score_t", col("idf") * col("tfn"))
+          .select(col("doc_id"), col("tk"), col("score_t"))
+          .localCheckpoint(true)
+        val weights = Seq((1L, 1000000L), (2L, 630929L), (3L, 500000L),
+          (4L, 430676L), (5L, 386852L), (6L, 356207L), (7L, 333333L),
+          (8L, 315464L), (9L, 301029L), (10L, 289064L)).toDF("rank", "w")
+        val ranked: DataFrame = queriesDef.map { case (qid, t1, t2) =>
+          val sc = scoredT.where(col("tk").isin(t1, t2))
+            .groupBy(col("doc_id"))
+            .agg(coalesce(max(when(col("tk") === t1, col("score_t"))),
+                lit(0.0d)).as("s1"),
+              coalesce(max(when(col("tk") === t2, col("score_t"))),
+                lit(0.0d)).as("s2"))
+            .select(col("doc_id"), (col("s1") + col("s2")).as("score"))
+          sc.orderBy(col("score").desc, col("doc_id")).limit(10)
+            .withColumn("rank", row_number()
+              .over(Window.orderBy(col("score").desc, col("doc_id")))
+              .cast("long"))
+            .select(lit(qid).as("query_id"), col("doc_id"), col("rank"))
+        }.reduce(_ unionByName _)
+        val qt = queriesDef.flatMap(q => Seq((q._1, q._2), (q._1, q._3)))
+          .toDF("query_id", "tk")
+        val rel = tf.join(broadcast(qt), "tk")
+          .select(col("query_id"), col("doc_id"), col("tk")).distinct()
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(count(lit(1)).as("rel"))
+        val dcg = ranked.join(rel, Seq("query_id", "doc_id"), "left")
+          .withColumn("gain",
+            when(col("rel") === 2, 3L).when(col("rel") === 1, 1L).otherwise(0L))
+          .join(broadcast(weights), "rank")
+          .groupBy(col("query_id"))
+          .agg(sum(col("gain") * col("w")).as("dcg_micro"))
+        val relCounts = rel.groupBy(col("query_id"))
+          .agg(sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n_rel2"),
+            sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n_rel1"))
+        val idcg = relCounts.crossJoin(broadcast(weights))
+          .withColumn("c",
+            when(col("rank") <= col("n_rel2"), lit(3L) * col("w"))
+              .when(col("rank") <= col("n_rel2") + col("n_rel1"), col("w"))
+              .otherwise(lit(0L)))
+          .groupBy(col("query_id"), col("n_rel2"), col("n_rel1"))
+          .agg(sum(col("c")).as("idcg_micro"))
+        dcg.join(idcg, Seq("query_id"))
+          .select(col("query_id"), col("n_rel1"), col("n_rel2"),
+            col("dcg_micro"), col("idcg_micro"),
+            expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_ppm"))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+        qt(query_id, tk) AS (
+          VALUES (1, 'dup'), (1, 'vector'), (2, 'merge'), (2, 'stream'),
+                 (3, 'filter'), (3, 'hash')),
+        qtoks AS (SELECT * FROM toks
+                  WHERE tk IN ('dup','vector','merge','stream','filter','hash')),
+        df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1),
+        tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM qtoks GROUP BY 1, 2),
+        scored AS (
+          SELECT t.doc_id, t.tk,
+                 CAST(2 * (s.n_docs - f.df) + 1 AS DOUBLE) /
+                   CAST(2 * f.df + 1 AS DOUBLE) *
+                 ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE) /
+                  (CAST(t.tf AS DOUBLE) +
+                   1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * CAST(l.dl AS DOUBLE) /
+                     (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS score_t
+          FROM tf t JOIN df f USING (tk) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+        sq AS (
+          SELECT 1 AS query_id, doc_id,
+                 COALESCE(MAX(CASE WHEN tk = 'dup' THEN score_t END), 0.0::DOUBLE) +
+                 COALESCE(MAX(CASE WHEN tk = 'vector' THEN score_t END), 0.0::DOUBLE)
+                   AS score
+          FROM scored WHERE tk IN ('dup','vector') GROUP BY doc_id
+          UNION ALL
+          SELECT 2, doc_id,
+                 COALESCE(MAX(CASE WHEN tk = 'merge' THEN score_t END), 0.0::DOUBLE) +
+                 COALESCE(MAX(CASE WHEN tk = 'stream' THEN score_t END), 0.0::DOUBLE)
+          FROM scored WHERE tk IN ('merge','stream') GROUP BY doc_id
+          UNION ALL
+          SELECT 3, doc_id,
+                 COALESCE(MAX(CASE WHEN tk = 'filter' THEN score_t END), 0.0::DOUBLE) +
+                 COALESCE(MAX(CASE WHEN tk = 'hash' THEN score_t END), 0.0::DOUBLE)
+          FROM scored WHERE tk IN ('filter','hash') GROUP BY doc_id),
+        ranked AS (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rank
+          FROM sq QUALIFY rank <= 10),
+        w(rank, w) AS (
+          VALUES (1, 1000000), (2, 630929), (3, 500000), (4, 430676),
+                 (5, 386852), (6, 356207), (7, 333333), (8, 315464),
+                 (9, 301029), (10, 289064)),
+        rel AS (
+          SELECT q.query_id, t.doc_id, COUNT(DISTINCT t.tk) AS rel
+          FROM tf t JOIN qt q USING (tk)
+          GROUP BY 1, 2),
+        dcg AS (
+          SELECT r.query_id,
+                 CAST(SUM((CASE WHEN rel.rel = 2 THEN 3
+                                WHEN rel.rel = 1 THEN 1 ELSE 0 END) * w.w)
+                      AS BIGINT) AS dcg_micro
+          FROM ranked r
+          LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+          JOIN w ON w.rank = r.rank
+          GROUP BY 1),
+        rc AS (
+          SELECT query_id,
+                 CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel2,
+                 CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel1
+          FROM rel GROUP BY 1),
+        idcg AS (
+          SELECT rc.query_id, rc.n_rel2, rc.n_rel1,
+                 CAST(SUM(CASE WHEN w.rank <= rc.n_rel2 THEN 3 * w.w
+                               WHEN w.rank <= rc.n_rel2 + rc.n_rel1 THEN w.w
+                               ELSE 0 END) AS BIGINT) AS idcg_micro
+          FROM rc CROSS JOIN w
+          GROUP BY 1, 2, 3)
+        SELECT CAST(d.query_id AS BIGINT) AS query_id, i.n_rel1, i.n_rel2,
+               d.dcg_micro, i.idcg_micro,
+               (d.dcg_micro * 1000000) // i.idcg_micro AS ndcg_ppm
+        FROM dcg d JOIN idcg i USING (query_id)
+        ORDER BY query_id""")))
 }

@@ -48,7 +48,8 @@ class WindowLintSpec extends SparkSpec {
     "q265_exact_quantile_select" -> 1, // GlobalRank bucket offsets
     "q257_bh_fdr" -> 2, // spatial grid-cell table (fixed grid)
     "q272_zone_map_pruning" -> 1, // GlobalRank calendar-day bucket offsets
-    "q273_rrf_fusion" -> 2 // rank over the two <=50-row truncated top lists
+    "q273_rrf_fusion" -> 2, // rank over the two <=50-row truncated top lists
+    "q283_ndcg_at10" -> 3 // rank over three <=10-row truncated top lists
   )
 
   test("no query plans a data-proportional single-partition window") {
