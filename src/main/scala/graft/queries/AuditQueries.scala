@@ -221,5 +221,115 @@ object AuditQueries {
         SELECT * FROM ev
         UNION ALL SELECT * FROM o
         UNION ALL SELECT * FROM li
-        ORDER BY tbl""")))
+        ORDER BY tbl""")),
+
+    // Inclusion-dependency discovery (Metanome-style IND mining, the
+    // profiling step that reverse-engineers foreign keys from data):
+    // for each candidate (child column ⊆ parent column) pair, the
+    // distinct-value containment fraction and the IND verdict. The
+    // candidate list mixes the five true FKs with three decoys a naive
+    // range-overlap profiler would flag (customer→orders flips the FK
+    // direction — customers without orders break it; part.p_size and
+    // order-priority prefixes overlap nations/keys only partially).
+    // Scale: each pair is two distinct partial aggs + one left join on
+    // the child's DISTINCT values (never the fact rows); the eight
+    // pairs union into one 8-row report.
+    QueryDef(
+      "q285_ind_discovery",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        def pair(label: String, child: DataFrame, childCol: String,
+            parent: DataFrame, parentCol: String): DataFrame = {
+          val c = child.select(col(childCol).cast("long").as("v"))
+            .where(col("v").isNotNull).distinct()
+          val p = parent.select(col(parentCol).cast("long").as("v"))
+            .where(col("v").isNotNull).distinct()
+            .withColumn("hit", lit(1L))
+          c.join(p, Seq("v"), "left")
+            .agg(count(lit(1)).as("ndv_child"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_contained"))
+            .select(lit(label).as("candidate"), col("ndv_child"),
+              col("n_contained"),
+              expr("(n_contained * 1000000) div ndv_child")
+                .as("containment_ppm"),
+              (col("n_contained") === col("ndv_child")).as("is_ind"))
+        }
+        val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+        val pt = Tables.part(s, dir); val su = Tables.supplier(s, dir)
+        val cu = Tables.customer(s, dir); val na = Tables.nation(s, dir)
+        Seq(
+          pair("1_lineitem.okey_in_orders", li, "l_orderkey", o, "o_orderkey"),
+          pair("2_lineitem.pkey_in_part", li, "l_partkey", pt, "p_partkey"),
+          pair("3_lineitem.skey_in_supplier", li, "l_suppkey", su, "s_suppkey"),
+          pair("4_orders.ckey_in_customer", o, "o_custkey", cu, "c_custkey"),
+          pair("5_customer.nkey_in_nation", cu, "c_nationkey", na, "n_nationkey"),
+          pair("6_customer.ckey_in_orders", cu, "c_custkey", o, "o_custkey"),
+          pair("7_part.size_in_nation", pt, "p_size", na, "n_nationkey"),
+          pair("8_nation.nkey_in_supplier", na, "n_nationkey", su, "s_suppkey"))
+          .reduce(_ unionByName _)
+          .orderBy(col("candidate"))
+      },
+      Some("""
+        WITH
+        p1 AS (SELECT '1_lineitem.okey_in_orders' AS candidate,
+                      COUNT(*) AS ndv_child,
+                      CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_contained
+               FROM (SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS v
+                     FROM lineitem WHERE l_orderkey IS NOT NULL) c
+               LEFT JOIN (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS v
+                          FROM orders WHERE o_orderkey IS NOT NULL) p
+                 ON c.v = p.v),
+        p2 AS (SELECT '2_lineitem.pkey_in_part',
+                      COUNT(*), CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS v
+                     FROM lineitem WHERE l_partkey IS NOT NULL) c
+               LEFT JOIN (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS v
+                          FROM part WHERE p_partkey IS NOT NULL) p ON c.v = p.v),
+        p3 AS (SELECT '3_lineitem.skey_in_supplier',
+                      COUNT(*), CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS v
+                     FROM lineitem WHERE l_suppkey IS NOT NULL) c
+               LEFT JOIN (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS v
+                          FROM supplier WHERE s_suppkey IS NOT NULL) p ON c.v = p.v),
+        p4 AS (SELECT '4_orders.ckey_in_customer',
+                      COUNT(*), CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS v
+                     FROM orders WHERE o_custkey IS NOT NULL) c
+               LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS v
+                          FROM customer WHERE c_custkey IS NOT NULL) p ON c.v = p.v),
+        p5 AS (SELECT '5_customer.nkey_in_nation',
+                      COUNT(*), CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS v
+                     FROM customer WHERE c_nationkey IS NOT NULL) c
+               LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS v
+                          FROM nation WHERE n_nationkey IS NOT NULL) p ON c.v = p.v),
+        p6 AS (SELECT '6_customer.ckey_in_orders',
+                      COUNT(*), CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS v
+                     FROM customer WHERE c_custkey IS NOT NULL) c
+               LEFT JOIN (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS v
+                          FROM orders WHERE o_custkey IS NOT NULL) p ON c.v = p.v),
+        p7 AS (SELECT '7_part.size_in_nation',
+                      COUNT(*), CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM (SELECT DISTINCT CAST(p_size AS BIGINT) AS v
+                     FROM part WHERE p_size IS NOT NULL) c
+               LEFT JOIN (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS v
+                          FROM nation WHERE n_nationkey IS NOT NULL) p ON c.v = p.v),
+        p8 AS (SELECT '8_nation.nkey_in_supplier',
+                      COUNT(*), CAST(SUM(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               FROM (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS v
+                     FROM nation WHERE n_nationkey IS NOT NULL) c
+               LEFT JOIN (SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS v
+                          FROM supplier WHERE s_suppkey IS NOT NULL) p ON c.v = p.v),
+        u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+              UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+              UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM p6
+              UNION ALL SELECT * FROM p7 UNION ALL SELECT * FROM p8)
+        SELECT candidate, CAST(ndv_child AS BIGINT) AS ndv_child,
+               n_contained,
+               (n_contained * 1000000) // ndv_child AS containment_ppm,
+               n_contained = ndv_child AS is_ind
+        FROM u
+        ORDER BY candidate""")))
 }

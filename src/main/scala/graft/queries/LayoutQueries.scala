@@ -295,5 +295,110 @@ object LayoutQueries {
                CAST(u.rows_in_kept AS BIGINT) AS rows_in_kept,
                CAST(m.rows_matched AS BIGINT) AS rows_matched
         FROM u JOIN m USING (pred)
-        ORDER BY layout, pred""")))
+        ORDER BY layout, pred""")),
+
+    // Column-encoding audit for the q272 date-sorted layout: per column,
+    // the three numbers a columnar writer derives its encoding from —
+    // NDV (dictionary viability), value-run starts within each simulated
+    // 2048-row file (RLE viability — parquet pages never span files, so
+    // per-file runs IS what the writer sees), and the resulting
+    // recommendation (dict / rle_dict / plain by the standard
+    // thresholds). The sort key itself (ship-day) comes out
+    // overwhelmingly RLE (long runs are WHY you sort), partkey/suppkey
+    // stay plain, flags go dict — the table quantifies the layout's
+    // storage dividend, complementing q272's scan dividend. Scale: one
+    // GlobalRank (bounded day-bucket offsets), per-file partitioned
+    // windows, one stack + rollup.
+    QueryDef(
+      "q284_encoding_audit",
+      (s, dir) => {
+        import graft.operators.GlobalRank
+        val base = Tables.lineitem(s, dir).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          datediff(col("l_shipdate").cast("date"),
+            lit("1990-01-01").cast("date")).cast("long").as("days"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          col("l_returnflag").as("rf"),
+          col("l_quantity").cast("long").as("qty"))
+        val ranked = GlobalRank.withGlobalRank(
+            base, "rn", col("days"), col("days"), col("ok"), col("ln"))
+          .withColumn("f", expr("(rn - 1) div 2048"))
+        val cols = Seq("days", "pk", "sk", "rf", "qty")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("f")).orderBy(col("rn"))
+        val flagged = cols.foldLeft(ranked) { (df, c) =>
+          df.withColumn(s"rs_$c",
+            when(lag(col(c), 1).over(w).isNull ||
+              lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L))
+        }
+        val longStats = flagged.select(
+          expr("stack(5, " +
+            "'1_days', days, rs_days, " +
+            "'2_pk', pk, rs_pk, " +
+            "'3_sk', sk, rs_sk, " +
+            "'4_rf', CAST(NULL AS BIGINT), rs_rf, " +
+            "'5_qty', qty, rs_qty) as (col_name, v, rs)"),
+          col("rf"))
+        val stats = longStats.groupBy(col("col_name"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(when(col("col_name") === "4_rf", col("rf"))
+              .otherwise(col("v").cast("string"))).as("ndv"),
+            sum(col("rs")).as("run_starts"))
+          .select(col("col_name"), col("n"), col("ndv"), col("run_starts"),
+            expr("(n * 1000) div run_starts").as("avg_run_permille"))
+          .withColumn("encoding",
+            when(col("n") >= col("run_starts") * 4, lit("rle_dict"))
+              .when(col("ndv") * 20 <= col("n"), lit("dict"))
+              .otherwise(lit("plain")))
+        stats.orderBy(col("col_name"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_orderkey AS ok, l_linenumber AS ln,
+                 CAST(CAST(l_shipdate AS DATE) - DATE '1990-01-01' AS BIGINT)
+                   AS days,
+                 l_partkey AS pk, l_suppkey AS sk, l_returnflag AS rf,
+                 CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY days, ok, ln) AS rn
+          FROM base),
+        filed AS (SELECT *, (rn - 1) // 2048 AS f FROM ranked),
+        flagged AS (
+          SELECT f, rn, days, pk, sk, rf, qty,
+            CASE WHEN lag(days) OVER wf IS NULL
+                   OR lag(days) OVER wf <> days THEN 1 ELSE 0 END AS rs_days,
+            CASE WHEN lag(pk) OVER wf IS NULL
+                   OR lag(pk) OVER wf <> pk THEN 1 ELSE 0 END AS rs_pk,
+            CASE WHEN lag(sk) OVER wf IS NULL
+                   OR lag(sk) OVER wf <> sk THEN 1 ELSE 0 END AS rs_sk,
+            CASE WHEN lag(rf) OVER wf IS NULL
+                   OR lag(rf) OVER wf <> rf THEN 1 ELSE 0 END AS rs_rf,
+            CASE WHEN lag(qty) OVER wf IS NULL
+                   OR lag(qty) OVER wf <> qty THEN 1 ELSE 0 END AS rs_qty
+          FROM filed
+          WINDOW wf AS (PARTITION BY f ORDER BY rn)),
+        longs AS (
+          SELECT '1_days' AS col_name, CAST(days AS VARCHAR) AS v,
+                 rs_days AS rs FROM flagged
+          UNION ALL
+          SELECT '2_pk', CAST(pk AS VARCHAR), rs_pk FROM flagged
+          UNION ALL
+          SELECT '3_sk', CAST(sk AS VARCHAR), rs_sk FROM flagged
+          UNION ALL
+          SELECT '4_rf', rf, rs_rf FROM flagged
+          UNION ALL
+          SELECT '5_qty', CAST(qty AS VARCHAR), rs_qty FROM flagged),
+        stats AS (
+          SELECT col_name, COUNT(*) AS n,
+                 COUNT(DISTINCT v) AS ndv,
+                 CAST(SUM(rs) AS BIGINT) AS run_starts
+          FROM longs GROUP BY 1)
+        SELECT col_name, n, ndv, run_starts,
+               (n * 1000) // run_starts AS avg_run_permille,
+               CASE WHEN n >= run_starts * 4 THEN 'rle_dict'
+                    WHEN ndv * 20 <= n THEN 'dict'
+                    ELSE 'plain' END AS encoding
+        FROM stats
+        ORDER BY col_name""")))
 }
