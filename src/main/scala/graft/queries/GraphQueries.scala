@@ -660,5 +660,79 @@ object GraphQueries {
                     THEN (1000000 * 2 * COALESCE(t.tri, 0)) // (d.d * (d.d - 1))
                     ELSE 0 END AS cc_ppm
         FROM deg d LEFT JOIN tpn t ON t.n = d.n
-        ORDER BY node""")))
+        ORDER BY node""")),
+
+    // Bounded-hop weighted shortest path (distributed Bellman-Ford, 6
+    // synchronized relax rounds) — the weighted companion to q222's BFS
+    // hops. Graph: a lattice over the customer key space (k → k+1 and
+    // k → k+10 with deterministic integer weights), so every node has
+    // many alternative paths and the relaxation actually has to choose.
+    // The trick that keeps BOTH engines to one self-join per round:
+    // 0-weight SELF-LOOPS on every node make "carry the old distance"
+    // and "relax an edge" the same join (a recursive CTE may reference
+    // its working table once — the self-loop folds the union away; the
+    // Spark loop uses the identical edge set, q108's fixed-round
+    // integer stance). Output: per key-century bucket, reached count /
+    // min / max / checksum of 6-hop-bounded distances from node 1.
+    // Multi-source (seeds = keys ≡ 1 mod 1000) makes it the
+    // nearest-hub distance every facility-location analysis starts
+    // from. Scale: rounds are equi-joins on src; the frontier is the
+    // dist map (|nodes|); weights and distances are exact integers.
+    QueryDef(
+      "q286_bounded_sssp",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val keys = Tables.customer(s, dir).select(col("c_custkey").as("k"))
+        val nodes = keys.select(col("k").as("node")).localCheckpoint(true)
+        val dstSet = nodes.select(col("node").as("dst"))
+        def edge(off: Long, a: Long, m: Long): DataFrame =
+          nodes.select(col("node").as("src"), (col("node") + off).as("dst"),
+              ((col("node") * a) % m + 1L).as("w"))
+            .join(dstSet, Seq("dst"), "left_semi")
+        val edges = edge(1L, 7L, 13L)
+          .unionByName(edge(10L, 11L, 17L))
+          .unionByName(nodes.select(col("node").as("src"),
+            col("node").as("dst"), lit(0L).as("w")))
+          .localCheckpoint(true)
+        var dist = nodes.where(col("node") % 1000 === 1)
+          .select(col("node"), lit(0L).as("d"))
+        (1 to 6).foreach { _ =>
+          dist = dist.join(edges, col("node") === col("src"))
+            .groupBy(col("dst"))
+            .agg(min(col("d") + col("w")).as("d"))
+            .select(col("dst").as("node"), col("d"))
+        }
+        dist.groupBy(expr("node div 100").as("bucket"))
+          .agg(count(lit(1)).as("n_reached"), min(col("d")).as("min_d"),
+            max(col("d")).as("max_d"), sum(col("d")).as("d_checksum"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH RECURSIVE nodes AS (SELECT c_custkey AS node FROM customer),
+        edges AS (
+          SELECT n.node AS src, n.node + 1 AS dst, (n.node * 7) % 13 + 1 AS w
+          FROM nodes n WHERE EXISTS (
+            SELECT 1 FROM nodes m WHERE m.node = n.node + 1)
+          UNION ALL
+          SELECT n.node, n.node + 10, (n.node * 11) % 17 + 1
+          FROM nodes n WHERE EXISTS (
+            SELECT 1 FROM nodes m WHERE m.node = n.node + 10)
+          UNION ALL
+          SELECT node, node, 0 FROM nodes),
+        walk(it, node, d) AS (
+          SELECT 0, CAST(node AS BIGINT), CAST(0 AS BIGINT)
+          FROM nodes WHERE node % 1000 = 1
+          UNION ALL
+          SELECT w.it + 1, e.dst, CAST(MIN(w.d + e.w) AS BIGINT)
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.it < 6
+          GROUP BY 1, 2)
+        SELECT node // 100 AS bucket,
+               COUNT(*) AS n_reached,
+               CAST(MIN(d) AS BIGINT) AS min_d,
+               CAST(MAX(d) AS BIGINT) AS max_d,
+               CAST(SUM(d) AS BIGINT) AS d_checksum
+        FROM walk WHERE it = 6
+        GROUP BY 1
+        ORDER BY bucket""")))
 }

@@ -646,5 +646,70 @@ object JourneyQueries {
                          ELSE (r.re * 1000000) // t.re_tot END AS BIGINT)
                  AS attribution_ppm
         FROM re r CROSS JOIN tot t
-        ORDER BY r.channel""")))
+        ORDER BY r.channel""")),
+
+    // Time-decay attribution — completes the attribution family
+    // (last-touch q115, position q180, Markov removal q275): every
+    // same-user touch in the 28 days before a purchase earns credit
+    // halved per week of age, as EXACT micro-weights (age div 7 → 10⁶,
+    // 5·10⁵, 2.5·10⁵, 1.25·10⁵ — powers of two so the lattice is
+    // integral, the q250 stance). The touch×purchase pair join is
+    // per-user and window-bounded (events per user per 28 days — the
+    // q129 candidate shape; at corpus scale the q44 bucketed range join
+    // is the same plan with an explicit day bucket). Output: per
+    // channel, credited touches, micro-credit mass, and the ppm share
+    // of total credit — the numbers a budget reallocation reads.
+    QueryDef(
+      "q287_time_decay_attribution",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("us").as("pus"))
+        val touches = ev.where(col("event_type") =!= "purchase")
+        val credits = touches.join(purchases, Seq("user_id"))
+          .where(col("us") < col("pus") &&
+            col("us") >= col("pus") - lit(28L * 86400000000L))
+          .withColumn("age_weeks",
+            expr("((pus - us) div 86400000000) div 7"))
+          .withColumn("w_micro",
+            when(col("age_weeks") === 0, 1000000L)
+              .when(col("age_weeks") === 1, 500000L)
+              .when(col("age_weeks") === 2, 250000L)
+              .otherwise(125000L))
+        val perChannel = credits.groupBy(col("event_type").as("channel"))
+          .agg(count(lit(1)).as("n_credits"),
+            sum(col("w_micro")).as("credit_micro"))
+        val tot = perChannel.agg(sum(col("credit_micro")).as("tot_micro"))
+        perChannel.crossJoin(broadcast(tot))
+          .select(col("channel"), col("n_credits"), col("credit_micro"),
+            expr("(credit_micro * 1000000) div tot_micro").as("share_ppm"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+          FROM events),
+        p AS (SELECT user_id, us AS pus FROM ev WHERE event_type = 'purchase'),
+        t AS (SELECT * FROM ev WHERE event_type <> 'purchase'),
+        credits AS (
+          SELECT t.event_type AS channel,
+                 CASE ((p.pus - t.us) // 86400000000) // 7
+                   WHEN 0 THEN 1000000
+                   WHEN 1 THEN 500000
+                   WHEN 2 THEN 250000
+                   ELSE 125000 END AS w_micro
+          FROM t JOIN p ON t.user_id = p.user_id
+          WHERE t.us < p.pus AND t.us >= p.pus - 28 * 86400000000),
+        per_channel AS (
+          SELECT channel, COUNT(*) AS n_credits,
+                 CAST(SUM(w_micro) AS BIGINT) AS credit_micro
+          FROM credits GROUP BY 1),
+        tot AS (SELECT CAST(SUM(credit_micro) AS BIGINT) AS tot_micro
+                FROM per_channel)
+        SELECT c.channel, c.n_credits, c.credit_micro,
+               (c.credit_micro * 1000000) // t.tot_micro AS share_ppm
+        FROM per_channel c CROSS JOIN tot t
+        ORDER BY c.channel""")))
 }
