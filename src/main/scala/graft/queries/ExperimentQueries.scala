@@ -915,6 +915,58 @@ object ExperimentQueries {
                CAST(COALESCE(f.llr_at_decision, 0) AS BIGINT) AS llr_at_decision,
                t.llr_final
         FROM tot t LEFT JOIN first_cross f ON t.exp = f.exp
-        ORDER BY t.exp"""))
+        ORDER BY t.exp""")),
+
+    // Empirical-Bayes shrunken rates — the segment-level smoothing every
+    // dashboard needs before it ranks small segments by conversion: the
+    // raw purchase rate of each (user_id % 20) cohort is pulled toward
+    // the global rate with prior strength 200 pseudo-events,
+    //   shrunk_ppm = (x·10⁶ + 200·global_ppm) div (n + 200)
+    // — one integer formula, algebraically identical to the Beta(αg,
+    // α(1−g)) posterior mean on the ppm lattice, so both engines agree
+    // exactly and no segment with 30 events ever outranks the fleet on
+    // noise. Output per cohort: n, x, raw, shrunk, and the correction.
+    // Scale: one partial agg to 20 cells + a broadcast global row.
+    QueryDef(
+      "q288_shrunken_rates",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select((col("user_id") % 20).as("cohort"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("x"))
+        val per = e.groupBy(col("cohort"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("x"))
+        val g = per.agg(sum(col("n")).as("ntot"), sum(col("x")).as("xtot"))
+          .select(expr("(xtot * 1000000) div ntot").as("global_ppm"))
+        per.crossJoin(broadcast(g))
+          .select(col("cohort"), col("n"), col("x"),
+            expr("(x * 1000000) div n").as("raw_ppm"),
+            expr("(x * 1000000 + 200 * global_ppm) div (n + 200)")
+              .as("shrunk_ppm"),
+            expr("abs((x * 1000000) div n - " +
+              "(x * 1000000 + 200 * global_ppm) div (n + 200))")
+              .as("correction_ppm"))
+          .orderBy(col("cohort"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id % 20 AS cohort,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+          FROM events),
+        per AS (
+          SELECT cohort, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS x
+          FROM e GROUP BY 1),
+        g AS (
+          SELECT (CAST(SUM(x) AS BIGINT) * 1000000) // CAST(SUM(n) AS BIGINT)
+                   AS global_ppm
+          FROM per)
+        SELECT p.cohort, p.n, p.x,
+               (p.x * 1000000) // p.n AS raw_ppm,
+               (p.x * 1000000 + 200 * g.global_ppm) // (p.n + 200)
+                 AS shrunk_ppm,
+               abs((p.x * 1000000) // p.n -
+                   (p.x * 1000000 + 200 * g.global_ppm) // (p.n + 200))
+                 AS correction_ppm
+        FROM per p CROSS JOIN g
+        ORDER BY p.cohort"""))
   )
 }

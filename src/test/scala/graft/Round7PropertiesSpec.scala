@@ -104,6 +104,70 @@ class Round7PropertiesSpec extends SparkSpec {
     assert(folded == ref)
   }
 
+  test("CDC boundaries are shift-resistant; fixed-stride boundaries are not") {
+    // The q277 value claim as a property: inserting one token near the
+    // head re-chunks only the CDC neighborhood (chunks strictly after
+    // the next boundary keep their content), while EVERY fixed-stride
+    // chunk after the edit shifts. Computed on one synthetic token
+    // stream with the same h%8 boundary rule.
+    def tokHash(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(
+        t.getBytes("UTF-8"))
+      val lo = (8 until 16).foldLeft(0L)((a, i) => (a << 8) | (md(15 - (i - 8)) & 0xffL))
+      java.lang.Long.remainderUnsigned(lo, 2147483647L)
+    }
+    val rnd = new Random(7103)
+    val toks = (1 to 400).map(i => s"w${rnd.nextInt(200)}")
+    def chunks(ts: Seq[String], fixed: Boolean): Seq[String] = {
+      if (fixed) ts.grouped(8).map(_.mkString(" ")).toSeq
+      else {
+        val out = scala.collection.mutable.ArrayBuffer[List[String]]()
+        var cur = List.empty[String]
+        ts.foreach { t =>
+          if (tokHash(t) % 8 == 0 && cur.nonEmpty) { out += cur.reverse; cur = Nil }
+          cur = t :: cur
+        }
+        if (cur.nonEmpty) out += cur.reverse
+        out.map(_.mkString(" ")).toSeq
+      }
+    }
+    val edited = toks.take(5) ++ Seq("INSERTED") ++ toks.drop(5)
+    val (c1, c2) = (chunks(toks, fixed = false).toSet,
+      chunks(edited, fixed = false).toSet)
+    val cdcShared = (c1 & c2).size
+    val (f1, f2) = (chunks(toks, fixed = true).toSet,
+      chunks(edited, fixed = true).toSet)
+    val fixShared = (f1 & f2).size
+    assert(cdcShared >= (c1.size * 3) / 4,
+      s"CDC must preserve most chunks after a head insertion: $cdcShared/${c1.size}")
+    assert(fixShared <= 2,
+      s"fixed-stride must lose (nearly) all chunks after the shift: $fixShared")
+  }
+
+  test("q286 equals a driver-side 6-round Bellman-Ford on the sf0.001 keys") {
+    val keys = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val edges = keys.toSeq.flatMap { k =>
+      Seq((k, k + 1, (k * 7) % 13 + 1), (k, k + 10, (k * 11) % 17 + 1))
+        .filter(e => keys(e._2))
+    }
+    val bySrc = edges.groupBy(_._1)
+    var dist = keys.filter(_ % 1000 == 1).map(_ -> 0L).toMap
+    (1 to 6).foreach { _ =>
+      val cand = dist.toSeq ++ dist.toSeq.flatMap { case (u, du) =>
+        bySrc.getOrElse(u, Nil).map(e => e._2 -> (du + e._3))
+      }
+      dist = cand.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+    }
+    val want = dist.groupBy(_._1 / 100).toSeq.map { case (b, vs) =>
+      (b, vs.size.toLong, vs.values.min, vs.values.max, vs.values.sum)
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q286_bounded_sssp")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
   test("q275 chain: row mass bounded, removal never beats base") {
     val out = SparkEntry.queries("q275_markov_attribution")(spark, dir)
       .collect()
