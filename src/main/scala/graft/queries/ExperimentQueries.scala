@@ -967,6 +967,73 @@ object ExperimentQueries {
                    (p.x * 1000000 + 200 * g.global_ppm) // (p.n + 200))
                  AS correction_ppm
         FROM per p CROSS JOIN g
-        ORDER BY p.cohort"""))
+        ORDER BY p.cohort""")),
+
+    // Quantile treatment effects — the distributional companion to
+    // q181's mean-effect z-test: an A/B split (user_id % 2) compared at
+    // EXACT P50/P90/P99 of the event-value distribution, because a
+    // treatment that moves the tail and not the median is invisible to
+    // a mean test. Per arm the quantile is SELECTED, not sorted-for:
+    // GlobalRank's two-level bucketed rank (micro-value div 2²⁰ bucket,
+    // prefix-summed offsets) + a broadcast 3-row target-rank join
+    // (rank = ceil(p·n), percentile_disc semantics with (value,
+    // event_id) total order — the q265 scheme, here per arm). Output:
+    // one row per quantile with both arms and the effect delta.
+    QueryDef(
+      "q289_quantile_effects",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        import graft.operators.GlobalRank
+        val ev = Tables.events(s, dir)
+          .select((col("user_id") % 2).as("arm"), col("event_id"),
+            (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+              * 1000000).cast("long").as("micro"))
+        def armQuantiles(a: Int): DataFrame = {
+          val e = ev.where(col("arm") === a)
+          val ranked = GlobalRank.withGlobalRank(
+            e, "rn", expr("micro div 1048576"), col("micro"), col("event_id"))
+          val n = e.agg(count(lit(1)).as("n"))
+          val targets = n.select(explode(array(
+              struct(lit("1_p50").as("q"),
+                expr("CAST(ceil(n * 0.5) AS BIGINT)").as("r")),
+              struct(lit("2_p90").as("q"),
+                expr("CAST(ceil(n * 0.9) AS BIGINT)").as("r")),
+              struct(lit("3_p99").as("q"),
+                expr("CAST(ceil(n * 0.99) AS BIGINT)").as("r"))))
+              .as("t"))
+            .select(col("t.q").as("q"), col("t.r").as("r"))
+          ranked.join(broadcast(targets), col("rn") === col("r"))
+            .select(col("q"), col("micro").as(s"arm${a}_micro"))
+        }
+        armQuantiles(0).join(armQuantiles(1), Seq("q"))
+          .select(col("q"), col("arm0_micro"), col("arm1_micro"),
+            (col("arm1_micro") - col("arm0_micro")).as("effect_micro"))
+          .orderBy(col("q"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id % 2 AS arm, event_id,
+                 CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS micro
+          FROM events),
+        ranked AS (
+          SELECT arm, micro,
+                 row_number() OVER (PARTITION BY arm
+                   ORDER BY micro, event_id) AS rn,
+                 COUNT(*) OVER (PARTITION BY arm) AS n
+          FROM ev),
+        targets AS (
+          SELECT arm, q, CAST(CASE q WHEN '1_p50' THEN ceil(n * 0.5)
+                                     WHEN '2_p90' THEN ceil(n * 0.9)
+                                     ELSE ceil(n * 0.99) END AS BIGINT) AS r
+          FROM (SELECT DISTINCT arm, n FROM ranked),
+               (SELECT unnest(['1_p50','2_p90','3_p99']) AS q)),
+        hit AS (
+          SELECT t.arm, t.q, r.micro
+          FROM targets t JOIN ranked r ON r.arm = t.arm AND r.rn = t.r)
+        SELECT a0.q, a0.micro AS arm0_micro, a1.micro AS arm1_micro,
+               a1.micro - a0.micro AS effect_micro
+        FROM (SELECT q, micro FROM hit WHERE arm = 0) a0
+        JOIN (SELECT q, micro FROM hit WHERE arm = 1) a1 USING (q)
+        ORDER BY a0.q"""))
   )
 }

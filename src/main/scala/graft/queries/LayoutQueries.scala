@@ -205,10 +205,12 @@ object LayoutQueries {
               min(col("pk")).as("plo"), max(col("pk")).as("phi"),
               count(lit(1)).as("n"))
         val za = zones(base.withColumn("f", expr("ok div 2048")))
+        // (ok, ln) is not unique in the synthetic corpus — pk joins the
+        // sort key so boundary-file zone maps are tie-order independent.
         val ranked = GlobalRank.withGlobalRank(
           base, "rn",
           datediff(col("sd"), lit("1990-01-01").cast("date")),
-          col("sd"), col("ok"), col("ln"))
+          col("sd"), col("ok"), col("ln"), col("pk"))
         val zb = zones(ranked.withColumn("f", expr("(rn - 1) div 2048")))
         val d1lo = lit("1995-01-01").cast("date")
         val d1hi = lit("1995-03-31").cast("date")
@@ -248,7 +250,7 @@ object LayoutQueries {
                  min(pk) AS plo, max(pk) AS phi, count(*) AS n
           FROM base GROUP BY 1),
         rb AS (
-          SELECT sd, pk, row_number() OVER (ORDER BY sd, ok, ln) AS rn
+          SELECT sd, pk, row_number() OVER (ORDER BY sd, ok, ln, pk) AS rn
           FROM base),
         zb AS (
           SELECT (rn - 1) // 2048 AS f, min(sd) AS lo, max(sd) AS hi,
@@ -320,8 +322,13 @@ object LayoutQueries {
           col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
           col("l_returnflag").as("rf"),
           col("l_quantity").cast("long").as("qty"))
+        // The synthetic corpus contains duplicate (ok, ln) rows with
+        // DIFFERENT payload columns (the q11 dup corpus) — every compared
+        // column must join the sort key or run counts become tie-order
+        // dependent (caught by the sf0.33 twin gate).
         val ranked = GlobalRank.withGlobalRank(
-            base, "rn", col("days"), col("days"), col("ok"), col("ln"))
+            base, "rn", col("days"), col("days"), col("ok"), col("ln"),
+            col("pk"), col("sk"), col("rf"), col("qty"))
           .withColumn("f", expr("(rn - 1) div 2048"))
         val cols = Seq("days", "pk", "sk", "rf", "qty")
         val w = org.apache.spark.sql.expressions.Window
@@ -361,7 +368,8 @@ object LayoutQueries {
                  CAST(l_quantity AS BIGINT) AS qty
           FROM lineitem),
         ranked AS (
-          SELECT *, row_number() OVER (ORDER BY days, ok, ln) AS rn
+          SELECT *, row_number() OVER (
+            ORDER BY days, ok, ln, pk, sk, rf, qty) AS rn
           FROM base),
         filed AS (SELECT *, (rn - 1) // 2048 AS f FROM ranked),
         flagged AS (
