@@ -153,6 +153,18 @@ class PlanShapeSpec extends SparkSpec {
       s"q171: orderBy+limit must plan per-partition top-k heaps:\n$p")
   }
 
+  test("q273/q283 truncated ranker cuts plan as TakeOrderedAndProject") {
+    // truncated-list fusion/eval only scales because each ranker's cut
+    // is a per-partition top-k heap, never a global sort
+    Seq("q273_rrf_fusion", "q283_ndcg_at10").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: ranker cuts must plan per-partition top-k heaps:\n$p")
+      assert(!p.contains("SortExec(global=true"),
+        s"$q must not global-sort the candidate set")
+    }
+  }
+
   test("rank-filter top-k per group plans WindowGroupLimit") {
     // Spark 4.x rewrites `rank() <= k` after a partitioned window into
     // WindowGroupLimit (partial before the exchange + final after), so
