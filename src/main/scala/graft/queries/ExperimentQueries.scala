@@ -1034,6 +1034,124 @@ object ExperimentQueries {
                a1.micro - a0.micro AS effect_micro
         FROM (SELECT q, micro FROM hit WHERE arm = 0) a0
         JOIN (SELECT q, micro FROM hit WHERE arm = 1) a1 USING (q)
-        ORDER BY a0.q"""))
+        ORDER BY a0.q""")),
+
+    // Batch model scoring + gains table — the inference-side pipeline
+    // every ML platform runs nightly: RFM features from pre-1998
+    // history, a PINNED integer weight vector (no training at query
+    // time, weights are spec), customers ranked into score deciles,
+    // label = top-quintile 1998 holdout spend (any-order conversion is
+    // ~99% here and would flatline the curve). On THIS corpus the gains
+    // come out flat (~1.0 lift per decile) — the synthetic orders are
+    // iid across periods, and a backtest whose gains curve hugs the
+    // diagonal is exactly how you find that out before shipping a
+    // model; the gate pins the machinery, the flatness is the finding.
+    // (GlobalRank bucketed rank + the arithmetic ntile both engines
+    // share), then BACKTESTED against the 1998 holdout: per decile,
+    // conversion, cumulative capture of all future buyers (the gains
+    // curve) and lift vs base rate — all integer ppm. A linear scorer
+    // is rank-equivalent to logistic for this table, so no sigmoid
+    // (transcendental) ever evaluates. Scale: two partial aggs on
+    // customer, one GlobalRank, then a 10-row decile frame.
+    QueryDef(
+      "q290_batch_scoring",
+      (s, dir) => {
+        import graft.operators.GlobalRank
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey").as("ck"), col("o_orderdate").cast("date").as("d"),
+            (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              * 100).cast("long").as("cents"))
+        val cut = lit("1998-01-01").cast("date")
+        val feats = o.where(col("d") < cut)
+          .groupBy(col("ck"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("total_cents"),
+            max(datediff(col("d"), lit("1990-01-01").cast("date")))
+              .cast("long").as("last_day"))
+        // label = 1998 BIG SPENDER (holdout spend >= 1.8e8 cents, ~top
+        // quintile) — plain any-order conversion is ~99% in this corpus
+        // and would make the gains curve a flat line
+        val labels = o.where(col("d") >= cut)
+          .groupBy(col("ck")).agg(sum(col("cents")).as("c98"))
+          .where(col("c98") >= 180000000L)
+          .select(col("ck")).withColumn("converted", lit(1L))
+        val scored = feats.join(labels, Seq("ck"), "left")
+          .select(col("ck"), col("n_orders"), col("total_cents"), col("last_day"),
+            coalesce(col("converted"), lit(0L)).as("converted"))
+          .withColumn("score",
+            expr("n_orders * 50000 + (last_day - 2500) * 2000 + total_cents div 50"))
+        val ranked = GlobalRank.withGlobalRank(
+          scored, "rn", expr("score div 1048576"), col("score"), col("ck"))
+        val n = scored.agg(count(lit(1)).as("n_cust"))
+        val binned = ranked.crossJoin(broadcast(n))
+          // decile 10 = best scores: rank ascending -> flip the tile
+          .withColumn("decile",
+            (lit(11L) - GlobalRank.ntileFromRank(col("rn"), col("n_cust"), 10))
+              .cast("long"))
+        val per = binned.groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_cust"), sum(col("converted")).as("n_conv"))
+        val tot = per.agg(sum(col("n_cust")).as("nt"), sum(col("n_conv")).as("ct"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("decile").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        per.crossJoin(broadcast(tot))
+          .withColumn("cum_conv", sum(col("n_conv")).over(w))
+          .select(col("decile"), col("n_cust"), col("n_conv"),
+            expr("(n_conv * 1000000) div n_cust").as("conv_ppm"),
+            expr("(cum_conv * 1000000) div ct").as("cum_capture_ppm"),
+            expr("((n_conv * 1000000) div n_cust) * 1000000 div ((ct * 1000000) div nt)")
+              .as("lift_ppm"))
+          .orderBy(col("decile").desc)
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+          FROM orders),
+        feats AS (
+          SELECT ck, COUNT(*) AS n_orders,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 CAST(MAX(d - DATE '1990-01-01') AS BIGINT) AS last_day
+          FROM o WHERE d < DATE '1998-01-01' GROUP BY 1),
+        labels AS (
+          SELECT ck, 1 AS converted
+          FROM o WHERE d >= DATE '1998-01-01'
+          GROUP BY ck
+          HAVING SUM(cents) >= 180000000),
+        scored AS (
+          SELECT f.ck, f.n_orders, f.total_cents, f.last_day,
+                 CAST(COALESCE(l.converted, 0) AS BIGINT) AS converted,
+                 f.n_orders * 50000 + (f.last_day - 2500) * 2000
+                   + f.total_cents // 50 AS score
+          FROM feats f LEFT JOIN labels l USING (ck)),
+        ranked AS (
+          SELECT *, row_number() OVER (ORDER BY score, ck) AS rn,
+                 COUNT(*) OVER () AS n_cust
+          FROM scored),
+        binned AS (
+          SELECT converted,
+                 11 - (CASE WHEN rn <= (n_cust % 10) * (n_cust // 10 + 1)
+                       THEN (rn - 1) // (n_cust // 10 + 1) + 1
+                       ELSE (n_cust % 10) +
+                            (rn - 1 - (n_cust % 10) * (n_cust // 10 + 1))
+                              // (n_cust // 10) + 1 END) AS decile
+          FROM ranked),
+        per AS (
+          SELECT decile, COUNT(*) AS n_cust,
+                 CAST(SUM(converted) AS BIGINT) AS n_conv
+          FROM binned GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n_cust) AS BIGINT) AS nt,
+                       CAST(SUM(n_conv) AS BIGINT) AS ct FROM per),
+        gains AS (
+          SELECT p.decile, p.n_cust, p.n_conv, t.nt, t.ct,
+                 CAST(SUM(p.n_conv) OVER (ORDER BY p.decile DESC
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_conv
+          FROM per p CROSS JOIN tot t)
+        SELECT CAST(decile AS BIGINT) AS decile, n_cust, n_conv,
+               (n_conv * 1000000) // n_cust AS conv_ppm,
+               (cum_conv * 1000000) // ct AS cum_capture_ppm,
+               ((n_conv * 1000000) // n_cust) * 1000000
+                 // ((ct * 1000000) // nt) AS lift_ppm
+        FROM gains
+        ORDER BY decile DESC"""))
   )
 }

@@ -51,7 +51,8 @@ class WindowLintSpec extends SparkSpec {
     "q273_rrf_fusion" -> 2, // rank over the two <=50-row truncated top lists
     "q283_ndcg_at10" -> 3, // rank over three <=10-row truncated top lists
     "q284_encoding_audit" -> 1, // GlobalRank calendar-day bucket offsets
-    "q289_quantile_effects" -> 2 // one GlobalRank bucket-offset table per arm
+    "q289_quantile_effects" -> 2, // one GlobalRank bucket-offset table per arm
+    "q290_batch_scoring" -> 2 // GlobalRank bucket offsets + 10-row decile gains frame
   )
 
   test("no query plans a data-proportional single-partition window") {
