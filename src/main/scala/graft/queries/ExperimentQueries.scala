@@ -1152,6 +1152,93 @@ object ExperimentQueries {
                ((n_conv * 1000000) // n_cust) * 1000000
                  // ((ct * 1000000) // nt) AS lift_ppm
         FROM gains
-        ORDER BY decile DESC"""))
+        ORDER BY decile DESC""")),
+
+    // Off-policy bandit evaluation by REPLAY (Li et al. 2011): the
+    // logged randomized arm is user_id % 4, the reward is a purchase,
+    // the context is the 6-hour day-slot. A target policy is LEARNED on
+    // the first half of time (per-context argmax of the q288 shrunken
+    // arm rates — shrinkage is what stops a 30-event arm winning on
+    // noise) and evaluated on the second half using only events whose
+    // logged arm equals the policy's choice — the unbiased replay
+    // estimator, no simulator needed. Output per context: chosen arm,
+    // training rate, matched evaluation count, replay estimate, and the
+    // logged-average baseline, all integer ppm. Scale: two partial aggs
+    // to ≤16 cells, a broadcast policy, one filtered agg over the
+    // evaluation half.
+    QueryDef(
+      "q291_bandit_replay",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, dir)
+          .select((col("user_id") % 4).as("arm"),
+            expr("(hour(ts) div 6)").cast("long").as("ctx"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L).as("r"),
+            col("ts"), col("event_id"))
+        val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+        val train = ev.where(col("ts") < cut)
+        val eval0 = ev.where(col("ts") >= cut)
+        val cells = train.groupBy(col("ctx"), col("arm"))
+          .agg(count(lit(1)).as("n"), sum(col("r")).as("x"))
+        val g = train.agg(expr("(sum(r) * 1000000) div count(1)").as("gppm"))
+        val rated = cells.crossJoin(broadcast(g))
+          .withColumn("shrunk_ppm",
+            expr("(x * 1000000 + 200 * gppm) div (n + 200)"))
+        val w = Window.partitionBy(col("ctx"))
+          .orderBy(col("shrunk_ppm").desc, col("arm"))
+        val policy = rated.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1)
+          .select(col("ctx"), col("arm").as("chosen_arm"),
+            col("shrunk_ppm").as("train_ppm"))
+        val matched = eval0.join(broadcast(policy), Seq("ctx"))
+          .where(col("arm") === col("chosen_arm"))
+          .groupBy(col("ctx"), col("chosen_arm"), col("train_ppm"))
+          .agg(count(lit(1)).as("n_matched"),
+            expr("(sum(r) * 1000000) div count(1)").as("replay_ppm"))
+        val logged = eval0.groupBy(col("ctx"))
+          .agg(expr("(sum(r) * 1000000) div count(1)").as("logged_ppm"))
+        matched.join(logged, Seq("ctx"))
+          .select(col("ctx"), col("chosen_arm"), col("train_ppm"),
+            col("n_matched"), col("replay_ppm"), col("logged_ppm"))
+          .orderBy(col("ctx"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id % 4 AS arm,
+                 CAST(hour(ts) // 6 AS BIGINT) AS ctx,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r,
+                 ts
+          FROM events),
+        train AS (SELECT * FROM ev WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        ev2 AS (SELECT * FROM ev WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'),
+        cells AS (
+          SELECT ctx, arm, COUNT(*) AS n, CAST(SUM(r) AS BIGINT) AS x
+          FROM train GROUP BY 1, 2),
+        g AS (
+          SELECT (CAST(SUM(r) AS BIGINT) * 1000000) // COUNT(*) AS gppm
+          FROM train),
+        rated AS (
+          SELECT c.ctx, c.arm,
+                 (c.x * 1000000 + 200 * g.gppm) // (c.n + 200) AS shrunk_ppm
+          FROM cells c CROSS JOIN g),
+        policy AS (
+          SELECT ctx, arm AS chosen_arm, shrunk_ppm AS train_ppm
+          FROM (SELECT *, row_number() OVER (PARTITION BY ctx
+                  ORDER BY shrunk_ppm DESC, arm) AS rk FROM rated)
+          WHERE rk = 1),
+        matched AS (
+          SELECT e.ctx, p.chosen_arm, p.train_ppm,
+                 COUNT(*) AS n_matched,
+                 (CAST(SUM(e.r) AS BIGINT) * 1000000) // COUNT(*) AS replay_ppm
+          FROM ev2 e JOIN policy p ON e.ctx = p.ctx AND e.arm = p.chosen_arm
+          GROUP BY 1, 2, 3),
+        logged AS (
+          SELECT ctx,
+                 (CAST(SUM(r) AS BIGINT) * 1000000) // COUNT(*) AS logged_ppm
+          FROM ev2 GROUP BY 1)
+        SELECT m.ctx, CAST(m.chosen_arm AS BIGINT) AS chosen_arm,
+               m.train_ppm, m.n_matched, m.replay_ppm, l.logged_ppm
+        FROM matched m JOIN logged l USING (ctx)
+        ORDER BY m.ctx"""))
   )
 }
