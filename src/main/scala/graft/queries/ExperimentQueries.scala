@@ -1239,6 +1239,124 @@ object ExperimentQueries {
         SELECT m.ctx, CAST(m.chosen_arm AS BIGINT) AS chosen_arm,
                m.train_ppm, m.n_matched, m.replay_ppm, l.logged_ppm
         FROM matched m JOIN logged l USING (ctx)
-        ORDER BY m.ctx"""))
+        ORDER BY m.ctx""")),
+
+    // Split conformal prediction — the distribution-free way to put an
+    // interval around ANY point model: fit a through-origin spend
+    // predictor (β = Σxy/Σx² over a hash-split calibration half, the
+    // ratio carried in DECIMAL(38,0) ppm — BIGINT would overflow the
+    // cross-moments past sf1), take the calibration residuals' exact
+    // [P5, P95] via GlobalRank, and measure EMPIRICAL COVERAGE of
+    // pred + [r₅, r₉₅] on the held-out half — conformal theory says
+    // ~90%, the gate pins the exact count. x = pre-1998 spend, y = 1998
+    // spend, whole dollars to keep every moment integral. Scale: two
+    // customer aggs, one broadcast 2-row quantile-target join, one
+    // filtered count.
+    QueryDef(
+      "q292_conformal_coverage",
+      (s, dir) => {
+        import graft.operators.GlobalRank
+        import graft.functions.Kernels
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey").as("ck"),
+            col("o_orderdate").cast("date").as("d"),
+            (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              * 100).cast("long").as("cents"))
+        val cut = lit("1998-01-01").cast("date")
+        val x0 = o.where(col("d") < cut).groupBy(col("ck"))
+          .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
+        val y0 = o.where(col("d") >= cut).groupBy(col("ck"))
+          .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("y"))
+        val pts = x0.join(y0, Seq("ck"), "left")
+          .select(col("ck"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+          .withColumn("bucket",
+            Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("conf:"), col("ck"))), 100L))
+          .localCheckpoint(true)
+        val calib = pts.where(col("bucket") < 50)
+        val test = pts.where(col("bucket") >= 50)
+        val beta = calib.agg(
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          // pinned-shift ratio: both moments >> 2^20 BEFORE the ppm blowup
+          // keeps everything BIGINT (a DECIMAL div rounds differently across
+          // engines — off-by-one caught at the gate); relative error ~1e-11
+          .select(expr("((sxy div 1048576) * 1000000) div (sxx div 1048576)")
+            .as("beta_ppm"))
+        val resid = calib.crossJoin(broadcast(beta))
+          .select(col("ck"),
+            (col("y") - expr("(x * beta_ppm) div 1000000")).as("r"))
+        val ranked = GlobalRank.withGlobalRank(
+          resid, "rn", expr("r div 1024"), col("r"), col("ck"))
+        val nC = calib.agg(count(lit(1)).as("n_calib"))
+        val targets = nC.select(explode(array(
+            struct(lit("lo").as("b"), expr("CAST(ceil(n_calib * 0.05) AS BIGINT)").as("tr")),
+            struct(lit("hi").as("b"), expr("CAST(ceil(n_calib * 0.95) AS BIGINT)").as("tr"))))
+            .as("t"))
+          .select(col("t.b").as("b"), col("t.tr").as("tr"))
+        val qs = ranked.join(broadcast(targets), col("rn") === col("tr"))
+          .groupBy()
+          .agg(min(when(col("b") === "lo", col("r"))).as("r_lo"),
+            min(when(col("b") === "hi", col("r"))).as("r_hi"))
+        val cov = test.crossJoin(broadcast(beta)).crossJoin(broadcast(qs))
+          .select(col("y"),
+            (expr("(x * beta_ppm) div 1000000") + col("r_lo")).as("lo"),
+            (expr("(x * beta_ppm) div 1000000") + col("r_hi")).as("hi"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("y") >= col("lo") && col("y") <= col("hi"), 1L)
+              .otherwise(0L)).as("n_covered"))
+        nC.crossJoin(broadcast(beta)).crossJoin(broadcast(qs)).crossJoin(cov)
+          .select(col("n_calib"), col("beta_ppm"), col("r_lo"), col("r_hi"),
+            col("n_test"), col("n_covered"),
+            expr("(n_covered * 1000000) div n_test").as("coverage_ppm"))
+          .orderBy(col("n_calib"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+          FROM orders),
+        x0 AS (SELECT ck, CAST(SUM(cents) // 100 AS BIGINT) AS x
+               FROM o WHERE d < DATE '1998-01-01' GROUP BY 1),
+        y0 AS (SELECT ck, CAST(SUM(cents) // 100 AS BIGINT) AS y
+               FROM o WHERE d >= DATE '1998-01-01' GROUP BY 1),
+        pts AS (
+          SELECT x0.ck, x0.x, COALESCE(y0.y, 0) AS y,
+                 CAST(md5_number_lower('conf:' || x0.ck) % 100 AS BIGINT)
+                   AS bucket
+          FROM x0 LEFT JOIN y0 ON x0.ck = y0.ck),
+        calib AS (SELECT * FROM pts WHERE bucket < 50),
+        test AS (SELECT * FROM pts WHERE bucket >= 50),
+        beta AS (
+          SELECT CAST(((SUM(x * y) // 1048576) * 1000000)
+                      // (SUM(x * x) // 1048576) AS BIGINT) AS beta_ppm
+          FROM calib),
+        resid AS (
+          SELECT c.ck, c.y - (c.x * b.beta_ppm) // 1000000 AS r
+          FROM calib c CROSS JOIN beta b),
+        ranked AS (
+          SELECT ck, r, row_number() OVER (ORDER BY r, ck) AS rn
+          FROM resid),
+        nc AS (SELECT COUNT(*) AS n_calib FROM calib),
+        qs AS (
+          SELECT MIN(CASE WHEN t.b = 'lo' THEN rk.r END) AS r_lo,
+                 MIN(CASE WHEN t.b = 'hi' THEN rk.r END) AS r_hi
+          FROM ranked rk
+          JOIN (SELECT 'lo' AS b, CAST(ceil(n_calib * 0.05) AS BIGINT) AS tr
+                FROM nc
+                UNION ALL
+                SELECT 'hi', CAST(ceil(n_calib * 0.95) AS BIGINT) FROM nc) t
+            ON rk.rn = t.tr),
+        cov AS (
+          SELECT COUNT(*) AS n_test,
+                 CAST(SUM(CASE WHEN te.y >= (te.x * b.beta_ppm) // 1000000 + q.r_lo
+                                AND te.y <= (te.x * b.beta_ppm) // 1000000 + q.r_hi
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+          FROM test te CROSS JOIN beta b CROSS JOIN qs q)
+        SELECT n.n_calib, b.beta_ppm,
+               CAST(q.r_lo AS BIGINT) AS r_lo, CAST(q.r_hi AS BIGINT) AS r_hi,
+               c.n_test, c.n_covered,
+               (c.n_covered * 1000000) // c.n_test AS coverage_ppm
+        FROM nc n CROSS JOIN beta b CROSS JOIN qs q CROSS JOIN cov c
+        ORDER BY n.n_calib"""))
   )
 }
