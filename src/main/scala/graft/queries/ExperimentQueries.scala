@@ -1357,6 +1357,122 @@ object ExperimentQueries {
                c.n_test, c.n_covered,
                (c.n_covered * 1000000) // c.n_test AS coverage_ppm
         FROM nc n CROSS JOIN beta b CROSS JOIN qs q CROSS JOIN cov c
-        ORDER BY n.n_calib"""))
+        ORDER BY n.n_calib""")),
+
+    // CONDITIONAL conformal coverage by market segment — the known gap
+    // q292 cannot see: split conformal guarantees ~90% coverage
+    // MARGINALLY, but nothing per subgroup; the equity audit every
+    // deployed interval model owes its users is this per-segment table
+    // (same β and residual band as q292, coverage measured per
+    // c_mktsegment on the holdout). Segments whose spend distribution
+    // deviates from the pooled calibration show it here first. Scale:
+    // q292's pipeline + one broadcast dim join + a 5-row rollup.
+    QueryDef(
+      "q293_conformal_by_segment",
+      (s, dir) => {
+        import graft.operators.GlobalRank
+        import graft.functions.Kernels
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey").as("ck"),
+            col("o_orderdate").cast("date").as("d"),
+            (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              * 100).cast("long").as("cents"))
+        val cut = lit("1998-01-01").cast("date")
+        val x0 = o.where(col("d") < cut).groupBy(col("ck"))
+          .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
+        val y0 = o.where(col("d") >= cut).groupBy(col("ck"))
+          .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("y"))
+        val pts = x0.join(y0, Seq("ck"), "left")
+          .select(col("ck"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+          .withColumn("bucket",
+            Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("conf:"), col("ck"))), 100L))
+          .localCheckpoint(true)
+        val calib = pts.where(col("bucket") < 50)
+        val test = pts.where(col("bucket") >= 50)
+        val beta = calib.agg(
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("x") * col("y")).as("sxy"))
+          .select(expr("((sxy div 1048576) * 1000000) div (sxx div 1048576)")
+            .as("beta_ppm"))
+        val resid = calib.crossJoin(broadcast(beta))
+          .select(col("ck"),
+            (col("y") - expr("(x * beta_ppm) div 1000000")).as("r"))
+        val ranked = GlobalRank.withGlobalRank(
+          resid, "rn", expr("r div 1024"), col("r"), col("ck"))
+        val nC = calib.agg(count(lit(1)).as("n_calib"))
+        val targets = nC.select(explode(array(
+            struct(lit("lo").as("b"), expr("CAST(ceil(n_calib * 0.05) AS BIGINT)").as("tr")),
+            struct(lit("hi").as("b"), expr("CAST(ceil(n_calib * 0.95) AS BIGINT)").as("tr"))))
+            .as("t"))
+          .select(col("t.b").as("b"), col("t.tr").as("tr"))
+        val qs = ranked.join(broadcast(targets), col("rn") === col("tr"))
+          .groupBy()
+          .agg(min(when(col("b") === "lo", col("r"))).as("r_lo"),
+            min(when(col("b") === "hi", col("r"))).as("r_hi"))
+        val seg = Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"), col("c_mktsegment").as("segment"))
+        test.join(broadcast(seg), Seq("ck"))
+          .crossJoin(broadcast(beta)).crossJoin(broadcast(qs))
+          .select(col("segment"), col("y"),
+            (expr("(x * beta_ppm) div 1000000") + col("r_lo")).as("lo"),
+            (expr("(x * beta_ppm) div 1000000") + col("r_hi")).as("hi"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("y") >= col("lo") && col("y") <= col("hi"), 1L)
+              .otherwise(0L)).as("n_covered"))
+          .select(col("segment"), col("n_test"), col("n_covered"),
+            expr("(n_covered * 1000000) div n_test").as("coverage_ppm"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+          FROM orders),
+        x0 AS (SELECT ck, CAST(SUM(cents) // 100 AS BIGINT) AS x
+               FROM o WHERE d < DATE '1998-01-01' GROUP BY 1),
+        y0 AS (SELECT ck, CAST(SUM(cents) // 100 AS BIGINT) AS y
+               FROM o WHERE d >= DATE '1998-01-01' GROUP BY 1),
+        pts AS (
+          SELECT x0.ck, x0.x, COALESCE(y0.y, 0) AS y,
+                 CAST(md5_number_lower('conf:' || x0.ck) % 100 AS BIGINT)
+                   AS bucket
+          FROM x0 LEFT JOIN y0 ON x0.ck = y0.ck),
+        calib AS (SELECT * FROM pts WHERE bucket < 50),
+        test AS (SELECT * FROM pts WHERE bucket >= 50),
+        beta AS (
+          SELECT CAST(((SUM(x * y) // 1048576) * 1000000)
+                      // (SUM(x * x) // 1048576) AS BIGINT) AS beta_ppm
+          FROM calib),
+        resid AS (
+          SELECT c.ck, c.y - (c.x * b.beta_ppm) // 1000000 AS r
+          FROM calib c CROSS JOIN beta b),
+        ranked AS (
+          SELECT ck, r, row_number() OVER (ORDER BY r, ck) AS rn
+          FROM resid),
+        nc AS (SELECT COUNT(*) AS n_calib FROM calib),
+        qs AS (
+          SELECT CAST(MIN(CASE WHEN t.b = 'lo' THEN rk.r END) AS BIGINT) AS r_lo,
+                 CAST(MIN(CASE WHEN t.b = 'hi' THEN rk.r END) AS BIGINT) AS r_hi
+          FROM ranked rk
+          JOIN (SELECT 'lo' AS b, CAST(ceil(n_calib * 0.05) AS BIGINT) AS tr
+                FROM nc
+                UNION ALL
+                SELECT 'hi', CAST(ceil(n_calib * 0.95) AS BIGINT) FROM nc) t
+            ON rk.rn = t.tr)
+        SELECT cu.c_mktsegment AS segment,
+               COUNT(*) AS n_test,
+               CAST(SUM(CASE WHEN te.y >= (te.x * b.beta_ppm) // 1000000 + q.r_lo
+                              AND te.y <= (te.x * b.beta_ppm) // 1000000 + q.r_hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               (CAST(SUM(CASE WHEN te.y >= (te.x * b.beta_ppm) // 1000000 + q.r_lo
+                               AND te.y <= (te.x * b.beta_ppm) // 1000000 + q.r_hi
+                              THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                 // COUNT(*) AS coverage_ppm
+        FROM test te
+        JOIN customer cu ON cu.c_custkey = te.ck
+        CROSS JOIN beta b CROSS JOIN qs q
+        GROUP BY 1
+        ORDER BY segment"""))
   )
 }
