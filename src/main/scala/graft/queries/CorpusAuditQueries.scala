@@ -496,5 +496,78 @@ object CorpusAuditQueries {
                d.dcg_micro, i.idcg_micro,
                (d.dcg_micro * 1000000) // i.idcg_micro AS ndcg_ppm
         FROM dcg d JOIN idcg i USING (query_id)
-        ORDER BY query_id""")))
+        ORDER BY query_id""")),
+
+    // Duplication PROVENANCE matrix — q269 says how much of each doc is
+    // duplicated; this says WHERE the copies come from: for every source
+    // pair (src_a ≤ src_b), the number of distinct 13-gram window types
+    // both sources contain. The diagonal (src_a = src_b, counting types
+    // appearing in ≥2 docs of the same source) separates in-house
+    // boilerplate from cross-source scraping — the call that decides
+    // whether dedup should run within or across provenance boundaries.
+    // Scale: the (source, h) frame is the only corpus-size shuffle
+    // (8-byte keys); the pair join runs on the per-hash source LISTS
+    // (≤ |sources| = bounded domain), never on documents.
+    QueryDef(
+      "q294_dup_provenance",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val sh = TextDedup.ngramHash62(
+            d.select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+              .select(col("doc_id"), col("source"), col("ws")),
+            "doc_id", "ws", 13)
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .select(col("source"), col("doc_id"), col("h62").as("h"))
+        val perSrc = sh.select(col("source"), col("doc_id"), col("h")).distinct()
+        // same-source dup types: h present in >= 2 docs of that source
+        val diag = perSrc.groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("nd"))
+          .where(col("nd") >= 2)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_shared_types"))
+          .select(col("source").as("src_a"), col("source").as("src_b"),
+            col("n_shared_types"))
+        val srcH = perSrc.select(col("source"), col("h")).distinct()
+        val cross = srcH.select(col("h"), col("source").as("src_a"))
+          .join(srcH.select(col("h"), col("source").as("src_b")), Seq("h"))
+          .where(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b"))
+          .agg(count(lit(1)).as("n_shared_types"))
+        diag.unionByName(cross)
+          .where(col("n_shared_types") >= 5)
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+        th AS (
+          SELECT doc_id, source, list_transform(ws,
+                   t -> CAST(md5_number_lower(t) % 2147483647 AS BIGINT)) AS hs
+          FROM toks WHERE len(ws) >= 13),
+        sh AS (
+          SELECT DISTINCT doc_id, source,
+                 unnest(list_transform(range(1, len(hs) - 11),
+                   i -> list_reduce(list_slice(hs, i, i + 12),
+                          (a, x) -> (a * 131 + x) % 2147483647) * 2147483648 +
+                        list_reduce(list_slice(hs, i, i + 12),
+                          (a, x) -> (a * 137 + x) % 2147483647))) AS h
+          FROM th),
+        diag AS (
+          SELECT source AS src_a, source AS src_b,
+                 COUNT(*) AS n_shared_types
+          FROM (SELECT source, h, COUNT(*) AS nd
+                FROM sh GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+          GROUP BY 1, 2),
+        srch AS (SELECT DISTINCT source, h FROM sh),
+        crossed AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 COUNT(*) AS n_shared_types
+          FROM srch a JOIN srch b
+            ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2),
+        u AS (SELECT * FROM diag UNION ALL SELECT * FROM crossed)
+        SELECT src_a, src_b, CAST(n_shared_types AS BIGINT) AS n_shared_types
+        FROM u
+        WHERE n_shared_types >= 5
+        ORDER BY src_a, src_b""")))
 }
