@@ -38,7 +38,7 @@ object GlobalRank {
     * The input subtree is consumed TWICE (bucket counts + the ranked
     * join). A plain projected scan pays one extra columnar read — fine;
     * callers passing an EXPENSIVE frame (an aggregate, a join) should
-    * materialize it first with `localCheckpoint(true)` (the repo's
+    * materialize it first with `CheckpointPolicy` / `cutLineage()` (the repo's
     * pin-neutral pattern) or the subtree recomputes per reference —
     * and doubles per call when chaining ranks on one frame.
     */

@@ -2,13 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Iterative graph operators beyond the connected-components family
   * (TextDedup.connectedComponents): k-core decomposition by parallel
-  * peeling. Same loop discipline as CC — localCheckpoint(eager) per
-  * round keeps the plan constant-size and the loop pin-neutral
-  * (no cacheManager entries), and the convergence probe reads
-  * materialized blocks, not lineage.
+  * peeling. Same loop discipline as CC — an eager `cutLineage()`
+  * ([[graft.plans.CheckpointPolicy]]: localCheckpoint locally, reliable
+  * checkpoint or parquet spill on clusters) per round keeps the plan
+  * constant-size and the loop pin-neutral (no cacheManager entries), and
+  * the convergence probe reads materialized blocks, not lineage.
   */
 object Graphs {
 
@@ -27,10 +29,10 @@ object Graphs {
     */
   def kCoreWithRounds(edges: DataFrame, k: Int,
       maxRounds: Int = 64): (DataFrame, Int) = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).cutLineage()
     var deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
       .where(col("deg") >= k)
-      .localCheckpoint(true)
+      .cutLineage()
     var cnt = deg.count()
     var rounds = 0
     var converged = cnt == 0L
@@ -40,7 +42,7 @@ object Graphs {
         .join(deg.select(col("node").as("dst")), Seq("dst"))
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k)
-        .localCheckpoint(true)
+        .cutLineage()
       val n = nxt.count()
       converged = n == cnt
       deg = nxt
@@ -64,9 +66,9 @@ object Graphs {
     * `sources` column `node`. Returns (node, hop). */
   def bfsHops(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).cutLineage()
     var known = sources.select(col("node")).distinct()
-      .withColumn("hop", lit(0L)).localCheckpoint(true)
+      .withColumn("hop", lit(0L)).cutLineage()
     var frontier = known
     var h = 1
     var done = false
@@ -75,10 +77,10 @@ object Graphs {
         .select(col("dst").as("node")).distinct()
         .join(known.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
-        .localCheckpoint(true)
+        .cutLineage()
       if (nxt.isEmpty) done = true
       else {
-        known = known.unionByName(nxt).localCheckpoint(true)
+        known = known.unionByName(nxt).cutLineage()
         frontier = nxt
       }
       h += 1
@@ -97,7 +99,7 @@ object Graphs {
     * Fixed rounds (not convergence-probed) because synchronous LPA can
     * 2-cycle on bipartite structure; callers pick the budget. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).cutLineage()
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     (1 to rounds).foreach { _ =>

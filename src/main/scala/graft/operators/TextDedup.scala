@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Kernels
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Near-duplicate detection for document corpora — MinHash+banded-LSH and
   * SimHash, the two standard sketches for web-scale training-data dedup.
@@ -201,12 +202,15 @@ object TextDedup {
     * ~ …) that is the difference between 8 rounds and hundreds.
     *
     * Pin-neutral by contract: every materialization in the loop (and the
-    * returned frame) is `localCheckpoint` — lineage truncated, NO
-    * cacheManager registration, blocks released by the ContextCleaner when
-    * the round frames go out of scope — so callers and harnesses need no
-    * cache hygiene, and a suite running many queries accumulates zero pins
-    * from this loop. (On a multi-executor cluster with dynamic allocation,
-    * swap localCheckpoint for a reliable `checkpoint` dir — same contract.)
+    * returned frame) goes through [[graft.plans.CheckpointPolicy]]
+    * (`cutLineage()`) — lineage truncated, NO cacheManager registration —
+    * so callers and harnesses need no cache hygiene, and a suite running
+    * many queries accumulates zero pins from this loop. Locally that is
+    * `localCheckpoint`; a cluster sets `graft.checkpoint.policy=reliable`
+    * (or `parquet`) so an executor loss mid-iteration recomputes nothing
+    * and loses nothing — local checkpoint blocks are executor-resident and
+    * non-replicated, which at 1000 executors makes a loss per run a
+    * near-certainty.
     *
     * Each phase is one hash shuffle (groupBy the star center) + one
     * co-partitioned join; the convergence probe compares two PERSISTED
@@ -230,7 +234,8 @@ object TextDedup {
     // Canonical child→parent edges (u > v), deduplicated. Each round
     // references the edge frame several times (bidir union, star joins),
     // so WITHOUT lineage truncation the logical plan multiplies ~8× per
-    // round — exponential analysis blowup. localCheckpoint(eager) both
+    // round — exponential analysis blowup. cutLineage() (eager, policy-
+    // selected: localCheckpoint locally, reliable checkpoint on cluster) both
     // materializes (the convergence probe reads blocks, not lineage) and
     // truncates the plan to the checkpointed RDD, keeping per-round plan
     // size constant; unlike persist it registers nothing in cacheManager,
@@ -239,7 +244,7 @@ object TextDedup {
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .where(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .cutLineage()
     var cnt = edges.count()
     var rounds = 0
     var converged = cnt == 0L
@@ -264,7 +269,7 @@ object TextDedup {
           struct(col("u").as("u"), col("m").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .where(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
+        .cutLineage()
       val nextCnt = ss.count()
       converged = nextCnt == cnt && ss.exceptAll(edges).limit(1).isEmpty
       edges = ss
@@ -277,6 +282,6 @@ object TextDedup {
       .unionByName(edges.select(col("v").as("node"), col("v").as("label")))
       .unionByName(selfNodes.select(col("node"), col("node").as("label")))
       .groupBy(col("node")).agg(min(col("label")).as("cluster_id"))
-    (labels.localCheckpoint(true), rounds)
+    (labels.cutLineage(), rounds)
   }
 }

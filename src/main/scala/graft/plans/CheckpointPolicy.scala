@@ -1,0 +1,88 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Policy seam for lineage-cutting materialization inside iterative
+  * operators and multi-consumer pipeline spines.
+  *
+  * Why a seam: the repo's iterative loops (connected components, k-core,
+  * BFS, SemDeDup) and multiply-consumed frames all need a
+  * materialize-and-truncate step — without it the logical plan multiplies
+  * per round and multi-consumer subtrees recompute. `localCheckpoint(true)`
+  * is the right LOCAL answer (no cacheManager entry, blocks freed by the
+  * ContextCleaner), but its blocks are EXECUTOR-RESIDENT and
+  * NON-REPLICATED: on a real cluster, losing one executor mid-iteration
+  * kills the job, because the truncated lineage cannot recompute the lost
+  * blocks. At 100 TB on ~1000 executors that is a near-certainty per run.
+  *
+  * The seam keeps `localCheckpoint` as the single-JVM fast path and lets a
+  * cluster deployment flip ONE config to a fault-tolerant cut:
+  *
+  *   - `graft.checkpoint.policy=local` (default): `localCheckpoint(true)`.
+  *   - `graft.checkpoint.policy=reliable`: `Dataset.checkpoint(true)` to
+  *     the reliable checkpoint dir (HDFS/object store — replicated, so an
+  *     executor loss recomputes nothing and loses nothing). The dir comes
+  *     from `SparkContext.checkpointDir` if already set, else from
+  *     `graft.checkpoint.dir` (set lazily on first use).
+  *   - `graft.checkpoint.policy=parquet`: write-and-reread a parquet
+  *     round-trip under `graft.checkpoint.dir`. Same durability as
+  *     `reliable` with two extras clusters care about: columnar compression
+  *     (checkpoint files are raw serialized rows) and downstream scans that
+  *     re-enter the normal FileScan path (splittable, column-prunable).
+  *
+  * All three are pin-neutral — none registers anything in the
+  * cacheManager, so PinHygieneSpec's invariant holds under every policy.
+  *
+  * Cleanup: reliable-checkpoint RDD files are removed by the
+  * ContextCleaner when `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * is set, else at application end; parquet spills accumulate under
+  * distinct UUID subdirs of `graft.checkpoint.dir` and are a warehouse
+  * janitor's job (the dir is listable; each spill is self-contained).
+  */
+object CheckpointPolicy {
+
+  val PolicyKey = "graft.checkpoint.policy"
+  val DirKey = "graft.checkpoint.dir"
+
+  sealed trait Policy
+  case object Local extends Policy
+  case object Reliable extends Policy
+  case object ParquetSpill extends Policy
+
+  def resolve(df: DataFrame): Policy =
+    df.sparkSession.conf.get(PolicyKey, "local") match {
+      case "local" => Local
+      case "reliable" => Reliable
+      case "parquet" => ParquetSpill
+      case other => throw new IllegalArgumentException(
+        s"$PolicyKey must be local|reliable|parquet, got '$other'")
+    }
+
+  /** Materialize `df` and truncate its lineage under the session's
+    * configured policy. Eager in all three modes — iterative callers rely
+    * on the cut frame being computed exactly once. */
+  def materialize(df: DataFrame): DataFrame = resolve(df) match {
+    case Local => df.localCheckpoint(true)
+    case Reliable =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = df.sparkSession.conf.get(DirKey, null)
+        require(dir != null,
+          s"$PolicyKey=reliable needs SparkContext.checkpointDir or $DirKey")
+        sc.setCheckpointDir(dir)
+      }
+      df.checkpoint(true)
+    case ParquetSpill =>
+      val dir = df.sparkSession.conf.get(DirKey, null)
+      require(dir != null, s"$PolicyKey=parquet needs $DirKey")
+      val path = s"$dir/spill_${java.util.UUID.randomUUID()}"
+      df.write.parquet(path)
+      df.sparkSession.read.parquet(path)
+  }
+
+  /** `df.cutLineage()` — the call sites' spelling of [[materialize]]. */
+  implicit final class DataFrameCutOps(private val df: DataFrame)
+      extends AnyVal {
+    def cutLineage(): DataFrame = materialize(df)
+  }
+}

@@ -2,6 +2,7 @@ package graft.plans
 
 import scala.collection.mutable
 import org.apache.spark.sql.DataFrame
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Mini pipeline DAG runner with memoized shared dependencies — the
   * reference's dbt DAG shape re-expressed for Spark (reference: stg_orders
@@ -75,14 +76,14 @@ final class Pipeline {
     memo.get(name) match {
       case Some((df, mat)) if mat || !wantMat => df
       case Some((df, _)) => // lazy from an earlier build; now shared → upgrade
-        val m = df.localCheckpoint(true)
+        val m = df.cutLineage()
         memo(name) = (m, true)
         m
       case None =>
         val node = nodes.getOrElse(name, sys.error(s"unknown node $name"))
         val deps = node.deps.map(d => d -> buildWith(d, visiting + name, demand)).toMap
         val df   = node.build(deps)
-        val out  = if (wantMat) (df.localCheckpoint(true), true) else (df, false)
+        val out  = if (wantMat) (df.cutLineage(), true) else (df, false)
         memo(name) = out
         out._1
     }

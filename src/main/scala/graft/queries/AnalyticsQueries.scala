@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.Kernels._
 import graft.operators.Profile
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Round-4 batch 7 — warehouse-analytics operators the reference's mart
   * users run daily, each exact-arithmetic and oracle-gated:
@@ -398,7 +399,7 @@ object AnalyticsQueries {
           .withColumn("bkt", expr("cents div 4096"))
           // consumed 3x (bucket totals, segment totals, cumulative join):
           // materialize the orders-weights join once
-          .localCheckpoint(true)
+          .cutLineage()
         val wOff = Window.partitionBy(col("segment")).orderBy(col("bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)
         val boff = b.groupBy(col("segment"), col("bkt"))

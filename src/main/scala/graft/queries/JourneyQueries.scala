@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Kernels._
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Round-4 batch 9 — customer-journey analytics:
   *
@@ -272,7 +273,7 @@ object JourneyQueries {
         val spans = sessioned
           .groupBy(col("user_id"), col("session_no"), col("event_type"))
           .agg(min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
-          .localCheckpoint(true)
+          .cutLineage()
         val total = spans.select(col("user_id"), col("session_no")).distinct()
           .agg(count(lit(1)).as("n_total"))
         val a = spans.select(col("user_id"), col("session_no"),
@@ -523,7 +524,7 @@ object JourneyQueries {
         // chain table (per-entry ppm floor at each squaring, the lattice the
         // oracle mirrors) instead of 16 chained vector steps — same
         // absorption read, quarter the stages.
-        var m = vc.unionByName(absorb).localCheckpoint(true)
+        var m = vc.unionByName(absorb).cutLineage()
         for (_ <- 1 to 4) {
           val a = m.select(col("variant"), col("f"), col("t").as("mid"),
             col("p").as("pa"))
@@ -532,7 +533,7 @@ object JourneyQueries {
           m = a.join(b, col("variant") === col("bvariant") && a("mid") === b("mid"))
             .groupBy(col("variant"), col("f"), col("t"))
             .agg(sum(expr("(pa * pb) div 1000000")).as("p"))
-            .localCheckpoint(true)
+            .cutLineage()
         }
         val pconv = variantDf.join(
             m.where(col("f") === "start" && col("t") === "conv")

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.Kernels.{md5Bits, md5BitsModK}
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Round-5 robust-statistics batch — the distribution-shape audits a data
   * platform runs on money and text columns: inequality/concentration
@@ -484,7 +485,7 @@ object RobustStatsQueries {
               month(col("o_orderdate")) - 1).cast("long").as("mi"))
           .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
             .cast("long")).as("cents"))
-          .localCheckpoint(true)
+          .cutLineage()
         val a = monthly.select(col("segment"), col("mi").as("mi_a"),
           col("cents").as("c_a"))
         val b = monthly.select(col("segment"), col("mi").as("mi_b"),

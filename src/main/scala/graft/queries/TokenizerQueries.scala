@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextKernels.tokens
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Tokenizer-training primitives — the step a pre-training pipeline runs
   * AFTER curation (dedup q27/q87, quality q92, mixing q166) and BEFORE
@@ -56,7 +57,7 @@ object TokenizerQueries {
           .where(length(col("w")) > 0)
         var wf = words.groupBy(col("w")).agg(count(lit(1)).as("freq"))
           .select(charWrap(col("w")).as("seq"), col("freq"))
-          .localCheckpoint(true)
+          .cutLineage()
 
         def pairCounts(frame: DataFrame): DataFrame = {
           val ss = syms(col("seq"))
@@ -81,14 +82,14 @@ object TokenizerQueries {
           wf = wf.crossJoin(broadcast(top1))
             .select(expr("replace(seq, pat, rep)").as("seq"), col("freq"),
               col("pair"), col("cnt"))
-            .localCheckpoint(true)
+            .cutLineage()
           val out = wf
             .groupBy(col("pair"), col("cnt"))
             .agg(sum(col("freq") * size(syms(col("seq")))).as("corpus_symbols"))
             .select(lit(r.toLong).as("merge_round"),
               regexp_replace(col("pair"), "·", "+").as("pair"),
               col("cnt").as("pair_count"), col("corpus_symbols"))
-          wf = wf.select(col("seq"), col("freq")).localCheckpoint(true)
+          wf = wf.select(col("seq"), col("freq")).cutLineage()
           out
         }
         rounds.reduce(_.unionByName(_)).orderBy(col("merge_round"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Multimodal, Similarity}
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Embedding similarity search over `embeddings` (FLOAT[64]) and the
   * multimodal binary-column surface. Cosines are sequential double folds
@@ -87,13 +88,13 @@ object VectorQueries {
         val full = Similarity.bruteForceTopK(
             e.where(col("vec_id") < 10), e, "vec_id", "embedding", 5)
           .select(col("q_id"), col("n_id").as("fn"))
-          .localCheckpoint(true)
+          .cutLineage()
         val pre = e.select(col("vec_id"),
           slice(col("embedding"), 1, 16).as("embedding"))
         val prefix = Similarity.bruteForceTopK(
             pre.where(col("vec_id") < 10), pre, "vec_id", "embedding", 5)
           .select(col("q_id").as("q2"), col("n_id").as("pn"))
-          .localCheckpoint(true)
+          .cutLineage()
         val fAgg = full.groupBy(col("q_id"))
           .agg(sum(col("fn")).as("full_checksum"))
         val pAgg = prefix.groupBy(col("q2").as("q_id"))
@@ -646,7 +647,7 @@ object VectorQueries {
           .select(col("vec_id"), (col("dim") % 16).cast("long").as("dim"),
             (col("dim").cast("long") / 16).cast("long").as("sub"),
             floor(col("xf").cast("double") * lit(1000000.0d)).cast("long").as("xq"))
-          .localCheckpoint(true)
+          .cutLineage()
         val c0 = ex.where(col("vec_id") < 4)
           .select(col("sub"), col("vec_id").as("cid"), col("dim"), col("xq").as("cq"))
 
@@ -730,11 +731,11 @@ object VectorQueries {
           .select(col("vec_id"), col("embedding"),
             Similarity.dot(col("embedding"), col("q_vec")).as("rel"))
           .orderBy(col("rel").desc, col("vec_id")).limit(12)
-          .localCheckpoint(true)
+          .cutLineage()
         var selected = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
           .select(col("vec_id"), col("embedding"), col("rel"),
             lit(1L).as("pick_order"), lit(0.0d).as("maxsim"))
-          .localCheckpoint(true)
+          .cutLineage()
         for (r <- 2 to 5) {
           val remaining = cand
             .join(selected.select(col("vec_id")), Seq("vec_id"), "left_anti")
@@ -748,7 +749,7 @@ object VectorQueries {
             .limit(1)
             .select(col("vec_id"), col("embedding"), col("rel"),
               lit(r.toLong).as("pick_order"), col("ms").as("maxsim"))
-          selected = selected.unionByName(top1).localCheckpoint(true)
+          selected = selected.unionByName(top1).cutLineage()
         }
         selected.select(col("pick_order"), col("vec_id"), col("rel"),
             col("maxsim"),
@@ -854,7 +855,7 @@ object VectorQueries {
           }
         val hashed = Multimodal
           .dHash(Multimodal.resize(media, 9, 7)(s), 8, 7)(s)
-          .toDF().localCheckpoint(true)
+          .toDF().cutLineage()
         val banded = hashed.select(col("media_id"), col("dhash"),
             explode(sequence(lit(0), lit(3))).as("band"))
           .withColumn("band_val",
@@ -933,7 +934,7 @@ object VectorQueries {
           .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
           .select(col("vec_id"), col("dim").cast("long").as("dim"),
             floor(col("xf").cast("double") * lit(1000000.0d)).cast("long").as("xq"))
-          .localCheckpoint(true)
+          .cutLineage()
         val c0 = ex.where(col("vec_id") < 4)
           .select(col("vec_id").as("cid"), col("dim"), col("xq").as("cq"))
         def assign(cent: DataFrame): DataFrame = {
@@ -949,7 +950,7 @@ object VectorQueries {
             .groupBy(col("cid"), col("dim"))
             .agg(floor(sum(col("xq")).cast("double") / count(lit(1)))
               .cast("long").as("cq"))
-        val asg = assign(update(assign(c0))).localCheckpoint(true)
+        val asg = assign(update(assign(c0))).cutLineage()
         // Planes scale with corpus size (q41's autoPlanes contract, target
         // cell occupancy 256 BEFORE the 4-way cluster split): fixed cells
         // would make within-cell pairs quadratic at 10x the vectors.
@@ -962,7 +963,7 @@ object VectorQueries {
         val b2 = bucketed.select(col("cid"), col("bkt"), col("vec_id").as("id_b"))
         val cand = a.join(b2, Seq("cid", "bkt")).where(col("id_a") < col("id_b"))
           .select(col("cid"), col("id_a"), col("id_b"))
-          .localCheckpoint(true)
+          .cutLineage()
         // Exact d2 per candidate via ONE codegen'd VectorDot per pair on the
         // quantized-to-double arrays (|xq| <= 2e6 -> every product and sum
         // stays an exact integer < 2^53): d2 = <a,a> - 2<a,b> + <b,b>.
@@ -973,7 +974,7 @@ object VectorQueries {
               "CAST(floor(CAST(x AS DOUBLE) * 1000000.0D) AS DOUBLE))")
               .as("qv"))
           .withColumn("self", Similarity.dot(col("qv"), col("qv")))
-          .localCheckpoint(true)
+          .cutLineage()
         val q1 = qv.select(col("vec_id").as("id_a"), col("qv").as("va"),
           col("self").as("sa"))
         val q2 = qv.select(col("vec_id").as("id_b"), col("qv").as("vb"),
@@ -984,7 +985,7 @@ object VectorQueries {
               col("sb"))
           .where(col("d2") <= lit(1.44e12d))
           .select(col("cid"), col("id_a"), col("id_b"))
-          .localCheckpoint(true)
+          .cutLineage()
         val removed = dup.select(col("cid"), col("id_b")).distinct()
         val nv = asg.groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
         val nc = cand.groupBy(col("cid")).agg(count(lit(1)).as("n_candidate_pairs"))
