@@ -1,10 +1,12 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.functions.Kernels.{md5Bits, md5BitsModK}
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Round-5 late batch — experimentation + governance analytics: the
   * privacy audit (k-anonymity), the attribution and experiment-analysis
@@ -592,7 +594,7 @@ object ExperimentQueries {
         val pre = bins
           .withColumn("sc", sum(col("c")).over(wBin))
           .withColumn("sy", sum(col("y")).over(wBin))
-          .localCheckpoint(true)
+          .cutLineage()
         val ranges = pre.select(col("bin").as("j"),
             (col("sc") - col("c")).as("scj"), (col("sy") - col("y")).as("syj"))
           .crossJoin(pre.select(col("bin").as("k"),
@@ -1241,13 +1243,12 @@ object ExperimentQueries {
         FROM matched m JOIN logged l USING (ctx)
         ORDER BY m.ctx""")),
 
-    // Split conformal prediction — the distribution-free way to put an
+    // Split conformal prediction â the distribution-free way to put an
     // interval around ANY point model: fit a through-origin spend
-    // predictor (β = Σxy/Σx² over a hash-split calibration half, the
-    // ratio carried in DECIMAL(38,0) ppm — BIGINT would overflow the
-    // cross-moments past sf1), take the calibration residuals' exact
+    // predictor on a hash-split calibration half (shared stage, see
+    // conformalCalib below), take the calibration residuals' exact
     // [P5, P95] via GlobalRank, and measure EMPIRICAL COVERAGE of
-    // pred + [r₅, r₉₅] on the held-out half — conformal theory says
+    // pred + [r₅, r₉₅] on the held-out half â conformal theory says
     // ~90%, the gate pins the exact count. x = pre-1998 spend, y = 1998
     // spend, whole dollars to keep every moment integral. Scale: two
     // customer aggs, one broadcast 2-row quantile-target join, one
@@ -1255,164 +1256,52 @@ object ExperimentQueries {
     QueryDef(
       "q292_conformal_coverage",
       (s, dir) => {
-        import graft.operators.GlobalRank
-        import graft.functions.Kernels
-        val o = Tables.orders(s, dir)
-          .select(col("o_custkey").as("ck"),
-            col("o_orderdate").cast("date").as("d"),
-            (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
-              * 100).cast("long").as("cents"))
-        val cut = lit("1998-01-01").cast("date")
-        val x0 = o.where(col("d") < cut).groupBy(col("ck"))
-          .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
-        val y0 = o.where(col("d") >= cut).groupBy(col("ck"))
-          .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("y"))
-        val pts = x0.join(y0, Seq("ck"), "left")
-          .select(col("ck"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
-          .withColumn("bucket",
-            Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("conf:"), col("ck"))), 100L))
-          .localCheckpoint(true)
-        val calib = pts.where(col("bucket") < 50)
-        val test = pts.where(col("bucket") >= 50)
-        val beta = calib.agg(
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("x") * col("y")).as("sxy"))
-          // pinned-shift ratio: both moments >> 2^20 BEFORE the ppm blowup
-          // keeps everything BIGINT (a DECIMAL div rounds differently across
-          // engines — off-by-one caught at the gate); relative error ~1e-11
-          .select(expr("((sxy div 1048576) * 1000000) div (sxx div 1048576)")
-            .as("beta_ppm"))
-        val resid = calib.crossJoin(broadcast(beta))
-          .select(col("ck"),
-            (col("y") - expr("(x * beta_ppm) div 1000000")).as("r"))
-        val ranked = GlobalRank.withGlobalRank(
-          resid, "rn", expr("r div 1024"), col("r"), col("ck"))
-        val nC = calib.agg(count(lit(1)).as("n_calib"))
-        val targets = nC.select(explode(array(
-            struct(lit("lo").as("b"), expr("CAST(ceil(n_calib * 0.05) AS BIGINT)").as("tr")),
-            struct(lit("hi").as("b"), expr("CAST(ceil(n_calib * 0.95) AS BIGINT)").as("tr"))))
-            .as("t"))
-          .select(col("t.b").as("b"), col("t.tr").as("tr"))
-        val qs = ranked.join(broadcast(targets), col("rn") === col("tr"))
-          .groupBy()
-          .agg(min(when(col("b") === "lo", col("r"))).as("r_lo"),
-            min(when(col("b") === "hi", col("r"))).as("r_hi"))
-        val cov = test.crossJoin(broadcast(beta)).crossJoin(broadcast(qs))
+        val cal = conformalCalib(s, dir)
+        val cov = cal.test.crossJoin(broadcast(cal.beta)).crossJoin(broadcast(cal.qs))
           .select(col("y"),
             (expr("(x * beta_ppm) div 1000000") + col("r_lo")).as("lo"),
             (expr("(x * beta_ppm) div 1000000") + col("r_hi")).as("hi"))
           .agg(count(lit(1)).as("n_test"),
             sum(when(col("y") >= col("lo") && col("y") <= col("hi"), 1L)
               .otherwise(0L)).as("n_covered"))
-        nC.crossJoin(broadcast(beta)).crossJoin(broadcast(qs)).crossJoin(cov)
+        cal.nCalib.crossJoin(broadcast(cal.beta)).crossJoin(broadcast(cal.qs)).crossJoin(cov)
           .select(col("n_calib"), col("beta_ppm"), col("r_lo"), col("r_hi"),
             col("n_test"), col("n_covered"),
             expr("(n_covered * 1000000) div n_test").as("coverage_ppm"))
           .orderBy(col("n_calib"))
       },
-      Some("""
-        WITH o AS (
-          SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
-                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
-          FROM orders),
-        x0 AS (SELECT ck, CAST(SUM(cents) // 100 AS BIGINT) AS x
-               FROM o WHERE d < DATE '1998-01-01' GROUP BY 1),
-        y0 AS (SELECT ck, CAST(SUM(cents) // 100 AS BIGINT) AS y
-               FROM o WHERE d >= DATE '1998-01-01' GROUP BY 1),
-        pts AS (
-          SELECT x0.ck, x0.x, COALESCE(y0.y, 0) AS y,
-                 CAST(md5_number_lower('conf:' || x0.ck) % 100 AS BIGINT)
-                   AS bucket
-          FROM x0 LEFT JOIN y0 ON x0.ck = y0.ck),
-        calib AS (SELECT * FROM pts WHERE bucket < 50),
-        test AS (SELECT * FROM pts WHERE bucket >= 50),
-        beta AS (
-          SELECT CAST(((SUM(x * y) // 1048576) * 1000000)
-                      // (SUM(x * x) // 1048576) AS BIGINT) AS beta_ppm
-          FROM calib),
-        resid AS (
-          SELECT c.ck, c.y - (c.x * b.beta_ppm) // 1000000 AS r
-          FROM calib c CROSS JOIN beta b),
-        ranked AS (
-          SELECT ck, r, row_number() OVER (ORDER BY r, ck) AS rn
-          FROM resid),
-        nc AS (SELECT COUNT(*) AS n_calib FROM calib),
-        qs AS (
-          SELECT MIN(CASE WHEN t.b = 'lo' THEN rk.r END) AS r_lo,
-                 MIN(CASE WHEN t.b = 'hi' THEN rk.r END) AS r_hi
-          FROM ranked rk
-          JOIN (SELECT 'lo' AS b, CAST(ceil(n_calib * 0.05) AS BIGINT) AS tr
-                FROM nc
-                UNION ALL
-                SELECT 'hi', CAST(ceil(n_calib * 0.95) AS BIGINT) FROM nc) t
-            ON rk.rn = t.tr),
+      Some(s"""
+        WITH $ConformalCalibSql,
         cov AS (
           SELECT COUNT(*) AS n_test,
                  CAST(SUM(CASE WHEN te.y >= (te.x * b.beta_ppm) // 1000000 + q.r_lo
                                 AND te.y <= (te.x * b.beta_ppm) // 1000000 + q.r_hi
                                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
           FROM test te CROSS JOIN beta b CROSS JOIN qs q)
-        SELECT n.n_calib, b.beta_ppm,
-               CAST(q.r_lo AS BIGINT) AS r_lo, CAST(q.r_hi AS BIGINT) AS r_hi,
+        SELECT n.n_calib, b.beta_ppm, q.r_lo, q.r_hi,
                c.n_test, c.n_covered,
                (c.n_covered * 1000000) // c.n_test AS coverage_ppm
         FROM nc n CROSS JOIN beta b CROSS JOIN qs q CROSS JOIN cov c
         ORDER BY n.n_calib""")),
 
-    // CONDITIONAL conformal coverage by market segment — the known gap
+    // CONDITIONAL conformal coverage by market segment â the known gap
     // q292 cannot see: split conformal guarantees ~90% coverage
     // MARGINALLY, but nothing per subgroup; the equity audit every
     // deployed interval model owes its users is this per-segment table
-    // (same β and residual band as q292, coverage measured per
-    // c_mktsegment on the holdout). Segments whose spend distribution
-    // deviates from the pooled calibration show it here first. Scale:
-    // q292's pipeline + one broadcast dim join + a 5-row rollup.
+    // (same β and residual band as q292 â literally the same
+    // conformalCalib stage, so the marginal and per-segment gates cannot
+    // drift apart â coverage measured per c_mktsegment on the holdout).
+    // Segments whose spend distribution deviates from the pooled
+    // calibration show it here first. Scale: q292's pipeline + one
+    // broadcast dim join + a 5-row rollup.
     QueryDef(
       "q293_conformal_by_segment",
       (s, dir) => {
-        import graft.operators.GlobalRank
-        import graft.functions.Kernels
-        val o = Tables.orders(s, dir)
-          .select(col("o_custkey").as("ck"),
-            col("o_orderdate").cast("date").as("d"),
-            (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
-              * 100).cast("long").as("cents"))
-        val cut = lit("1998-01-01").cast("date")
-        val x0 = o.where(col("d") < cut).groupBy(col("ck"))
-          .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
-        val y0 = o.where(col("d") >= cut).groupBy(col("ck"))
-          .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("y"))
-        val pts = x0.join(y0, Seq("ck"), "left")
-          .select(col("ck"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
-          .withColumn("bucket",
-            Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("conf:"), col("ck"))), 100L))
-          .localCheckpoint(true)
-        val calib = pts.where(col("bucket") < 50)
-        val test = pts.where(col("bucket") >= 50)
-        val beta = calib.agg(
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("x") * col("y")).as("sxy"))
-          .select(expr("((sxy div 1048576) * 1000000) div (sxx div 1048576)")
-            .as("beta_ppm"))
-        val resid = calib.crossJoin(broadcast(beta))
-          .select(col("ck"),
-            (col("y") - expr("(x * beta_ppm) div 1000000")).as("r"))
-        val ranked = GlobalRank.withGlobalRank(
-          resid, "rn", expr("r div 1024"), col("r"), col("ck"))
-        val nC = calib.agg(count(lit(1)).as("n_calib"))
-        val targets = nC.select(explode(array(
-            struct(lit("lo").as("b"), expr("CAST(ceil(n_calib * 0.05) AS BIGINT)").as("tr")),
-            struct(lit("hi").as("b"), expr("CAST(ceil(n_calib * 0.95) AS BIGINT)").as("tr"))))
-            .as("t"))
-          .select(col("t.b").as("b"), col("t.tr").as("tr"))
-        val qs = ranked.join(broadcast(targets), col("rn") === col("tr"))
-          .groupBy()
-          .agg(min(when(col("b") === "lo", col("r"))).as("r_lo"),
-            min(when(col("b") === "hi", col("r"))).as("r_hi"))
+        val cal = conformalCalib(s, dir)
         val seg = Tables.customer(s, dir)
           .select(col("c_custkey").as("ck"), col("c_mktsegment").as("segment"))
-        test.join(broadcast(seg), Seq("ck"))
-          .crossJoin(broadcast(beta)).crossJoin(broadcast(qs))
+        cal.test.join(broadcast(seg), Seq("ck"))
+          .crossJoin(broadcast(cal.beta)).crossJoin(broadcast(cal.qs))
           .select(col("segment"), col("y"),
             (expr("(x * beta_ppm) div 1000000") + col("r_lo")).as("lo"),
             (expr("(x * beta_ppm) div 1000000") + col("r_hi")).as("hi"))
@@ -1424,8 +1313,95 @@ object ExperimentQueries {
             expr("(n_covered * 1000000) div n_test").as("coverage_ppm"))
           .orderBy(col("segment"))
       },
-      Some("""
-        WITH o AS (
+      Some(s"""
+        WITH $ConformalCalibSql
+        SELECT cu.c_mktsegment AS segment,
+               COUNT(*) AS n_test,
+               CAST(SUM(CASE WHEN te.y >= (te.x * b.beta_ppm) // 1000000 + q.r_lo
+                              AND te.y <= (te.x * b.beta_ppm) // 1000000 + q.r_hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+               (CAST(SUM(CASE WHEN te.y >= (te.x * b.beta_ppm) // 1000000 + q.r_lo
+                               AND te.y <= (te.x * b.beta_ppm) // 1000000 + q.r_hi
+                              THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+                 // COUNT(*) AS coverage_ppm
+        FROM test te
+        JOIN customer cu ON cu.c_custkey = te.ck
+        CROSS JOIN beta b CROSS JOIN qs q
+        GROUP BY 1
+        ORDER BY segment"""))
+  )
+
+  /** Frames produced by the shared split-conformal calibration stage:
+    * `test` = held-out half (ck, x, y), `beta`/`qs`/`nCalib` = 1-row
+    * broadcast-sized frames.
+    */
+  private final case class ConformalStage(
+      test: DataFrame, beta: DataFrame, qs: DataFrame, nCalib: DataFrame)
+
+  /** Shared split-conformal calibration for q292/q293 â single-sourced so
+    * the marginal and per-segment gates cannot drift: through-origin
+    * β = Σxy/Σx² over a 50/50 md5-hash split of per-customer
+    * (x = pre-1998 spend, y = 1998 spend, whole dollars), residual band
+    * [P5, P95] via exact GlobalRank. The cross-moments ride DECIMAL(38,0)
+    * (the q182 wide path): DuckDB's SUM(BIGINT) promotes to HUGEINT, so a
+    * plain BIGINT sum on the Spark side would diverge past ~sf1 when
+    * Σx² crosses 2⁶³. Per-row products still fit BIGINT (per-customer
+    * spend is bounded, x² ≲ 10¹⁴) â only the corpus-proportional SUM
+    * needs the wide lane. The 2²⁰ pinned shift lands both moments back
+    * in BIGINT range (exact for raw sums to ~9.7e24 ≈ 10⁶× the 100 TB
+    * point) and the ×10⁶ ppm blow-up happens in DECIMAL so the numerator
+    * cannot wrap before the final integral divide; everything is positive
+    * so truncating `div` = floor on both engines.
+    */
+  private def conformalCalib(s: SparkSession, dir: String): ConformalStage = {
+    import graft.operators.GlobalRank
+    import graft.functions.Kernels
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"),
+        col("o_orderdate").cast("date").as("d"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast("long").as("cents"))
+    val cut = lit("1998-01-01").cast("date")
+    val x0 = o.where(col("d") < cut).groupBy(col("ck"))
+      .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("x"))
+    val y0 = o.where(col("d") >= cut).groupBy(col("ck"))
+      .agg(expr("CAST(sum(cents) div 100 AS BIGINT)").as("y"))
+    val pts = x0.join(y0, Seq("ck"), "left")
+      .select(col("ck"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
+      .withColumn("bucket",
+        Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("conf:"), col("ck"))), 100L))
+      .cutLineage()
+    val calib = pts.where(col("bucket") < 50)
+    val test = pts.where(col("bucket") >= 50)
+    val beta = calib.agg(
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx_d"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 0))).as("sxy_d"))
+      .select(expr(
+        "(CAST(sxy_d div 1048576 AS DECIMAL(38,0)) * 1000000) div (sxx_d div 1048576)")
+        .as("beta_ppm"))
+    val resid = calib.crossJoin(broadcast(beta))
+      .select(col("ck"),
+        (col("y") - expr("(x * beta_ppm) div 1000000")).as("r"))
+    val ranked = GlobalRank.withGlobalRank(
+      resid, "rn", expr("r div 1024"), col("r"), col("ck"))
+    val nC = calib.agg(count(lit(1)).as("n_calib"))
+    val targets = nC.select(explode(array(
+        struct(lit("lo").as("b"), expr("CAST(ceil(n_calib * 0.05) AS BIGINT)").as("tr")),
+        struct(lit("hi").as("b"), expr("CAST(ceil(n_calib * 0.95) AS BIGINT)").as("tr"))))
+        .as("t"))
+      .select(col("t.b").as("b"), col("t.tr").as("tr"))
+    val qs = ranked.join(broadcast(targets), col("rn") === col("tr"))
+      .groupBy()
+      .agg(min(when(col("b") === "lo", col("r"))).as("r_lo"),
+        min(when(col("b") === "hi", col("r"))).as("r_hi"))
+    ConformalStage(test, beta, qs, nC)
+  }
+
+  /** The oracle-side twin of [[conformalCalib]] â one CTE block shared by
+    * q292 and q293 so the SQL lattice is as single-sourced as the Spark
+    * one. DuckDB's SUM(BIGINT) is HUGEINT, so the beta CTE is exact as
+    * written; the Spark side matches it via the DECIMAL(38,0) lane above.
+    */
+  private def ConformalCalibSql: String = """o AS (
           SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d,
                  CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
           FROM orders),
@@ -1459,20 +1435,5 @@ object ExperimentQueries {
                 FROM nc
                 UNION ALL
                 SELECT 'hi', CAST(ceil(n_calib * 0.95) AS BIGINT) FROM nc) t
-            ON rk.rn = t.tr)
-        SELECT cu.c_mktsegment AS segment,
-               COUNT(*) AS n_test,
-               CAST(SUM(CASE WHEN te.y >= (te.x * b.beta_ppm) // 1000000 + q.r_lo
-                              AND te.y <= (te.x * b.beta_ppm) // 1000000 + q.r_hi
-                             THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
-               (CAST(SUM(CASE WHEN te.y >= (te.x * b.beta_ppm) // 1000000 + q.r_lo
-                               AND te.y <= (te.x * b.beta_ppm) // 1000000 + q.r_hi
-                              THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
-                 // COUNT(*) AS coverage_ppm
-        FROM test te
-        JOIN customer cu ON cu.c_custkey = te.ck
-        CROSS JOIN beta b CROSS JOIN qs q
-        GROUP BY 1
-        ORDER BY segment"""))
-  )
+            ON rk.rn = t.tr)"""
 }
