@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextKernels._
 import graft.operators.TextDedup
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Round-7 corpus audits: span-level exact-duplication measurement and
   * rank-fusion retrieval over the `documents` corpus.
@@ -122,42 +123,16 @@ object CorpusAuditQueries {
     QueryDef(
       "q273_rrf_fusion",
       (s, dir) => {
+        import graft.operators.Bm25
         val terms = Seq("dup", "vector", "merge", "stream", "hash")
         val d = Tables.documents(s, dir)
-        val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        val qtoks = toks.where(col("tk").isInCollection(terms))
-        val df0 = qtoks.select(col("doc_id"), col("tk")).distinct()
-          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
-        val tf = qtoks.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
-        val scored = tf.join(broadcast(df0), "tk")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("avgdl",
-            col("sum_dl").cast("double") / col("n_docs").cast("double"))
-          .withColumn("idf",
-            (lit(2L) * (col("n_docs") - col("df")) + lit(1L)).cast("double") /
-              (lit(2L) * col("df") + lit(1L)).cast("double"))
-          .withColumn("tfn",
-            (col("tf").cast("double") * lit(2.2d)) /
-              (col("tf").cast("double") +
-                lit(1.2d) * (lit(0.25d) +
-                  lit(0.75d) * col("dl").cast("double") / col("avgdl"))))
-          .withColumn("score_t", col("idf") * col("tfn"))
-        val termAggs = terms.map(t =>
-          coalesce(max(when(col("tk") === t, col("score_t"))), lit(0.0d))
-            .as("s_" + t))
-        val bm = scored.groupBy(col("doc_id"))
-          .agg(termAggs.head, termAggs.tail: _*)
-          .select(col("doc_id"),
-            (col("s_dup") + col("s_vector") + col("s_merge") + col("s_stream") +
-              col("s_hash")).as("score1"))
+        val f = Bm25.termScores(d, "doc_id", "text", terms)
+        val bm = Bm25.pivotedScore(f.scores, Seq("doc_id"), terms, "score1")
         val w1 = Window.orderBy(col("score1").desc, col("doc_id"))
         val top1 = bm.orderBy(col("score1").desc, col("doc_id")).limit(50)
           .withColumn("r1", row_number().over(w1).cast("long"))
-        val den = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("qtf"))
-          .join(dl, "doc_id")
+        val den = f.tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("qtf"))
+          .join(f.dl, "doc_id")
           .select(col("doc_id"),
             (col("qtf").cast("double") / col("dl").cast("double")).as("score2"))
         val w2 = Window.orderBy(col("score2").desc, col("doc_id"))
@@ -175,24 +150,8 @@ object CorpusAuditQueries {
           .orderBy(col("rrf_score").desc, col("doc_id"))
           .limit(10)
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
-        qtoks AS (SELECT * FROM toks
-                  WHERE tk IN ('dup','vector','merge','stream','hash')),
-        df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1),
-        tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM qtoks GROUP BY 1, 2),
-        scored AS (
-          SELECT t.doc_id, t.tk,
-                 CAST(2 * (s.n_docs - f.df) + 1 AS DOUBLE) /
-                   CAST(2 * f.df + 1 AS DOUBLE) *
-                 ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE) /
-                  (CAST(t.tf AS DOUBLE) +
-                   1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * CAST(l.dl AS DOUBLE) /
-                     (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS score_t
-          FROM tf t JOIN df f USING (tk) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      Some(s"""
+        WITH ${graft.operators.Bm25.scoredSql("'dup','vector','merge','stream','hash'")},
         bm AS (
           SELECT doc_id,
                  COALESCE(MAX(CASE WHEN tk = 'dup' THEN score_t END), 0.0::DOUBLE) +
@@ -353,29 +312,11 @@ object CorpusAuditQueries {
           (3L, "filter", "hash"))
         val allTerms = queriesDef.flatMap(q => Seq(q._2, q._3))
         val d = Tables.documents(s, dir)
-        val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        val qtoks = toks.where(col("tk").isInCollection(allTerms))
-        val df0 = qtoks.select(col("doc_id"), col("tk")).distinct()
-          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
-        val tf = qtoks.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
-        val scoredT = tf.join(broadcast(df0), "tk")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("avgdl",
-            col("sum_dl").cast("double") / col("n_docs").cast("double"))
-          .withColumn("idf",
-            (lit(2L) * (col("n_docs") - col("df")) + lit(1L)).cast("double") /
-              (lit(2L) * col("df") + lit(1L)).cast("double"))
-          .withColumn("tfn",
-            (col("tf").cast("double") * lit(2.2d)) /
-              (col("tf").cast("double") +
-                lit(1.2d) * (lit(0.25d) +
-                  lit(0.75d) * col("dl").cast("double") / col("avgdl"))))
-          .withColumn("score_t", col("idf") * col("tfn"))
+        val f = graft.operators.Bm25.termScores(d, "doc_id", "text", allTerms)
+        val tf = f.tf
+        val scoredT = f.scores
           .select(col("doc_id"), col("tk"), col("score_t"))
-          .localCheckpoint(true)
+          .cutLineage()
         val weights = Seq((1L, 1000000L), (2L, 630929L), (3L, 500000L),
           (4L, 430676L), (5L, 386852L), (6L, 356207L), (7L, 333333L),
           (8L, 315464L), (9L, 301029L), (10L, 289064L)).toDF("rank", "w")
@@ -421,27 +362,12 @@ object CorpusAuditQueries {
             expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_ppm"))
           .orderBy(col("query_id"))
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+      Some(s"""
+        WITH ${graft.operators.Bm25.scoredSql(
+          "'dup','vector','merge','stream','filter','hash'")},
         qt(query_id, tk) AS (
           VALUES (1, 'dup'), (1, 'vector'), (2, 'merge'), (2, 'stream'),
                  (3, 'filter'), (3, 'hash')),
-        qtoks AS (SELECT * FROM toks
-                  WHERE tk IN ('dup','vector','merge','stream','filter','hash')),
-        df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1),
-        tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM qtoks GROUP BY 1, 2),
-        scored AS (
-          SELECT t.doc_id, t.tk,
-                 CAST(2 * (s.n_docs - f.df) + 1 AS DOUBLE) /
-                   CAST(2 * f.df + 1 AS DOUBLE) *
-                 ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE) /
-                  (CAST(t.tf AS DOUBLE) +
-                   1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * CAST(l.dl AS DOUBLE) /
-                     (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS score_t
-          FROM tf t JOIN df f USING (tk) JOIN dl l USING (doc_id) CROSS JOIN stats s),
         sq AS (
           SELECT 1 AS query_id, doc_id,
                  COALESCE(MAX(CASE WHEN tk = 'dup' THEN score_t END), 0.0::DOUBLE) +

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextKernels.tokens
 import graft.operators.TextDedup
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Round-5 batch — engine-infrastructure analytics: the exact
   * set-similarity join (the completeness-guaranteed counterpart of the
@@ -38,6 +39,21 @@ object StatsQueries {
     // All integer arithmetic (ceil(3m/5) = (3m+4) div 5); the only
     // double is the final one-division Jaccard, identical IEEE on both
     // engines.
+    //
+    // DF-CAP (the saturated-vocabulary guard): shingles with document
+    // frequency > MaxDf leave the universe BEFORE any ranking or pair
+    // generation — the standard stop-token guard every production
+    // AllPairs implementation ships (a shingle in >256 docs identifies
+    // nothing; it only manufactures candidates). The audited similarity
+    // is exact Jaccard OVER THE SURVIVING (df <= 256) VOCABULARY, on both
+    // engines identically, so the completeness guarantee on that mass is
+    // unchanged. This bounds worst-case candidate volume at
+    // types x MaxDf^2 regardless of corpus size: the synthetic corpus's
+    // fixed 31-word vocabulary saturates (~29.8k shingle types) below
+    // sf0.1, after which every df grows linearly and the UNCAPPED exact
+    // join is output-bound quadratic (measured alpha 1.71 at sf1 —
+    // SCALE.md); capped, the hot mass is dropped and the audit stays
+    // sub-linear at any corpus size.
     QueryDef(
       "q167_prefix_filter_join",
       (s, dir) => {
@@ -57,11 +73,16 @@ object StatsQueries {
           d.select(col("doc_id"), tokens(col("text")).as("ws")),
           "doc_id", "ws", 3).distinct()
           .withColumn("_h", md5Bits(col("_sh")))
-          .localCheckpoint(true)
+          .cutLineage()
+        val maxDf = 256L
         val freq = sh.groupBy(col("_sh")).agg(count(lit(1)).as("c"))
+        // kept feeds THREE consumers (rarity ranking + both verify-join
+        // sides) — same materialize-once stance as sh above.
+        val kept = sh.join(freq.where(col("c") <= lit(maxDf)), "_sh")
+          .cutLineage()
         val perDoc = Window.partitionBy(col("doc_id"))
         val byRarity = perDoc.orderBy(col("c"), col("_sh"))
-        val ranked = sh.join(freq, "_sh")
+        val ranked = kept
           .withColumn("rnk", row_number().over(byRarity).cast("long"))
           .withColumn("m", count(lit(1)).over(perDoc))
         // pfx likewise feeds both sides of the candidate self-join —
@@ -70,7 +91,7 @@ object StatsQueries {
         val pfx = ranked
           .where(col("rnk") <= col("m") - expr("(3*m + 4) div 5") + lit(1L))
           .select(col("doc_id"), col("_h"), col("m"))
-          .localCheckpoint(true)
+          .cutLineage()
         val cand = pfx.select(col("doc_id").as("id_a"), col("_h"), col("m").as("ma"))
           .join(pfx.select(col("doc_id").as("id_b"), col("_h"), col("m").as("mb")), "_h")
           .where(col("id_a") < col("id_b") &&
@@ -78,8 +99,8 @@ object StatsQueries {
           .select(col("id_a"), col("id_b"), col("ma"), col("mb"))
           .distinct()
         val inter = cand
-          .join(sh.select(col("doc_id").as("id_a"), col("_h")), Seq("id_a"))
-          .join(sh.select(col("doc_id").as("id_b"), col("_h")), Seq("id_b", "_h"))
+          .join(kept.select(col("doc_id").as("id_a"), col("_h")), Seq("id_a"))
+          .join(kept.select(col("doc_id").as("id_b"), col("_h")), Seq("id_b", "_h"))
           .groupBy(col("id_a"), col("id_b"), col("ma"), col("mb"))
           .agg(count(lit(1)).as("inter"))
         inter
@@ -98,11 +119,14 @@ object StatsQueries {
                    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]))) AS tk
           FROM toks),
         freq AS (SELECT tk, COUNT(*) c FROM sh GROUP BY 1),
+        kept AS (
+          SELECT s.doc_id, s.tk, f.c
+          FROM sh s JOIN freq f USING (tk) WHERE f.c <= 256),
         ranked AS (
-          SELECT s.doc_id, s.tk,
-                 row_number() OVER (PARTITION BY s.doc_id ORDER BY f.c, s.tk) rnk,
-                 COUNT(*) OVER (PARTITION BY s.doc_id) m
-          FROM sh s JOIN freq f USING (tk)),
+          SELECT doc_id, tk,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY c, tk) rnk,
+                 COUNT(*) OVER (PARTITION BY doc_id) m
+          FROM kept),
         pfx AS (SELECT doc_id, tk, m FROM ranked WHERE rnk <= m - (3*m + 4)//5 + 1),
         cand AS (
           SELECT DISTINCT a.doc_id id_a, b.doc_id id_b, a.m ma, b.m mb
@@ -111,8 +135,8 @@ object StatsQueries {
         inter AS (
           SELECT c.id_a, c.id_b, c.ma, c.mb, COUNT(*) i
           FROM cand c
-          JOIN sh x ON x.doc_id = c.id_a
-          JOIN sh y ON y.doc_id = c.id_b AND y.tk = x.tk
+          JOIN kept x ON x.doc_id = c.id_a
+          JOIN kept y ON y.doc_id = c.id_b AND y.tk = x.tk
           GROUP BY 1, 2, 3, 4)
         SELECT id_a, id_b, CAST(ma AS BIGINT) AS size_a, CAST(mb AS BIGINT) AS size_b,
                CAST(i AS BIGINT) AS inter,
@@ -454,54 +478,15 @@ object StatsQueries {
     QueryDef(
       "q172_bm25_topk",
       (s, dir) => {
+        import graft.operators.Bm25
         val terms = Seq("dup", "vector", "merge", "stream", "hash")
-        val d = Tables.documents(s, dir)
-        val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
-        val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        val qtoks = toks.where(col("tk").isInCollection(terms))
-        val df = qtoks.select(col("doc_id"), col("tk")).distinct()
-          .groupBy(col("tk")).agg(count(lit(1)).as("df"))
-        val tf = qtoks.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("tf"))
-        val scored = tf.join(broadcast(df), "tk")
-          .join(dl, "doc_id")
-          .crossJoin(broadcast(stats))
-          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
-          .withColumn("idf",
-            (lit(2L) * (col("n_docs") - col("df")) + lit(1L)).cast("double") /
-              (lit(2L) * col("df") + lit(1L)).cast("double"))
-          .withColumn("tfn",
-            (col("tf").cast("double") * lit(2.2d)) /
-              (col("tf").cast("double") +
-                lit(1.2d) * (lit(0.25d) + lit(0.75d) * col("dl").cast("double") / col("avgdl"))))
-          .withColumn("score_t", col("idf") * col("tfn"))
-        val termAggs = terms.map(t =>
-          coalesce(max(when(col("tk") === t, col("score_t"))), lit(0.0d)).as("s_" + t))
-        val pivoted = scored.groupBy(col("doc_id"), col("dl"))
-          .agg(termAggs.head, termAggs.tail: _*)
-        pivoted.select(col("doc_id"), col("dl"),
-            (col("s_dup") + col("s_vector") + col("s_merge") + col("s_stream") +
-              col("s_hash")).as("score"))
+        val f = Bm25.termScores(Tables.documents(s, dir), "doc_id", "text", terms)
+        Bm25.pivotedScore(f.scores, Seq("doc_id", "dl"), terms, "score")
           .orderBy(col("score").desc, col("doc_id"))
           .limit(20)
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
-        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
-        stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
-        qtoks AS (SELECT * FROM toks WHERE tk IN ('dup','vector','merge','stream','hash')),
-        df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1),
-        tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM qtoks GROUP BY 1, 2),
-        scored AS (
-          SELECT t.doc_id, t.tk, l.dl,
-                 CAST(2 * (s.n_docs - f.df) + 1 AS DOUBLE) /
-                   CAST(2 * f.df + 1 AS DOUBLE) *
-                 ((CAST(t.tf AS DOUBLE) * 2.2::DOUBLE) /
-                  (CAST(t.tf AS DOUBLE) +
-                   1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * CAST(l.dl AS DOUBLE) /
-                     (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS score_t
-          FROM tf t JOIN df f USING (tk) JOIN dl l USING (doc_id) CROSS JOIN stats s),
+      Some(s"""
+        WITH ${graft.operators.Bm25.scoredSql("'dup','vector','merge','stream','hash'")},
         pivoted AS (
           SELECT doc_id, dl,
                  COALESCE(MAX(CASE WHEN tk = 'dup' THEN score_t END), 0.0::DOUBLE) AS s_dup,
