@@ -52,15 +52,35 @@ object Checks {
   def acceptedValues(df: DataFrame, c: String, values: Seq[String]): DataFrame =
     df.where(col(c).isNotNull && !col(c).isin(values: _*))
 
-  /** Summarize a battery into (check_name, severity, n_violations) — the
-    * shape a scheduler alerts on. Counts run as independent jobs; each is
-    * a cheap aggregate over the violation plan. */
+  /** Summarize a battery into (check_name, severity, n_violations,
+    * status) — the shape a scheduler alerts on. Counts run as independent
+    * jobs; each is a cheap aggregate over the violation plan. `status` is
+    * dbt run semantics: a violating error-severity check is 'fail', a
+    * violating warn-severity check is 'warn' (logged, run continues — all
+    * 13 reference singular tests are `severity: warn`, e.g.
+    * reference tests/stg_shipments__delivered_after_shipped.sql:1), a
+    * clean check is 'pass'. */
   def summarize(checks: Seq[Check]): DataFrame = {
     val counted = checks.map { c =>
       c.violations.agg(count(lit(1)).as("n_violations"))
         .select(lit(c.name).as("check_name"), lit(c.severity).as("severity"),
-          col("n_violations"))
+          col("n_violations"),
+          when(col("n_violations") === 0L, "pass")
+            .otherwise(if (c.severity == "error") "fail" else "warn")
+            .as("status"))
     }
     counted.reduce(_ unionAll _).orderBy(col("check_name"))
   }
+
+  /** Severity-faithful RUN verdict over a summarized battery: the run
+    * fails iff any ERROR-severity check has violations — warn-severity
+    * violations are reported but do not fail the run (dbt's contract).
+    * One row: (n_checks, n_failed_error, n_warned, run_status). */
+  def runVerdict(summary: DataFrame): DataFrame =
+    summary.agg(
+      count(lit(1)).as("n_checks"),
+      sum(when(col("status") === "fail", 1L).otherwise(0L)).as("n_failed_error"),
+      sum(when(col("status") === "warn", 1L).otherwise(0L)).as("n_warned"))
+      .select(col("n_checks"), col("n_failed_error"), col("n_warned"),
+        when(col("n_failed_error") > 0, "fail").otherwise("pass").as("run_status"))
 }

@@ -34,9 +34,23 @@ class ChecksSpec extends SparkSpec {
     val checks = Seq(
       Checks.Check("vals", "warn", Checks.acceptedValues(df, "grp", Seq("a"))),
       Checks.Check("ok", "error", Checks.notNull(df, "id")))
-    val rows = Checks.summarize(checks).collect()
-    assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
-      Seq(("ok", "error", 0L), ("vals", "warn", 1L)))
+    val summary = Checks.summarize(checks)
+    val rows = summary.collect()
+    assert(rows.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getString(3))).toSeq ===
+      Seq(("ok", "error", 0L, "pass"), ("vals", "warn", 1L, "warn")))
+    // warn-severity violations alone do NOT fail the run
+    val v = Checks.runVerdict(summary).collect()(0)
+    assert((v.getLong(0), v.getLong(1), v.getLong(2), v.getString(3)) ===
+      ((2L, 0L, 1L, "pass")))
+  }
+
+  test("runVerdict fails only on error-severity violations") {
+    val failing = Seq(
+      Checks.Check("bad", "error", Checks.acceptedValues(df, "grp", Seq("a"))),
+      Checks.Check("meh", "warn", Checks.acceptedValues(df, "grp", Seq("a"))))
+    val v = Checks.runVerdict(Checks.summarize(failing)).collect()(0)
+    assert(v.getString(3) === "fail" && v.getLong(1) === 1L && v.getLong(2) === 1L)
   }
 
   test("Materialize: table sink writes partitioned parquet; view resolves name") {
