@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Round-4 batch 8 — graph + sequence analytics:
   *
@@ -51,9 +52,9 @@ object GraphQueries {
         // the pin-neutral form (q48/q167 precedent).
         val edges = pairs.select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
           .unionByName(pairs.select((col("pk") + 10000000L).as("src"), col("sk").as("dst")))
-          .localCheckpoint(true)
+          .cutLineage()
         val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-          .localCheckpoint(true)
+          .cutLineage()
         val r0 = deg.select(col("node"), lit(1000000L).as("r"))
         val r3 = (1 to 3).foldLeft(r0)((r, _) => prRound(r, edges, deg))
         r3.select(
@@ -390,7 +391,7 @@ object GraphQueries {
         val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
           .distinct()
-          .localCheckpoint(true)
+          .cutLineage()
         val auth1 = edges.groupBy(col("p"))
           .agg((count(lit(1)) * 1000000L).as("a1"))
         val s1 = auth1.groupBy().agg(sum(col("a1")).as("sa1"))
@@ -459,7 +460,12 @@ object GraphQueries {
     // already-linked set is removed with one LEFT ANTI join against the
     // order-level pair set. Top-20 on the (score desc, pair) total
     // order. Scale: both pair sets partial-aggregate; the anti-join is
-    // equi-hash on the pair key.
+    // equi-hash on the pair key. The (c, brand, p) frame is deliberately
+    // NOT lineage-cut before its self-join: the two sides canonicalize
+    // identically, so exchange/stage reuse computes the distinct once,
+    // while an eager checkpoint here executed the subtree at
+    // plan-construction time on every invocation and measured ~25%
+    // slower warm (3-rep BenchOne medians 3.5 s vs 2.7 s at sf0.1).
     QueryDef(
       "q254_link_prediction",
       (s, dir) => {
@@ -474,7 +480,6 @@ object GraphQueries {
           .select(col("o_custkey").as("c"), col("brand"),
             col("l_partkey").as("p"))
           .distinct()
-          .localCheckpoint(true)
         val custPairs = cp.select(col("c"), col("brand"), col("p").as("pa"))
           .join(cp.select(col("c"), col("brand"), col("p").as("pb")),
             Seq("c", "brand"))
@@ -596,7 +601,7 @@ object GraphQueries {
           .join(li.select(col("k"), col("p").as("b")), Seq("k"))
           .where(col("a") < col("b"))
           .select(col("a"), col("b")).distinct()
-          .localCheckpoint(true)
+          .cutLineage()
         val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
         val dir2 = e
@@ -683,7 +688,7 @@ object GraphQueries {
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
         val keys = Tables.customer(s, dir).select(col("c_custkey").as("k"))
-        val nodes = keys.select(col("k").as("node")).localCheckpoint(true)
+        val nodes = keys.select(col("k").as("node")).cutLineage()
         val dstSet = nodes.select(col("node").as("dst"))
         def edge(off: Long, a: Long, m: Long): DataFrame =
           nodes.select(col("node").as("src"), (col("node") + off).as("dst"),
@@ -693,7 +698,7 @@ object GraphQueries {
           .unionByName(edge(10L, 11L, 17L))
           .unionByName(nodes.select(col("node").as("src"),
             col("node").as("dst"), lit(0L).as("w")))
-          .localCheckpoint(true)
+          .cutLineage()
         var dist = nodes.where(col("node") % 1000 === 1)
           .select(col("node"), lit(0L).as("d"))
         (1 to 6).foreach { _ =>
