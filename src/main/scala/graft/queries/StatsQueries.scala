@@ -41,19 +41,25 @@ object StatsQueries {
     // engines.
     //
     // DF-CAP (the saturated-vocabulary guard): shingles with document
-    // frequency > MaxDf leave the universe BEFORE any ranking or pair
+    // frequency > 64 leave the universe BEFORE any ranking or pair
     // generation — the standard stop-token guard every production
-    // AllPairs implementation ships (a shingle in >256 docs identifies
+    // AllPairs implementation ships (a shingle in >64 docs identifies
     // nothing; it only manufactures candidates). The audited similarity
-    // is exact Jaccard OVER THE SURVIVING (df <= 256) VOCABULARY, on both
+    // is exact Jaccard OVER THE SURVIVING (df <= 64) VOCABULARY, on both
     // engines identically, so the completeness guarantee on that mass is
     // unchanged. This bounds worst-case candidate volume at
-    // types x MaxDf^2 regardless of corpus size: the synthetic corpus's
+    // types x 64^2 regardless of corpus size, and past vocabulary
+    // saturation it prunes the ENTIRE head: the synthetic generator's
     // fixed 31-word vocabulary saturates (~29.8k shingle types) below
     // sf0.1, after which every df grows linearly and the UNCAPPED exact
-    // join is output-bound quadratic (measured alpha 1.71 at sf1 —
-    // SCALE.md); capped, the hot mass is dropped and the audit stays
-    // sub-linear at any corpus size.
+    // join is output-bound quadratic (measured alpha 1.71, 331 s at sf1
+    // — SCALE.md). Measured surviving candidate mass Sum(df^2) on the
+    // gen_scale twins: 2.5e6 (sf0.1, nothing capped) -> 2.6e7 (sf0.33,
+    // nothing capped — the true pair mass below the cap) -> 5.1e5 (sf1,
+    // head gone). The cap must be ABSOLUTE: any corpus-relative
+    // threshold stays proportional to df at saturation and prunes
+    // nothing (a 256 cap measured exactly that — zero types dropped at
+    // sf1).
     QueryDef(
       "q167_prefix_filter_join",
       (s, dir) => {
@@ -74,7 +80,7 @@ object StatsQueries {
           "doc_id", "ws", 3).distinct()
           .withColumn("_h", md5Bits(col("_sh")))
           .cutLineage()
-        val maxDf = 256L
+        val maxDf = 64L
         val freq = sh.groupBy(col("_sh")).agg(count(lit(1)).as("c"))
         // kept feeds THREE consumers (rarity ranking + both verify-join
         // sides) — same materialize-once stance as sh above.
@@ -121,7 +127,7 @@ object StatsQueries {
         freq AS (SELECT tk, COUNT(*) c FROM sh GROUP BY 1),
         kept AS (
           SELECT s.doc_id, s.tk, f.c
-          FROM sh s JOIN freq f USING (tk) WHERE f.c <= 256),
+          FROM sh s JOIN freq f USING (tk) WHERE f.c <= 64),
         ranked AS (
           SELECT doc_id, tk,
                  row_number() OVER (PARTITION BY doc_id ORDER BY c, tk) rnk,
