@@ -94,10 +94,14 @@ object Graphs {
     * the smaller label — the determinism rule that makes synchronous LPA
     * reproducible at any parallelism; free-running async LPA is not).
     * Each round is one join on the edge key + a (node, label) partial
-    * count + an argmax window clustered on the node — the Pregel
-    * superstep rhythm, constant plan size via per-round localCheckpoint.
-    * Fixed rounds (not convergence-probed) because synchronous LPA can
-    * 2-cycle on bipartite structure; callers pick the budget. */
+    * count + an argmax clustered on the node — the Pregel superstep
+    * rhythm. Unlike the CC/k-core loops, labels is consumed exactly ONCE
+    * per round, so the lineage grows LINEARLY (no branching blowup) and
+    * a per-round cut is pure overhead at small fixed budgets (measured
+    * +20% on q233's 3 rounds); a deep-round deployment (rounds ≳ 20)
+    * should cut every few rounds via `cutLineage()` to bound analysis
+    * depth. Fixed rounds (not convergence-probed) because synchronous
+    * LPA can 2-cycle on bipartite structure; callers pick the budget. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cutLineage()
     var labels = e.select(col("src").as("node")).distinct()
