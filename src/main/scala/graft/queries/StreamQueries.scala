@@ -1155,5 +1155,103 @@ object StreamQueries {
                  AS BIGINT) AS sum_cents
         FROM events
         GROUP BY event_type
-        ORDER BY event_type""")))
+        ORDER BY event_type""")),
+
+    // transformWithState — the Spark 4 arbitrary-state streaming API
+    // (StatefulProcessor + typed ValueState on the RocksDB store),
+    // completing the custom-state matrix (q134 covers the legacy
+    // flatMapGroupsWithState path). Per user, a cumulative (count, sum)
+    // lives in typed ValueState across micro-batches and checkpointed
+    // lifetimes; each batch emits the post-batch cumulative for touched
+    // keys. Because cumulatives are split-invariant at the LAST batch a
+    // user appears in, per-user max(struct(cum_cnt, cum_sum)) equals the
+    // batch aggregate no matter how the stream was sliced — that
+    // equality, rolled up by user bucket with an id-weighted checksum,
+    // is the gate. RocksDB provider is set for the run and restored
+    // (transformWithState's documented requirement). 100 TB: state is
+    // 2 longs per user, hash-partitioned; emission is bounded by touched
+    // keys per batch, never corpus size.
+    QueryDef(
+      "q296_stream_transform_with_state",
+      (s, dir) => {
+        import graft.streaming.Streams
+        val root = scratchDir("graft_stream_tws")
+        val rp = new org.apache.hadoop.fs.Path(root)
+        val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(rp, true)
+        val spool = s"$root/spool"
+        val out   = s"$root/out"
+        val ckpt  = s"$root/ckpt"
+
+        val ev = Tables.events(s, dir).selectExpr("user_id", "ts",
+          "CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS value_u")
+        val cut = lit("2024-01-10 00:00:00").cast("timestamp")
+        val slices = Seq(
+          ev.where(col("ts") < cut),
+          ev.where(col("ts") >= cut))
+
+        def runOnce(): Unit = {
+          implicit val sp: org.apache.spark.sql.SparkSession = s
+          import sp.implicits._
+          val src = s.readStream.schema(ev.schema).parquet(s"$spool/*")
+            .select(col("user_id"), col("value_u"))
+            .as[Streams.TwsEvent]
+          val q = Streams.runningTotals(src)
+            .toDF()
+            .writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+              df.write.mode("append").parquet(out)
+              ()
+            }
+            .start()
+          q.awaitTermination()
+        }
+        val writers: Seq[() => Unit] = slices.zipWithIndex.map { case (sl, i) =>
+          () => sl.write.mode("overwrite").parquet(s"$spool/batch_$i")
+        }
+        val prevProvider =
+          s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          withStatePartitions(s, 8) {
+            // update-mode emission happens per batch — ONE lifetime under
+            // the bench knob, both checkpointed lifetimes under the gate
+            lifetimeGroups(writers, Seq.empty)
+              .foreach { g => g.foreach(_.apply()); runOnce() }
+          }
+        } finally {
+          prevProvider.fold(
+            s.conf.unset("spark.sql.streaming.stateStore.providerClass"))(
+            s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+        }
+
+        s.read.parquet(out)
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("cum_cnt"), col("cum_sum"))).as("m"))
+          .select(col("user_id"), col("m.cum_cnt").as("c"), col("m.cum_sum").as("su"))
+          .groupBy((col("user_id") % 8).as("bucket"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("c")).as("total_events"),
+            sum(col("su")).as("total_micro"),
+            sum(col("user_id") * col("c")).as("weighted_checksum"))
+          .orderBy(col("bucket"))
+      },
+      Some("""
+        WITH per_user AS (
+          SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c,
+                 CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                      AS BIGINT) AS su
+          FROM events GROUP BY 1)
+        SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(c) AS BIGINT) AS total_events,
+               CAST(SUM(su) AS BIGINT) AS total_micro,
+               CAST(SUM(user_id * c) AS BIGINT) AS weighted_checksum
+        FROM per_user
+        GROUP BY 1
+        ORDER BY bucket""")))
 }

@@ -210,4 +210,46 @@ object Streams {
           keys, partitionCol, stagePath = s"${targetPath}__stage_$batchId")
       }
       .start()
+
+  /** transformWithState running totals — the Spark 4 arbitrary-state API
+    * (StatefulProcessor + typed ValueState, RocksDB-backed), the modern
+    * replacement for the flatMapGroupsWithState path (eventTimeSessions):
+    * per key, a cumulative (count, sum) survives across micro-batches AND
+    * checkpointed query lifetimes; each batch emits one row per touched
+    * key carrying the cumulative AFTER the batch. The cumulative at the
+    * final batch equals the batch aggregate over all input regardless of
+    * how the stream was sliced — the split-invariance the q296 gate pins.
+    * Requires the RocksDB state-store provider (the API's contract; the
+    * caller sets spark.sql.streaming.stateStore.providerClass).
+    */
+  final case class TwsEvent(user_id: Long, value_u: Long)
+  final case class TwsTotals(cnt: Long, sum_u: Long)
+  final case class TwsOut(user_id: Long, cum_cnt: Long, cum_sum: Long)
+
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TwsEvent, TwsOut] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[TwsTotals] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[TwsTotals]("totals",
+        org.apache.spark.sql.Encoders.product[TwsTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TwsOut] = {
+      var cur = if (totals.exists()) totals.get() else TwsTotals(0L, 0L)
+      rows.foreach(r => cur = TwsTotals(cur.cnt + 1L, cur.sum_u + r.value_u))
+      totals.update(cur)
+      Iterator.single(TwsOut(key, cur.cnt, cur.sum_u))
+    }
+  }
+
+  def runningTotals(events: Dataset[TwsEvent]): Dataset[TwsOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
 }
