@@ -28,12 +28,11 @@ object StreamQueries {
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), name).toString
 
   /** Bench knob: `-Dgraft.stream.lifetimes=1` collapses the multi-restart
-    * streaming gates (q116/q134/q151/q153/q154/q228/q262/q268/q278/q281/
-    * q282 — all but the two whose SEMANTICS depend on batch ordering:
-    * q79's latest-wins merge and q259's per-lifetime upsert) to the
-    * minimum lifetimes that still produce sink output — one lifetime for
-    * all data slices, plus one flush lifetime where a watermark push is
-    * needed. The multi-lifetime ceremony (checkpointed recovery across
+    * streaming gates (q116/q134/q151/q153/q154/q228/q259/q262/q268/q278/
+    * q281/q282/q296 — all but q79, whose latest-wins merge SEMANTICS
+    * depend on slice-per-batch ordering) to the minimum lifetimes that
+    * still produce sink output — one lifetime for all data slices, plus
+    * one flush lifetime where a watermark push is needed. The multi-lifetime ceremony (checkpointed recovery across
     * restarts, state replayed nowhere) is the POINT of these gates, so
     * Verify and the default path always run the full topology; the bench
     * sets the knob so the driver's number measures engine throughput,
@@ -945,9 +944,7 @@ object StreamQueries {
           ev.where(col("ts") >= cut1 && col("ts") < cut2),
           ev.where(col("ts") >= cut2))
 
-        withStatePartitions(s, 8) {
-          slices.zipWithIndex.foreach { case (slice, i) =>
-            slice.write.mode("overwrite").parquet(s"$spool/batch_$i")
+        def runOnce(i: Int): Unit = {
             // one micro-batch per lifetime: the upsert below merges against
             // state_{i-1}, which is only correct if this lifetime's changed
             // keys arrive in a single foreachBatch call (AvailableNow
@@ -977,10 +974,23 @@ object StreamQueries {
               }
               .start()
             q.awaitTermination()
+        }
+        val writers: Seq[() => Unit] = slices.zipWithIndex.map { case (sl, i) =>
+          () => sl.write.mode("overwrite").parquet(s"$spool/batch_$i")
+        }
+        // the upsert contract is PER LIFETIME (state_i merges into
+        // state_{i-1}), not per slice — so grouping slices into one
+        // lifetime under the bench knob preserves it exactly: the grouped
+        // changed-key set still arrives in that lifetime's single
+        // micro-batch, and the final state index is lifetimes - 1
+        val groups = lifetimeGroups(writers, Seq.empty)
+        withStatePartitions(s, 8) {
+          groups.zipWithIndex.foreach { case (g, gi) =>
+            g.foreach(_.apply()); runOnce(gi)
           }
         }
 
-        s.read.parquet(s"$root/state_2")
+        s.read.parquet(s"$root/state_${groups.size - 1}")
           .select(col("event_type"), col("n_events"), col("sum_cents"))
           .orderBy(col("event_type"))
       },
