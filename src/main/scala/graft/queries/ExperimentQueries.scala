@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1328,7 +1328,219 @@ object ExperimentQueries {
         JOIN customer cu ON cu.c_custkey = te.ck
         CROSS JOIN beta b CROSS JOIN qs q
         GROUP BY 1
-        ORDER BY segment"""))
+        ORDER BY segment""")),
+
+    // Two-period / two-group difference-in-differences. Treated group =
+    // BUILDING-segment customers, post period = orders from 1996-01-01.
+    // The estimate is the classic four-cell contrast of mean order value
+    //   DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    // plus a placebo run entirely inside the pre period (pseudo-post at
+    // 1994-01-01) — the standard parallel-trends smoke test: a DiD whose
+    // placebo is the same order of magnitude as the estimate is noise.
+    // Exactness: cell means are micro-cent floor divisions of
+    // DECIMAL(38,0) sums (HUGEINT parity with DuckDB), so the estimate is
+    // integer arithmetic end-to-end — no IEEE drift in the gate. Scale:
+    // one shuffle join orders⋈customer on custkey (dim broadcast here;
+    // at cluster scale AQE picks the join side), ONE full-data aggregate
+    // to 4 cells, then arithmetic on broadcast 1-row frames.
+    QueryDef(
+      "q298_diff_in_diff",
+      (s, dir) => {
+        val seg = Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"),
+            when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+              .as("treated"))
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey").as("ck"),
+            col("o_orderdate").cast("date").as("day"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"))
+          .join(broadcast(seg), Seq("ck"))
+        def cells(df: DataFrame, postFrom: String): DataFrame =
+          df.withColumn("post",
+              when(col("day") >= lit(postFrom).cast("date"), 1L).otherwise(0L))
+            .groupBy(col("treated"), col("post"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(col("cents").cast(DecimalType(38, 0))).as("sum_c"))
+            .select(col("treated"), col("post"), col("n_orders"),
+              col("sum_c").cast("long").as("sum_cents"),
+              expr("CAST((sum_c * 1000000) div n_orders AS BIGINT)")
+                .as("mean_micro"))
+        def contrast(cellDf: DataFrame, outName: String): DataFrame =
+          cellDf.agg(
+            max(when(col("treated") === 1 && col("post") === 1,
+              col("mean_micro"))).as("m11"),
+            max(when(col("treated") === 1 && col("post") === 0,
+              col("mean_micro"))).as("m10"),
+            max(when(col("treated") === 0 && col("post") === 1,
+              col("mean_micro"))).as("m01"),
+            max(when(col("treated") === 0 && col("post") === 0,
+              col("mean_micro"))).as("m00"))
+            .select(((col("m11") - col("m10")) - (col("m01") - col("m00")))
+              .as(outName))
+        val main = cells(o, "1996-01-01")
+        val placebo = contrast(
+          cells(o.where(col("day") < lit("1996-01-01").cast("date")),
+            "1994-01-01"),
+          "placebo_micro")
+        main.crossJoin(broadcast(contrast(main, "did_micro")))
+          .crossJoin(broadcast(placebo))
+          .orderBy(col("treated"), col("post"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(CASE WHEN cu.c_mktsegment = 'BUILDING'
+                           THEN 1 ELSE 0 END AS BIGINT) AS treated,
+                 CAST(o.o_orderdate AS DATE) AS day,
+                 CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents
+          FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey),
+        cells AS (
+          SELECT treated,
+                 CAST(CASE WHEN day >= DATE '1996-01-01'
+                           THEN 1 ELSE 0 END AS BIGINT) AS post,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 SUM(cents) AS sum_c
+          FROM base GROUP BY 1, 2),
+        did AS (
+          SELECT (MAX(CASE WHEN treated = 1 AND post = 1
+                           THEN (sum_c * 1000000) // n_orders END)
+                  - MAX(CASE WHEN treated = 1 AND post = 0
+                             THEN (sum_c * 1000000) // n_orders END))
+                 - (MAX(CASE WHEN treated = 0 AND post = 1
+                             THEN (sum_c * 1000000) // n_orders END)
+                    - MAX(CASE WHEN treated = 0 AND post = 0
+                               THEN (sum_c * 1000000) // n_orders END))
+                   AS did_micro
+          FROM cells),
+        pcells AS (
+          SELECT treated,
+                 CAST(CASE WHEN day >= DATE '1994-01-01'
+                           THEN 1 ELSE 0 END AS BIGINT) AS post,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 SUM(cents) AS sum_c
+          FROM base WHERE day < DATE '1996-01-01' GROUP BY 1, 2),
+        placebo AS (
+          SELECT (MAX(CASE WHEN treated = 1 AND post = 1
+                           THEN (sum_c * 1000000) // n_orders END)
+                  - MAX(CASE WHEN treated = 1 AND post = 0
+                             THEN (sum_c * 1000000) // n_orders END))
+                 - (MAX(CASE WHEN treated = 0 AND post = 1
+                             THEN (sum_c * 1000000) // n_orders END)
+                    - MAX(CASE WHEN treated = 0 AND post = 0
+                               THEN (sum_c * 1000000) // n_orders END))
+                   AS placebo_micro
+          FROM pcells)
+        SELECT c.treated, c.post, c.n_orders,
+               CAST(c.sum_c AS BIGINT) AS sum_cents,
+               CAST((c.sum_c * 1000000) // c.n_orders AS BIGINT) AS mean_micro,
+               CAST(d.did_micro AS BIGINT) AS did_micro,
+               CAST(p.placebo_micro AS BIGINT) AS placebo_micro
+        FROM cells c CROSS JOIN did d CROSS JOIN placebo p
+        ORDER BY c.treated, c.post""")),
+
+    // Differentially-private per-nation order counts under the discrete
+    // Laplace (two-sided geometric) mechanism with α = 1/3 (ε = ln 3),
+    // completing the privacy surface next to k-anonymity (q179) and
+    // l-diversity (q210). The mechanism is EXACT inverse-CDF sampling in
+    // integer arithmetic: u = low-32 md5 bits of the keyed nation name
+    // (u/2³² uniform), and P(K=k) = ½·3^−|k| has CDF values that are
+    // rationals with denominator D = 4·3⁸ = 26244, so "u/2³² < F(k)"
+    // becomes the overflow-free BIGINT comparison u·D < (F(k)·D)·2³².
+    // Noise is clipped to ±8 (tail mass 2·3⁻⁸/4 < 1e-4, folded into the
+    // end bins); counts are clamped at 0 post-noise. Both engines run the
+    // identical integer comparisons — no floats, no RNG state, fully
+    // reproducible. Scale: per-customer order pre-agg (map-side combine)
+    // → one shuffle join to the customer dim → 25-row nation rollup.
+    QueryDef(
+      "q300_dp_geometric_counts",
+      (s, dir) => {
+        val perCust = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(count(lit(1)).as("n_ord"))
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+        val nat = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("nk"), col("n_name"))
+        val trueCnt = perCust.join(cust, Seq("ck"))
+          .groupBy(col("nk")).agg(sum(col("n_ord")).as("true_cnt"))
+          .join(broadcast(nat), Seq("nk"))
+        // F(k)·D for k = −8..8 over D = 26244; ascending CDF thresholds.
+        val thr: Seq[(Long, Long)] = Seq(
+          -8L -> 3L, -7L -> 9L, -6L -> 27L, -5L -> 81L, -4L -> 243L,
+          -3L -> 729L, -2L -> 2187L, -1L -> 6561L, 0L -> 19683L,
+          1L -> 24057L, 2L -> 25515L, 3L -> 26001L, 4L -> 26163L,
+          5L -> 26217L, 6L -> 26235L, 7L -> 26241L, 8L -> 26243L)
+        val noise = thr.reverse.foldLeft(lit(8L): Column) {
+          case (tail, (k, fd)) =>
+            when(col("ud") < fd * 4294967296L, lit(k)).otherwise(tail)
+        }
+        trueCnt
+          .withColumn("ud",
+            graft.functions.Kernels.md5Lower64Lo32(
+              concat(lit("dp:"), col("n_name"))) * 26244L)
+          .withColumn("noise_k", noise)
+          .select(col("n_name"), col("true_cnt"), col("noise_k"),
+            greatest(lit(0L), col("true_cnt") + col("noise_k"))
+              .as("noisy_cnt"))
+          .orderBy(col("n_name"))
+      },
+      Some("""
+        WITH per_cust AS (
+          SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_ord
+          FROM orders GROUP BY 1),
+        tc AS (
+          SELECT n.n_name,
+                 CAST(SUM(p.n_ord) AS BIGINT) AS true_cnt
+          FROM per_cust p
+          JOIN customer c ON c.c_custkey = p.ck
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          GROUP BY 1),
+        noised AS (
+          SELECT n_name, true_cnt,
+                 CAST(md5_number_lower('dp:' || n_name) % 4294967296
+                      AS BIGINT) * 26244 AS ud
+          FROM tc)
+        SELECT n_name, true_cnt,
+               CAST(CASE
+                 WHEN ud <     3 * 4294967296 THEN -8
+                 WHEN ud <     9 * 4294967296 THEN -7
+                 WHEN ud <    27 * 4294967296 THEN -6
+                 WHEN ud <    81 * 4294967296 THEN -5
+                 WHEN ud <   243 * 4294967296 THEN -4
+                 WHEN ud <   729 * 4294967296 THEN -3
+                 WHEN ud <  2187 * 4294967296 THEN -2
+                 WHEN ud <  6561 * 4294967296 THEN -1
+                 WHEN ud < 19683 * 4294967296 THEN  0
+                 WHEN ud < 24057 * 4294967296 THEN  1
+                 WHEN ud < 25515 * 4294967296 THEN  2
+                 WHEN ud < 26001 * 4294967296 THEN  3
+                 WHEN ud < 26163 * 4294967296 THEN  4
+                 WHEN ud < 26217 * 4294967296 THEN  5
+                 WHEN ud < 26235 * 4294967296 THEN  6
+                 WHEN ud < 26241 * 4294967296 THEN  7
+                 ELSE 8 END AS BIGINT) AS noise_k,
+               GREATEST(CAST(0 AS BIGINT),
+                 true_cnt + CAST(CASE
+                 WHEN ud <     3 * 4294967296 THEN -8
+                 WHEN ud <     9 * 4294967296 THEN -7
+                 WHEN ud <    27 * 4294967296 THEN -6
+                 WHEN ud <    81 * 4294967296 THEN -5
+                 WHEN ud <   243 * 4294967296 THEN -4
+                 WHEN ud <   729 * 4294967296 THEN -3
+                 WHEN ud <  2187 * 4294967296 THEN -2
+                 WHEN ud <  6561 * 4294967296 THEN -1
+                 WHEN ud < 19683 * 4294967296 THEN  0
+                 WHEN ud < 24057 * 4294967296 THEN  1
+                 WHEN ud < 25515 * 4294967296 THEN  2
+                 WHEN ud < 26001 * 4294967296 THEN  3
+                 WHEN ud < 26163 * 4294967296 THEN  4
+                 WHEN ud < 26217 * 4294967296 THEN  5
+                 WHEN ud < 26235 * 4294967296 THEN  6
+                 WHEN ud < 26241 * 4294967296 THEN  7
+                 ELSE 8 END AS BIGINT)) AS noisy_cnt
+        FROM noised
+        ORDER BY n_name"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:

@@ -712,5 +712,120 @@ object JourneyQueries {
         SELECT c.channel, c.n_credits, c.credit_micro,
                (c.credit_micro * 1000000) // t.tot_micro AS share_ppm
         FROM per_channel c CROSS JOIN tot t
-        ORDER BY c.channel""")))
+        ORDER BY c.channel""")),
+
+    // Shapley-value attribution — the cooperative-game capstone of the
+    // attribution family (last-touch q115, position q180, time-decay
+    // q287, Markov removal-effect q275). Coalition value v(S) = number
+    // of converting users whose full pre-purchase touch set ⊆ S, i.e.
+    // conversions that still happen when only the channels in S exist.
+    // With the 4 touch channels (click/error/signup/view) the game is
+    // exact: journeys collapse to a 16-row channel-set mask table, v is
+    // a subset-sum over those 16 rows, and the Shapley weights
+    // |S|!·(k−1−|S|)!/k! for k=4 make 24·φ_i an INTEGER — the gate
+    // carries phi_x24 as exact BIGINT, no factorial floats anywhere.
+    // Σφ_i = v(full) − v(∅) (efficiency axiom) and v(∅) counts
+    // converters with zero touches, who correctly earn no credit.
+    // Scale: ONE pass over events for first purchases, one for touches
+    // (shuffle on user_id), a 16-row mask rollup — the coalition
+    // enumeration (4×16 weighted marginals) is constant-size arithmetic
+    // on broadcast frames regardless of data volume.
+    QueryDef(
+      "q299_shapley_attribution",
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.events(s, dir)
+        val firstPurch = e.where(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("pts"))
+        val bits = e
+          .where(col("event_type").isin("click", "error", "signup", "view"))
+          .select(col("user_id"), col("ts"),
+            when(col("event_type") === "click", 1L)
+              .when(col("event_type") === "error", 2L)
+              .when(col("event_type") === "signup", 4L)
+              .otherwise(8L).as("bit"))
+          .join(firstPurch, Seq("user_id"))
+          .where(col("ts") <= col("pts"))
+          .select(col("user_id"), col("bit"))
+          .distinct()
+          .groupBy(col("user_id")).agg(sum(col("bit")).as("mask"))
+        val conv = firstPurch.join(bits, Seq("user_id"), "left")
+          .select(coalesce(col("mask"), lit(0L)).as("mask"))
+          .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+        val subsets = (0L until 16L).toDF("s")
+        val v = subsets
+          .join(broadcast(conv),
+            conv("mask").bitwiseAND(col("s")) === conv("mask"), "left")
+          .groupBy(col("s"))
+          .agg(coalesce(sum(col("n")), lit(0L)).as("v"))
+        val channels = Seq(("click", 1L), ("error", 2L), ("signup", 4L),
+          ("view", 8L)).toDF("channel", "bit")
+        val vS = v.select(col("s").as("s0"), col("v").as("v0"))
+        val vSi = v.select(col("s").as("s1"), col("v").as("v1"))
+        val phi = broadcast(channels)
+          .join(broadcast(subsets),
+            col("s").bitwiseAND(col("bit")) === 0)
+          .join(broadcast(vS), col("s0") === col("s"))
+          .join(broadcast(vSi), col("s1") === col("s") + col("bit"))
+          .select(col("channel"),
+            (when(expr("bit_count(s)") === 0, 6L)
+              .when(expr("bit_count(s)") === 1, 2L)
+              .when(expr("bit_count(s)") === 2, 2L)
+              .otherwise(6L) * (col("v1") - col("v0"))).as("term"))
+          .groupBy(col("channel")).agg(sum(col("term")).as("phi_x24"))
+        val tot = phi.agg(sum(col("phi_x24")).as("t"))
+        phi.crossJoin(broadcast(tot))
+          .select(col("channel"), col("phi_x24"),
+            expr("CAST((phi_x24 * 1000000) div t AS BIGINT)")
+              .as("share_ppm"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH fp AS (
+          SELECT user_id, MIN(ts) AS pts FROM events
+          WHERE event_type = 'purchase' GROUP BY 1),
+        tb AS (
+          SELECT DISTINCT e.user_id,
+                 CAST(CASE e.event_type WHEN 'click' THEN 1
+                      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+                      ELSE 8 END AS BIGINT) AS bit
+          FROM events e
+          JOIN fp ON fp.user_id = e.user_id AND e.ts <= fp.pts
+          WHERE e.event_type IN ('click', 'error', 'signup', 'view')),
+        masks AS (
+          SELECT fp.user_id,
+                 COALESCE(CAST(SUM(tb.bit) AS BIGINT), 0) AS mask
+          FROM fp LEFT JOIN tb ON tb.user_id = fp.user_id
+          GROUP BY 1),
+        conv AS (
+          SELECT mask, CAST(COUNT(*) AS BIGINT) AS n FROM masks
+          GROUP BY 1),
+        subsets AS (SELECT CAST(r.range AS BIGINT) AS s FROM range(0, 16) r),
+        v AS (
+          SELECT su.s, COALESCE(CAST(SUM(c.n) AS BIGINT), 0) AS v
+          FROM subsets su
+          LEFT JOIN conv c ON (c.mask & su.s) = c.mask
+          GROUP BY 1),
+        ch AS (
+          SELECT * FROM (VALUES
+            ('click', CAST(1 AS BIGINT)), ('error', CAST(2 AS BIGINT)),
+            ('signup', CAST(4 AS BIGINT)), ('view', CAST(8 AS BIGINT)))
+            AS t(channel, bit)),
+        marg AS (
+          SELECT ch.channel,
+                 CAST(CASE bit_count(su.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                      WHEN 2 THEN 2 ELSE 6 END AS BIGINT)
+                   * (vi.v - vs.v) AS term
+          FROM ch
+          JOIN subsets su ON (su.s & ch.bit) = 0
+          JOIN v vs ON vs.s = su.s
+          JOIN v vi ON vi.s = su.s + ch.bit),
+        phi AS (
+          SELECT channel, CAST(SUM(term) AS BIGINT) AS phi_x24
+          FROM marg GROUP BY 1),
+        tot AS (SELECT CAST(SUM(phi_x24) AS BIGINT) AS t FROM phi)
+        SELECT p.channel, p.phi_x24,
+               CAST((p.phi_x24 * 1000000) // t.t AS BIGINT) AS share_ppm
+        FROM phi p CROSS JOIN tot t
+        ORDER BY p.channel""")))
 }
