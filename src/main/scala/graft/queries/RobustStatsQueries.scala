@@ -625,6 +625,118 @@ object RobustStatsQueries {
                MAX(gap)*MAX(gap)*CAST(1000000000 AS HUGEINT)
                  > CAST(1844439727 AS HUGEINT)*(n_a+n_b)*n_a*n_b AS significant
         FROM gaps
-        GROUP BY n_a, n_b"""))
+        GROUP BY n_a, n_b""")),
+
+    // RANSAC line fit — the consensus-set robust regressor next to
+    // Theil-Sen (q227; median-of-slopes) and OLS (q168; zero breakdown):
+    // propose K candidate lines from point PAIRS, score each by how many
+    // points fall within a fixed residual band, keep the largest
+    // consensus. Determinism replaces RNG: the 64 md5 buckets of the
+    // line-item key pick one representative each (min unsigned digest,
+    // value tiebreaks for the q11 dup corpus), and candidate c pairs the
+    // representatives of buckets 2c/2c+1 — a fixed, reproducible sample
+    // of K=32 models on both engines. Points are (quantity, price cents);
+    // each model is anchored at its lower-x point so dx > 0, and the
+    // inlier test |dy·(x−x1) − dx·(y−y1)| ≤ tol·dx is exact BIGINT
+    // cross-multiplication (max magnitude ~5.5e8 — no overflow, no
+    // division). The ONE double emitted (slope) is a single IEEE divide,
+    // bit-identical cross-engine (q227 contract). Scale: the scoring
+    // pass is a broadcast nested loop of ≤32 constant rows against the
+    // fact table — linear in N with map-side partial aggregation; the
+    // representative pick is a 64-group min-struct agg, no windows.
+    QueryDef(
+      "q301_ransac_line",
+      (s, dir) => {
+        import graft.functions.Kernels.md5BitsU64
+        val pts = Tables.lineitem(s, dir)
+          .select(md5Bits(concat_ws("-",
+              col("l_orderkey").cast("string"),
+              col("l_linenumber").cast("string"),
+              col("l_partkey").cast("string"))).as("bits"),
+            col("l_quantity").cast("long").as("x"),
+            (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("y"))
+          .select(md5BitsModK(col("bits"), 64L).as("b"),
+            md5BitsU64(col("bits")).as("u"), col("x"), col("y"))
+        val reps = pts.groupBy(col("b"))
+          .agg(min(struct(col("u"), col("x"), col("y"))).as("m"))
+          .select(col("b"), col("m.x").as("x"), col("m.y").as("y"))
+        val anchors = reps.where(col("b") % 2 === 0)
+          .select((col("b") / lit(2L)).cast("long").as("cand"),
+            col("x").as("xa"), col("y").as("ya"))
+        val seconds = reps.where(col("b") % 2 === 1)
+          .select(expr("b div 2").as("cand"),
+            col("x").as("xs"), col("y").as("ys"))
+        val models = anchors.join(seconds, Seq("cand"))
+          .where(col("xs") =!= col("xa"))
+          .select(col("cand"),
+            when(col("xs") < col("xa"), col("xs")).otherwise(col("xa"))
+              .as("x1"),
+            when(col("xs") < col("xa"), col("ys")).otherwise(col("ya"))
+              .as("y1"),
+            when(col("xs") < col("xa"), col("xa") - col("xs"))
+              .otherwise(col("xs") - col("xa")).as("dx"),
+            when(col("xs") < col("xa"), col("ya") - col("ys"))
+              .otherwise(col("ys") - col("ya")).as("dy"))
+        pts.select(col("x"), col("y"))
+          .crossJoin(broadcast(models))
+          .groupBy(col("cand"), col("x1"), col("y1"), col("dx"), col("dy"))
+          .agg(count(lit(1)).as("n_pts"),
+            sum(when(abs(col("dy") * (col("x") - col("x1"))
+                - col("dx") * (col("y") - col("y1")))
+                <= lit(1000000L) * col("dx"), 1L).otherwise(0L))
+              .as("n_inliers"))
+          .select(col("cand"), col("x1"), col("y1"), col("dx"), col("dy"),
+            (col("dy").cast("double") / col("dx").cast("double"))
+              .as("slope"),
+            col("n_pts"), col("n_inliers"),
+            expr("(n_inliers * 1000000) div n_pts").as("inlier_ppm"))
+          .orderBy(col("cand"))
+      },
+      Some("""
+        WITH pts AS (
+          SELECT CAST(md5_number_lower(CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR) || '-'
+                   || CAST(l_partkey AS VARCHAR)) % 64 AS BIGINT) AS b,
+                 md5_number_lower(CAST(l_orderkey AS VARCHAR) || '-'
+                   || CAST(l_linenumber AS VARCHAR) || '-'
+                   || CAST(l_partkey AS VARCHAR)) AS u,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT) AS y
+          FROM lineitem),
+        reps AS (
+          SELECT b, x, y FROM (
+            SELECT b, x, y,
+                   row_number() OVER (PARTITION BY b ORDER BY u, x, y)
+                     AS rn
+            FROM pts) WHERE rn = 1),
+        models AS (
+          SELECT CAST(a.b // 2 AS BIGINT) AS cand,
+                 CASE WHEN s.x < a.x THEN s.x ELSE a.x END AS x1,
+                 CASE WHEN s.x < a.x THEN s.y ELSE a.y END AS y1,
+                 CASE WHEN s.x < a.x THEN a.x - s.x
+                      ELSE s.x - a.x END AS dx,
+                 CASE WHEN s.x < a.x THEN a.y - s.y
+                      ELSE s.y - a.y END AS dy
+          FROM (SELECT b, x, y FROM reps WHERE b % 2 = 0) a
+          JOIN (SELECT b, x, y FROM reps WHERE b % 2 = 1) s
+            ON a.b // 2 = s.b // 2
+          WHERE s.x <> a.x),
+        scored AS (
+          SELECT m.cand, m.x1, m.y1, m.dx, m.dy,
+                 CAST(COUNT(*) AS BIGINT) AS n_pts,
+                 CAST(SUM(CASE WHEN abs(m.dy * (p.x - m.x1)
+                                        - m.dx * (p.y - m.y1))
+                                    <= 1000000 * m.dx
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+          FROM pts p CROSS JOIN models m
+          GROUP BY 1, 2, 3, 4, 5)
+        SELECT cand, x1, y1, dx, dy,
+               CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope,
+               n_pts, n_inliers,
+               (n_inliers * 1000000) // n_pts AS inlier_ppm
+        FROM scored
+        ORDER BY cand"""))
   )
 }

@@ -741,5 +741,139 @@ object TimeSeriesQueries {
           FROM p LEFT JOIN c USING (user_id))
         SELECT event_id, user_id, cid, matched_side
         FROM best WHERE rn = 1
-        ORDER BY event_id""")))
+        ORDER BY event_id""")),
+
+    // Holt-Winters additive (triple exponential) smoothing — the
+    // seasonal completion of the exponential family (q238 single-state
+    // EWMA, q271 two-state Holt): per-region daily revenue with a
+    // 7-slot seasonal lattice indexed by series POSITION mod 7
+    // (position, not weekday, so day gaps can't desynchronize the two
+    // engines):
+    //   l_i = α(x_i − s_{i%7}) + (1−α)(l+b)
+    //   b_i = β(l_i − l) + (1−β)b            (α=.4, β=.2, γ=.3)
+    //   s_{i%7} ← γ(x_i − l_i) + (1−γ)s_{i%7}
+    // seeded (l,b,s·) = (x₀, 0, 0⃗). Spark runs the 9-state fold with
+    // the q271 secondary-sort contract (repartition on region, one
+    // O(1)-memory streaming pass); DuckDB folds the identical recurrence
+    // with a 10-element LIST accumulator (list_reduce over
+    // position-seeded states, seasonal slot spliced via list_slice —
+    // no indexed-lambda dependency). Both engines evaluate the same
+    // IEEE expressions on the same operands in the same order, so the
+    // gate is bit-exact, including the 3-step-ahead seasonal forecast
+    // l + 3b + s_{(n+2)%7}. Scale: the fold input is bounded by
+    // CALENDAR (≤ ~2.4k days/region), not data volume — the daily
+    // pre-agg partial-combines map-side; 5 regions × series = trivially
+    // parallel.
+    QueryDef(
+      "q297_holt_winters",
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+        val natReg = Tables.nation(s, dir)
+          .join(Tables.region(s, dir),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("nk"), col("r_name"))
+        val daily = Tables.orders(s, dir)
+          .select(col("o_custkey").as("ck"),
+            col("o_orderdate").cast("date").as("day"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"))
+          .join(broadcast(cust), Seq("ck"))
+          .join(broadcast(natReg), Seq("nk"))
+          .groupBy(col("r_name"),
+            datediff(col("day"), lit("1992-01-01").cast("date")).cast("long")
+              .as("d"))
+          .agg(sum(col("cents")).as("cents"))
+        daily.repartition(col("r_name"))
+          .sortWithinPartitions(col("r_name"), col("d"))
+          .select(col("r_name"), col("d"), col("cents"))
+          .as[(String, Long, Long)]
+          .mapPartitions { rows =>
+            val it = rows.buffered
+            new Iterator[(String, Long, Long, Double, Double, Double,
+                Double, Double, Double, Double, Double, Double, Double)] {
+              def hasNext: Boolean = it.hasNext
+              def next(): (String, Long, Long, Double, Double, Double,
+                  Double, Double, Double, Double, Double, Double, Double) = {
+                val r = it.head._1
+                var n = 0L; var tot = 0L; var l = 0.0; var b = 0.0
+                val sv = new Array[Double](7)
+                while (it.hasNext && it.head._1 == r) {
+                  val cents = it.next()._3
+                  val x = cents.toDouble
+                  if (n == 0L) { l = x; b = 0.0 }
+                  else {
+                    val idx = (n % 7).toInt
+                    val l1 = 0.4 * (x - sv(idx)) + 0.6 * (l + b)
+                    b = 0.2 * (l1 - l) + 0.8 * b
+                    sv(idx) = 0.3 * (x - l1) + 0.7 * sv(idx)
+                    l = l1
+                  }
+                  n += 1; tot += cents
+                }
+                val f3 = l + 3.0 * b + sv(((n + 2) % 7).toInt)
+                (r, n, tot, l, b, sv(0), sv(1), sv(2), sv(3), sv(4),
+                  sv(5), sv(6), f3)
+              }
+            }
+          }
+          .toDF("r_name", "n_days", "total_cents", "hw_level", "hw_trend",
+            "s0", "s1", "s2", "s3", "s4", "s5", "s6", "forecast_h3")
+          .orderBy(col("r_name"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT r.r_name,
+                 CAST(datediff('day', DATE '1992-01-01',
+                      CAST(o.o_orderdate AS DATE)) AS BIGINT) AS d,
+                 CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey
+          GROUP BY 1, 2),
+        serie AS (
+          SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 CAST(SUM(cents) AS BIGINT) AS total_cents,
+                 list(CAST(cents AS DOUBLE) ORDER BY d) AS xs
+          FROM daily GROUP BY 1),
+        hw AS (
+          SELECT r_name, n_days, total_cents,
+                 list_reduce(
+                   list_transform(xs, x -> [CAST(1 AS DOUBLE), x,
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                     CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]),
+                   (acc, e) -> list_concat(list_concat(list_concat(
+                     [acc[1] + CAST(1 AS DOUBLE),
+                      CAST(0.4 AS DOUBLE)
+                        * (e[2] - acc[4 + CAST(acc[1] AS BIGINT) % 7])
+                        + CAST(0.6 AS DOUBLE) * (acc[2] + acc[3]),
+                      CAST(0.2 AS DOUBLE)
+                        * ((CAST(0.4 AS DOUBLE)
+                             * (e[2] - acc[4 + CAST(acc[1] AS BIGINT) % 7])
+                             + CAST(0.6 AS DOUBLE) * (acc[2] + acc[3]))
+                           - acc[2])
+                        + CAST(0.8 AS DOUBLE) * acc[3]],
+                     list_slice(acc, 4, 3 + CAST(acc[1] AS BIGINT) % 7)),
+                     [CAST(0.3 AS DOUBLE)
+                        * (e[2] - (CAST(0.4 AS DOUBLE)
+                             * (e[2] - acc[4 + CAST(acc[1] AS BIGINT) % 7])
+                             + CAST(0.6 AS DOUBLE) * (acc[2] + acc[3])))
+                        + CAST(0.7 AS DOUBLE)
+                          * acc[4 + CAST(acc[1] AS BIGINT) % 7]]),
+                     list_slice(acc, 5 + CAST(acc[1] AS BIGINT) % 7, 10)))
+                   AS hb
+          FROM serie)
+        SELECT r_name, n_days, total_cents,
+               hb[2] AS hw_level, hb[3] AS hw_trend,
+               hb[4] AS s0, hb[5] AS s1, hb[6] AS s2, hb[7] AS s3,
+               hb[8] AS s4, hb[9] AS s5, hb[10] AS s6,
+               hb[2] + CAST(3 AS DOUBLE) * hb[3]
+                 + hb[4 + (CAST(hb[1] AS BIGINT) + 2) % 7] AS forecast_h3
+        FROM hw
+        ORDER BY r_name""")))
 }
