@@ -656,11 +656,28 @@ object RobustStatsQueries {
             col("l_quantity").cast("long").as("x"),
             (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
               .cast("long").as("y"))
-          .select(md5BitsModK(col("bits"), 64L).as("b"),
-            md5BitsU64(col("bits")).as("u"), col("x"), col("y"))
-        val reps = pts.groupBy(col("b"))
-          .agg(min(struct(col("u"), col("x"), col("y"))).as("m"))
-          .select(col("b"), col("m.x").as("x"), col("m.y").as("y"))
+        // Representative pick = lexicographic min over (u, x, y). A
+        // min(struct(..)) forces SortAggregate (full secondary sorts of
+        // the fact table); packing the triple into ONE decimal —
+        // u·2³⁰ + x·2²⁴ + y, disjoint bit ranges (x ≤ 50 < 2⁶,
+        // y = price cents ≤ 1.1e7 < 2²⁴ by the TPC-H price domain, which
+        // is scale-invariant) — keeps the same total order and
+        // hash-aggregates in one codegen'd pass. Only (x, y) are
+        // decoded back (pmod, no overflow); u itself is never needed.
+        val keyed = pts.select(md5BitsModK(col("bits"), 64L).as("b"),
+          (md5BitsU64(col("bits")).cast(DecimalType(38, 0))
+            * lit(1073741824L)
+            + (col("x") * lit(16777216L) + col("y"))
+              .cast(DecimalType(38, 0))).as("comp"))
+        // 64 rows, consumed by BOTH the anchors and seconds branches —
+        // branching consumption, so the sanctioned lineage cut applies
+        // (one fact-table scan instead of two).
+        val reps = keyed.groupBy(col("b")).agg(min(col("comp")).as("m"))
+          .select(col("b"),
+            expr("CAST(pmod(m, 1073741824) AS BIGINT)").as("rem"))
+          .select(col("b"), expr("rem div 16777216").as("x"),
+            (col("rem") % 16777216L).as("y"))
+          .cutLineage()
         val anchors = reps.where(col("b") % 2 === 0)
           .select((col("b") / lit(2L)).cast("long").as("cand"),
             col("x").as("xa"), col("y").as("ya"))
@@ -678,18 +695,38 @@ object RobustStatsQueries {
               .otherwise(col("xs") - col("xa")).as("dx"),
             when(col("xs") < col("xa"), col("ya") - col("ys"))
               .otherwise(col("ys") - col("ya")).as("dy"))
-        pts.select(col("x"), col("y"))
-          .crossJoin(broadcast(models))
-          .groupBy(col("cand"), col("x1"), col("y1"), col("dx"), col("dy"))
-          .agg(count(lit(1)).as("n_pts"),
-            sum(when(abs(col("dy") * (col("x") - col("x1"))
-                - col("dx") * (col("y") - col("y1")))
-                <= lit(1000000L) * col("dx"), 1L).otherwise(0L))
-              .as("n_inliers"))
+        // Scoring: the naive shape is crossJoin(points, models) —
+        // 32·N rows through a non-codegen BroadcastNestedLoopJoin
+        // (measured ~5.7 s at sf0.1). The models frame is ≤32 CONSTANT
+        // rows by construction (64 buckets), so instead collect it
+        // (capped, loud failure — the Scd2/IncrementalMerge discipline)
+        // and bake each candidate's inlier test into a conditional SUM:
+        // ONE whole-stage-codegen scan of the fact table, 32 parallel
+        // counters, an aggregate to a single row — no join at all.
+        val modelRows = models.limit(33).collect()
+        require(modelRows.length <= 32,
+          s"RANSAC candidate set exceeded its 64-bucket bound: " +
+            s"${modelRows.length}")
+        val ptsXY = pts.select(col("x"), col("y"))
+        val inlierAggs = modelRows.map { r =>
+          val (cand, x1, y1, dx, dy) = (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4))
+          sum(when(abs(lit(dy) * (col("x") - lit(x1))
+              - lit(dx) * (col("y") - lit(y1)))
+              <= lit(1000000L * dx), 1L).otherwise(0L)).as(s"in_$cand")
+        }
+        val stats = ptsXY.agg(count(lit(1)).as("n_pts"),
+          inlierAggs.toIndexedSeq: _*)
+        val nInliers = modelRows.map(_.getLong(0)).sorted.reverse
+          .foldLeft(lit(null).cast("long")) { (tail, cand) =>
+            when(col("cand") === cand, col(s"in_$cand")).otherwise(tail)
+          }
+        models.crossJoin(broadcast(stats))
           .select(col("cand"), col("x1"), col("y1"), col("dx"), col("dy"),
             (col("dy").cast("double") / col("dx").cast("double"))
               .as("slope"),
-            col("n_pts"), col("n_inliers"),
+            col("n_pts"), nInliers.as("n_inliers"))
+          .select(col("*"),
             expr("(n_inliers * 1000000) div n_pts").as("inlier_ppm"))
           .orderBy(col("cand"))
       },
