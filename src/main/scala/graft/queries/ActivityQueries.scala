@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Batch session-window and activity-bitmask operators: Spark's native
   * `session_window` (SessionWindowing/MergingSessionsExec — the gap-merge
@@ -232,6 +233,153 @@ object ActivityQueries {
             ON r.segment = w.segment AND r.rn = w.rn + 1)
         SELECT segment, tenure, n_risk, d AS n_events, surv AS survival
         FROM walk
-        ORDER BY segment, tenure"""))
+        ORDER BY segment, tenure""")),
+
+    // Two-group log-rank test — the SIGNIFICANCE companion of the
+    // Kaplan-Meier curves (q248): does the BUILDING segment churn on a
+    // different schedule than everyone else? Same censoring contract as
+    // q248 (30-day tenure buckets, right-censored within 90 days of the
+    // horizon). At each tenure t with d_t events: the group-1 expected
+    // count under H₀ is d_t·n1_t/n_t and the hypergeometric variance
+    // d_t·(n1_t/n_t)(n2_t/n_t)(n_t−d_t)/(n_t−1) — both carried on an
+    // exact ppm floor-division lattice riding DECIMAL(38,0) (both
+    // engines floor POSITIVE operands, so truncate-vs-floor never
+    // diverges), summed over a CALENDAR-bounded tenure lattice (≤~85
+    // rows; the suffix at-risk sums are a tiny triangular self-join,
+    // not a data-proportional window). The χ²(1) α=0.05 verdict is the
+    // cross-multiplied integer predicate (O−E)²·10000 > 38415·V·10⁶ —
+    // a COMPUTED boolean on both engines. Scale: one per-customer
+    // rollup (partial-aggregable) + one dim join; everything after is
+    // constant-size.
+    QueryDef(
+      "q306_logrank",
+      (s, dir) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            (col("c_mktsegment") === "BUILDING").as("g1"))
+        val horizon = o.groupBy().agg(max(col("d")).as("hmax"))
+        val cust = o.groupBy(col("o_custkey"))
+          .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+          .crossJoin(broadcast(horizon))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("g1"),
+            expr("CAST(datediff(last_d, first_d) AS BIGINT) div 30")
+              .as("tenure"),
+            (datediff(col("hmax"), col("last_d")) >= 90).as("event"))
+          // consumed by BOTH the tenure histogram and the group totals —
+          // branching consumption, sanctioned lineage cut (one
+          // per-customer rollup instead of two).
+          .cutLineage()
+        val hist = cust.groupBy(col("tenure")).agg(
+          sum(when(col("g1"), 1L).otherwise(0L)).as("m1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("m2"),
+          sum(when(col("g1") && col("event"), 1L).otherwise(0L)).as("d1"),
+          sum(when(!col("g1") && col("event"), 1L).otherwise(0L)).as("d2"))
+        val hb = hist.select(col("tenure").as("tb"), col("m1").as("m1b"),
+          col("m2").as("m2b"))
+        val risk = hist.join(hb, col("tb") >= col("tenure"))
+          .groupBy(col("tenure"), col("d1"), col("d2"))
+          .agg(sum(col("m1b")).as("n1t"), sum(col("m2b")).as("n2t"))
+        val terms = risk
+          .withColumn("dt", col("d1") + col("d2"))
+          .withColumn("nt", col("n1t") + col("n2t"))
+          .where(col("dt") > 0)
+          .select(col("d1"),
+            expr("""(cast(dt as decimal(38,0)) * n1t * 1000000) div nt""")
+              .as("e1_ppm_t"),
+            when(col("nt") > 1,
+              expr("""(cast(((cast(dt as decimal(38,0)) * n1t * 1000000)
+                             div nt) as decimal(38,0))
+                      * n2t * (nt - dt)) div (cast(nt as decimal(38,0))
+                                              * (nt - 1))"""))
+              .otherwise(lit(0L)).as("v_ppm_t"))
+        val sums = terms.agg(
+          sum(col("d1") * 1000000L).as("o1_ppm"),
+          sum(col("e1_ppm_t")).as("e1_ppm"),
+          sum(col("v_ppm_t")).as("v_ppm"))
+        val totals = cust.agg(
+          sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("g1"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("g1") && col("event"), 1L).otherwise(0L))
+            .as("events1"),
+          sum(when(!col("g1") && col("event"), 1L).otherwise(0L))
+            .as("events2"))
+        totals.crossJoin(broadcast(sums))
+          .select(col("n1"), col("n2"), col("events1"), col("events2"),
+            col("o1_ppm"), col("e1_ppm"), col("v_ppm"),
+            (expr("""cast(o1_ppm - e1_ppm as decimal(38,0))
+                     * (o1_ppm - e1_ppm) * 10000""") >
+              expr("cast(v_ppm as decimal(38,0)) * 38415 * 1000000"))
+              .as("logrank_significant"))
+          .orderBy(col("n1"))
+      },
+      Some("""
+        WITH horizon AS (
+          SELECT MAX(CAST(o_orderdate AS DATE)) AS hmax FROM orders),
+        cust AS (
+          SELECT o_custkey,
+                 MIN(CAST(o_orderdate AS DATE)) AS first_d,
+                 MAX(CAST(o_orderdate AS DATE)) AS last_d
+          FROM orders GROUP BY 1),
+        tagged AS (
+          SELECT (c.c_mktsegment = 'BUILDING') AS g1,
+                 CAST(date_diff('day', u.first_d, u.last_d) AS BIGINT)
+                   // 30 AS tenure,
+                 (date_diff('day', u.last_d, h.hmax) >= 90) AS ev
+          FROM cust u
+          JOIN customer c ON u.o_custkey = c.c_custkey
+          CROSS JOIN horizon h),
+        hist AS (
+          SELECT tenure,
+                 CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                 CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m2,
+                 CAST(SUM(CASE WHEN g1 AND ev THEN 1 ELSE 0 END) AS BIGINT)
+                   AS d1,
+                 CAST(SUM(CASE WHEN NOT g1 AND ev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS d2
+          FROM tagged GROUP BY 1),
+        risk AS (
+          SELECT h.tenure, h.d1, h.d2,
+                 CAST(SUM(b.m1) AS BIGINT) AS n1t,
+                 CAST(SUM(b.m2) AS BIGINT) AS n2t
+          FROM hist h JOIN hist b ON b.tenure >= h.tenure
+          GROUP BY 1, 2, 3),
+        terms AS (
+          SELECT d1,
+                 (CAST(d1 + d2 AS HUGEINT) * n1t * 1000000)
+                   // (n1t + n2t) AS e1_ppm_t,
+                 CASE WHEN n1t + n2t > 1 THEN
+                   (((CAST(d1 + d2 AS HUGEINT) * n1t * 1000000)
+                     // (n1t + n2t))
+                    * n2t * ((n1t + n2t) - (d1 + d2)))
+                   // (CAST(n1t + n2t AS HUGEINT) * ((n1t + n2t) - 1))
+                 ELSE 0 END AS v_ppm_t
+          FROM risk WHERE d1 + d2 > 0),
+        sums AS (
+          SELECT CAST(SUM(d1 * 1000000) AS BIGINT) AS o1_ppm,
+                 CAST(SUM(e1_ppm_t) AS BIGINT) AS e1_ppm,
+                 CAST(SUM(v_ppm_t) AS BIGINT) AS v_ppm
+          FROM terms),
+        totals AS (
+          SELECT CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n2,
+                 CAST(SUM(CASE WHEN g1 AND ev THEN 1 ELSE 0 END) AS BIGINT)
+                   AS events1,
+                 CAST(SUM(CASE WHEN NOT g1 AND ev THEN 1 ELSE 0 END)
+                   AS BIGINT) AS events2
+          FROM tagged)
+        SELECT t.n1, t.n2, t.events1, t.events2,
+               s.o1_ppm, s.e1_ppm, s.v_ppm,
+               CAST(s.o1_ppm - s.e1_ppm AS HUGEINT)
+                 * (s.o1_ppm - s.e1_ppm) * 10000 >
+                 CAST(s.v_ppm AS HUGEINT) * 38415 * 1000000
+                 AS logrank_significant
+        FROM totals t CROSS JOIN sums s
+        ORDER BY t.n1"""))
   )
 }

@@ -774,6 +774,88 @@ object RobustStatsQueries {
                n_pts, n_inliers,
                (n_inliers * 1000000) // n_pts AS inlier_ppm
         FROM scored
-        ORDER BY cand"""))
+        ORDER BY cand""")),
+
+    // Mann-Kendall trend test — the NONPARAMETRIC significance gate for
+    // the trends Theil-Sen (q227) estimates and CUSUM (q188) localizes:
+    // S = Σ_{i<j} sign(y_j − y_i) over each priority segment's monthly
+    // revenue, with the tie-corrected variance
+    // 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5). Everything is exact
+    // integer arithmetic on a CALENDAR-bounded series (≤84 months →
+    // ≤3.5k sign pairs per segment), and the α=0.05 verdict is the
+    // cross-multiplied integer predicate S²·180000 > 38416·var18
+    // (1.96² = 3.8416) — a COMPUTED boolean on both engines, no floats,
+    // no normal-CDF. Scale: one partial-aggregable monthly rollup; the
+    // pair/tie arithmetic never grows with the corpus.
+    QueryDef(
+      "q305_mann_kendall",
+      (s, dir) => {
+        val monthly = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority").as("segment"),
+            ((year(col("o_orderdate")) - 1992) * 12 +
+              month(col("o_orderdate")) - 1).cast("long").as("mi"))
+          .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("cents"))
+          .cutLineage()
+        val a = monthly.select(col("segment"), col("mi").as("mi_a"),
+          col("cents").as("c_a"))
+        val b = monthly.select(col("segment"), col("mi").as("mi_b"),
+          col("cents").as("c_b"))
+        val sStat = a.join(b, Seq("segment"))
+          .where(col("mi_a") < col("mi_b"))
+          .groupBy(col("segment"))
+          .agg(sum(when(col("c_b") > col("c_a"), 1L)
+            .when(col("c_b") < col("c_a"), -1L).otherwise(0L)).as("s_stat"))
+        val ties = monthly.groupBy(col("segment"), col("cents"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_vals"),
+            sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie18"))
+        val nM = monthly.groupBy(col("segment"))
+          .agg(count(lit(1)).as("n_months"))
+        nM.join(sStat, Seq("segment")).join(ties, Seq("segment"))
+          .select(col("segment"), col("n_months"), col("s_stat"),
+            (col("n_months") * (col("n_months") - 1)
+              * (col("n_months") * 2 + 5) - col("tie18")).as("var18"))
+          .select(col("segment"), col("n_months"), col("s_stat"),
+            col("var18"),
+            (col("s_stat") * col("s_stat") * 180000L >
+              lit(38416L) * col("var18")).as("trend_significant"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT o_orderpriority AS segment,
+                 CAST((year(o_orderdate) - 1992) * 12
+                      + month(o_orderdate) - 1 AS BIGINT) AS mi,
+                 SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS cents
+          FROM orders GROUP BY 1, 2),
+        s AS (
+          SELECT a.segment,
+                 CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                               WHEN b.cents < a.cents THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM monthly a JOIN monthly b
+            ON a.segment = b.segment AND a.mi < b.mi
+          GROUP BY 1),
+        ties AS (
+          SELECT segment,
+                 CAST(SUM(t * (t - 1) * (t * 2 + 5)) AS BIGINT) AS tie18
+          FROM (SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS t
+                FROM monthly GROUP BY 1, 2)
+          GROUP BY 1),
+        nm AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_months
+               FROM monthly GROUP BY 1)
+        SELECT nm.segment, nm.n_months, s.s_stat,
+               nm.n_months * (nm.n_months - 1) * (nm.n_months * 2 + 5)
+                 - ties.tie18 AS var18,
+               s.s_stat * s.s_stat * 180000 >
+                 38416 * (nm.n_months * (nm.n_months - 1)
+                          * (nm.n_months * 2 + 5) - ties.tie18)
+                 AS trend_significant
+        FROM nm JOIN s ON s.segment = nm.segment
+        JOIN ties ON ties.segment = nm.segment
+        ORDER BY nm.segment"""))
   )
 }

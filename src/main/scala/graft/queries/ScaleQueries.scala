@@ -200,5 +200,107 @@ object ScaleQueries {
                     AS DECIMAL(38,6)) AS DOUBLE) AS gross
         FROM lineitem l JOIN dim d ON l.l_returnflag = d.flag
         GROUP BY d.label
-        ORDER BY d.label""")))
+        ORDER BY d.label""")),
+
+    // HLL sketch set algebra — the MERGEABILITY property q100's rollup
+    // relies on, audited pairwise: per-returnflag HLL sketches of the
+    // order-key sets are UNIONED (hll_union — the associative merge a
+    // 1000-executor tree aggregation performs), and the intersection is
+    // estimated by inclusion-exclusion |A|+|B|−|A∪B|. Exact ground truth
+    // comes from ONE extra scan: distinct (orderkey, flag) → per-key
+    // flag bitmask → a ≤7-row mask table from which every pairwise
+    // |A|, |B|, |A∩B| is subset-sum arithmetic (the q299 coalition
+    // trick). Gates: union estimate within 5% relative, intersection
+    // estimate within 5% of the UNION size (inclusion-exclusion error
+    // compounds absolutely, so the bound is vs the union, the standard
+    // sketch-intersection guarantee shape). Scale: two scans total,
+    // sketches are constant-size (lgK=14), everything downstream is
+    // ≤3-row arithmetic.
+    QueryDef(
+      "q302_hll_intersection",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val sk = li.groupBy(col("l_returnflag").as("flag"))
+          .agg(expr("hll_sketch_agg(l_orderkey, 14)").as("sk"))
+        val masks = li.select(col("l_orderkey").as("k"),
+            when(col("l_returnflag") === "A", 1L)
+              .when(col("l_returnflag") === "N", 2L).otherwise(4L).as("bit"))
+          .distinct()
+          .groupBy(col("k")).agg(sum(col("bit")).as("mask"))
+          .groupBy(col("mask")).agg(count(lit(1)).as("n"))
+        val ab = sk.select(col("flag").as("fa"),
+            when(col("flag") === "A", 1L).when(col("flag") === "N", 2L)
+              .otherwise(4L).as("bita"), col("sk").as("ska"))
+          .crossJoin(sk.select(col("flag").as("fb"),
+            when(col("flag") === "A", 1L).when(col("flag") === "N", 2L)
+              .otherwise(4L).as("bitb"), col("sk").as("skb")))
+          .where(col("fa") < col("fb"))
+        val est = ab
+          .withColumn("est_a", expr("hll_sketch_estimate(ska)"))
+          .withColumn("est_b", expr("hll_sketch_estimate(skb)"))
+          .withColumn("est_union",
+            expr("hll_sketch_estimate(hll_union(ska, skb))"))
+          .drop("ska", "skb")
+        est.crossJoin(broadcast(masks))
+          .groupBy(col("fa"), col("fb"))
+          .agg(
+            max(col("est_a")).as("est_a"),
+            max(col("est_b")).as("est_b"),
+            max(col("est_union")).as("est_union"),
+            sum(when(col("mask").bitwiseAND(col("bita")) =!= 0, col("n"))
+              .otherwise(0L)).as("exact_a"),
+            sum(when(col("mask").bitwiseAND(col("bitb")) =!= 0, col("n"))
+              .otherwise(0L)).as("exact_b"),
+            sum(when(col("mask").bitwiseAND(col("bita")) =!= 0 &&
+                col("mask").bitwiseAND(col("bitb")) =!= 0, col("n"))
+              .otherwise(0L)).as("exact_inter"))
+          .select(col("fa"), col("fb"),
+            col("exact_a"), col("exact_b"), col("exact_inter"),
+            (col("exact_a") + col("exact_b") - col("exact_inter"))
+              .as("exact_union"),
+            (abs(col("est_union") - (col("exact_a") + col("exact_b")
+              - col("exact_inter"))).cast("double")
+              / (col("exact_a") + col("exact_b") - col("exact_inter"))
+              < 0.05).as("union_ok"),
+            (abs((col("est_a") + col("est_b") - col("est_union"))
+              - col("exact_inter")).cast("double")
+              / (col("exact_a") + col("exact_b") - col("exact_inter"))
+              < 0.05).as("inter_ok"))
+          .orderBy(col("fa"), col("fb"))
+      },
+      Some("""
+        WITH km AS (
+          SELECT l_orderkey AS k,
+                 CAST(SUM(DISTINCT CASE l_returnflag WHEN 'A' THEN 1
+                          WHEN 'N' THEN 2 ELSE 4 END) AS BIGINT) AS mask
+          FROM lineitem GROUP BY 1),
+        mc AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS n FROM km
+               GROUP BY 1),
+        fl AS (SELECT * FROM (VALUES ('A', CAST(1 AS BIGINT)),
+                 ('N', CAST(2 AS BIGINT)), ('R', CAST(4 AS BIGINT)))
+                 AS t(flag, bit)),
+        pr AS (
+          SELECT a.flag AS fa, b.flag AS fb, a.bit AS bita, b.bit AS bitb
+          FROM fl a CROSS JOIN fl b WHERE a.flag < b.flag)
+        SELECT p.fa, p.fb,
+               CAST(SUM(CASE WHEN (m.mask & p.bita) <> 0 THEN m.n
+                             ELSE 0 END) AS BIGINT) AS exact_a,
+               CAST(SUM(CASE WHEN (m.mask & p.bitb) <> 0 THEN m.n
+                             ELSE 0 END) AS BIGINT) AS exact_b,
+               CAST(SUM(CASE WHEN (m.mask & p.bita) <> 0
+                              AND (m.mask & p.bitb) <> 0 THEN m.n
+                             ELSE 0 END) AS BIGINT) AS exact_inter,
+               CAST(SUM(CASE WHEN (m.mask & p.bita) <> 0 THEN m.n
+                             ELSE 0 END)
+                    + SUM(CASE WHEN (m.mask & p.bitb) <> 0 THEN m.n
+                               ELSE 0 END)
+                    - SUM(CASE WHEN (m.mask & p.bita) <> 0
+                                AND (m.mask & p.bitb) <> 0 THEN m.n
+                               ELSE 0 END) AS BIGINT) AS exact_union,
+               true AS union_ok,
+               true AS inter_ok
+        FROM pr p CROSS JOIN mc m
+        GROUP BY p.fa, p.fb
+        ORDER BY p.fa, p.fb"""))
+  )
 }

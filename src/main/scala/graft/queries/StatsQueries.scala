@@ -1116,7 +1116,271 @@ object StatsQueries {
           CROSS JOIN nt)
         SELECT t.p_ppm, t.n, t.sel_rank, r.cents AS value
         FROM tgt t JOIN ranked r ON r.rn = t.sel_rank
-        ORDER BY p_ppm""")))
+        ORDER BY p_ppm""")),
+
+    // Spearman rank correlation with EXACT tie handling — the monotone-
+    // association member of the correlation family (Pearson lives in
+    // q168's REGR lattice; Kendall in q304). Both variables have bounded
+    // domains (quantity 1..50, discount 0..10 cents), so the corpus
+    // collapses to a joint contingency table in ONE scan and every rank
+    // is computed from value-marginals, never per-row windows: the
+    // tie-average rank of value v is a prefix sum over ≤50 marginal
+    // rows, carried as 2·rank (an integer — no .5 floats). Pearson on
+    // those integer ranks rides the q292 DECIMAL(38,0) div-2^20 lattice;
+    // because ρ's denominator needs a square root, the gate emits
+    // SIGNED ρ² in ppm (sign(num)·num²/(dx·dy)) — sqrt-free, exact, and
+    // the sign makes it order-equivalent to ρ. All floor divisions
+    // operate on POSITIVE operands (rank sums), so Spark's
+    // truncate-toward-zero and DuckDB's floor agree everywhere; the
+    // one signed quantity is |·|-split before its division. The
+    // rank-sum identity Σ2r = n(n+1) is emitted as a COMPUTED boolean —
+    // a self-audit, not a literal. Scale: one partial-aggregated scan;
+    // everything after is ≤550-row arithmetic per group.
+    QueryDef(
+      "q303_spearman",
+      (s, dir) => {
+        val joint = qdJointCounts(s, dir)
+        def ranks2(marg: org.apache.spark.sql.DataFrame, vcol: String,
+            out: String): org.apache.spark.sql.DataFrame = {
+          val a = marg.select(col("flag"), col(vcol).as("va"),
+            col("cv").as("ca"))
+          val b = marg.select(col("flag"), col(vcol).as("vb"),
+            col("cv").as("cb"))
+          a.join(b, Seq("flag"))
+            .where(col("vb") <= col("va"))
+            .groupBy(col("flag"), col("va"))
+            .agg((sum(when(col("vb") < col("va"), col("cb") * 2L)
+              .otherwise(col("cb"))) + 1L).as(out))
+            .withColumnRenamed("va", vcol)
+        }
+        val xm = joint.groupBy(col("flag"), col("x"))
+          .agg(sum(col("cnt")).as("cv"))
+        val ym = joint.groupBy(col("flag"), col("y"))
+          .agg(sum(col("cnt")).as("cv"))
+        val cells = joint
+          .join(ranks2(xm, "x", "r2x"), Seq("flag", "x"))
+          .join(ranks2(ym, "y", "r2y"), Seq("flag", "y"))
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val m = cells.groupBy(col("flag")).agg(
+          sum(col("cnt")).as("n"),
+          sum(col("cnt").cast(D) * col("r2x")).as("sx"),
+          sum(col("cnt").cast(D) * col("r2y")).as("sy"),
+          sum(col("cnt").cast(D) * col("r2x") * col("r2x")).as("sxx"),
+          sum(col("cnt").cast(D) * col("r2y") * col("r2y")).as("syy"),
+          sum(col("cnt").cast(D) * col("r2x") * col("r2y")).as("sxy"))
+        // Every floor division below operates on POSITIVE sums, and all
+        // cross-products ride DECIMAL(38,0) (the q292 lesson: a BIGINT
+        // lane silently wraps at larger scale while DuckDB promotes to
+        // HUGEINT). Shifts are applied to each factor BEFORE its
+        // product so no intermediate leaves decimal range.
+        m.select(col("flag"), col("n"),
+            expr("sx div 2").as("sum_rx"),
+            expr("sy div 2").as("sum_ry"),
+            expr("""cast(n as decimal(38,0)) * (sxy div 1048576)
+                    - cast(sx div 1024 as decimal(38,0)) * (sy div 1024)""")
+              .as("num_s"),
+            expr("""cast(n as decimal(38,0)) * (sxx div 1048576)
+                    - cast(sx div 1024 as decimal(38,0)) * (sx div 1024)""")
+              .as("dx_s"),
+            expr("""cast(n as decimal(38,0)) * (syy div 1048576)
+                    - cast(sy div 1024 as decimal(38,0)) * (sy div 1024)""")
+              .as("dy_s"))
+          .select(col("flag"), col("n"), col("sum_rx"), col("sum_ry"),
+            (col("sum_rx") * 2 === col("n") * (col("n") + 1) &&
+              col("sum_ry") * 2 === col("n") * (col("n") + 1))
+              .as("rank_identity_ok"),
+            (when(col("num_s") < 0, -1L).otherwise(1L) *
+              expr("""(cast(abs(num_s) div 1048576 as decimal(38,0))
+                       * (abs(num_s) div 1048576) * 1000000)
+                      div (cast(dx_s div 1048576 as decimal(38,0))
+                           * (dy_s div 1048576))"""))
+              .cast("long").as("spearman2_signed_ppm"))
+          .orderBy(col("flag"))
+      },
+      Some(s"""
+        WITH $QdJointSql,
+        xm AS (SELECT flag, x, SUM(cnt) AS cv FROM joint GROUP BY 1, 2),
+        ym AS (SELECT flag, y, SUM(cnt) AS cv FROM joint GROUP BY 1, 2),
+        rx AS (
+          SELECT a.flag, a.x,
+                 SUM(CASE WHEN b.x < a.x THEN 2 * b.cv ELSE b.cv END) + 1
+                   AS r2x
+          FROM xm a JOIN xm b ON a.flag = b.flag AND b.x <= a.x
+          GROUP BY 1, 2),
+        ry AS (
+          SELECT a.flag, a.y,
+                 SUM(CASE WHEN b.y < a.y THEN 2 * b.cv ELSE b.cv END) + 1
+                   AS r2y
+          FROM ym a JOIN ym b ON a.flag = b.flag AND b.y <= a.y
+          GROUP BY 1, 2),
+        cells AS (
+          SELECT j.flag, j.cnt, rx.r2x, ry.r2y
+          FROM joint j
+          JOIN rx ON rx.flag = j.flag AND rx.x = j.x
+          JOIN ry ON ry.flag = j.flag AND ry.y = j.y),
+        m AS (
+          SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n,
+                 SUM(CAST(cnt AS HUGEINT) * r2x) AS sx,
+                 SUM(CAST(cnt AS HUGEINT) * r2y) AS sy,
+                 SUM(CAST(cnt AS HUGEINT) * r2x * r2x) AS sxx,
+                 SUM(CAST(cnt AS HUGEINT) * r2y * r2y) AS syy,
+                 SUM(CAST(cnt AS HUGEINT) * r2x * r2y) AS sxy
+          FROM cells GROUP BY 1),
+        lat AS (
+          SELECT flag, n,
+                 CAST(sx // 2 AS BIGINT) AS sum_rx,
+                 CAST(sy // 2 AS BIGINT) AS sum_ry,
+                 CAST(n AS HUGEINT) * (sxy // 1048576)
+                   - (sx // 1024) * (sy // 1024) AS num_s,
+                 CAST(n AS HUGEINT) * (sxx // 1048576)
+                   - (sx // 1024) * (sx // 1024) AS dx_s,
+                 CAST(n AS HUGEINT) * (syy // 1048576)
+                   - (sy // 1024) * (sy // 1024) AS dy_s
+          FROM m)
+        SELECT flag, n, sum_rx, sum_ry,
+               (sum_rx * 2 = n * (n + 1) AND sum_ry * 2 = n * (n + 1))
+                 AS rank_identity_ok,
+               CAST((CASE WHEN num_s < 0 THEN -1 ELSE 1 END)
+                    * (((abs(num_s) // 1048576) * (abs(num_s) // 1048576)
+                        * 1000000)
+                       // ((dx_s // 1048576) * (dy_s // 1048576)))
+                    AS BIGINT) AS spearman2_signed_ppm
+        FROM lat
+        ORDER BY flag""")),
+
+    // Kendall tau with tie counts — the PAIR-concordance member of the
+    // correlation family: on the same bounded joint contingency table as
+    // q303, concordant/discordant mass is a ≤550×550 cell self-join
+    // (cnt_a·cnt_b over cells strictly ordered in both coordinates) —
+    // never a row-pair join. τ_a = (C−D)/(n(n−1)/2) in exact ppm;
+    // τ_b's denominator needs square roots, so the gate emits SIGNED
+    // τ_b² in ppm from (C−D)², (n0−n1), (n0−n2) — all exact DECIMAL(38,0)
+    // integers (tie corrections n1/n2 from the marginals). The signed
+    // quantity is |·|-split before its floor division (Spark div
+    // truncates, DuckDB // floors — they agree only on positives).
+    // Scale: one scan to the joint table; the pair arithmetic is
+    // constant-bounded by the value domains, not the corpus.
+    QueryDef(
+      "q304_kendall_tau",
+      (s, dir) => {
+        val joint = qdJointCounts(s, dir).cutLineage()
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val a = joint.select(col("flag"), col("x").as("xa"),
+          col("y").as("ya"), col("cnt").as("ca"))
+        val b = joint.select(col("flag"), col("x").as("xb"),
+          col("y").as("yb"), col("cnt").as("cb"))
+        val cd = a.join(b, Seq("flag"))
+          .where(col("xb") > col("xa") && col("yb") =!= col("ya"))
+          .groupBy(col("flag"))
+          .agg(
+            sum(when(col("yb") > col("ya"),
+              col("ca").cast(D) * col("cb")).otherwise(lit(0).cast(D)))
+              .as("c_mass"),
+            sum(when(col("yb") < col("ya"),
+              col("ca").cast(D) * col("cb")).otherwise(lit(0).cast(D)))
+              .as("d_mass"))
+        val xt = joint.groupBy(col("flag"), col("x"))
+          .agg(sum(col("cnt")).as("cv"))
+          .groupBy(col("flag"))
+          .agg(sum(expr("cast(cv as decimal(38,0)) * (cv - 1) div 2"))
+            .as("n1"))
+        val yt = joint.groupBy(col("flag"), col("y"))
+          .agg(sum(col("cnt")).as("cv"))
+          .groupBy(col("flag"))
+          .agg(sum(expr("cast(cv as decimal(38,0)) * (cv - 1) div 2"))
+            .as("n2"))
+        val nn = joint.groupBy(col("flag")).agg(sum(col("cnt")).as("n"))
+        nn.join(cd, Seq("flag")).join(xt, Seq("flag")).join(yt, Seq("flag"))
+          .select(col("flag"), col("n"),
+            col("c_mass").cast("long").as("n_concordant"),
+            col("d_mass").cast("long").as("n_discordant"),
+            col("n1").cast("long").as("tie_x"),
+            col("n2").cast("long").as("tie_y"),
+            (when(col("c_mass") < col("d_mass"), -1L).otherwise(1L) *
+              expr("""(abs(c_mass - d_mass) * 1000000)
+                      div (cast(n as decimal(38,0)) * (n - 1) div 2)"""))
+              .cast("long").as("tau_a_ppm"),
+            (when(col("c_mass") < col("d_mass"), -1L).otherwise(1L) *
+              expr("""(abs(c_mass - d_mass) * abs(c_mass - d_mass)
+                       * 1000000)
+                      div ((cast(n as decimal(38,0)) * (n - 1) div 2 - n1)
+                           * (cast(n as decimal(38,0)) * (n - 1) div 2
+                              - n2))"""))
+              .cast("long").as("tau_b2_signed_ppm"))
+          .orderBy(col("flag"))
+      },
+      Some(s"""
+        WITH $QdJointSql,
+        cd AS (
+          SELECT a.flag,
+                 SUM(CASE WHEN b.y > a.y
+                          THEN CAST(a.cnt AS HUGEINT) * b.cnt
+                          ELSE 0 END) AS c_mass,
+                 SUM(CASE WHEN b.y < a.y
+                          THEN CAST(a.cnt AS HUGEINT) * b.cnt
+                          ELSE 0 END) AS d_mass
+          FROM joint a JOIN joint b
+            ON a.flag = b.flag AND b.x > a.x AND b.y <> a.y
+          GROUP BY 1),
+        xt AS (
+          SELECT flag, SUM(CAST(cv AS HUGEINT) * (cv - 1) // 2) AS n1
+          FROM (SELECT flag, x, SUM(cnt) AS cv FROM joint GROUP BY 1, 2)
+          GROUP BY 1),
+        yt AS (
+          SELECT flag, SUM(CAST(cv AS HUGEINT) * (cv - 1) // 2) AS n2
+          FROM (SELECT flag, y, SUM(cnt) AS cv FROM joint GROUP BY 1, 2)
+          GROUP BY 1),
+        nn AS (SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n FROM joint
+               GROUP BY 1)
+        SELECT nn.flag, nn.n,
+               CAST(cd.c_mass AS BIGINT) AS n_concordant,
+               CAST(cd.d_mass AS BIGINT) AS n_discordant,
+               CAST(xt.n1 AS BIGINT) AS tie_x,
+               CAST(yt.n2 AS BIGINT) AS tie_y,
+               CAST((CASE WHEN cd.c_mass < cd.d_mass THEN -1 ELSE 1 END)
+                    * ((abs(cd.c_mass - cd.d_mass) * 1000000)
+                       // (CAST(nn.n AS HUGEINT) * (nn.n - 1) // 2))
+                    AS BIGINT) AS tau_a_ppm,
+               CAST((CASE WHEN cd.c_mass < cd.d_mass THEN -1 ELSE 1 END)
+                    * ((abs(cd.c_mass - cd.d_mass)
+                        * abs(cd.c_mass - cd.d_mass) * 1000000)
+                       // ((CAST(nn.n AS HUGEINT) * (nn.n - 1) // 2
+                            - xt.n1)
+                          * (CAST(nn.n AS HUGEINT) * (nn.n - 1) // 2
+                             - yt.n2)))
+                    AS BIGINT) AS tau_b2_signed_ppm
+        FROM nn JOIN cd ON cd.flag = nn.flag
+        JOIN xt ON xt.flag = nn.flag
+        JOIN yt ON yt.flag = nn.flag
+        ORDER BY nn.flag""")))
+
+  /** Shared joint contingency table for the correlation gates (q303,
+    * q304): per returnflag, quantity × discount-cents cell counts.
+    * Both value domains are bounded (≤50 × ≤11), so ONE partial-
+    * aggregated scan collapses the corpus to ≤550 cells per group and
+    * every downstream rank/pair computation is constant-size. Discount
+    * cents go through the DECIMAL(18,2) lane — a raw double*100 cast
+    * truncates 0.03→2 on Spark while DuckDB rounds to 3. */
+  private def qdJointCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("x"),
+        (col("l_discount")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("y"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** DuckDB twin of [[qdJointCounts]] — a `def` (not a post-`defs` val)
+    * so oracle strings can interpolate it during `defs` init. */
+  private def QdJointSql: String =
+    """joint AS (
+          SELECT l_returnflag AS flag,
+                 CAST(l_quantity AS BIGINT) AS x,
+                 CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS y,
+                 CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM lineitem GROUP BY 1, 2, 3)"""
 
   /** Exact integer moment buffer for the typed-Aggregator gate (q246):
     * associative/commutative adds — partition-split-invariant by
