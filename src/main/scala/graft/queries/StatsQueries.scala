@@ -1303,7 +1303,8 @@ object StatsQueries {
             (when(col("c_mass") < col("d_mass"), -1L).otherwise(1L) *
               expr("""(abs(c_mass - d_mass) * abs(c_mass - d_mass)
                        * 1000000)
-                      div ((cast(n as decimal(38,0)) * (n - 1) div 2 - n1)
+                      div (cast(cast(n as decimal(38,0)) * (n - 1) div 2
+                                - n1 as decimal(38,0))
                            * (cast(n as decimal(38,0)) * (n - 1) div 2
                               - n2))"""))
               .cast("long").as("tau_b2_signed_ppm"))
