@@ -1540,7 +1540,263 @@ object ExperimentQueries {
                  WHEN ud < 26241 * 4294967296 THEN  7
                  ELSE 8 END AS BIGINT)) AS noisy_cnt
         FROM noised
-        ORDER BY n_name"""))
+        ORDER BY n_name""")),
+
+    // Coarsened Exact Matching (Iacus-King-Porro) ATT — the
+    // OBSERVATIONAL causal estimator next to the experimental family
+    // (DiD q298, CUPED q182, randomization q308): coarsen covariates
+    // into strata (nation × $1k balance bucket × order-count quintile
+    // bucket), keep only strata containing BOTH treated (BUILDING) and
+    // control units, and weight each stratum's mean contrast by its
+    // treated mass:  ATT = Σ_s (m_ts / M_T) · (ȳ_ts − ȳ_cs).
+    // Exactness: stratum means are micro-cent floor divisions of
+    // DECIMAL(38,0) sums (positive operands), the weighted sum rides
+    // decimal, and the single SIGNED division is |·|-split (Spark
+    // truncates, DuckDB floors — they agree only on positives). The
+    // pruned-unit counts are first-class outputs: CEM's honesty is
+    // exactly that it REPORTS who was unmatchable. Scale: one
+    // per-customer rollup, one broadcast dim join, then arithmetic on
+    // the ≤(25·11·5)-row stratum frame — bounded by the coarsening
+    // grid, not the corpus.
+    QueryDef(
+      "q307_cem_att",
+      (s, dir) => {
+        val D = DecimalType(38, 0)
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(count(lit(1)).as("n_ord"),
+            sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long")).as("cents"))
+        val cov = Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"),
+            (col("c_mktsegment") === "BUILDING").as("treated"),
+            col("c_nationkey").as("nk"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("bal_b"))
+        val units = spend.join(cov, Seq("ck"))
+          .select(col("treated"), col("nk"), col("bal_b"),
+            expr("n_ord div 5").as("cnt_b"), col("cents"))
+        val strata = units.groupBy(col("nk"), col("bal_b"), col("cnt_b"))
+          .agg(
+            sum(when(col("treated"), 1L).otherwise(0L)).as("mt"),
+            sum(when(!col("treated"), 1L).otherwise(0L)).as("mc"),
+            sum(when(col("treated"), col("cents")).otherwise(0L)
+              .cast(D)).as("st"),
+            sum(when(!col("treated"), col("cents")).otherwise(0L)
+              .cast(D)).as("sc"))
+        val matched = strata.where(col("mt") > 0 && col("mc") > 0)
+          .select(col("mt"), col("mc"),
+            expr("""cast(mt as decimal(38,0))
+                    * ((st * 1000000) div mt - (sc * 1000000) div mc)""")
+              .as("contrib"))
+        val agg = matched.agg(
+          sum(col("mt")).as("n_treated_matched"),
+          sum(col("mc")).as("n_control_matched"),
+          count(lit(1)).as("n_strata_matched"),
+          sum(col("contrib")).as("num"))
+        val pruned = strata.where(col("mt") === 0 || col("mc") === 0)
+          .agg(coalesce(sum(col("mt")), lit(0L)).as("n_treated_pruned"),
+            coalesce(sum(col("mc")), lit(0L)).as("n_control_pruned"))
+        agg.crossJoin(broadcast(pruned))
+          .select(col("n_treated_matched"), col("n_control_matched"),
+            col("n_strata_matched"), col("n_treated_pruned"),
+            col("n_control_pruned"),
+            (when(col("num") < 0, -1L).otherwise(1L) *
+              expr("abs(num) div n_treated_matched"))
+              .cast("long").as("att_micro"))
+          .orderBy(col("n_strata_matched"))
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_ord,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        units AS (
+          SELECT (c.c_mktsegment = 'BUILDING') AS treated,
+                 c.c_nationkey AS nk,
+                 CAST(FLOOR(c.c_acctbal / 1000.0) AS BIGINT) AS bal_b,
+                 sp.n_ord // 5 AS cnt_b,
+                 sp.cents
+          FROM spend sp JOIN customer c ON c.c_custkey = sp.ck),
+        strata AS (
+          SELECT nk, bal_b, cnt_b,
+                 CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mt,
+                 CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+                   AS BIGINT) AS mc,
+                 SUM(CASE WHEN treated THEN cents ELSE 0 END) AS st,
+                 SUM(CASE WHEN NOT treated THEN cents ELSE 0 END) AS sc
+          FROM units GROUP BY 1, 2, 3),
+        matched AS (
+          SELECT mt, mc,
+                 CAST(mt AS HUGEINT)
+                   * ((CAST(st AS HUGEINT) * 1000000) // mt
+                      - (CAST(sc AS HUGEINT) * 1000000) // mc) AS contrib
+          FROM strata WHERE mt > 0 AND mc > 0),
+        agg AS (
+          SELECT CAST(SUM(mt) AS BIGINT) AS n_treated_matched,
+                 CAST(SUM(mc) AS BIGINT) AS n_control_matched,
+                 CAST(COUNT(*) AS BIGINT) AS n_strata_matched,
+                 SUM(contrib) AS num
+          FROM matched),
+        pruned AS (
+          SELECT COALESCE(CAST(SUM(mt) AS BIGINT), 0) AS n_treated_pruned,
+                 COALESCE(CAST(SUM(mc) AS BIGINT), 0) AS n_control_pruned
+          FROM strata WHERE mt = 0 OR mc = 0)
+        SELECT a.n_treated_matched, a.n_control_matched,
+               a.n_strata_matched, p.n_treated_pruned, p.n_control_pruned,
+               CAST((CASE WHEN a.num < 0 THEN -1 ELSE 1 END)
+                    * (abs(a.num) // a.n_treated_matched) AS BIGINT)
+                 AS att_micro
+        FROM agg a CROSS JOIN pruned p
+        ORDER BY a.n_strata_matched""")),
+
+    // Randomization inference — the DESIGN-BASED significance gate for
+    // the group contrast q298/q307 estimate: re-randomize the treatment
+    // label under the Bernoulli design and ask how extreme the observed
+    // contrast is among the replicates. Everything is deterministic and
+    // integer-exact: replicate r reassigns customer u via the affine
+    // hash h_r(u) = (u32·(2r+1) + r·2654435761) mod 2³² of ONE md5
+    // low-32 digest per customer (no per-replicate digests — 128
+    // replicates cost 128 multiply-adds per row, not 128 md5s), treated
+    // iff h_r·M < M_T·2³² (cross-multiplied exact Bernoulli M_T/M).
+    // The statistic is the division-free contrast
+    // T = M_c·S_t − M_t·S_c ( = M_t·M_c·(ȳ_t−ȳ_c) ), carried in
+    // DECIMAL(38,0); the p-value is the add-one Monte-Carlo estimate
+    // (1 + #{|T_r| ≥ |T_obs|}) / (R+1) on the exact ppm lattice.
+    // Scale: ONE per-customer rollup, then a broadcast crossJoin with
+    // the 128-row replicate frame — 128·N_customers codegen'd integer
+    // rows partial-aggregating to 128 groups, no shuffle of the wide
+    // side.
+    QueryDef(
+      "q308_randomization_test",
+      (s, dir) => {
+        import graft.functions.Kernels.md5Lower64Lo32
+        val D = DecimalType(38, 0)
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("cents"))
+        val units = spend
+          .join(Tables.customer(s, dir)
+            .select(col("c_custkey").as("ck"),
+              (col("c_mktsegment") === "BUILDING").as("treated")),
+            Seq("ck"))
+          .select(col("treated"), col("cents"),
+            md5Lower64Lo32(concat(lit("perm:"), col("ck"))).as("u32"))
+          .cutLineage()
+        val obs = units.agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("m_t"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("m_c"),
+          sum(when(col("treated"), col("cents")).otherwise(0L).cast(D))
+            .as("s_t"),
+          sum(when(!col("treated"), col("cents")).otherwise(0L).cast(D))
+            .as("s_c"))
+          .select(col("m_t"), col("m_c"),
+            expr("cast(m_c as decimal(38,0)) * s_t - "
+              + "cast(m_t as decimal(38,0)) * s_c").as("t_obs"),
+            (col("m_t") + col("m_c")).as("m_all"))
+        val reps = s.range(0, 128).select(col("id").as("r"))
+        val perRep = units.crossJoin(broadcast(reps))
+          .crossJoin(broadcast(obs.select(col("m_t").as("mt0"),
+            col("m_all").as("m0"))))
+          .select(col("r"), col("cents"),
+            (pmod(col("u32") * (col("r") * 2 + 1)
+              + col("r") * 2654435761L, lit(4294967296L)) * col("m0")
+              < col("mt0") * lit(4294967296L)).as("t_assign"))
+          .groupBy(col("r"))
+          .agg(
+            sum(when(col("t_assign"), 1L).otherwise(0L)).as("rm_t"),
+            sum(when(!col("t_assign"), 1L).otherwise(0L)).as("rm_c"),
+            sum(when(col("t_assign"), col("cents")).otherwise(0L)
+              .cast(D)).as("rs_t"),
+            sum(when(!col("t_assign"), col("cents")).otherwise(0L)
+              .cast(D)).as("rs_c"))
+          .select(col("r"),
+            expr("cast(rm_c as decimal(38,0)) * rs_t - "
+              + "cast(rm_t as decimal(38,0)) * rs_c").as("t_rep"))
+        perRep.crossJoin(broadcast(obs))
+          .agg(
+            max(col("m_t")).as("m_treated"),
+            max(col("m_c")).as("m_control"),
+            max(col("t_obs").cast("long")).as("t_obs"),
+            count(lit(1)).as("n_reps"),
+            sum(when(abs(col("t_rep")) >= abs(col("t_obs")), 1L)
+              .otherwise(0L)).as("n_as_extreme"))
+          .select(col("m_treated"), col("m_control"), col("t_obs"),
+            col("n_reps"), col("n_as_extreme"),
+            expr("((1 + n_as_extreme) * 1000000) div (n_reps + 1)")
+              .as("p_value_ppm"))
+          .orderBy(col("n_reps"))
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o_custkey AS ck,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        units AS (
+          SELECT (c.c_mktsegment = 'BUILDING') AS treated, sp.cents,
+                 CAST(md5_number_lower('perm:' || sp.ck) % 4294967296
+                      AS BIGINT) AS u32
+          FROM spend sp JOIN customer c ON c.c_custkey = sp.ck),
+        obs AS (
+          SELECT CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m_t,
+                 CAST(SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+                   AS BIGINT) AS m_c,
+                 CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END)
+                   + SUM(CASE WHEN NOT treated THEN 1 ELSE 0 END)
+                   AS BIGINT) AS m_all,
+                 SUM(CASE WHEN treated THEN CAST(cents AS HUGEINT)
+                          ELSE 0 END) AS s_t,
+                 SUM(CASE WHEN NOT treated THEN CAST(cents AS HUGEINT)
+                          ELSE 0 END) AS s_c
+          FROM units),
+        tobs AS (
+          SELECT m_t, m_c, m_all,
+                 CAST(m_c AS HUGEINT) * s_t - CAST(m_t AS HUGEINT) * s_c
+                   AS t_obs
+          FROM obs),
+        reps AS (SELECT CAST(r.range AS BIGINT) AS r FROM range(0, 128) r),
+        per_rep AS (
+          SELECT rp.r,
+                 SUM(CASE WHEN ((u.u32 * (rp.r * 2 + 1)
+                                 + rp.r * 2654435761) % 4294967296)
+                                * t.m_all < t.m_t * 4294967296
+                          THEN 1 ELSE 0 END) AS rm_t,
+                 SUM(CASE WHEN NOT (((u.u32 * (rp.r * 2 + 1)
+                                      + rp.r * 2654435761) % 4294967296)
+                                     * t.m_all < t.m_t * 4294967296)
+                          THEN 1 ELSE 0 END) AS rm_c,
+                 SUM(CASE WHEN ((u.u32 * (rp.r * 2 + 1)
+                                 + rp.r * 2654435761) % 4294967296)
+                                * t.m_all < t.m_t * 4294967296
+                          THEN CAST(u.cents AS HUGEINT) ELSE 0 END)
+                   AS rs_t,
+                 SUM(CASE WHEN NOT (((u.u32 * (rp.r * 2 + 1)
+                                      + rp.r * 2654435761) % 4294967296)
+                                     * t.m_all < t.m_t * 4294967296)
+                          THEN CAST(u.cents AS HUGEINT) ELSE 0 END)
+                   AS rs_c
+          FROM units u CROSS JOIN reps rp CROSS JOIN tobs t
+          GROUP BY 1),
+        treps AS (
+          SELECT r, CAST(rm_c AS HUGEINT) * rs_t
+                    - CAST(rm_t AS HUGEINT) * rs_c AS t_rep
+          FROM per_rep)
+        SELECT t.m_t AS m_treated, t.m_c AS m_control,
+               CAST(t.t_obs AS BIGINT) AS t_obs,
+               CAST(COUNT(*) AS BIGINT) AS n_reps,
+               CAST(SUM(CASE WHEN abs(tr.t_rep) >= abs(t.t_obs)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_as_extreme,
+               CAST(((1 + SUM(CASE WHEN abs(tr.t_rep) >= abs(t.t_obs)
+                                   THEN 1 ELSE 0 END)) * 1000000)
+                    // (COUNT(*) + 1) AS BIGINT) AS p_value_ppm
+        FROM treps tr CROSS JOIN tobs t
+        GROUP BY t.m_t, t.m_c, t.t_obs
+        ORDER BY n_reps"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:
