@@ -739,5 +739,107 @@ object GraphQueries {
                CAST(SUM(d) AS BIGINT) AS d_checksum
         FROM walk WHERE it = 6
         GROUP BY 1
-        ORDER BY bucket""")))
+        ORDER BY bucket""")),
+
+    // Newman modularity of the label-propagation communities — the
+    // QUALITY metric that closes the community loop (q233 finds the
+    // partition; this scores it): Q = Σ_c [e_c/2m − (d_c/2m)²] over the
+    // same supplier↔part bipartite graph and the same 3-round LPA
+    // labels q233 gates (cluster checksums there prove the partitions
+    // match engine-for-engine). On the directed edge list (both
+    // directions present) 2m = |E⃗|, e_c counts intra-community directed
+    // edges, d_c sums member degrees — so Q is the exact ppm lattice
+    // Σ_c [(e_c·10⁶) div 2m − (d_c²·10⁶) div (2m)²], every division on
+    // positive operands, products riding DECIMAL(38,0), NO floats. The
+    // per-community term is signed only through its final subtraction.
+    // Scale: LPA is the q233 iterative machinery (partial-aggregable
+    // argmax rounds); scoring adds two label joins + one aggregate over
+    // communities — all shuffles on node/label keys.
+    QueryDef(
+      "q309_modularity",
+      (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = pairs
+          .select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
+          .unionByName(pairs.select((col("pk") + 10000000L).as("src"),
+            col("sk").as("dst")))
+        // labels feed BOTH endpoint joins — branching consumption, so
+        // the sanctioned lineage cut runs the LPA rounds once.
+        val lab = graft.operators.Graphs.labelPropagation(edges, 3)
+          .cutLineage()
+        val e2 = edges
+          .join(lab.select(col("node").as("src"), col("lbl").as("sl")),
+            Seq("src"))
+          .join(lab.select(col("node").as("dst"), col("lbl").as("dl")),
+            Seq("dst"))
+          .select(col("sl"), col("dl"))
+        val m2f = e2.agg(count(lit(1)).as("m2"))
+        val comm = e2.groupBy(col("sl"))
+          .agg(count(lit(1)).as("deg"),
+            sum(when(col("sl") === col("dl"), 1L).otherwise(0L))
+              .as("intra"))
+        comm.crossJoin(broadcast(m2f))
+          .select(col("intra"), col("m2"),
+            (expr("(cast(intra as decimal(38,0)) * 1000000) div m2")
+              - expr("""(cast(deg as decimal(38,0)) * deg * 1000000)
+                        div (cast(m2 as decimal(38,0)) * m2)"""))
+              .as("term"))
+          .agg(count(lit(1)).as("n_communities"),
+            max(col("m2")).as("m2_directed"),
+            sum(col("intra")).as("intra_directed"),
+            sum(col("term")).as("q_ppm"))
+          .orderBy(col("n_communities"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        edges AS (
+          SELECT sk AS src, pk + 10000000 AS dst FROM pairs
+          UNION ALL
+          SELECT pk + 10000000 AS src, sk AS dst FROM pairs),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        c1 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+               FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        l1 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                 FROM c1) WHERE rn = 1),
+        c2 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+               FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        l2 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                 FROM c2) WHERE rn = 1),
+        c3 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+               FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        l3 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                 FROM c3) WHERE rn = 1),
+        e2 AS (
+          SELECT ls.lbl AS sl, ld.lbl AS dl
+          FROM edges e
+          JOIN l3 ls ON ls.node = e.src
+          JOIN l3 ld ON ld.node = e.dst),
+        m2 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM e2),
+        comm AS (
+          SELECT sl, CAST(COUNT(*) AS BIGINT) AS deg,
+                 CAST(SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS intra
+          FROM e2 GROUP BY 1),
+        terms AS (
+          SELECT c.intra, m.m2,
+                 (CAST(c.intra AS HUGEINT) * 1000000) // m.m2
+                 - (CAST(c.deg AS HUGEINT) * c.deg * 1000000)
+                   // (m.m2 * m.m2) AS term
+          FROM comm c CROSS JOIN m2 m)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(MAX(m2) AS BIGINT) AS m2_directed,
+               CAST(SUM(intra) AS BIGINT) AS intra_directed,
+               CAST(SUM(term) AS BIGINT) AS q_ppm
+        FROM terms
+        ORDER BY n_communities"""))
+  )
 }
