@@ -769,17 +769,33 @@ object GraphQueries {
         // the sanctioned lineage cut runs the LPA rounds once.
         val lab = graft.operators.Graphs.labelPropagation(edges, 3)
           .cutLineage()
-        val e2 = edges
-          .join(lab.select(col("node").as("src"), col("lbl").as("sl")),
-            Seq("src"))
-          .join(lab.select(col("node").as("dst"), col("lbl").as("dl")),
-            Seq("dst"))
-          .select(col("sl"), col("dl"))
-        val m2f = e2.agg(count(lit(1)).as("m2"))
-        val comm = e2.groupBy(col("sl"))
-          .agg(count(lit(1)).as("deg"),
-            sum(when(col("sl") === col("dl"), 1L).otherwise(0L))
-              .as("intra"))
+        // Score on the UNDIRECTED pair frame (half the rows of the
+        // directed list the LPA consumes): each pair contributes 1 to
+        // the degree of both endpoint communities and 2 directed intra
+        // edges when the labels agree — identical exact integers to the
+        // directed formulation, at half the join mass.
+        val p2 = pairs.withColumn("pkx", col("pk") + 10000000L)
+          .join(lab.select(col("node").as("sk"), col("lbl").as("lu")),
+            Seq("sk"))
+          .join(lab.select(col("node").as("pkx"), col("lbl").as("lv")),
+            Seq("pkx"))
+          .select(col("lu"), col("lv"))
+        // ONE pass: each pair explodes into its two endpoint-community
+        // contributions (degree on both sides, intra tallied on the lu
+        // side only, then doubled) — no second consumption of the
+        // joined frame, no union of its subtree.
+        val comm = p2
+          .select(explode(array(
+            struct(col("lu").as("c"),
+              when(col("lu") === col("lv"), 1L).otherwise(0L).as("ip")),
+            struct(col("lv").as("c"), lit(0L).as("ip")))).as("e"))
+          .select(col("e.c").as("c"), col("e.ip").as("ip"))
+          .groupBy(col("c"))
+          .agg(count(lit(1)).as("deg"), sum(col("ip")).as("ip1"))
+          .select(col("c"), col("deg"), (col("ip1") * 2).as("intra"))
+        // 2m = Σ_c d_c, so the edge total comes from the tiny community
+        // frame — the big pair×label join is consumed exactly ONCE.
+        val m2f = comm.agg(sum(col("deg")).as("m2"))
         comm.crossJoin(broadcast(m2f))
           .select(col("intra"), col("m2"),
             (expr("(cast(intra as decimal(38,0)) * 1000000) div m2")
@@ -823,12 +839,12 @@ object GraphQueries {
           FROM edges e
           JOIN l3 ls ON ls.node = e.src
           JOIN l3 ld ON ld.node = e.dst),
-        m2 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM e2),
         comm AS (
           SELECT sl, CAST(COUNT(*) AS BIGINT) AS deg,
                  CAST(SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
                    AS intra
           FROM e2 GROUP BY 1),
+        m2 AS (SELECT CAST(SUM(deg) AS HUGEINT) AS m2 FROM comm),
         terms AS (
           SELECT c.intra, m.m2,
                  (CAST(c.intra AS HUGEINT) * 1000000) // m.m2
