@@ -1353,7 +1353,242 @@ object StatsQueries {
         FROM nn JOIN cd ON cd.flag = nn.flag
         JOIN xt ON xt.flag = nn.flag
         JOIN yt ON yt.flag = nn.flag
-        ORDER BY nn.flag""")))
+        ORDER BY nn.flag""")),
+
+    // Decision-stump training — the GBDT building block, trained
+    // in-engine with EXACT arithmetic: over every candidate split
+    // (feature ∈ {quantity, discount-cents}, threshold ∈ its bounded
+    // domain) pick the one minimizing weighted Gini impurity of the
+    // 3-class returnflag label. The third consumer of qdJointCounts:
+    // left/right class masses per threshold are triangular prefix sums
+    // over the ≤61 feature-value marginals, and the candidate score is
+    // the exact ppm lattice
+    //   gini_ppm = 10⁶·[(nL²−ΣcL²)·nR + (nR²−ΣcR²)·nL] div (n·nL·nR)
+    // — one positive-operand floor division per candidate, products
+    // riding DECIMAL(38,0). Argmin tiebreak (gini, feature, threshold)
+    // is a total order; training accuracy = majority-vote mass of the
+    // two leaves on the same lattice. Scale: ONE scan to the joint
+    // table; candidate evaluation is bounded by the value domains.
+    QueryDef(
+      "q310_gini_stump",
+      (s, dir) => {
+        val joint = qdJointCounts(s, dir).cutLineage()
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        def marg(feat: String): org.apache.spark.sql.DataFrame =
+          joint.groupBy(col(feat).as("v"), col("flag"))
+            .agg(sum(col("cnt")).as("c"))
+            .withColumn("feature", lit(feat))
+        val mAll = marg("x").unionByName(marg("y"))
+        val thrs = mAll.select(col("feature"), col("v").as("t")).distinct()
+        val cumRaw = thrs.join(mAll, Seq("feature"))
+          .where(col("v") <= col("t"))
+          .groupBy(col("feature"), col("t"), col("flag"))
+          .agg(sum(col("c")).as("cl"))
+        val tot = joint.groupBy(col("flag"))
+          .agg(sum(col("cnt")).as("ctot"))
+        // Explicit threshold × class grid: a class with zero mass at or
+        // below a threshold still contributes its full total to the
+        // right child (a left join from the grid, not from the sparse
+        // prefix rows — the sparse form silently undercounts n_r).
+        val cand = thrs.crossJoin(broadcast(tot))
+          .join(cumRaw, Seq("feature", "t", "flag"), "left")
+          .withColumn("cl", coalesce(col("cl"), lit(0L)))
+          .groupBy(col("feature"), col("t"))
+          .agg(
+            sum(col("cl")).as("n_l"),
+            sum(col("ctot") - col("cl")).as("n_r"),
+            sum(col("cl").cast(D) * col("cl")).as("sl2"),
+            sum((col("ctot") - col("cl")).cast(D)
+              * (col("ctot") - col("cl"))).as("sr2"),
+            max(col("cl")).as("max_l"),
+            max(col("ctot") - col("cl")).as("max_r"))
+          .where(col("n_l") > 0 && col("n_r") > 0)
+          .select(col("feature"), col("t"), col("n_l"), col("n_r"),
+            col("max_l"), col("max_r"),
+            expr("""((cast(n_l as decimal(38,0)) * n_l - sl2) * n_r
+                     + (cast(n_r as decimal(38,0)) * n_r - sr2) * n_l)
+                    * 1000000
+                    div (cast(n_l + n_r as decimal(38,0)) * n_l * n_r)""")
+              .as("gini_ppm"))
+        val best = cand
+          .select(min(struct(col("gini_ppm"), col("feature"), col("t")))
+            .as("b"))
+        cand.crossJoin(broadcast(best))
+          .where(col("gini_ppm") === col("b.gini_ppm") &&
+            col("feature") === col("b.feature") && col("t") === col("b.t"))
+          .select(col("feature"), col("t").as("threshold"),
+            col("n_l"), col("n_r"), col("gini_ppm"),
+            expr("""((max_l + max_r) * 1000000) div (n_l + n_r)""")
+              .as("train_acc_ppm"))
+          .orderBy(col("feature"))
+      },
+      Some(s"""
+        WITH $QdJointSql,
+        mx AS (SELECT 'x' AS feature, x AS v, flag, SUM(cnt) AS c
+               FROM joint GROUP BY 2, 3),
+        my AS (SELECT 'y' AS feature, y AS v, flag, SUM(cnt) AS c
+               FROM joint GROUP BY 2, 3),
+        m AS (SELECT * FROM mx UNION ALL SELECT * FROM my),
+        thr AS (SELECT DISTINCT feature, v AS t FROM m),
+        cum AS (
+          SELECT t.feature, t.t, mm.flag, SUM(mm.c) AS cl
+          FROM thr t
+          JOIN m mm ON mm.feature = t.feature AND mm.v <= t.t
+          GROUP BY 1, 2, 3),
+        tot AS (SELECT flag, CAST(SUM(cnt) AS BIGINT) AS ctot FROM joint
+                GROUP BY 1),
+        grid AS (
+          SELECT th.feature, th.t, tt.flag, tt.ctot,
+                 COALESCE(c.cl, 0) AS cl
+          FROM thr th CROSS JOIN tot tt
+          LEFT JOIN cum c ON c.feature = th.feature AND c.t = th.t
+                         AND c.flag = tt.flag),
+        cand AS (
+          SELECT g.feature, g.t,
+                 CAST(SUM(g.cl) AS BIGINT) AS n_l,
+                 CAST(SUM(g.ctot - g.cl) AS BIGINT) AS n_r,
+                 SUM(CAST(g.cl AS HUGEINT) * g.cl) AS sl2,
+                 SUM(CAST(g.ctot - g.cl AS HUGEINT) * (g.ctot - g.cl))
+                   AS sr2,
+                 CAST(MAX(g.cl) AS BIGINT) AS max_l,
+                 CAST(MAX(g.ctot - g.cl) AS BIGINT) AS max_r
+          FROM grid g
+          GROUP BY 1, 2
+          HAVING SUM(g.cl) > 0 AND SUM(g.ctot - g.cl) > 0),
+        scored AS (
+          SELECT feature, t, n_l, n_r, max_l, max_r,
+                 ((CAST(n_l AS HUGEINT) * n_l - sl2) * n_r
+                  + (CAST(n_r AS HUGEINT) * n_r - sr2) * n_l) * 1000000
+                 // (CAST(n_l + n_r AS HUGEINT) * n_l * n_r) AS gini_ppm
+          FROM cand),
+        best AS (
+          SELECT * FROM scored
+          ORDER BY gini_ppm, feature, t LIMIT 1)
+        SELECT feature, t AS threshold, n_l, n_r,
+               CAST(gini_ppm AS BIGINT) AS gini_ppm,
+               ((max_l + max_r) * 1000000) // (n_l + n_r)
+                 AS train_acc_ppm
+        FROM best
+        ORDER BY feature""")),
+
+    // Naive Bayes — an actual TRAINED-and-EVALUATED classifier in the
+    // engine: predict returnflag from (quantity-bucket, discount-cents)
+    // with Laplace-smoothed categorical likelihoods, an 80/20
+    // md5-hash train/test split (the q58 split contract — deterministic
+    // on both engines), and a full confusion matrix + accuracy as the
+    // gate. Scoring compares P(c)·P(qb|c)·P(y|c) across the 3 classes;
+    // the comparison happens on a ≤66-cell (qb × y) grid, so the ONE
+    // float construct is a fixed-order product of three exact-integer
+    // ratios per (cell, class) — identical IEEE on both engines —
+    // argmaxed with a deterministic class tiebreak. Scale: two scans
+    // (train counts, test cell counts), everything else is ≤198-row
+    // arithmetic; test rows join their cell's prediction by broadcast.
+    QueryDef(
+      "q311_naive_bayes",
+      (s, dir) => {
+        import graft.functions.Kernels.md5Lower64Lo32
+        val base = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(l_quantity AS BIGINT) div 10").as("qb"),
+            (col("l_discount")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long").as("y"),
+            (pmod(md5Lower64Lo32(concat(lit("nb:"),
+              col("l_orderkey").cast("string"), lit("-"),
+              col("l_linenumber").cast("string"), lit("-"),
+              col("l_partkey").cast("string"))), lit(5L)) === 0)
+              .as("is_test"))
+          .cutLineage()
+        val train = base.where(!col("is_test"))
+        val priors = train.groupBy(col("flag"))
+          .agg(count(lit(1)).as("nc"))
+        val c1 = train.groupBy(col("flag"), col("qb"))
+          .agg(count(lit(1)).as("cq"))
+        val c2 = train.groupBy(col("flag"), col("y"))
+          .agg(count(lit(1)).as("cy"))
+        val testCells = base.where(col("is_test"))
+          .groupBy(col("qb"), col("y"), col("flag").as("actual"))
+          .agg(count(lit(1)).as("n"))
+        val cells = testCells.select(col("qb"), col("y")).distinct()
+        val scored = cells.crossJoin(broadcast(priors))
+          .join(broadcast(c1), Seq("flag", "qb"), "left")
+          .join(broadcast(c2), Seq("flag", "y"), "left")
+          .select(col("qb"), col("y"), col("flag"),
+            (col("nc").cast("double")
+              * ((coalesce(col("cq"), lit(0L)) + 1).cast("double")
+                / (col("nc") + 6).cast("double"))
+              * ((coalesce(col("cy"), lit(0L)) + 1).cast("double")
+                / (col("nc") + 11).cast("double"))).as("score"))
+        val pred = scored
+          .withColumn("inv",
+            when(col("flag") === "A", 3L).when(col("flag") === "N", 2L)
+              .otherwise(1L))
+          .groupBy(col("qb"), col("y"))
+          .agg(max(struct(col("score"), col("inv"), col("flag"))).as("m"))
+          .select(col("qb"), col("y"), col("m.flag").as("predicted"))
+        val confusion = testCells.join(broadcast(pred), Seq("qb", "y"))
+          .groupBy(col("actual"), col("predicted"))
+          .agg(sum(col("n")).as("n"))
+        val acc = confusion.agg(
+          expr("""(sum(CASE WHEN actual = predicted THEN n ELSE 0 END)
+                   * 1000000) div sum(n)""").as("acc_ppm"))
+        confusion.crossJoin(broadcast(acc))
+          .select(col("actual"), col("predicted"), col("n"),
+            col("acc_ppm"))
+          .orderBy(col("actual"), col("predicted"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_returnflag AS flag,
+                 CAST(l_quantity AS BIGINT) // 10 AS qb,
+                 CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS y,
+                 ((CAST(md5_number_lower('nb:' || CAST(l_orderkey AS VARCHAR)
+                    || '-' || CAST(l_linenumber AS VARCHAR) || '-'
+                    || CAST(l_partkey AS VARCHAR)) % 4294967296 AS BIGINT))
+                  % 5 = 0) AS is_test
+          FROM lineitem),
+        priors AS (
+          SELECT flag, CAST(COUNT(*) AS BIGINT) AS nc FROM base
+          WHERE NOT is_test GROUP BY 1),
+        c1 AS (
+          SELECT flag, qb, CAST(COUNT(*) AS BIGINT) AS cq FROM base
+          WHERE NOT is_test GROUP BY 1, 2),
+        c2 AS (
+          SELECT flag, y, CAST(COUNT(*) AS BIGINT) AS cy FROM base
+          WHERE NOT is_test GROUP BY 1, 2),
+        test_cells AS (
+          SELECT qb, y, flag AS actual, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base WHERE is_test GROUP BY 1, 2, 3),
+        cells AS (SELECT DISTINCT qb, y FROM test_cells),
+        scored AS (
+          SELECT ce.qb, ce.y, p.flag,
+                 CAST(p.nc AS DOUBLE)
+                   * (CAST(COALESCE(c1.cq, 0) + 1 AS DOUBLE)
+                      / CAST(p.nc + 6 AS DOUBLE))
+                   * (CAST(COALESCE(c2.cy, 0) + 1 AS DOUBLE)
+                      / CAST(p.nc + 11 AS DOUBLE)) AS score
+          FROM cells ce
+          CROSS JOIN priors p
+          LEFT JOIN c1 ON c1.flag = p.flag AND c1.qb = ce.qb
+          LEFT JOIN c2 ON c2.flag = p.flag AND c2.y = ce.y),
+        pred AS (
+          SELECT qb, y, flag AS predicted FROM (
+            SELECT qb, y, flag, row_number() OVER (
+              PARTITION BY qb, y ORDER BY score DESC, flag) AS rn
+            FROM scored) WHERE rn = 1),
+        confusion AS (
+          SELECT t.actual, p.predicted, CAST(SUM(t.n) AS BIGINT) AS n
+          FROM test_cells t JOIN pred p ON p.qb = t.qb AND p.y = t.y
+          GROUP BY 1, 2),
+        acc AS (
+          SELECT (SUM(CASE WHEN actual = predicted THEN n ELSE 0 END)
+                  * 1000000) // SUM(n) AS acc_ppm
+          FROM confusion)
+        SELECT c.actual, c.predicted, c.n,
+               CAST(a.acc_ppm AS BIGINT) AS acc_ppm
+        FROM confusion c CROSS JOIN acc a
+        ORDER BY c.actual, c.predicted""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.
