@@ -1588,7 +1588,174 @@ object StatsQueries {
         SELECT c.actual, c.predicted, c.n,
                CAST(a.acc_ppm AS BIGINT) AS acc_ppm
         FROM confusion c CROSS JOIN acc a
-        ORDER BY c.actual, c.predicted""")))
+        ORDER BY c.actual, c.predicted""")),
+
+    // 5-fold cross-validation of the q311 classifier — the
+    // model-SELECTION primitive, built on the complement trick: fold
+    // f's training counts are GLOBAL counts minus fold-f counts
+    // (nc_tr = N_c − n_{c,f}, likewise per feature value), so the five
+    // training sets cost ONE pass of per-fold counting — never five
+    // re-scans. Folds come from the same md5 lattice as q311's split;
+    // scoring/argmax/tiebreak reuse q311's fixed-order IEEE contract on
+    // the ≤(5·66)-cell grid. The gate emits per-fold accuracy plus the
+    // cross-fold mean (floor-ppm), i.e. the number a model-selection
+    // loop would actually compare. Scale: two scans (fold counts, test
+    // cells); everything else is ≤990-row grid arithmetic.
+    QueryDef(
+      "q312_cross_validation",
+      (s, dir) => {
+        import graft.functions.Kernels.md5Lower64Lo32
+        val base = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(l_quantity AS BIGINT) div 10").as("qb"),
+            (col("l_discount")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long").as("y"),
+            pmod(md5Lower64Lo32(concat(lit("nb:"),
+              col("l_orderkey").cast("string"), lit("-"),
+              col("l_linenumber").cast("string"), lit("-"),
+              col("l_partkey").cast("string"))), lit(5L)).as("f"))
+        // ONE full-data aggregation: the (fold × class × qb × y) joint
+        // (≤990 cells) is a sufficient statistic for EVERYTHING below —
+        // per-fold counts, global counts, marginals, and the test cells
+        // all derive from this tiny frame (7 consumers → lineage cut).
+        val jf = base
+          .groupBy(col("f"), col("flag"), col("qb"), col("y"))
+          .agg(count(lit(1)).as("n"))
+          .cutLineage()
+        val folds = s.range(0, 5).select(col("id").as("f"))
+        def complement(keys: Seq[String], out: String)
+            : org.apache.spark.sql.DataFrame = {
+          val perFold = jf.groupBy((col("f") +: keys.map(col)): _*)
+            .agg(sum(col("n")).as("nf"))
+          val global = jf.groupBy(keys.map(col): _*)
+            .agg(sum(col("n")).as("ng"))
+          global.crossJoin(broadcast(folds))
+            .join(perFold, "f" +: keys, "left")
+            .select((col("f") +: keys.map(col)) :+
+              (col("ng") - coalesce(col("nf"), lit(0L))).as(out): _*)
+        }
+        val priors = complement(Seq("flag"), "nc")
+        val c1 = complement(Seq("flag", "qb"), "cq")
+        val c2 = complement(Seq("flag", "y"), "cy")
+        val testCells = jf.select(col("f"), col("qb"), col("y"),
+          col("flag").as("actual"), col("n"))
+        val cells = testCells.select(col("f"), col("qb"), col("y"))
+          .distinct()
+        val scored = cells
+          .join(broadcast(priors), Seq("f"))
+          .join(broadcast(c1), Seq("f", "flag", "qb"), "left")
+          .join(broadcast(c2), Seq("f", "flag", "y"), "left")
+          .select(col("f"), col("qb"), col("y"), col("flag"),
+            (col("nc").cast("double")
+              * ((coalesce(col("cq"), lit(0L)) + 1).cast("double")
+                / (col("nc") + 6).cast("double"))
+              * ((coalesce(col("cy"), lit(0L)) + 1).cast("double")
+                / (col("nc") + 11).cast("double"))).as("score"))
+        val pred = scored
+          .withColumn("inv",
+            when(col("flag") === "A", 3L).when(col("flag") === "N", 2L)
+              .otherwise(1L))
+          .groupBy(col("f"), col("qb"), col("y"))
+          .agg(max(struct(col("score"), col("inv"), col("flag"))).as("m"))
+          .select(col("f"), col("qb"), col("y"),
+            col("m.flag").as("predicted"))
+        val perFoldAcc = testCells
+          .join(broadcast(pred), Seq("f", "qb", "y"))
+          .groupBy(col("f"))
+          .agg(sum(col("n")).as("n_test"),
+            sum(when(col("actual") === col("predicted"), col("n"))
+              .otherwise(0L)).as("n_correct"))
+          .select(col("f"), col("n_test"), col("n_correct"),
+            expr("(n_correct * 1000000) div n_test").as("acc_ppm"))
+        val mean = perFoldAcc.agg(
+          expr("CAST(sum(acc_ppm) div count(1) AS BIGINT)")
+            .as("mean_acc_ppm"))
+        perFoldAcc.crossJoin(broadcast(mean))
+          .orderBy(col("f"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_returnflag AS flag,
+                 CAST(l_quantity AS BIGINT) // 10 AS qb,
+                 CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS y,
+                 (CAST(md5_number_lower('nb:' || CAST(l_orderkey AS VARCHAR)
+                    || '-' || CAST(l_linenumber AS VARCHAR) || '-'
+                    || CAST(l_partkey AS VARCHAR)) % 4294967296 AS BIGINT))
+                  % 5 AS f
+          FROM lineitem),
+        folds AS (SELECT CAST(r.range AS BIGINT) AS f FROM range(0, 5) r),
+        jf AS (
+          SELECT f, flag, qb, y, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base GROUP BY 1, 2, 3, 4),
+        pg AS (SELECT flag, CAST(SUM(n) AS BIGINT) AS ng FROM jf
+               GROUP BY 1),
+        pf AS (SELECT f, flag, CAST(SUM(n) AS BIGINT) AS nf FROM jf
+               GROUP BY 1, 2),
+        priors AS (
+          SELECT fo.f, g.flag, g.ng - COALESCE(p.nf, 0) AS nc
+          FROM pg g CROSS JOIN folds fo
+          LEFT JOIN pf p ON p.f = fo.f AND p.flag = g.flag),
+        qg AS (SELECT flag, qb, CAST(SUM(n) AS BIGINT) AS ng FROM jf
+               GROUP BY 1, 2),
+        qf AS (SELECT f, flag, qb, CAST(SUM(n) AS BIGINT) AS nf
+               FROM jf GROUP BY 1, 2, 3),
+        c1 AS (
+          SELECT fo.f, g.flag, g.qb, g.ng - COALESCE(p.nf, 0) AS cq
+          FROM qg g CROSS JOIN folds fo
+          LEFT JOIN qf p ON p.f = fo.f AND p.flag = g.flag
+                        AND p.qb = g.qb),
+        yg AS (SELECT flag, y, CAST(SUM(n) AS BIGINT) AS ng FROM jf
+               GROUP BY 1, 2),
+        yf AS (SELECT f, flag, y, CAST(SUM(n) AS BIGINT) AS nf
+               FROM jf GROUP BY 1, 2, 3),
+        c2 AS (
+          SELECT fo.f, g.flag, g.y, g.ng - COALESCE(p.nf, 0) AS cy
+          FROM yg g CROSS JOIN folds fo
+          LEFT JOIN yf p ON p.f = fo.f AND p.flag = g.flag
+                        AND p.y = g.y),
+        test_cells AS (
+          SELECT f, qb, y, flag AS actual, n FROM jf),
+        cells AS (SELECT DISTINCT f, qb, y FROM test_cells),
+        scored AS (
+          SELECT ce.f, ce.qb, ce.y, pr.flag,
+                 CAST(pr.nc AS DOUBLE)
+                   * (CAST(COALESCE(c1.cq, 0) + 1 AS DOUBLE)
+                      / CAST(pr.nc + 6 AS DOUBLE))
+                   * (CAST(COALESCE(c2.cy, 0) + 1 AS DOUBLE)
+                      / CAST(pr.nc + 11 AS DOUBLE)) AS score
+          FROM cells ce
+          JOIN priors pr ON pr.f = ce.f
+          LEFT JOIN c1 ON c1.f = ce.f AND c1.flag = pr.flag
+                      AND c1.qb = ce.qb
+          LEFT JOIN c2 ON c2.f = ce.f AND c2.flag = pr.flag
+                      AND c2.y = ce.y),
+        pred AS (
+          SELECT f, qb, y, flag AS predicted FROM (
+            SELECT f, qb, y, flag, row_number() OVER (
+              PARTITION BY f, qb, y ORDER BY score DESC, flag) AS rn
+            FROM scored) WHERE rn = 1),
+        pfa AS (
+          SELECT t.f,
+                 CAST(SUM(t.n) AS BIGINT) AS n_test,
+                 CAST(SUM(CASE WHEN t.actual = p.predicted THEN t.n
+                               ELSE 0 END) AS BIGINT) AS n_correct
+          FROM test_cells t
+          JOIN pred p ON p.f = t.f AND p.qb = t.qb AND p.y = t.y
+          GROUP BY 1),
+        withacc AS (
+          SELECT f, n_test, n_correct,
+                 (n_correct * 1000000) // n_test AS acc_ppm
+          FROM pfa),
+        mean AS (
+          SELECT CAST(SUM(acc_ppm) // COUNT(*) AS BIGINT)
+                   AS mean_acc_ppm
+          FROM withacc)
+        SELECT w.f, w.n_test, w.n_correct,
+               CAST(w.acc_ppm AS BIGINT) AS acc_ppm, m.mean_acc_ppm
+        FROM withacc w CROSS JOIN mean m
+        ORDER BY w.f""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.
