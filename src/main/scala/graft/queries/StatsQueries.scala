@@ -1486,40 +1486,9 @@ object StatsQueries {
     QueryDef(
       "q311_naive_bayes",
       (s, dir) => {
-        import graft.functions.Kernels.md5Lower64Lo32
-        val base = Tables.lineitem(s, dir)
-          .select(col("l_returnflag").as("flag"),
-            expr("CAST(l_quantity AS BIGINT) div 10").as("qb"),
-            (col("l_discount")
-              .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
-              .cast("long").as("y"),
-            (pmod(md5Lower64Lo32(concat(lit("nb:"),
-              col("l_orderkey").cast("string"), lit("-"),
-              col("l_linenumber").cast("string"), lit("-"),
-              col("l_partkey").cast("string"))), lit(5L)) === 0)
-              .as("is_test"))
-          .cutLineage()
-        val train = base.where(!col("is_test"))
-        val priors = train.groupBy(col("flag"))
-          .agg(count(lit(1)).as("nc"))
-        val c1 = train.groupBy(col("flag"), col("qb"))
-          .agg(count(lit(1)).as("cq"))
-        val c2 = train.groupBy(col("flag"), col("y"))
-          .agg(count(lit(1)).as("cy"))
-        val testCells = base.where(col("is_test"))
-          .groupBy(col("qb"), col("y"), col("flag").as("actual"))
-          .agg(count(lit(1)).as("n"))
-        val cells = testCells.select(col("qb"), col("y")).distinct()
-        val scored = cells.crossJoin(broadcast(priors))
-          .join(broadcast(c1), Seq("flag", "qb"), "left")
-          .join(broadcast(c2), Seq("flag", "y"), "left")
-          .select(col("qb"), col("y"), col("flag"),
-            (col("nc").cast("double")
-              * ((coalesce(col("cq"), lit(0L)) + 1).cast("double")
-                / (col("nc") + 6).cast("double"))
-              * ((coalesce(col("cy"), lit(0L)) + 1).cast("double")
-                / (col("nc") + 11).cast("double"))).as("score"))
-        val pred = scored
+        val st = nbStage(s, dir)
+        val testCells = st.testCells
+        val pred = st.scored
           .withColumn("inv",
             when(col("flag") === "A", 3L).when(col("flag") === "N", 2L)
               .otherwise(1L))
@@ -1537,41 +1506,8 @@ object StatsQueries {
             col("acc_ppm"))
           .orderBy(col("actual"), col("predicted"))
       },
-      Some("""
-        WITH base AS (
-          SELECT l_returnflag AS flag,
-                 CAST(l_quantity AS BIGINT) // 10 AS qb,
-                 CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
-                   AS y,
-                 ((CAST(md5_number_lower('nb:' || CAST(l_orderkey AS VARCHAR)
-                    || '-' || CAST(l_linenumber AS VARCHAR) || '-'
-                    || CAST(l_partkey AS VARCHAR)) % 4294967296 AS BIGINT))
-                  % 5 = 0) AS is_test
-          FROM lineitem),
-        priors AS (
-          SELECT flag, CAST(COUNT(*) AS BIGINT) AS nc FROM base
-          WHERE NOT is_test GROUP BY 1),
-        c1 AS (
-          SELECT flag, qb, CAST(COUNT(*) AS BIGINT) AS cq FROM base
-          WHERE NOT is_test GROUP BY 1, 2),
-        c2 AS (
-          SELECT flag, y, CAST(COUNT(*) AS BIGINT) AS cy FROM base
-          WHERE NOT is_test GROUP BY 1, 2),
-        test_cells AS (
-          SELECT qb, y, flag AS actual, CAST(COUNT(*) AS BIGINT) AS n
-          FROM base WHERE is_test GROUP BY 1, 2, 3),
-        cells AS (SELECT DISTINCT qb, y FROM test_cells),
-        scored AS (
-          SELECT ce.qb, ce.y, p.flag,
-                 CAST(p.nc AS DOUBLE)
-                   * (CAST(COALESCE(c1.cq, 0) + 1 AS DOUBLE)
-                      / CAST(p.nc + 6 AS DOUBLE))
-                   * (CAST(COALESCE(c2.cy, 0) + 1 AS DOUBLE)
-                      / CAST(p.nc + 11 AS DOUBLE)) AS score
-          FROM cells ce
-          CROSS JOIN priors p
-          LEFT JOIN c1 ON c1.flag = p.flag AND c1.qb = ce.qb
-          LEFT JOIN c2 ON c2.flag = p.flag AND c2.y = ce.y),
+      Some(s"""
+        WITH $NbStageSql,
         pred AS (
           SELECT qb, y, flag AS predicted FROM (
             SELECT qb, y, flag, row_number() OVER (
@@ -1755,7 +1691,92 @@ object StatsQueries {
         SELECT w.f, w.n_test, w.n_correct,
                CAST(w.acc_ppm AS BIGINT) AS acc_ppm, m.mean_acc_ppm
         FROM withacc w CROSS JOIN mean m
-        ORDER BY w.f""")))
+        ORDER BY w.f""")),
+
+    // ROC AUC of the q311 ranker — accuracy (q311) answers "how often is
+    // the argmax right"; AUC answers "does the class-R score ORDER
+    // positives above negatives", the metric a threshold-free consumer
+    // actually needs. Computed exactly as the tie-corrected rank-sum
+    // U/(P·N): test mass collapses to the shared ≤66-cell grid
+    // (single-sourced nbStage — classifier and metric cannot drift),
+    // cells group by EXACT score value (identical IEEE bits on both
+    // engines, so score-equality is deterministic), and
+    // 2U = Σ_s pos_s·(2·cumneg_<s + neg_s) gives ties half credit with
+    // NO .5 floats — the lattice carries 2U and divides once into ppm.
+    // Gini coefficient = 2·AUC−1 derives from the floored ppm (exact,
+    // engine-identical). Scale: everything after the one test scan is
+    // ≤66-row triangular arithmetic.
+    QueryDef(
+      "q313_roc_auc",
+      (s, dir) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val st = nbStage(s, dir)
+        val rscore = st.scored.where(col("flag") === "R")
+          .select(col("qb"), col("y"), col("score"))
+        val pn = st.testCells.groupBy(col("qb"), col("y"))
+          .agg(sum(when(col("actual") === "R", col("n")).otherwise(0L))
+            .as("pos"),
+            sum(when(col("actual") =!= "R", col("n")).otherwise(0L))
+              .as("neg"))
+        val sgrp = pn.join(rscore, Seq("qb", "y"))
+          .groupBy(col("score"))
+          .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
+        val a = sgrp.select(col("score").as("s1"), col("pos").as("p1"),
+          col("neg").as("n1"))
+        val b = sgrp.select(col("score").as("s2"), col("neg").as("n2"))
+        val u2 = a.join(b, col("s2") < col("s1"), "left")
+          .groupBy(col("s1"), col("p1"), col("n1"))
+          .agg(coalesce(sum(col("n2")), lit(0L)).as("cumneg"))
+          .agg(sum(col("p1").cast(D) * (col("cumneg") * 2 + col("n1")))
+            .as("u2"))
+        val tot = sgrp.agg(sum(col("pos")).as("n_pos"),
+          sum(col("neg")).as("n_neg"))
+        tot.crossJoin(broadcast(u2))
+          .select(col("n_pos"), col("n_neg"),
+            col("u2").cast("long").as("u2"),
+            expr("""CAST((u2 * 1000000)
+                    div (cast(n_pos as decimal(38,0)) * n_neg * 2)
+                    AS BIGINT)""").as("auc_ppm"))
+          .select(col("*"),
+            (col("auc_ppm") * 2 - 1000000L).as("gini_x_ppm"))
+          .orderBy(col("n_pos"))
+      },
+      Some(s"""
+        WITH $NbStageSql,
+        rs AS (SELECT qb, y, score FROM scored WHERE flag = 'R'),
+        pn AS (
+          SELECT qb, y,
+                 CAST(SUM(CASE WHEN actual = 'R' THEN n ELSE 0 END)
+                   AS BIGINT) AS pos,
+                 CAST(SUM(CASE WHEN actual <> 'R' THEN n ELSE 0 END)
+                   AS BIGINT) AS neg
+          FROM test_cells GROUP BY 1, 2),
+        sg AS (
+          SELECT r.score, CAST(SUM(p.pos) AS BIGINT) AS pos,
+                 CAST(SUM(p.neg) AS BIGINT) AS neg
+          FROM pn p JOIN rs r ON r.qb = p.qb AND r.y = p.y
+          GROUP BY 1),
+        u AS (
+          SELECT a.score, CAST(MIN(a.pos) AS BIGINT) AS p1,
+                 CAST(MIN(a.neg) AS BIGINT) AS n1,
+                 COALESCE(CAST(SUM(b.neg) AS BIGINT), 0) AS cumneg
+          FROM sg a LEFT JOIN sg b ON b.score < a.score
+          GROUP BY 1),
+        uu AS (
+          SELECT SUM(CAST(p1 AS HUGEINT) * (cumneg * 2 + n1)) AS u2
+          FROM u),
+        tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                       CAST(SUM(neg) AS BIGINT) AS n_neg
+                FROM sg)
+        SELECT t.n_pos, t.n_neg, CAST(u.u2 AS BIGINT) AS u2,
+               CAST((u.u2 * 1000000)
+                    // (CAST(t.n_pos AS HUGEINT) * t.n_neg * 2)
+                    AS BIGINT) AS auc_ppm,
+               CAST((u.u2 * 1000000)
+                    // (CAST(t.n_pos AS HUGEINT) * t.n_neg * 2)
+                    AS BIGINT) * 2 - 1000000 AS gini_x_ppm
+        FROM uu u CROSS JOIN tot t
+        ORDER BY t.n_pos""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.
@@ -1784,6 +1805,92 @@ object StatsQueries {
                    AS y,
                  CAST(COUNT(*) AS BIGINT) AS cnt
           FROM lineitem GROUP BY 1, 2, 3)"""
+
+  /** Frames of the shared Naive-Bayes split/score stage (q311 gates the
+    * classifier, q313 its ranking quality) — single-sourced so the
+    * classifier and its evaluation metric cannot drift apart. */
+  private final case class NbStage(
+      testCells: org.apache.spark.sql.DataFrame,
+      scored: org.apache.spark.sql.DataFrame)
+
+  /** Shared q311/q313 stage: md5 80/20 split, Laplace-smoothed train
+    * counts, and the per-(cell, class) fixed-order IEEE score on the
+    * ≤66-cell (qb × y) grid. */
+  private def nbStage(s: org.apache.spark.sql.SparkSession,
+      dir: String): NbStage = {
+    import graft.functions.Kernels.md5Lower64Lo32
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(l_quantity AS BIGINT) div 10").as("qb"),
+        (col("l_discount")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("y"),
+        (pmod(md5Lower64Lo32(concat(lit("nb:"),
+          col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"), lit("-"),
+          col("l_partkey").cast("string"))), lit(5L)) === 0)
+          .as("is_test"))
+      .cutLineage()
+    val train = base.where(!col("is_test"))
+    val priors = train.groupBy(col("flag"))
+      .agg(count(lit(1)).as("nc"))
+    val c1 = train.groupBy(col("flag"), col("qb"))
+      .agg(count(lit(1)).as("cq"))
+    val c2 = train.groupBy(col("flag"), col("y"))
+      .agg(count(lit(1)).as("cy"))
+    val testCells = base.where(col("is_test"))
+      .groupBy(col("qb"), col("y"), col("flag").as("actual"))
+      .agg(count(lit(1)).as("n"))
+    val cells = testCells.select(col("qb"), col("y")).distinct()
+    val scored = cells.crossJoin(broadcast(priors))
+      .join(broadcast(c1), Seq("flag", "qb"), "left")
+      .join(broadcast(c2), Seq("flag", "y"), "left")
+      .select(col("qb"), col("y"), col("flag"),
+        (col("nc").cast("double")
+          * ((coalesce(col("cq"), lit(0L)) + 1).cast("double")
+            / (col("nc") + 6).cast("double"))
+          * ((coalesce(col("cy"), lit(0L)) + 1).cast("double")
+            / (col("nc") + 11).cast("double"))).as("score"))
+    NbStage(testCells, scored)
+  }
+
+  /** DuckDB twin of [[nbStage]] — a `def` (not a post-`defs` val) so
+    * oracle strings can interpolate it during `defs` init. */
+  private def NbStageSql: String =
+    """base AS (
+          SELECT l_returnflag AS flag,
+                 CAST(l_quantity AS BIGINT) // 10 AS qb,
+                 CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS y,
+                 ((CAST(md5_number_lower('nb:' || CAST(l_orderkey AS VARCHAR)
+                    || '-' || CAST(l_linenumber AS VARCHAR) || '-'
+                    || CAST(l_partkey AS VARCHAR)) % 4294967296 AS BIGINT))
+                  % 5 = 0) AS is_test
+          FROM lineitem),
+        priors AS (
+          SELECT flag, CAST(COUNT(*) AS BIGINT) AS nc FROM base
+          WHERE NOT is_test GROUP BY 1),
+        c1 AS (
+          SELECT flag, qb, CAST(COUNT(*) AS BIGINT) AS cq FROM base
+          WHERE NOT is_test GROUP BY 1, 2),
+        c2 AS (
+          SELECT flag, y, CAST(COUNT(*) AS BIGINT) AS cy FROM base
+          WHERE NOT is_test GROUP BY 1, 2),
+        test_cells AS (
+          SELECT qb, y, flag AS actual, CAST(COUNT(*) AS BIGINT) AS n
+          FROM base WHERE is_test GROUP BY 1, 2, 3),
+        cells AS (SELECT DISTINCT qb, y FROM test_cells),
+        scored AS (
+          SELECT ce.qb, ce.y, p.flag,
+                 CAST(p.nc AS DOUBLE)
+                   * (CAST(COALESCE(c1.cq, 0) + 1 AS DOUBLE)
+                      / CAST(p.nc + 6 AS DOUBLE))
+                   * (CAST(COALESCE(c2.cy, 0) + 1 AS DOUBLE)
+                      / CAST(p.nc + 11 AS DOUBLE)) AS score
+          FROM cells ce
+          CROSS JOIN priors p
+          LEFT JOIN c1 ON c1.flag = p.flag AND c1.qb = ce.qb
+          LEFT JOIN c2 ON c2.flag = p.flag AND c2.y = ce.y)"""
 
   /** Exact integer moment buffer for the typed-Aggregator gate (q246):
     * associative/commutative adds — partition-split-invariant by
