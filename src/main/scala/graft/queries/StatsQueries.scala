@@ -1776,7 +1776,106 @@ object StatsQueries {
                     // (CAST(t.n_pos AS HUGEINT) * t.n_neg * 2)
                     AS BIGINT) * 2 - 1000000 AS gini_x_ppm
         FROM uu u CROSS JOIN tot t
-        ORDER BY t.n_pos""")))
+        ORDER BY t.n_pos""")),
+
+    // Brier score + reliability bands of the q311 probabilities — the
+    // CALIBRATION leg of the evaluation trio (accuracy q311, ranking
+    // q313): are the model's probabilities themselves trustworthy?
+    // Scores normalize to ppm probabilities per cell (one double ratio,
+    // floored — deterministic both engines), and from there everything
+    // is exact integers: multiclass Brier = Σ n·(p_ppm − 10⁶·[c=y])²
+    // summed in DECIMAL(38,0) and emitted as mean micro-Brier
+    // (÷10⁶ of the ppm² lattice), plus a 5-band reliability diagram
+    // for the predicted-class probability: per confidence band,
+    // predicted-probability mass vs observed hit rate — the two
+    // columns a calibration plot draws. Third consumer of the
+    // single-sourced nbStage. Scale: ≤66-cell arithmetic after the
+    // stage's one test scan.
+    QueryDef(
+      "q314_brier_calibration",
+      (s, dir) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val st = nbStage(s, dir)
+        val denom = st.scored.groupBy(col("qb"), col("y"))
+          .agg(sum(col("score")).as("z"))
+        val probs = st.scored.join(broadcast(denom), Seq("qb", "y"))
+          .select(col("qb"), col("y"), col("flag"),
+            // FLOOR before the BIGINT cast on BOTH engines — a bare
+            // double→BIGINT cast truncates on Spark but rounds on
+            // DuckDB (the q116/q130 lesson).
+            expr("CAST(FLOOR(score * 1000000.0 / z) AS BIGINT)")
+              .as("p_ppm"))
+        val joined = st.testCells
+          .join(broadcast(probs), Seq("qb", "y"))
+        val brier = joined
+          .select(col("n"),
+            (when(col("actual") === col("flag"), 1000000L).otherwise(0L)
+              - col("p_ppm")).as("d"))
+          .agg(sum(col("n")).as("n3"),
+            sum(col("n").cast(D) * col("d") * col("d")).as("ss"))
+          .select(expr("n3 div 3").as("n_test"),
+            expr("CAST((ss div n3) div 1000000 AS BIGINT)")
+              .as("brier_micro"))
+        val top = probs
+          .withColumn("inv",
+            when(col("flag") === "A", 3L).when(col("flag") === "N", 2L)
+              .otherwise(1L))
+          .groupBy(col("qb"), col("y"))
+          .agg(max(struct(col("p_ppm"), col("inv"), col("flag"))).as("m"))
+          .select(col("qb"), col("y"), col("m.p_ppm").as("conf_ppm"),
+            col("m.flag").as("predicted"))
+        val bands = st.testCells.join(broadcast(top), Seq("qb", "y"))
+          .groupBy(expr("conf_ppm div 20000").as("band"))
+          .agg(sum(col("n")).as("n_band"),
+            expr("""CAST(sum(cast(n as decimal(38,0)) * conf_ppm)
+                    div sum(n) AS BIGINT)""").as("mean_conf_ppm"),
+            expr("""CAST((sum(CASE WHEN actual = predicted THEN n
+                               ELSE 0 END) * 1000000) div sum(n)
+                    AS BIGINT)""").as("hit_rate_ppm"))
+        bands.crossJoin(broadcast(brier))
+          .select(col("band"), col("n_band"), col("mean_conf_ppm"),
+            col("hit_rate_ppm"), col("n_test"), col("brier_micro"))
+          .orderBy(col("band"))
+      },
+      Some(s"""
+        WITH $NbStageSql,
+        denom AS (
+          SELECT qb, y, SUM(score) AS z FROM scored GROUP BY 1, 2),
+        probs AS (
+          SELECT s.qb, s.y, s.flag,
+                 CAST(FLOOR(s.score * 1000000.0 / d.z) AS BIGINT) AS p_ppm
+          FROM scored s JOIN denom d ON d.qb = s.qb AND d.y = s.y),
+        joined AS (
+          SELECT t.n,
+                 (CASE WHEN t.actual = p.flag THEN 1000000 ELSE 0 END)
+                   - p.p_ppm AS d
+          FROM test_cells t JOIN probs p ON p.qb = t.qb AND p.y = t.y),
+        brier AS (
+          SELECT CAST((SUM(n) // 3) AS BIGINT) AS n_test,
+                 CAST((SUM(CAST(n AS HUGEINT) * d * d) // SUM(n))
+                      // 1000000 AS BIGINT) AS brier_micro
+          FROM joined),
+        top AS (
+          SELECT qb, y, p_ppm AS conf_ppm, flag AS predicted FROM (
+            SELECT qb, y, p_ppm, flag, row_number() OVER (
+              PARTITION BY qb, y ORDER BY p_ppm DESC,
+                CASE flag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END)
+              AS rn
+            FROM probs) WHERE rn = 1),
+        bands AS (
+          SELECT tp.conf_ppm // 20000 AS band,
+                 CAST(SUM(t.n) AS BIGINT) AS n_band,
+                 CAST(SUM(CAST(t.n AS HUGEINT) * tp.conf_ppm) // SUM(t.n)
+                   AS BIGINT) AS mean_conf_ppm,
+                 CAST((SUM(CASE WHEN t.actual = tp.predicted THEN t.n
+                                ELSE 0 END) * 1000000) // SUM(t.n)
+                   AS BIGINT) AS hit_rate_ppm
+          FROM test_cells t JOIN top tp ON tp.qb = t.qb AND tp.y = t.y
+          GROUP BY 1)
+        SELECT b.band, b.n_band, b.mean_conf_ppm, b.hit_rate_ppm,
+               br.n_test, br.brier_micro
+        FROM bands b CROSS JOIN brier br
+        ORDER BY b.band""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.
