@@ -12,9 +12,16 @@ import graft.functions.TextKernels.tokens
   * Rational-idf stance: Robertson's idf ln((N-df+0.5)/(df+0.5)) is
   * engine-dependent (ln), so scores use the rational ODDS argument
   * (2(N-df)+1)/(2df+1) — exact-integer cross-multiplied, divided ONCE;
-  * ranking behavior (rare terms dominate) is preserved and the double is
-  * bit-identical across engines. tf saturation k1=1.2, length
-  * normalization b=0.75 (tfn = 2.2·tf / (tf + 1.2·(0.25 + 0.75·dl/avgdl))).
+  * the double is bit-identical across engines. This makes the scheme a
+  * deterministic BM25 VARIANT, not log-idf BM25: dropping the ln is a
+  * monotone PER-TERM transform, so per-term rankings are preserved, but
+  * multi-term SUMMED scores weight rare terms far more heavily than
+  * Robertson's weighting, and multi-term top-k (q172/q273/q283,
+  * api.bm25TopK) can order differently than standard BM25. The contract
+  * here is cross-engine determinism and internal consistency, not
+  * rank-parity with log-idf implementations. tf saturation k1=1.2,
+  * length normalization b=0.75
+  * (tfn = 2.2·tf / (tf + 1.2·(0.25 + 0.75·dl/avgdl))).
   *
   * Scale: tf/df/dl are three partial-aggregated passes over the exploded
   * token stream; the query side is a handful of fixed terms, so scoring

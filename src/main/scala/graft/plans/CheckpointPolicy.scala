@@ -35,9 +35,12 @@ import org.apache.spark.sql.DataFrame
   *
   * Cleanup: reliable-checkpoint RDD files are removed by the
   * ContextCleaner when `spark.cleaner.referenceTracking.cleanCheckpoints`
-  * is set, else at application end; parquet spills accumulate under
-  * distinct UUID subdirs of `graft.checkpoint.dir` and are a warehouse
-  * janitor's job (the dir is listable; each spill is self-contained).
+  * is set, else at application end; parquet spills live under a
+  * PER-APPLICATION subdir `graft.checkpoint.dir/<appId>/spill_<uuid>` —
+  * a best-effort listener deletes the whole appId subtree when the
+  * SparkContext stops, and a warehouse janitor can reap any survivor by
+  * matching the appId against the cluster manager's dead-application
+  * list (each spill is self-contained, no cross-references).
   */
 object CheckpointPolicy {
 
@@ -71,13 +74,50 @@ object CheckpointPolicy {
           s"$PolicyKey=reliable needs SparkContext.checkpointDir or $DirKey")
         sc.setCheckpointDir(dir)
       }
-      df.checkpoint(true)
+      // checkpoint(eager=true) on an unpersisted Dataset computes the
+      // subtree TWICE (once for the eager action, once for the
+      // ReliableCheckpointRDD write job) — Spark's documented caveat.
+      // Inside iterative loops that would double every round's compute,
+      // so persist for the duration of the write and drop the blocks
+      // immediately after: pin-neutral at steady state.
+      df.persist()
+      try df.checkpoint(true)
+      finally df.unpersist(blocking = false)
     case ParquetSpill =>
       val dir = df.sparkSession.conf.get(DirKey, null)
       require(dir != null, s"$PolicyKey=parquet needs $DirKey")
-      val path = s"$dir/spill_${java.util.UUID.randomUUID()}"
+      val spark = df.sparkSession
+      val appRoot = s"$dir/${spark.sparkContext.applicationId}"
+      registerSpillReaper(spark, appRoot)
+      val path = s"$appRoot/spill_${java.util.UUID.randomUUID()}"
       df.write.parquet(path)
-      df.sparkSession.read.parquet(path)
+      spark.read.parquet(path)
+  }
+
+  // One reaper listener per (SparkContext, appRoot): deletes the whole
+  // per-application spill subtree when the application ends. Best-effort
+  // — a hard driver kill skips it, which is exactly the case the
+  // appId-named subdir exists for (janitor reaps by dead appId).
+  private val reaperRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerSpillReaper(
+      spark: org.apache.spark.sql.SparkSession, appRoot: String): Unit = {
+    val key = s"${spark.sparkContext.applicationId}:$appRoot"
+    if (reaperRegistered.add(key)) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            try {
+              val p = new org.apache.hadoop.fs.Path(appRoot)
+              val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              fs.delete(p, true)
+            } catch { case _: Exception => () } // best-effort only
+          }
+        })
+    }
   }
 
   /** `df.cutLineage()` — the call sites' spelling of [[materialize]]. */

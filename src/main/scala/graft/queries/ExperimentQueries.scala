@@ -1243,12 +1243,12 @@ object ExperimentQueries {
         FROM matched m JOIN logged l USING (ctx)
         ORDER BY m.ctx""")),
 
-    // Split conformal prediction â the distribution-free way to put an
+    // Split conformal prediction — the distribution-free way to put an
     // interval around ANY point model: fit a through-origin spend
     // predictor on a hash-split calibration half (shared stage, see
     // conformalCalib below), take the calibration residuals' exact
     // [P5, P95] via GlobalRank, and measure EMPIRICAL COVERAGE of
-    // pred + [r₅, r₉₅] on the held-out half â conformal theory says
+    // pred + [r₅, r₉₅] on the held-out half — conformal theory says
     // ~90%, the gate pins the exact count. x = pre-1998 spend, y = 1998
     // spend, whole dollars to keep every moment integral. Scale: two
     // customer aggs, one broadcast 2-row quantile-target join, one
@@ -1284,13 +1284,13 @@ object ExperimentQueries {
         FROM nc n CROSS JOIN beta b CROSS JOIN qs q CROSS JOIN cov c
         ORDER BY n.n_calib""")),
 
-    // CONDITIONAL conformal coverage by market segment â the known gap
+    // CONDITIONAL conformal coverage by market segment — the known gap
     // q292 cannot see: split conformal guarantees ~90% coverage
     // MARGINALLY, but nothing per subgroup; the equity audit every
     // deployed interval model owes its users is this per-segment table
-    // (same β and residual band as q292 â literally the same
+    // (same β and residual band as q292 — literally the same
     // conformalCalib stage, so the marginal and per-segment gates cannot
-    // drift apart â coverage measured per c_mktsegment on the holdout).
+    // drift apart — coverage measured per c_mktsegment on the holdout).
     // Segments whose spend distribution deviates from the pooled
     // calibration show it here first. Scale: q292's pipeline + one
     // broadcast dim join + a 5-row rollup.
@@ -1701,9 +1701,16 @@ object ExperimentQueries {
           .crossJoin(broadcast(obs.select(col("m_t").as("mt0"),
             col("m_all").as("m0"))))
           .select(col("r"), col("cents"),
+            // h_r < 2³² and m0/mt0 are unit counts: past ~2³¹ units the
+            // Long products h_r·m0 and mt0·2³² would wrap silently
+            // (non-ANSI) or throw (ANSI), so the cross-multiplication
+            // rides DECIMAL(38,0) like t_obs/t_rep already do — exact
+            // to 10³⁸, i.e. to ~10²⁸ units.
             (pmod(col("u32") * (col("r") * 2 + 1)
-              + col("r") * 2654435761L, lit(4294967296L)) * col("m0")
-              < col("mt0") * lit(4294967296L)).as("t_assign"))
+              + col("r") * 2654435761L, lit(4294967296L)).cast(D)
+              * col("m0").cast(D)
+              < col("mt0").cast(D) * lit(4294967296L).cast(D))
+              .as("t_assign"))
           .groupBy(col("r"))
           .agg(
             sum(when(col("t_assign"), 1L).otherwise(0L)).as("rm_t"),
@@ -1806,7 +1813,7 @@ object ExperimentQueries {
   private final case class ConformalStage(
       test: DataFrame, beta: DataFrame, qs: DataFrame, nCalib: DataFrame)
 
-  /** Shared split-conformal calibration for q292/q293 â single-sourced so
+  /** Shared split-conformal calibration for q292/q293 — single-sourced so
     * the marginal and per-segment gates cannot drift: through-origin
     * β = Σxy/Σx² over a 50/50 md5-hash split of per-customer
     * (x = pre-1998 spend, y = 1998 spend, whole dollars), residual band
@@ -1814,7 +1821,7 @@ object ExperimentQueries {
     * (the q182 wide path): DuckDB's SUM(BIGINT) promotes to HUGEINT, so a
     * plain BIGINT sum on the Spark side would diverge past ~sf1 when
     * Σx² crosses 2⁶³. Per-row products still fit BIGINT (per-customer
-    * spend is bounded, x² ≲ 10¹⁴) â only the corpus-proportional SUM
+    * spend is bounded, x² ≲ 10¹⁴) — only the corpus-proportional SUM
     * needs the wide lane. The 2²⁰ pinned shift lands both moments back
     * in BIGINT range (exact for raw sums to ~9.7e24 ≈ 10⁶× the 100 TB
     * point) and the ×10⁶ ppm blow-up happens in DECIMAL so the numerator
@@ -1864,7 +1871,7 @@ object ExperimentQueries {
     ConformalStage(test, beta, qs, nC)
   }
 
-  /** The oracle-side twin of [[conformalCalib]] â one CTE block shared by
+  /** The oracle-side twin of [[conformalCalib]] — one CTE block shared by
     * q292 and q293 so the SQL lattice is as single-sourced as the Spark
     * one. DuckDB's SUM(BIGINT) is HUGEINT, so the beta CTE is exact as
     * written; the Spark side matches it via the DECIMAL(38,0) lane above.

@@ -71,9 +71,14 @@ class CheckpointPolicySpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_ckpt_pq2").toString
     withPolicy("parquet", dir) {
       assert(ccLabels() == expected)
-      val spills = new java.io.File(dir).listFiles
+      // Spills nest under a per-application subdir so a janitor can reap
+      // by dead appId (and the shutdown reaper can delete one subtree).
+      val appRoot =
+        new java.io.File(dir, spark.sparkContext.applicationId)
+      assert(appRoot.isDirectory, s"no per-app spill subdir under $dir")
+      val spills = appRoot.listFiles
         .filter(f => f.isDirectory && f.getName.startsWith("spill_"))
-      assert(spills.nonEmpty, s"no parquet spills under $dir")
+      assert(spills.nonEmpty, s"no parquet spills under $appRoot")
       // Each spill is a readable, self-contained parquet dataset.
       assert(spark.read.parquet(spills.head.getPath).count() >= 0L)
     }
