@@ -1803,7 +1803,281 @@ object ExperimentQueries {
                     // (COUNT(*) + 1) AS BIGINT) AS p_value_ppm
         FROM treps tr CROSS JOIN tobs t
         GROUP BY t.m_t, t.m_c, t.t_obs
-        ORDER BY n_reps"""))
+        ORDER BY n_reps""")),
+
+    // t-closeness audit — the third leg of the privacy trio (class
+    // sizes q179, sensitive-value diversity q210): does any
+    // quasi-identifier class's DISTRIBUTION of the ordered sensitive
+    // attribute (balance band) leak, i.e. sit further than t from the
+    // global distribution? Distance is the 1-D Earth Mover's Distance
+    // for ordered categories — EMD(P,Q) = Σ_i |cum_i(P−Q)| / (m−1) —
+    // computed on the exact cross-multiplied lattice: per band,
+    // diff_i = c_i·N − C_i·n_g (common denominator n_g·N), cumulated
+    // by a KEYED window over the ≤12-band spine, and emitted as
+    // emd_ppm = 10⁶·Σ|cum| div ((m−1)·n_g·N) in DECIMAL(38,0) — counts
+    // past 2³¹ cannot wrap. Scale: two partial-aggregated scans
+    // (global bands, class×band cells); the spine is |classes|·m rows
+    // (~1.5k), so the window and the EMD arithmetic are constant-size.
+    QueryDef(
+      "q316_t_closeness",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+          .select(col("c_nationkey").cast("long").as("nk"),
+            col("c_mktsegment").as("seg"),
+            floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+        val global = c.groupBy(col("band")).agg(count(lit(1)).as("gc"))
+        val gtot = global.agg(sum(col("gc")).as("n_total"),
+          count(lit(1)).as("m"))
+        val classes = c.groupBy(col("nk"), col("seg"))
+          .agg(count(lit(1)).as("n_g"))
+        val cells = c.groupBy(col("nk"), col("seg"), col("band"))
+          .agg(count(lit(1)).as("cc"))
+        val spine = classes
+          .crossJoin(broadcast(global))
+          .crossJoin(broadcast(gtot))
+          .join(cells, Seq("nk", "seg", "band"), "left")
+          .select(col("nk"), col("seg"), col("n_g"), col("band"),
+            col("gc"), col("n_total"), col("m"),
+            coalesce(col("cc"), lit(0L)).as("cc"))
+        val w = Window.partitionBy(col("nk"), col("seg"))
+          .orderBy(col("band"))
+        val cums = spine.withColumn("cum",
+          sum(expr("""cast(cc as decimal(38,0)) * n_total
+                      - cast(gc as decimal(38,0)) * n_g""")).over(w))
+        cums.groupBy(col("nk"), col("seg"))
+          .agg(min(col("n_g")).as("n_rows"), min(col("m")).as("m"),
+            min(col("n_total")).as("n_total"),
+            sum(abs(col("cum"))).as("ssum"))
+          .select(col("nk"), col("seg"), col("n_rows"),
+            expr("""cast((ssum * 1000000)
+                    div ((m - 1) * cast(n_rows as decimal(38,0)) * n_total)
+                    as bigint)""").as("emd_ppm"))
+          .select(col("nk"), col("seg"), col("n_rows"), col("emd_ppm"),
+            (col("emd_ppm") > 200000L).as("breaches_t20"))
+          .orderBy(col("nk"), col("seg"))
+      },
+      Some("""
+        WITH c AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+                 CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS band
+          FROM customer),
+        g AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS gc
+              FROM c GROUP BY 1),
+        gt AS (SELECT CAST(SUM(gc) AS BIGINT) AS n_total,
+                      CAST(COUNT(*) AS BIGINT) AS m FROM g),
+        cls AS (SELECT nk, seg, CAST(COUNT(*) AS BIGINT) AS n_g
+                FROM c GROUP BY 1, 2),
+        cell AS (SELECT nk, seg, band, CAST(COUNT(*) AS BIGINT) AS cc
+                 FROM c GROUP BY 1, 2, 3),
+        spine AS (
+          SELECT cl.nk, cl.seg, cl.n_g, g.band, g.gc, gt.n_total, gt.m,
+                 COALESCE(ce.cc, 0) AS cc
+          FROM cls cl CROSS JOIN g CROSS JOIN gt
+          LEFT JOIN cell ce
+            ON ce.nk = cl.nk AND ce.seg = cl.seg AND ce.band = g.band),
+        cums AS (
+          SELECT nk, seg, n_g, n_total, m,
+                 SUM(CAST(cc AS HUGEINT) * n_total
+                     - CAST(gc AS HUGEINT) * n_g)
+                   OVER (PARTITION BY nk, seg ORDER BY band) AS cum
+          FROM spine),
+        emd AS (
+          SELECT nk, seg, CAST(MIN(n_g) AS BIGINT) AS n_rows,
+                 CAST((SUM(abs(cum)) * 1000000)
+                      // ((MIN(m) - 1) * CAST(MIN(n_g) AS HUGEINT)
+                         * MIN(n_total)) AS BIGINT) AS emd_ppm
+          FROM cums GROUP BY 1, 2)
+        SELECT nk, seg, n_rows, emd_ppm, emd_ppm > 200000 AS breaches_t20
+        FROM emd ORDER BY nk, seg""")),
+
+    // Wald / instrumental-variable estimator — the causal family's
+    // answer to NON-COMPLIANCE (DiD q298 handles time confounding,
+    // CUPED q182 variance, CEM q307 observed confounders; IV handles
+    // the unobserved kind, given an instrument): LATE = ITT effect on
+    // the outcome ÷ ITT effect on treatment uptake (first stage).
+    // Everything is the exact cross-multiplied lattice: with z-arm
+    // counts n1/n0, outcome sums Sy1/Sy0 (cents, DECIMAL(38,0)) and
+    // uptake counts Sx1/Sx0, itt_num = Sy1·n0 − Sy0·n1 over n1·n0,
+    // fs_num = Sx1·n0 − Sx0·n1 over n1·n0, and LATE = itt_num/fs_num —
+    // the n1·n0 denominators cancel, so late_micro is ONE |·|-split
+    // floored division of two exact integers (Spark div truncates,
+    // DuckDB // floors; they agree on positives, so divide magnitudes
+    // and reapply the sign). Scale: one customer-grain rollup then
+    // 1-row arithmetic; the spend frame is the q308 per-customer
+    // aggregate shape.
+    QueryDef(
+      "q317_wald_iv",
+      (s, dir) => {
+        val D = DecimalType(38, 0)
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("cents"))
+        val units = Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"),
+            col("c_mktsegment").isin("BUILDING", "AUTOMOBILE").as("z"),
+            (col("c_mktsegment") === "BUILDING").as("x"))
+          .join(spend, Seq("ck"), "left")
+          .select(col("z"), col("x"),
+            coalesce(col("cents"), lit(0L)).as("y"))
+        val arms = units.agg(
+          sum(when(col("z"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("z"), 1L).otherwise(0L)).as("n0"),
+          sum(when(col("z"), col("y")).otherwise(0L).cast(D)).as("sy1"),
+          sum(when(!col("z"), col("y")).otherwise(0L).cast(D)).as("sy0"),
+          sum(when(col("z") && col("x"), 1L).otherwise(0L)).as("sx1"),
+          sum(when(!col("z") && col("x"), 1L).otherwise(0L)).as("sx0"))
+        arms.select(col("n1").as("n_z1"), col("n0").as("n_z0"),
+            expr("sy1 * n0 - sy0 * n1").as("itt_num"),
+            expr("cast(sx1 as decimal(38,0)) * n0 - "
+              + "cast(sx0 as decimal(38,0)) * n1").as("fs_num"),
+            expr("cast(n1 as decimal(38,0)) * n0").as("nn"))
+          .select(col("n_z1"), col("n_z0"),
+            expr("""cast(case when fs_num < 0 then -((abs(fs_num) * 1000000)
+                    div nn) else (fs_num * 1000000) div nn end
+                    as bigint)""").as("first_stage_ppm"),
+            expr("""cast(case when itt_num < 0 then -((abs(itt_num)
+                    * 1000000) div nn) else (itt_num * 1000000) div nn end
+                    as bigint)""").as("itt_micro"),
+            expr("""cast(case when itt_num * fs_num < 0
+                    then -((abs(itt_num) * 1000000) div abs(fs_num))
+                    else (abs(itt_num) * 1000000) div abs(fs_num) end
+                    as bigint)""").as("late_micro"))
+          .orderBy(col("n_z1"))
+      },
+      Some("""
+        WITH spend AS (
+          SELECT o_custkey AS ck,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        units AS (
+          SELECT c.c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AS z,
+                 c.c_mktsegment = 'BUILDING' AS x,
+                 COALESCE(s.cents, 0) AS y
+          FROM customer c LEFT JOIN spend s ON s.ck = c.c_custkey),
+        arms AS (
+          SELECT CAST(SUM(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+                 CAST(SUM(CASE WHEN z THEN y ELSE 0 END) AS HUGEINT)
+                   AS sy1,
+                 CAST(SUM(CASE WHEN NOT z THEN y ELSE 0 END) AS HUGEINT)
+                   AS sy0,
+                 CAST(SUM(CASE WHEN z AND x THEN 1 ELSE 0 END) AS HUGEINT)
+                   AS sx1,
+                 CAST(SUM(CASE WHEN NOT z AND x THEN 1 ELSE 0 END)
+                   AS HUGEINT) AS sx0
+          FROM units),
+        nums AS (
+          SELECT n1 AS n_z1, n0 AS n_z0,
+                 sy1 * n0 - sy0 * n1 AS itt_num,
+                 sx1 * n0 - sx0 * n1 AS fs_num,
+                 CAST(n1 AS HUGEINT) * n0 AS nn
+          FROM arms)
+        SELECT n_z1, n_z0,
+               CAST(CASE WHEN fs_num < 0
+                    THEN -((abs(fs_num) * 1000000) // nn)
+                    ELSE (fs_num * 1000000) // nn END AS BIGINT)
+                 AS first_stage_ppm,
+               CAST(CASE WHEN itt_num < 0
+                    THEN -((abs(itt_num) * 1000000) // nn)
+                    ELSE (itt_num * 1000000) // nn END AS BIGINT)
+                 AS itt_micro,
+               CAST(CASE WHEN itt_num * fs_num < 0
+                    THEN -((abs(itt_num) * 1000000) // abs(fs_num))
+                    ELSE (abs(itt_num) * 1000000) // abs(fs_num) END
+                 AS BIGINT) AS late_micro
+        FROM nums ORDER BY n_z1""")),
+
+    // Mantel-Haenszel pooled odds ratio — STRATIFIED 2×2 association
+    // (the chi-square q185 tests one table; MH pools many while
+    // adjusting for the stratifying confounder — the textbook
+    // Simpson's-paradox guard). Strata = order priority; exposure =
+    // BUILDING-segment customer; outcome = order contains a returned
+    // line. MH = Σ_i(a_i·d_i/n_i) / Σ_i(b_i·c_i/n_i), carried exactly:
+    // per stratum, floor(a·d·10⁶/n) and floor(b·c·10⁶/n) in
+    // DECIMAL(38,0) (all operands non-negative → div IS floor on both
+    // engines), summed, one final ppm ratio. The crude (unstratified)
+    // OR rides along so the gate exhibits the adjustment itself.
+    // Scale: outcome is a lineitem partial-aggregate joined to orders
+    // on the join key both sides shuffle anyway; everything after the
+    // 5-stratum rollup is constant-size.
+    QueryDef(
+      "q318_mantel_haenszel",
+      (s, dir) => {
+        val returned = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("ret"))
+        val seg = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            (col("c_mktsegment") === "BUILDING").as("exposed"))
+        val tables = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderpriority").as("priority"))
+          .join(returned, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("priority"))
+          .agg(
+            sum(when(col("exposed") && col("ret") === 1L, 1L)
+              .otherwise(0L)).as("a"),
+            sum(when(col("exposed") && col("ret") === 0L, 1L)
+              .otherwise(0L)).as("b"),
+            sum(when(!col("exposed") && col("ret") === 1L, 1L)
+              .otherwise(0L)).as("c"),
+            sum(when(!col("exposed") && col("ret") === 0L, 1L)
+              .otherwise(0L)).as("d"))
+        val pooled = tables.agg(
+          sum(expr("""(cast(a as decimal(38,0)) * d * 1000000)
+                      div (a + b + c + d)""")).as("r6"),
+          sum(expr("""(cast(b as decimal(38,0)) * c * 1000000)
+                      div (a + b + c + d)""")).as("s6"),
+          sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+          sum(col("c")).as("tc"), sum(col("d")).as("td"))
+          .select(
+            expr("cast((r6 * 1000000) div s6 as bigint)").as("mh_or_ppm"),
+            expr("""cast((cast(ta as decimal(38,0)) * td * 1000000)
+                    div (cast(tb as decimal(38,0)) * tc) as bigint)""")
+              .as("crude_or_ppm"))
+        tables.crossJoin(broadcast(pooled))
+          .select(col("priority"), col("a"), col("b"), col("c"), col("d"),
+            col("mh_or_ppm"), col("crude_or_ppm"))
+          .orderBy(col("priority"))
+      },
+      Some("""
+        WITH ret AS (
+          SELECT l_orderkey,
+                 CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ret
+          FROM lineitem GROUP BY 1),
+        t AS (
+          SELECT o.o_orderpriority AS priority,
+                 CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                       AND r.ret = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING'
+                       AND r.ret = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN c.c_mktsegment <> 'BUILDING'
+                       AND r.ret = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN c.c_mktsegment <> 'BUILDING'
+                       AND r.ret = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM orders o
+          JOIN ret r ON r.l_orderkey = o.o_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1),
+        pooled AS (
+          SELECT CAST((SUM((CAST(a AS HUGEINT) * d * 1000000)
+                           // (a + b + c + d)) * 1000000)
+                      // SUM((CAST(b AS HUGEINT) * c * 1000000)
+                           // (a + b + c + d)) AS BIGINT) AS mh_or_ppm,
+                 CAST((CAST(SUM(a) AS HUGEINT) * SUM(d) * 1000000)
+                      // (CAST(SUM(b) AS HUGEINT) * SUM(c)) AS BIGINT)
+                   AS crude_or_ppm
+          FROM t)
+        SELECT t.priority, t.a, t.b, t.c, t.d,
+               p.mh_or_ppm, p.crude_or_ppm
+        FROM t CROSS JOIN pooled p
+        ORDER BY t.priority"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:

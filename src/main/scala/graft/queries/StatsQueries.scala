@@ -1875,7 +1875,117 @@ object StatsQueries {
         SELECT b.band, b.n_band, b.mean_conf_ppm, b.hit_rate_ppm,
                br.n_test, br.brier_micro
         FROM bands b CROSS JOIN brier br
-        ORDER BY b.band""")))
+        ORDER BY b.band""")),
+
+    // Average precision (step-wise PR-AUC) of the q311 scores — the
+    // PRECISION-RECALL leg of the evaluation suite (accuracy q311,
+    // ROC/ranking q313, calibration q314). ROC AUC is prevalence-blind;
+    // under class imbalance the PR curve is what retrieval and
+    // quality-filter pipelines actually tune. AP here is the step
+    // integral Σ_g Δrecall_g · precision_g over distinct-score groups
+    // ranked descending (the tie-safe form: a tied block contributes
+    // its whole mass at end-of-block precision), on the exact integer
+    // lattice: term_g = (pos_g · cumpos_g · 10⁶) div (cumpos_g +
+    // cumneg_g) in DECIMAL(38,0), ap_ppm = (Σ term) div n_pos — no
+    // float sums, deterministic both engines. Also emits the
+    // random-classifier baseline (prevalence — AP's floor, unlike ROC's
+    // fixed 0.5) and precision at the 50%-recall crossing. Scale: ≤66
+    // score groups after the one test scan — constant-size triangular
+    // arithmetic, same shape as q313.
+    QueryDef(
+      "q315_average_precision",
+      (s, dir) => {
+        val st = nbStage(s, dir)
+        val rscore = st.scored.where(col("flag") === "R")
+          .select(col("qb"), col("y"), col("score"))
+        val pn = st.testCells.groupBy(col("qb"), col("y"))
+          .agg(sum(when(col("actual") === "R", col("n")).otherwise(0L))
+            .as("pos"),
+            sum(when(col("actual") =!= "R", col("n")).otherwise(0L))
+              .as("neg"))
+        val sgrp = pn.join(rscore, Seq("qb", "y"))
+          .groupBy(col("score"))
+          .agg(sum(col("pos")).as("pos"), sum(col("neg")).as("neg"))
+        val a = sgrp.select(col("score").as("s1"), col("pos").as("p1"),
+          col("neg").as("n1"))
+        val b = sgrp.select(col("score").as("s2"), col("pos").as("p2"),
+          col("neg").as("n2"))
+        val cum = a.join(b, col("s2") > col("s1"), "left")
+          .groupBy(col("s1"), col("p1"), col("n1"))
+          .agg(coalesce(sum(col("p2")), lit(0L)).as("hp"),
+            coalesce(sum(col("n2")), lit(0L)).as("hn"))
+          .select(col("s1"), col("p1"),
+            (col("hp") + col("p1")).as("cumpos"),
+            (col("hp") + col("p1") + col("hn") + col("n1")).as("d"))
+        val tot = sgrp.agg(sum(col("pos")).as("n_pos"),
+          sum(col("neg")).as("n_neg"))
+        val terms = cum.crossJoin(broadcast(tot))
+          .select(col("n_pos"), col("n_neg"), col("s1"), col("cumpos"),
+            col("d"),
+            expr("(cast(p1 as decimal(38,0)) * cumpos * 1000000) div d")
+              .as("term"))
+        val apRow = terms.groupBy(col("n_pos"), col("n_neg"))
+          .agg(sum(col("term")).as("tsum"))
+          .select(col("n_pos"), col("n_neg"),
+            expr("cast(tsum div cast(n_pos as decimal(38,0)) as bigint)")
+              .as("ap_ppm"),
+            expr("""cast((cast(n_pos as decimal(38,0)) * 1000000)
+                    div (n_pos + n_neg) as bigint)""")
+              .as("prevalence_ppm"))
+        val r50 = terms.where(col("cumpos") * 2 >= col("n_pos"))
+          .orderBy(col("s1").desc).limit(1)
+          .select(expr(
+            "cast((cast(cumpos as decimal(38,0)) * 1000000) div d as bigint)")
+            .as("prec_at_r50_ppm"))
+        apRow.crossJoin(broadcast(r50)).orderBy(col("n_pos"))
+      },
+      Some(s"""
+        WITH $NbStageSql,
+        rs AS (SELECT qb, y, score FROM scored WHERE flag = 'R'),
+        pn AS (
+          SELECT qb, y,
+                 CAST(SUM(CASE WHEN actual = 'R' THEN n ELSE 0 END)
+                   AS BIGINT) AS pos,
+                 CAST(SUM(CASE WHEN actual <> 'R' THEN n ELSE 0 END)
+                   AS BIGINT) AS neg
+          FROM test_cells GROUP BY 1, 2),
+        sg AS (
+          SELECT r.score, CAST(SUM(p.pos) AS BIGINT) AS pos,
+                 CAST(SUM(p.neg) AS BIGINT) AS neg
+          FROM pn p JOIN rs r ON r.qb = p.qb AND r.y = p.y
+          GROUP BY 1),
+        cum AS (
+          SELECT a.score AS s1, CAST(MIN(a.pos) AS BIGINT) AS p1,
+                 COALESCE(CAST(SUM(b.pos) AS BIGINT), 0) + MIN(a.pos)
+                   AS cumpos,
+                 COALESCE(CAST(SUM(b.pos) AS BIGINT), 0) + MIN(a.pos)
+                   + COALESCE(CAST(SUM(b.neg) AS BIGINT), 0) + MIN(a.neg)
+                   AS d
+          FROM sg a LEFT JOIN sg b ON b.score > a.score
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                       CAST(SUM(neg) AS BIGINT) AS n_neg
+                FROM sg),
+        terms AS (
+          SELECT t.n_pos, t.n_neg, c.s1, c.cumpos, c.d,
+                 (CAST(c.p1 AS HUGEINT) * c.cumpos * 1000000) // c.d
+                   AS term
+          FROM cum c CROSS JOIN tot t),
+        aprow AS (
+          SELECT n_pos, n_neg,
+                 CAST(SUM(term) // n_pos AS BIGINT) AS ap_ppm,
+                 CAST((CAST(n_pos AS HUGEINT) * 1000000)
+                      // (n_pos + n_neg) AS BIGINT) AS prevalence_ppm
+          FROM terms GROUP BY 1, 2),
+        r50 AS (
+          SELECT CAST((CAST(cumpos AS HUGEINT) * 1000000) // d AS BIGINT)
+                   AS prec_at_r50_ppm
+          FROM terms WHERE cumpos * 2 >= n_pos
+          ORDER BY s1 DESC LIMIT 1)
+        SELECT a.n_pos, a.n_neg, a.ap_ppm, a.prevalence_ppm,
+               r.prec_at_r50_ppm
+        FROM aprow a CROSS JOIN r50 r
+        ORDER BY a.n_pos""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.
