@@ -120,4 +120,61 @@ object Graphs {
     }
     labels
   }
+
+  /** ONE synchronous Louvain-style local-move sweep over an existing
+    * partition: every node evaluates moving to each NEIGHBOR community
+    * and takes the best strictly-positive modularity gain (ties → the
+    * smaller label; no candidate → stay). The gain is Blondel et al.'s
+    * ΔQ for a move A→B, cross-multiplied to the exact integer lattice
+    * (×2m²): gain = 2m·(k_vB − k_vA) − deg_v·(deg_B − deg_A + deg_v),
+    * carried in DECIMAL(38,0) so |E|·deg products cannot wrap at scale.
+    * SYNCHRONOUS: all gains are evaluated against the input partition,
+    * then applied at once — deterministic and partial-aggregable (the
+    * sequential-scan async sweep of the original paper is not
+    * data-parallel). A synchronous sweep can oscillate on adversarial
+    * symmetric structure, so callers treat it as one refinement step
+    * and re-score (q319 gates Q after the sweep), not as a fixpoint.
+    *
+    * `edges`: directed list with both directions present, no
+    * self-loops, columns src/dst. `labels`: (node, lbl). Returns
+    * (node, lbl, moved). Scale: two joins on the edge key + two
+    * community-keyed partial aggregates — every shuffle is on node or
+    * community keys, nothing is data-proportional on the driver.
+    */
+  def louvainRefineRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val degV = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val commDeg = labels.join(degV, Seq("node"))
+      .groupBy(col("lbl")).agg(sum(col("deg")).as("cdeg"))
+    val m2 = e.agg(count(lit(1)).as("m2"))
+    // k_{v,C}: edges of v into each neighbor community C.
+    val kvc = e
+      .join(labels.select(col("node").as("dst"), col("lbl").as("cand")),
+        Seq("dst"))
+      .groupBy(col("src").as("node"), col("cand"))
+      .agg(count(lit(1)).as("k"))
+    val cur = labels.join(degV, Seq("node"))
+      .join(commDeg.select(col("lbl"), col("cdeg").as("deg_a")), Seq("lbl"))
+      .join(kvc.select(col("node"), col("cand").as("lbl"),
+        col("k").as("k_a")), Seq("node", "lbl"), "left")
+      .select(col("node"), col("lbl"), col("deg"), col("deg_a"),
+        coalesce(col("k_a"), lit(0L)).as("k_a"))
+    val gains = cur.join(kvc, Seq("node"))
+      .where(col("cand") =!= col("lbl"))
+      .join(commDeg.select(col("lbl").as("cand"), col("cdeg").as("deg_b")),
+        Seq("cand"))
+      .crossJoin(broadcast(m2))
+      .select(col("node"), col("cand"),
+        expr("""cast(m2 as decimal(38,0)) * (k - k_a)
+                - cast(deg as decimal(38,0)) * (deg_b - deg_a + deg)""")
+          .as("gain"))
+    val best = gains.where(col("gain") > 0)
+      .groupBy(col("node"))
+      .agg(max(struct(col("gain"), (-col("cand")).as("nc"))).as("m"))
+      .select(col("node"), (-col("m").getField("nc")).as("new_lbl"))
+    labels.join(best, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("new_lbl"), col("lbl")).as("lbl"),
+        col("new_lbl").isNotNull.as("moved"))
+  }
 }

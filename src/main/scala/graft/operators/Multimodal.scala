@@ -33,8 +33,13 @@ object Multimodal {
     final case class Image(width: Int, height: Int, rgb: Array[Byte])
 
     /** None if the payload is not a well-formed P6 PPM. */
-    def decode(bytes: Array[Byte]): Option[Image] = {
-      var i = 0
+    def decode(bytes: Array[Byte]): Option[Image] = decodeAt(bytes, 0).map(_._1)
+
+    /** Parse one P6 PPM starting at `start`, returning the raster AND
+      * the index just past it — the primitive a concatenated-PPM stream
+      * (the repo's video container) iterates frame by frame. */
+    def decodeAt(bytes: Array[Byte], start: Int): Option[(Image, Int)] = {
+      var i = start
       def skipWs(): Unit = {
         var in = true
         while (in && i < bytes.length) {
@@ -54,8 +59,9 @@ object Multimodal {
       }
       def isWs(b: Byte): Boolean =
         b == ' ' || b == '\t' || b == '\r' || b == '\n'
-      if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
-      i = 2
+      if (bytes.length < start + 2 || bytes(start) != 'P' ||
+        bytes(start + 1) != '6') return None
+      i = start + 2
       for {
         w <- int(); h <- int(); maxval <- int()
         if w > 0 && h > 0 && maxval > 0 && maxval <= 255
@@ -63,7 +69,9 @@ object Multimodal {
         // non-whitespace byte here means the raster would misalign by one
         if i < bytes.length && isWs(bytes(i)) &&
           { i += 1; bytes.length - i >= 3L * w * h }
-      } yield Image(w, h, java.util.Arrays.copyOfRange(bytes, i, i + 3 * w * h))
+      } yield (Image(w, h,
+        java.util.Arrays.copyOfRange(bytes, i, i + 3 * w * h)),
+        i + 3 * w * h)
     }
 
     def encode(img: Image): Array[Byte] = {
@@ -322,21 +330,62 @@ object Multimodal {
       rows.flatMap { m =>
         PpmCodec.decode(m.content) match {
           case Some(img) if img.width == w + 1 && img.height == h =>
-            var bits = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val g0 = img.rgb(3 * (y * (w + 1) + x)) & 0xff
-                val g1 = img.rgb(3 * (y * (w + 1) + x + 1)) & 0xff
-                if (g1 > g0) bits |= 1L << (y * w + x)
-                x += 1
-              }
-              y += 1
-            }
-            Iterator.single(DHashRow(m.media_id, bits))
+            Iterator.single(DHashRow(m.media_id, dhashBits(img, w, h)))
           case _ => Iterator.empty
         }
+      }
+    }
+  }
+
+  /** Horizontal-gradient-sign bits of one canonical (w+1)×h raster. */
+  private def dhashBits(img: PpmCodec.Image, w: Int, h: Int): Long = {
+    var bits = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g0 = img.rgb(3 * (y * (w + 1) + x)) & 0xff
+        val g1 = img.rgb(3 * (y * (w + 1) + x + 1)) & 0xff
+        if (g1 > g0) bits |= 1L << (y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** One sampled, hashed video frame. */
+  final case class FrameHashRow(media_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Frame-sample + perceptual-hash a concatenated-PPM video container:
+    * frames are parsed sequentially with `PpmCodec.decodeAt` (one codec
+    * dispatch per partition — the FFI-decoder shape), every `stride`-th
+    * frame whose raster is already the canonical (w+1)×h thumb gets the
+    * same horizontal-gradient dHash the image path uses. This is the
+    * shot-boundary / video-near-dup primitive: downstream compares
+    * consecutive sampled hashes (Hamming) or bands them for near-dup
+    * candidates exactly like q229's image path. Frames decode lazily
+    * off one payload, so memory is one frame, not one video; a
+    * malformed tail stops the parse cleanly (frames before it still
+    * emit). */
+  def videoFrameHashes(media: Dataset[MediaRow], w: Int, h: Int,
+      stride: Int = 1)(
+      implicit spark: SparkSession): Dataset[FrameHashRow] = {
+    import spark.implicits._
+    require(w * h <= 64, s"dHash needs w*h <= 64 bits, got ${w}x$h")
+    require(stride >= 1, "stride must be >= 1")
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        Iterator.unfold((0, 0)) { case (pos, f) =>
+          PpmCodec.decodeAt(m.content, pos).map { case (img, next) =>
+            val out =
+              if (f % stride == 0 && img.width == w + 1 && img.height == h)
+                Iterator.single(FrameHashRow(m.media_id, f,
+                  dhashBits(img, w, h)))
+              else Iterator.empty
+            (out, (next, f + 1))
+          }
+        }.flatten
       }
     }
   }

@@ -856,6 +856,150 @@ object GraphQueries {
                CAST(SUM(intra) AS BIGINT) AS intra_directed,
                CAST(SUM(term) AS BIGINT) AS q_ppm
         FROM terms
-        ORDER BY n_communities"""))
+        ORDER BY n_communities""")),
+
+    // Louvain-style refinement — the community loop's IMPROVE step
+    // (q233 proposes a partition, q309 scores it, this one refines it):
+    // one synchronous local-move sweep where every node joins the
+    // neighbor community with the best strictly-positive modularity
+    // gain (Graphs.louvainRefineRound — exact ×2m² integer gains in
+    // DECIMAL(38,0), ties to the smaller label), then the refined
+    // partition is re-scored with the same exact ppm modularity lattice
+    // q309 gates. Emits the sweep's telemetry: nodes, moves taken,
+    // resulting community count, and Q after. Scale: the sweep is two
+    // edge-key joins + community-keyed partial aggregates on top of the
+    // q233 LPA machinery; labels and the refined partition feed
+    // multiple consumers, so both ride the sanctioned lineage cut.
+    QueryDef(
+      "q319_louvain_refine",
+      (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .distinct()
+          .cutLineage()
+        val edges = pairs
+          .select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
+          .unionByName(pairs.select((col("pk") + 10000000L).as("src"),
+            col("sk").as("dst")))
+        val lab = graft.operators.Graphs.labelPropagation(edges, 3)
+          .cutLineage()
+        val l4 = graft.operators.Graphs.louvainRefineRound(edges, lab)
+          .cutLineage()
+        val mv = l4.agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+        val p2 = pairs.withColumn("pkx", col("pk") + 10000000L)
+          .join(l4.select(col("node").as("sk"), col("lbl").as("lu")),
+            Seq("sk"))
+          .join(l4.select(col("node").as("pkx"), col("lbl").as("lv")),
+            Seq("pkx"))
+          .select(col("lu"), col("lv"))
+        val comm = p2
+          .select(explode(array(
+            struct(col("lu").as("c"),
+              when(col("lu") === col("lv"), 1L).otherwise(0L).as("ip")),
+            struct(col("lv").as("c"), lit(0L).as("ip")))).as("e"))
+          .select(col("e.c").as("c"), col("e.ip").as("ip"))
+          .groupBy(col("c"))
+          .agg(count(lit(1)).as("deg"), sum(col("ip")).as("ip1"))
+          .select(col("c"), col("deg"), (col("ip1") * 2).as("intra"))
+        val m2f = comm.agg(sum(col("deg")).as("m2"))
+        comm.crossJoin(broadcast(m2f))
+          .select(
+            (expr("(cast(intra as decimal(38,0)) * 1000000) div m2")
+              - expr("""(cast(deg as decimal(38,0)) * deg * 1000000)
+                        div (cast(m2 as decimal(38,0)) * m2)"""))
+              .as("term"))
+          .agg(count(lit(1)).as("n_communities"),
+            sum(col("term")).as("q_after_ppm"))
+          .crossJoin(broadcast(mv))
+          .select(col("n_nodes"), col("n_moved"), col("n_communities"),
+            col("q_after_ppm"))
+          .orderBy(col("n_nodes"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        edges AS (
+          SELECT sk AS src, pk + 10000000 AS dst FROM pairs
+          UNION ALL
+          SELECT pk + 10000000 AS src, sk AS dst FROM pairs),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+        c1 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+               FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        l1 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                 FROM c1) WHERE rn = 1),
+        c2 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+               FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        l2 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                 FROM c2) WHERE rn = 1),
+        c3 AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS cnt
+               FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        l3 AS (SELECT node, lbl FROM (
+                 SELECT node, lbl, row_number() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+                 FROM c3) WHERE rn = 1),
+        degv AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                 FROM edges GROUP BY 1),
+        m2e AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM edges),
+        cd AS (SELECT l.lbl, CAST(SUM(d.deg) AS BIGINT) AS cdeg
+               FROM l3 l JOIN degv d ON d.node = l.node GROUP BY 1),
+        kvc AS (SELECT e.src AS node, l.lbl AS cand,
+                       CAST(COUNT(*) AS BIGINT) AS k
+                FROM edges e JOIN l3 l ON l.node = e.dst GROUP BY 1, 2),
+        cur AS (
+          SELECT l.node, l.lbl, d.deg, c.cdeg AS deg_a,
+                 COALESCE(ka.k, 0) AS k_a
+          FROM l3 l
+          JOIN degv d ON d.node = l.node
+          JOIN cd c ON c.lbl = l.lbl
+          LEFT JOIN kvc ka ON ka.node = l.node AND ka.cand = l.lbl),
+        gains AS (
+          SELECT cu.node, kv.cand,
+                 m.m2 * (kv.k - cu.k_a)
+                 - CAST(cu.deg AS HUGEINT)
+                   * (cb.cdeg - cu.deg_a + cu.deg) AS gain
+          FROM cur cu
+          JOIN kvc kv ON kv.node = cu.node AND kv.cand <> cu.lbl
+          JOIN cd cb ON cb.lbl = kv.cand
+          CROSS JOIN m2e m),
+        best AS (
+          SELECT node, cand AS new_lbl FROM (
+            SELECT node, cand, row_number() OVER (
+              PARTITION BY node ORDER BY gain DESC, cand) AS rn
+            FROM gains WHERE gain > 0) WHERE rn = 1),
+        l4 AS (
+          SELECT l.node, COALESCE(b.new_lbl, l.lbl) AS lbl,
+                 b.new_lbl IS NOT NULL AS moved
+          FROM l3 l LEFT JOIN best b ON b.node = l.node),
+        mv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                      CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_moved
+               FROM l4),
+        e2 AS (
+          SELECT ls.lbl AS sl, ld.lbl AS dl
+          FROM edges e
+          JOIN l4 ls ON ls.node = e.src
+          JOIN l4 ld ON ld.node = e.dst),
+        comm AS (
+          SELECT sl, CAST(COUNT(*) AS BIGINT) AS deg,
+                 CAST(SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS intra
+          FROM e2 GROUP BY 1),
+        mm AS (SELECT CAST(SUM(deg) AS HUGEINT) AS m2 FROM comm),
+        terms AS (
+          SELECT (CAST(c.intra AS HUGEINT) * 1000000) // m.m2
+                 - (CAST(c.deg AS HUGEINT) * c.deg * 1000000)
+                   // (m.m2 * m.m2) AS term
+          FROM comm c CROSS JOIN mm m),
+        aft AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+                       CAST(SUM(term) AS BIGINT) AS q_after_ppm
+                FROM terms)
+        SELECT mv.n_nodes, mv.n_moved, a.n_communities, a.q_after_ppm
+        FROM aft a CROSS JOIN mv
+        ORDER BY mv.n_nodes"""))
   )
 }

@@ -1065,5 +1065,122 @@ object VectorQueries {
         LEFT JOIN nc c USING (cid)
         LEFT JOIN nd d USING (cid)
         LEFT JOIN nr r USING (cid)
-        ORDER BY v.cid""")))
+        ORDER BY v.cid""")),
+
+    // Video shot-boundary detection — the VIDEO leg of the multimodal
+    // surface (image q229, audio q212): payloads are concatenated-PPM
+    // "video" containers that the REAL sequential codec path walks
+    // (PpmCodec.decodeAt frame by frame, one dispatch per partition —
+    // Multimodal.videoFrameHashes), each frame gets the same
+    // horizontal-gradient dHash as the image path, and a boundary fires
+    // where consecutive frames' Hamming distance exceeds 16. The
+    // synthetic videos alternate gradient DIRECTION per 5-frame shot
+    // (boundary Hamming ≈ 50) while a roving bump pixel drifts within
+    // shots (≤ 4 bits) — wide margins on both sides of the threshold.
+    // The oracle recomputes every frame hash from the generative
+    // formula in pure SQL, so any byte-level defect in the container
+    // walk (a mis-advanced offset, a dropped frame) hash-fails the
+    // gate. Scale: frames decode lazily (memory = one frame, not one
+    // video), hashes are 8 bytes per frame, and the boundary scan is a
+    // per-video KEYED window — nothing global, nothing all-pairs.
+    QueryDef(
+      "q320_video_shot_boundaries",
+      (s, dir) => {
+        import s.implicits._
+        import graft.operators.Multimodal.{MediaRow, PpmCodec}
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id")).where(col("doc_id") < 120)
+          .as[Long]
+          .map { id =>
+            val nf = (12 + id % 9).toInt
+            val frames = (0 until nf).map { f =>
+              val par = (f / 5) % 2
+              val rgb = new Array[Byte](3 * 9 * 7)
+              var y = 0
+              while (y < 7) {
+                var x = 0
+                while (x < 9) {
+                  val gx = if (par == 0) 20 * x else 20 * (8 - x)
+                  val bump =
+                    if ((x + 9 * y + f) % 37 == (id % 37).toInt) 40 else 0
+                  val v =
+                    ((7 * (id % 25) + 31 * y + gx + bump) % 256).toByte
+                  val o = 3 * (y * 9 + x)
+                  rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+                  x += 1
+                }
+                y += 1
+              }
+              PpmCodec.encode(PpmCodec.Image(9, 7, rgb))
+            }
+            MediaRow(id, "video/ppm", frames.reduce(_ ++ _), 9, 7, nf)
+          }
+        val fh = Multimodal.videoFrameHashes(media, 8, 7)(s)
+          .toDF().cutLineage()
+        val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+        val lagged = fh
+          .withColumn("prev", lag(col("dhash"), 1).over(w))
+          .withColumn("hamming",
+            when(col("prev").isNull, 0L)
+              .otherwise(bit_count(col("prev").bitwiseXOR(col("dhash")))
+                .cast("long")))
+          .withColumn("boundary",
+            col("prev").isNotNull && col("hamming") > 16L)
+        lagged.groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            (sum(when(col("boundary"), 1L).otherwise(0L)) + 1L)
+              .as("n_shots"),
+            sum(when(col("boundary"), col("frame_idx").cast("long"))
+              .otherwise(0L)).as("boundary_sum"),
+            sum(col("hamming")).as("total_hamming"))
+          .orderBy(col("media_id"))
+      },
+      Some("""
+        WITH ids AS (
+          SELECT doc_id AS id, doc_id % 25 AS g, doc_id % 37 AS bp
+          FROM documents WHERE doc_id < 120),
+        fr AS (SELECT id, g, bp,
+                      unnest(range(0, CAST(12 + id % 9 AS BIGINT))) AS f
+               FROM ids),
+        yy AS (SELECT id, g, bp, f, unnest(range(0, 7)) AS y FROM fr),
+        grid AS (SELECT id, g, bp, f, y, unnest(range(0, 8)) AS x FROM yy),
+        bits AS (
+          SELECT id, f, y, x,
+            CASE WHEN
+              ((7*g + 31*y
+                + CASE WHEN (f // 5) % 2 = 0 THEN 20*(x+1)
+                       ELSE 20*(8-(x+1)) END
+                + CASE WHEN ((x+1) + 9*y + f) % 37 = bp
+                       THEN 40 ELSE 0 END) % 256)
+              >
+              ((7*g + 31*y
+                + CASE WHEN (f // 5) % 2 = 0 THEN 20*x
+                       ELSE 20*(8-x) END
+                + CASE WHEN (x + 9*y + f) % 37 = bp
+                       THEN 40 ELSE 0 END) % 256)
+            THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          FROM grid),
+        hashes AS (
+          SELECT id AS media_id, f AS frame_idx,
+                 SUM(bit << (y * 8 + x)) AS dhash
+          FROM bits GROUP BY 1, 2),
+        lagged AS (
+          SELECT media_id, frame_idx, dhash,
+                 lag(dhash) OVER (
+                   PARTITION BY media_id ORDER BY frame_idx) AS prev
+          FROM hashes),
+        ham AS (
+          SELECT media_id, frame_idx,
+                 CASE WHEN prev IS NULL THEN 0
+                      ELSE CAST(bit_count(xor(prev, dhash)) AS BIGINT)
+                 END AS hamming
+          FROM lagged)
+        SELECT media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN hamming > 16 THEN 1 ELSE 0 END) + 1
+                 AS BIGINT) AS n_shots,
+               CAST(SUM(CASE WHEN hamming > 16 THEN frame_idx ELSE 0 END)
+                 AS BIGINT) AS boundary_sum,
+               CAST(SUM(hamming) AS BIGINT) AS total_hamming
+        FROM ham GROUP BY 1 ORDER BY media_id""")))
 }
