@@ -91,6 +91,37 @@ object TextDedup {
       .select(col(idCol), col("pos"), col("h62"))
   }
 
+  /** ngramHash62 with the CENTER token of each (odd) k-window excluded
+    * from the fold — the cheap FUZZY decontamination key: a window
+    * whose center token was substituted still hashes identically, and
+    * because windows slide, any single substituted token in an overlap
+    * region of length ≥ k (at distance ≥ k/2 from its edges) is the
+    * center of SOME window, so isolated one-token edits cannot hide a
+    * contaminated passage from the join. Same cost shape as
+    * [[ngramHash62]] (one digest per token; the window fold just skips
+    * one term), unlike the k× blowup of hashing every single-position
+    * wildcard variant. Output: (idCol, h62). */
+  def ngramHash62SkipCenter(docs: DataFrame, idCol: String, tokCol: String,
+      k: Int): DataFrame = {
+    require(k >= 3 && k % 2 == 1, s"skip-center needs odd k >= 3, got $k")
+    val t = docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("_pos", "_w")))
+      .select(col(idCol), col("_pos"),
+        Kernels.md5BitsMod31(Kernels.md5Bits(col("_w"))).as("_h"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val leads = (1 until k).map(o => lead(col("_h"), o).over(w))
+    val all = col("_h") +: leads
+    val kept = all.zipWithIndex.collect {
+      case (c, i) if i != k / 2 => c
+    }
+    def horner(b: Long): Column =
+      kept.reduce((acc, x) => (acc * lit(b) + x) % lit(MinhashP))
+    t.select(col(idCol),
+        (horner(131) * lit(2147483648L) + horner(137)).as("h62"),
+        leads.last.isNotNull.as("_full"))
+      .where(col("_full"))
+      .select(col(idCol), col("h62"))
+  }
+
   /** Per-doc MinHash signature from flat (idCol, shCol) shingle rows: ONE
     * codegen'd digest per shingle (native Md5Lower64Bits expression), then
     * `numHashes` affine permutations and a map-side partial min

@@ -7,6 +7,7 @@ import graft.functions.Kernels.md5Lower64
 import graft.functions.TextKernels._
 import graft.operators.TextDedup
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Corpus mixing + decontamination, round 4 batch 2 — the three named
   * techniques every pretraining data pipeline runs between raw corpus
@@ -386,5 +387,111 @@ object MixQueries {
           FROM p)
         SELECT segment, CAST(rank AS BIGINT) AS rank, c_custkey, priority
         FROM r WHERE rank <= 20
-        ORDER BY segment, rank""")))
+        ORDER BY segment, rank""")),
+
+    // FUZZY n-gram decontamination — q87's exact 13-gram check misses a
+    // contaminated passage the moment one token was edited (typo fixes,
+    // number substitutions, detokenization drift are the classic eval-
+    // leakage camouflage). The center-skip key closes that hole at NO
+    // extra hash cost: each 13-window hashes its 12 non-center tokens
+    // (TextDedup.ngramHash62SkipCenter), so a window whose center was
+    // substituted still matches, and since windows slide, ANY isolated
+    // single-token edit ≥6 tokens from an overlap edge is the center of
+    // some window — unlike the 13× blowup of hashing every wildcard
+    // position. Exact-match counts ride along: per eval doc,
+    // n_fuzzy ≥ n_exact by construction (an exact match is a fortiori
+    // a skip match), and the gap is exactly the camouflaged mass.
+    // Scale: identical topology to q87 — one digest per token, 8-byte
+    // window keys, distinct-key semi-joins; nothing all-pairs.
+    QueryDef(
+      "q323_fuzzy_decontam",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+          .withColumn("bucket",
+            Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("split:"),
+              col("doc_id"))), 100L))
+          .where(col("bucket") < 80 || col("bucket") >= 90)
+          .cutLineage()
+        def withBucket(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("bucket",
+            Kernels.md5BitsModK(Kernels.md5Bits(concat(lit("split:"),
+              col("doc_id"))), 100L))
+        val exact = withBucket(TextDedup.ngramHash62(d, "doc_id", "ws", 13))
+        val fuzzy = withBucket(
+          TextDedup.ngramHash62SkipCenter(d, "doc_id", "ws", 13))
+        val trainE = exact.where(col("bucket") < 80)
+          .select(col("h62")).distinct()
+        val trainF = fuzzy.where(col("bucket") < 80)
+          .select(col("h62")).distinct()
+        val testE = exact.where(col("bucket") >= 90)
+          .select(col("doc_id").as("test_doc"), col("h62"))
+        val testF = fuzzy.where(col("bucket") >= 90)
+          .select(col("doc_id").as("test_doc"), col("h62"))
+        val perDoc = testF.groupBy(col("test_doc"))
+          .agg(count(lit(1)).as("n_windows"))
+        val nExact = testE.join(trainE, Seq("h62"))
+          .groupBy(col("test_doc")).agg(count(lit(1)).as("n_exact"))
+        val nFuzzy = testF.join(trainF, Seq("h62"))
+          .groupBy(col("test_doc")).agg(count(lit(1)).as("n_fuzzy"))
+        nFuzzy.join(perDoc, Seq("test_doc"))
+          .join(nExact, Seq("test_doc"), "left")
+          .select(col("test_doc"), col("n_windows"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            col("n_fuzzy"),
+            (col("n_fuzzy") - coalesce(col("n_exact"), lit(0L)))
+              .as("n_camouflaged"))
+          .orderBy(col("test_doc"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ws,
+                 CAST(md5_number_lower('split:' || doc_id) % 100 AS BIGINT)
+                   AS bucket
+          FROM documents),
+        th AS (
+          SELECT doc_id, bucket, list_transform(ws,
+                   t -> CAST(md5_number_lower(t) % 2147483647 AS BIGINT))
+                   AS hs
+          FROM toks
+          WHERE len(ws) >= 13 AND (bucket < 80 OR bucket >= 90)),
+        ex AS (
+          SELECT doc_id, bucket,
+                 unnest(list_transform(range(1, len(hs) - 11),
+                   i -> list_reduce(list_slice(hs, i, i + 12),
+                          (a, x) -> (a * 131 + x) % 2147483647)
+                        * 2147483648 +
+                        list_reduce(list_slice(hs, i, i + 12),
+                          (a, x) -> (a * 137 + x) % 2147483647))) AS h
+          FROM th),
+        fz AS (
+          SELECT doc_id, bucket,
+                 unnest(list_transform(range(1, len(hs) - 11),
+                   i -> list_reduce(
+                          list_concat(list_slice(hs, i, i + 5),
+                                      list_slice(hs, i + 7, i + 12)),
+                          (a, x) -> (a * 131 + x) % 2147483647)
+                        * 2147483648 +
+                        list_reduce(
+                          list_concat(list_slice(hs, i, i + 5),
+                                      list_slice(hs, i + 7, i + 12)),
+                          (a, x) -> (a * 137 + x) % 2147483647))) AS h
+          FROM th),
+        train_e AS (SELECT DISTINCT h FROM ex WHERE bucket < 80),
+        train_f AS (SELECT DISTINCT h FROM fz WHERE bucket < 80),
+        test_e AS (SELECT doc_id AS test_doc, h FROM ex WHERE bucket >= 90),
+        test_f AS (SELECT doc_id AS test_doc, h FROM fz WHERE bucket >= 90),
+        per_doc AS (SELECT test_doc, CAST(COUNT(*) AS BIGINT) AS n_windows
+                    FROM test_f GROUP BY 1),
+        ne AS (SELECT test_doc, CAST(COUNT(*) AS BIGINT) AS n_exact
+               FROM test_e JOIN train_e USING (h) GROUP BY 1),
+        nf AS (SELECT test_doc, CAST(COUNT(*) AS BIGINT) AS n_fuzzy
+               FROM test_f JOIN train_f USING (h) GROUP BY 1)
+        SELECT f.test_doc, p.n_windows,
+               COALESCE(e.n_exact, 0) AS n_exact, f.n_fuzzy,
+               f.n_fuzzy - COALESCE(e.n_exact, 0) AS n_camouflaged
+        FROM nf f
+        JOIN per_doc p USING (test_doc)
+        LEFT JOIN ne e USING (test_doc)
+        ORDER BY f.test_doc""")))
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Kernels._
 import graft.operators.{Similarity, Skew}
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Scale-path operators: salted skew-safe aggregation, bucketed range
   * join (Spark's missing native range join), and IVF-style cell-probed
@@ -301,6 +302,172 @@ object ScaleQueries {
                true AS inter_ok
         FROM pr p CROSS JOIN mc m
         GROUP BY p.fa, p.fb
-        ORDER BY p.fa, p.fb"""))
+        ORDER BY p.fa, p.fb""")),
+
+    // KMV (k-minimum-values) distinct sketch — the ORDER-STATISTICS
+    // member of the sketch family (HLL q100/q302 estimates from leading
+    // zeros; KMV from the k-th smallest hash: D̂ = (k−1)·M/h₍ₖ₎, Beyer
+    // et al. 2007). Two properties make it the gateable sketch: it is
+    // EXACTLY deterministic given the hash (both engines compute the
+    // identical estimate — a full hash gate, not an error-bound gate),
+    // and it is EXACTLY mergeable (min-k of a union of min-k sets IS
+    // the union's min-k), which the gate exercises by estimating A∪B
+    // from the two per-set sketches alone. The 20%-error audits ride
+    // along as literal-true booleans (k=256 → ~1/√k ≈ 6% expected).
+    // Scale: sketch = distinct-hash shuffle + TakeOrdered(k) (per-
+    // partition top-k, k·#partitions rows to the driver merge — never
+    // the data); the exact counts are the audit side.
+    QueryDef(
+      "q321_kmv_sketch",
+      (s, dir) => {
+        val k = 256
+        val base = Tables.lineitem(s, dir)
+          .where(col("l_returnflag").isin("R", "A"))
+          .select(col("l_returnflag").as("flag"),
+            md5Lower64Lo32(concat(lit("kmv:"),
+              col("l_partkey").cast("string"))).as("h"),
+            col("l_partkey").as("pk"))
+        def sketch(flag: String) =
+          base.where(col("flag") === flag).select(col("h")).distinct()
+            .orderBy(col("h")).limit(k)
+        def est(sk: org.apache.spark.sql.DataFrame, name: String) =
+          sk.agg(count(lit(1)).as("n_in"), max(col("h")).as("kth"))
+            .select(when(col("n_in") < k, col("n_in"))
+              .otherwise(expr(s"""(cast(${k - 1} as decimal(38,0))
+                * 4294967296) div (kth + 1)"""))
+              .cast("long").as(name))
+        val skA = sketch("R").cutLineage()
+        val skB = sketch("A").cutLineage()
+        val skU = skA.unionByName(skB).distinct().orderBy(col("h")).limit(k)
+        val exA = base.where(col("flag") === "R").select(col("pk"))
+          .distinct().agg(count(lit(1)).as("exact_a"))
+        val exB = base.where(col("flag") === "A").select(col("pk"))
+          .distinct().agg(count(lit(1)).as("exact_b"))
+        val exU = base.select(col("pk")).distinct()
+          .agg(count(lit(1)).as("exact_union"))
+        exA.crossJoin(broadcast(est(skA, "est_a")))
+          .crossJoin(broadcast(exB)).crossJoin(broadcast(est(skB, "est_b")))
+          .crossJoin(broadcast(exU)).crossJoin(broadcast(est(skU, "est_union")))
+          .select(lit(k.toLong).as("n_k"),
+            col("exact_a"), col("est_a"), col("exact_b"), col("est_b"),
+            col("exact_union"), col("est_union"),
+            (abs(col("est_a") - col("exact_a")) * 1000000L
+              <= col("exact_a") * 200000L).as("a_ok"),
+            (abs(col("est_b") - col("exact_b")) * 1000000L
+              <= col("exact_b") * 200000L).as("b_ok"),
+            (abs(col("est_union") - col("exact_union")) * 1000000L
+              <= col("exact_union") * 200000L).as("union_ok"))
+          .orderBy(col("n_k"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT l_returnflag AS flag,
+                 CAST(md5_number_lower('kmv:' || CAST(l_partkey AS VARCHAR))
+                      % 4294967296 AS BIGINT) AS h,
+                 l_partkey AS pk
+          FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        ska AS (SELECT DISTINCT h FROM base WHERE flag = 'R'
+                ORDER BY h LIMIT 256),
+        skb AS (SELECT DISTINCT h FROM base WHERE flag = 'A'
+                ORDER BY h LIMIT 256),
+        sku AS (SELECT DISTINCT h FROM
+                  (SELECT h FROM ska UNION SELECT h FROM skb)
+                ORDER BY h LIMIT 256),
+        esta AS (SELECT CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                 ELSE (255::HUGEINT * 4294967296) // (MAX(h) + 1) END
+                 AS BIGINT) AS est_a FROM ska),
+        estb AS (SELECT CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                 ELSE (255::HUGEINT * 4294967296) // (MAX(h) + 1) END
+                 AS BIGINT) AS est_b FROM skb),
+        estu AS (SELECT CAST(CASE WHEN COUNT(*) < 256 THEN COUNT(*)
+                 ELSE (255::HUGEINT * 4294967296) // (MAX(h) + 1) END
+                 AS BIGINT) AS est_union FROM sku),
+        exa AS (SELECT CAST(COUNT(DISTINCT pk) AS BIGINT) AS exact_a
+                FROM base WHERE flag = 'R'),
+        exb AS (SELECT CAST(COUNT(DISTINCT pk) AS BIGINT) AS exact_b
+                FROM base WHERE flag = 'A'),
+        exu AS (SELECT CAST(COUNT(DISTINCT pk) AS BIGINT) AS exact_union
+                FROM base)
+        SELECT 256::BIGINT AS n_k,
+               exa.exact_a, esta.est_a, exb.exact_b, estb.est_b,
+               exu.exact_union, estu.est_union,
+               abs(esta.est_a - exa.exact_a) * 1000000
+                 <= exa.exact_a * 200000 AS a_ok,
+               abs(estb.est_b - exb.exact_b) * 1000000
+                 <= exb.exact_b * 200000 AS b_ok,
+               abs(estu.est_union - exu.exact_union) * 1000000
+                 <= exu.exact_union * 200000 AS union_ok
+        FROM exa, esta, exb, estb, exu, estu
+        ORDER BY n_k""")),
+
+    // Bitmap-index set operations — the ROARING-BITMAP idea at engine
+    // scale: a category's membership over a dense key domain packs into
+    // 62-bit words (word = key div 62), so intersection/union/Jaccard
+    // between categories become word-keyed joins of bitwise ANDs — a
+    // 62× compression of the join domain versus joining raw keys, and
+    // the exact shape a bitmap secondary index (Druid/Pinot/Kylin
+    // style) executes for multi-predicate filters. 62 bits (not 64)
+    // keeps every word value positive — DuckDB's BIGINT << raises on
+    // sign-bit overflow. The bitwise identity |A∪B| = |A|+|B|−|A∩B|
+    // avoids a second pair pass. Scale: one partial-aggregated bitmap
+    // build (bit_or collapses map-side), then a self-join on the word
+    // key only — candidate mass is words, not rows.
+    QueryDef(
+      "q322_bitmap_index_ops",
+      (s, dir) => {
+        val pos = Tables.lineitem(s, dir)
+          .select(col("l_returnflag").as("flag"),
+            expr("l_orderkey div 62").as("word"),
+            expr("shiftleft(1L, cast(l_orderkey % 62 as int))").as("bit"))
+        val bitmaps = pos.groupBy(col("flag"), col("word"))
+          .agg(expr("bit_or(bit)").as("bm"))
+          .cutLineage()
+        val tot = bitmaps.groupBy(col("flag"))
+          .agg(sum(bit_count(col("bm")).cast("long")).as("n_set"),
+            count(lit(1)).as("n_words"))
+        val inter = bitmaps.as("a").join(bitmaps.as("b"),
+            col("a.word") === col("b.word") && col("a.flag") < col("b.flag"))
+          .groupBy(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"))
+          .agg(sum(bit_count(col("a.bm").bitwiseAND(col("b.bm")))
+            .cast("long")).as("inter"),
+            count(lit(1)).as("n_common_words"))
+        inter
+          .join(broadcast(tot.select(col("flag").as("flag_a"),
+            col("n_set").as("n_a"))), Seq("flag_a"))
+          .join(broadcast(tot.select(col("flag").as("flag_b"),
+            col("n_set").as("n_b"))), Seq("flag_b"))
+          .select(col("flag_a"), col("flag_b"), col("n_a"), col("n_b"),
+            col("inter"), col("n_common_words"),
+            (col("n_a") + col("n_b") - col("inter")).as("uni"),
+            expr("""cast((cast(inter as decimal(38,0)) * 1000000)
+                    div (n_a + n_b - inter) as bigint)""")
+              .as("jaccard_ppm"))
+          .orderBy(col("flag_a"), col("flag_b"))
+      },
+      Some("""
+        WITH pos AS (
+          SELECT l_returnflag AS flag, l_orderkey // 62 AS word,
+                 1::BIGINT << CAST(l_orderkey % 62 AS INT) AS bit
+          FROM lineitem),
+        bm AS (SELECT flag, word, bit_or(bit) AS bm FROM pos GROUP BY 1, 2),
+        tot AS (SELECT flag, CAST(SUM(bit_count(bm)) AS BIGINT) AS n_set,
+                       CAST(COUNT(*) AS BIGINT) AS n_words
+                FROM bm GROUP BY 1),
+        inter AS (
+          SELECT a.flag AS flag_a, b.flag AS flag_b,
+                 CAST(SUM(bit_count(a.bm & b.bm)) AS BIGINT) AS inter,
+                 CAST(COUNT(*) AS BIGINT) AS n_common_words
+          FROM bm a JOIN bm b ON a.word = b.word AND a.flag < b.flag
+          GROUP BY 1, 2)
+        SELECT i.flag_a, i.flag_b, ta.n_set AS n_a, tb.n_set AS n_b,
+               i.inter, i.n_common_words,
+               ta.n_set + tb.n_set - i.inter AS uni,
+               CAST((CAST(i.inter AS HUGEINT) * 1000000)
+                    // (ta.n_set + tb.n_set - i.inter) AS BIGINT)
+                 AS jaccard_ppm
+        FROM inter i
+        JOIN tot ta ON ta.flag = i.flag_a
+        JOIN tot tb ON tb.flag = i.flag_b
+        ORDER BY i.flag_a, i.flag_b"""))
   )
 }
