@@ -68,8 +68,9 @@ object api {
 
   // ── Corpus dedup / text ───────────────────────────────────────────
   /** Sketch toolbox: shingles, MinHash signatures, banded LSH pairs,
-    * SimHash, winnowing fingerprints, 13-gram Horner hashes, and
-    * large-star/small-star connected components. */
+    * SimHash, winnowing fingerprints, 13-gram Horner hashes (exact
+    * and center-skip fuzzy), and large-star/small-star connected
+    * components. */
   val textDedup: operators.TextDedup.type = operators.TextDedup
   /** Single-source rational-BM25 scoring (termScores / pivotedScore). */
   val bm25: operators.Bm25.type = operators.Bm25
@@ -79,12 +80,14 @@ object api {
     * SRP-LSH and IVF bucketed top-k, embedding near-dup pairs. */
   val similarity: operators.Similarity.type = operators.Similarity
   /** Opaque-binary media columns: PPM decode, dHash near-dup, PCM
-    * energy windows, resize — mapPartitions one-codec-per-partition. */
+    * energy windows, resize, concatenated-PPM video frame-sampling +
+    * per-frame hashing — mapPartitions one-codec-per-partition. */
   val multimodal: operators.Multimodal.type = operators.Multimodal
 
   // ── Graphs ────────────────────────────────────────────────────────
   /** Iterative graph ops: k-core peeling, multi-source BFS hops,
-    * synchronous label propagation. */
+    * synchronous label propagation, Louvain-style local-move
+    * refinement (exact integer modularity gains). */
   val graphs: operators.Graphs.type = operators.Graphs
 
   // ── Composed pipelines ────────────────────────────────────────────
