@@ -153,16 +153,20 @@ object Graphs {
         Seq("dst"))
       .groupBy(col("src").as("node"), col("cand"))
       .agg(count(lit(1)).as("k"))
+    // community frames are |labels|-distinct — orders smaller than the
+    // node/edge frames at any scale where communities have formed, so
+    // both lookups broadcast rather than re-shuffling the node frame.
     val cur = labels.join(degV, Seq("node"))
-      .join(commDeg.select(col("lbl"), col("cdeg").as("deg_a")), Seq("lbl"))
+      .join(broadcast(commDeg.select(col("lbl"), col("cdeg").as("deg_a"))),
+        Seq("lbl"))
       .join(kvc.select(col("node"), col("cand").as("lbl"),
         col("k").as("k_a")), Seq("node", "lbl"), "left")
       .select(col("node"), col("lbl"), col("deg"), col("deg_a"),
         coalesce(col("k_a"), lit(0L)).as("k_a"))
     val gains = cur.join(kvc, Seq("node"))
       .where(col("cand") =!= col("lbl"))
-      .join(commDeg.select(col("lbl").as("cand"), col("cdeg").as("deg_b")),
-        Seq("cand"))
+      .join(broadcast(commDeg.select(col("lbl").as("cand"),
+        col("cdeg").as("deg_b"))), Seq("cand"))
       .crossJoin(broadcast(m2))
       .select(col("node"), col("cand"),
         expr("""cast(m2 as decimal(38,0)) * (k - k_a)
