@@ -1985,7 +1985,174 @@ object StatsQueries {
         SELECT a.n_pos, a.n_neg, a.ap_ppm, a.prevalence_ppm,
                r.prec_at_r50_ppm
         FROM aprow a CROSS JOIN r50 r
-        ORDER BY a.n_pos""")))
+        ORDER BY a.n_pos""")),
+
+    // Bivariate Mahalanobis outlier cells — the MULTIVARIATE member of
+    // the outlier family (q105/q194/q223 are univariate): a (quantity,
+    // discount) pair can be unremarkable per-coordinate yet far from
+    // the joint distribution once the covariance tilts the metric.
+    // Exact integer moments (n, Sx, Sy, Sxx, Syy, Sxy) come off the
+    // shared qdJointCounts lattice, then ONE fixed-order IEEE closed
+    // form (the q168 REGR stance: identical op order on both engines →
+    // bit-identical doubles): covariance entries, determinant, and
+    // md² = (vyy·dx² − 2·vxy·dx·dy + vxx·dy²)/det per cell, flagging
+    // md² > 4.5 (χ²₂ ≈ 90th pct — the synthetic joint is near-uniform,
+    // so its bounded tail tops out near md² ≈ 6; a 99th-pct cut would
+    // gate an empty set). All double literals are cast on both
+    // sides (DuckDB bare 2.0 is DECIMAL). Scale: the corpus collapses
+    // to ≤550 cells in one partial-aggregated scan; moments and the
+    // md² sweep are constant-size arithmetic.
+    QueryDef(
+      "q324_mahalanobis_outliers",
+      (s, dir) => {
+        val cells = qdJointCounts(s, dir).cutLineage()
+        val mom = cells.groupBy(col("flag")).agg(
+          sum(col("cnt")).as("n"),
+          sum(col("x") * col("cnt")).as("sx"),
+          sum(col("y") * col("cnt")).as("sy"),
+          sum(col("x") * col("x") * col("cnt")).as("sxx"),
+          sum(col("y") * col("y") * col("cnt")).as("syy"),
+          sum(col("x") * col("y") * col("cnt")).as("sxy"))
+        cells.join(broadcast(mom), Seq("flag"))
+          .withColumn("mx",
+            col("sx").cast("double") / col("n").cast("double"))
+          .withColumn("my",
+            col("sy").cast("double") / col("n").cast("double"))
+          .withColumn("vxx",
+            col("sxx").cast("double") / col("n").cast("double")
+              - col("mx") * col("mx"))
+          .withColumn("vyy",
+            col("syy").cast("double") / col("n").cast("double")
+              - col("my") * col("my"))
+          .withColumn("vxy",
+            col("sxy").cast("double") / col("n").cast("double")
+              - col("mx") * col("my"))
+          .withColumn("det",
+            col("vxx") * col("vyy") - col("vxy") * col("vxy"))
+          .withColumn("dx", col("x").cast("double") - col("mx"))
+          .withColumn("dy", col("y").cast("double") - col("my"))
+          .withColumn("md2",
+            (col("vyy") * col("dx") * col("dx")
+              - lit(2.0d) * col("vxy") * col("dx") * col("dy")
+              + col("vxx") * col("dy") * col("dy")) / col("det"))
+          .where(col("md2") > lit(4.5d))
+          .select(col("flag"), col("x"), col("y"), col("cnt"), col("md2"))
+          .orderBy(col("flag"), col("x"), col("y"))
+      },
+      Some(s"""
+        WITH $QdJointSql,
+        mom AS (
+          SELECT flag, CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(x * cnt) AS BIGINT) AS sx,
+                 CAST(SUM(y * cnt) AS BIGINT) AS sy,
+                 CAST(SUM(x * x * cnt) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y * cnt) AS BIGINT) AS syy,
+                 CAST(SUM(x * y * cnt) AS BIGINT) AS sxy
+          FROM joint GROUP BY 1),
+        md AS (
+          SELECT j.flag, j.x, j.y, j.cnt,
+                 CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE) AS mx,
+                 CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE) AS my,
+                 CAST(m.sxx AS DOUBLE) / CAST(m.n AS DOUBLE)
+                   - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                     * (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE)) AS vxx,
+                 CAST(m.syy AS DOUBLE) / CAST(m.n AS DOUBLE)
+                   - (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE))
+                     * (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)) AS vyy,
+                 CAST(m.sxy AS DOUBLE) / CAST(m.n AS DOUBLE)
+                   - (CAST(m.sx AS DOUBLE) / CAST(m.n AS DOUBLE))
+                     * (CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)) AS vxy
+          FROM joint j JOIN mom m ON m.flag = j.flag),
+        scored AS (
+          SELECT flag, x, y, cnt,
+                 (vyy * (CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx)
+                  - CAST(2 AS DOUBLE) * vxy * (CAST(x AS DOUBLE) - mx)
+                    * (CAST(y AS DOUBLE) - my)
+                  + vxx * (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my))
+                 / (vxx * vyy - vxy * vxy) AS md2
+          FROM md)
+        SELECT flag, x, y, cnt, md2
+        FROM scored WHERE md2 > CAST(4.5 AS DOUBLE)
+        ORDER BY flag, x, y""")),
+
+    // Cliff's delta + Vargha-Delaney A — the EFFECT-SIZE companion to
+    // the Mann-Whitney test (q191 says whether two groups differ;
+    // these say by HOW MUCH, on the same rank scale): δ = P(Xa>Xb) −
+    // P(Xa<Xb), A = P(Xa>Xb) + ½P(Xa=Xb). Both are exact rationals
+    // over the bounded quantity marginal, so the dominance counts are
+    // cell-product sums in DECIMAL(38,0) (≤50×50 cell pairs per flag
+    // pair) and the ppm divisions are |·|-split for Spark-div/DuckDB-//
+    // agreement on negative δ. Scale: one partial-aggregated marginal
+    // off the shared qdJointCounts lattice; everything after is
+    // constant-size.
+    QueryDef(
+      "q325_cliffs_delta",
+      (s, dir) => {
+        val marg = qdJointCounts(s, dir)
+          .groupBy(col("flag"), col("x")).agg(sum(col("cnt")).as("c"))
+          .cutLineage()
+        val tot = marg.groupBy(col("flag")).agg(sum(col("c")).as("n"))
+        val pairs = marg.as("a").join(marg.as("b"),
+            col("a.flag") < col("b.flag"))
+          .groupBy(col("a.flag").as("flag_a"), col("b.flag").as("flag_b"))
+          .agg(
+            sum(when(col("a.x") > col("b.x"),
+              expr("cast(a.c as decimal(38,0)) * b.c")).otherwise(lit(0)))
+              .as("gt"),
+            sum(when(col("a.x") < col("b.x"),
+              expr("cast(a.c as decimal(38,0)) * b.c")).otherwise(lit(0)))
+              .as("lt"),
+            sum(when(col("a.x") === col("b.x"),
+              expr("cast(a.c as decimal(38,0)) * b.c")).otherwise(lit(0)))
+              .as("ties"))
+        pairs
+          .join(broadcast(tot.select(col("flag").as("flag_a"),
+            col("n").as("n_a"))), Seq("flag_a"))
+          .join(broadcast(tot.select(col("flag").as("flag_b"),
+            col("n").as("n_b"))), Seq("flag_b"))
+          .select(col("flag_a"), col("flag_b"), col("n_a"), col("n_b"),
+            expr("""cast(case when gt - lt < 0
+                    then -(((lt - gt) * 1000000)
+                           div (cast(n_a as decimal(38,0)) * n_b))
+                    else ((gt - lt) * 1000000)
+                         div (cast(n_a as decimal(38,0)) * n_b) end
+                    as bigint)""").as("delta_ppm"),
+            expr("""cast(((gt * 2 + ties) * 1000000)
+                    div (cast(n_a as decimal(38,0)) * n_b * 2)
+                    as bigint)""").as("vda_ppm"))
+          .orderBy(col("flag_a"), col("flag_b"))
+      },
+      Some(s"""
+        WITH $QdJointSql,
+        marg AS (
+          SELECT flag, x, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM joint GROUP BY 1, 2),
+        tot AS (SELECT flag, CAST(SUM(c) AS BIGINT) AS n
+                FROM marg GROUP BY 1),
+        pr AS (
+          SELECT a.flag AS flag_a, b.flag AS flag_b,
+                 SUM(CASE WHEN a.x > b.x
+                     THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS gt,
+                 SUM(CASE WHEN a.x < b.x
+                     THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS lt,
+                 SUM(CASE WHEN a.x = b.x
+                     THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS ties
+          FROM marg a JOIN marg b ON a.flag < b.flag
+          GROUP BY 1, 2)
+        SELECT p.flag_a, p.flag_b, ta.n AS n_a, tb.n AS n_b,
+               CAST(CASE WHEN p.gt - p.lt < 0
+                    THEN -(((p.lt - p.gt) * 1000000)
+                           // (CAST(ta.n AS HUGEINT) * tb.n))
+                    ELSE ((p.gt - p.lt) * 1000000)
+                         // (CAST(ta.n AS HUGEINT) * tb.n) END AS BIGINT)
+                 AS delta_ppm,
+               CAST(((p.gt * 2 + p.ties) * 1000000)
+                    // (CAST(ta.n AS HUGEINT) * tb.n * 2) AS BIGINT)
+                 AS vda_ppm
+        FROM pr p
+        JOIN tot ta ON ta.flag = p.flag_a
+        JOIN tot tb ON tb.flag = p.flag_b
+        ORDER BY p.flag_a, p.flag_b""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.
