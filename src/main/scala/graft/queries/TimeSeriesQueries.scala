@@ -875,5 +875,115 @@ object TimeSeriesQueries {
                hb[2] + CAST(3 AS DOUBLE) * hb[3]
                  + hb[4 + (CAST(hb[1] AS BIGINT) + 2) % 7] AS forecast_h3
         FROM hw
-        ORDER BY r_name""")))
+        ORDER BY r_name""")),
+
+    // Western Electric control-chart rules — the SPC anomaly battery
+    // the monitoring family lacked (CUSUM q188 finds a level SHIFT,
+    // EWMA q238 smooths; WE rules flag the four classic out-of-control
+    // patterns point-by-point): R1 beyond 3σ, R2 two-of-three beyond
+    // 2σ same side, R3 four-of-five beyond 1σ same side, R4 eight
+    // consecutive same side. Every σ-comparison is EXACT: with n days,
+    // sum S and sum-of-squares Q, (xᵢ−μ)² ≷ k²σ² cross-multiplies to
+    // (n·xᵢ−S)² ≷ k²·(n·Q−S²) in DECIMAL(38,0) — no sqrt, no float.
+    // The run rules are rolling counts over the CALENDAR-BOUNDED daily
+    // series (≤ ~2.4k rows — the q188 allowlist precedent), with R4
+    // demanding a full 8-row window. Scale: one partial-aggregated
+    // daily rollup; the chart itself is bounded by the calendar.
+    QueryDef(
+      "q326_control_chart_rules",
+      (s, dir) => {
+        val D = DecimalType(38, 0)
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").as("day"))
+          .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+            .cast("long")).as("cents"))
+        val stats = daily.agg(count(lit(1)).as("n"),
+          sum(col("cents").cast(D)).as("s1"),
+          sum(expr("cast(cents as decimal(38,0)) * cents")).as("s2"))
+        val flagged = daily.crossJoin(broadcast(stats))
+          .withColumn("dev", expr("cast(n as decimal(38,0)) * cents - s1"))
+          .withColumn("vn2", expr("cast(n as decimal(38,0)) * s2 - s1 * s1"))
+          .withColumn("side",
+            when(col("dev") > 0, 1L).when(col("dev") < 0, -1L)
+              .otherwise(0L))
+          .withColumn("b1",
+            when(expr("dev * dev > vn2"), 1L).otherwise(0L))
+          .withColumn("b2",
+            when(expr("dev * dev > 4 * vn2"), 1L).otherwise(0L))
+          .withColumn("b3", expr("dev * dev > 9 * vn2"))
+        val w3 = Window.orderBy(col("day")).rowsBetween(-2, 0)
+        val w5 = Window.orderBy(col("day")).rowsBetween(-4, 0)
+        val w8 = Window.orderBy(col("day")).rowsBetween(-7, 0)
+        val rules = flagged
+          .withColumn("p2", sum(when(col("side") > 0, col("b2"))
+            .otherwise(0L)).over(w3))
+          .withColumn("m2", sum(when(col("side") < 0, col("b2"))
+            .otherwise(0L)).over(w3))
+          .withColumn("p1", sum(when(col("side") > 0, col("b1"))
+            .otherwise(0L)).over(w5))
+          .withColumn("m1", sum(when(col("side") < 0, col("b1"))
+            .otherwise(0L)).over(w5))
+          .withColumn("s8", sum(col("side")).over(w8))
+          .withColumn("c8", count(lit(1)).over(w8))
+          .select(col("day"), col("cents"), col("side"),
+            col("b3").as("r1"),
+            (col("p2") >= 2 || col("m2") >= 2).as("r2"),
+            (col("p1") >= 4 || col("m1") >= 4).as("r3"),
+            (col("c8") === 8 && abs(col("s8")) === 8).as("r4"))
+        rules.where(col("r1") || col("r2") || col("r3") || col("r4"))
+          .orderBy(col("day"))
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_orderdate AS day,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS cents
+          FROM orders GROUP BY 1),
+        st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(SUM(cents) AS HUGEINT) AS s1,
+                      SUM(CAST(cents AS HUGEINT) * cents) AS s2
+               FROM daily),
+        f AS (
+          SELECT d.day, d.cents,
+                 CAST(s.n AS HUGEINT) * d.cents - s.s1 AS dev,
+                 CAST(s.n AS HUGEINT) * s.s2 - s.s1 * s.s1 AS vn2
+          FROM daily d CROSS JOIN st s),
+        g AS (
+          SELECT day, cents,
+                 CASE WHEN dev > 0 THEN 1
+                      WHEN dev < 0 THEN -1 ELSE 0 END AS side,
+                 CASE WHEN dev * dev > vn2 THEN 1 ELSE 0 END AS b1,
+                 CASE WHEN dev * dev > 4 * vn2 THEN 1 ELSE 0 END AS b2,
+                 dev * dev > 9 * vn2 AS b3
+          FROM f),
+        r AS (
+          SELECT day, cents, CAST(side AS BIGINT) AS side, b3 AS r1,
+                 SUM(CASE WHEN side > 0 THEN b2 ELSE 0 END) OVER (
+                   ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS p2,
+                 SUM(CASE WHEN side < 0 THEN b2 ELSE 0 END) OVER (
+                   ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                   AS m2,
+                 SUM(CASE WHEN side > 0 THEN b1 ELSE 0 END) OVER (
+                   ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS p1,
+                 SUM(CASE WHEN side < 0 THEN b1 ELSE 0 END) OVER (
+                   ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                   AS m1,
+                 SUM(side) OVER (
+                   ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                   AS s8,
+                 COUNT(*) OVER (
+                   ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+                   AS c8
+          FROM g)
+        SELECT day, cents, side, r1,
+               (p2 >= 2 OR m2 >= 2) AS r2,
+               (p1 >= 4 OR m1 >= 4) AS r3,
+               (c8 = 8 AND abs(s8) = 8) AS r4
+        FROM r
+        WHERE r1 OR (p2 >= 2 OR m2 >= 2) OR (p1 >= 4 OR m1 >= 4)
+           OR (c8 = 8 AND abs(s8) = 8)
+        ORDER BY day"""))
+  )
 }
