@@ -1000,6 +1000,208 @@ object GraphQueries {
                 FROM terms)
         SELECT mv.n_nodes, mv.n_moved, a.n_communities, a.q_after_ppm
         FROM aft a CROSS JOIN mv
-        ORDER BY mv.n_nodes"""))
+        ORDER BY mv.n_nodes""")),
+
+    // Degree assortativity (Newman's r) — does the graph wire
+    // high-degree to high-degree? The one-number mixing diagnostic the
+    // structure suite lacked (q256 clusters locally, q309 scores a
+    // partition; assortativity characterizes the WHOLE wiring). Over
+    // the directed edge list with endpoint degrees (j, k), r is the
+    // Pearson correlation of j and k across edges: all five moments
+    // (m, Σj, Σk, Σjk, Σj², Σk²) are exact integers; the three
+    // cross-multiplied central terms are then SHIFTED (div 2¹⁰ each —
+    // the round-8 shift-before-divide lane) so their doubles are exact
+    // ≤2⁵³, and ONE final IEEE closed form num/√(da·db) lands the
+    // coefficient (÷ and √ are correctly rounded, so bit-identical
+    // cross-engine). The shifted integers ride along as the exact
+    // hash-gated part. Scale: degree frame joined twice on the edge
+    // keys, then one partial-aggregated moment pass — no window, no
+    // all-pairs.
+    QueryDef(
+      "q327_degree_assortativity",
+      (s, dir) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = pairs
+          .select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
+          .unionByName(pairs.select((col("pk") + 10000000L).as("src"),
+            col("sk").as("dst")))
+          .cutLineage()
+        val deg = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val jk = edges
+          .join(deg.select(col("node").as("src"), col("deg").as("j")),
+            Seq("src"))
+          .join(deg.select(col("node").as("dst"), col("deg").as("k")),
+            Seq("dst"))
+        val mom = jk.agg(count(lit(1)).as("m"),
+          sum(col("j").cast(D)).as("sj"), sum(col("k").cast(D)).as("sk_"),
+          sum(expr("cast(j as decimal(38,0)) * k")).as("sjk"),
+          sum(expr("cast(j as decimal(38,0)) * j")).as("sjj"),
+          sum(expr("cast(k as decimal(38,0)) * k")).as("skk"),
+          max(col("j")).as("max_deg"))
+        mom.select(col("m").as("n_edges"), col("max_deg"),
+            // num is NEGATIVE on disassortative graphs (this bipartite
+            // one is) — |·|-split the shift so Spark's truncating div
+            // and DuckDB's flooring // agree.
+            expr("""cast(case when cast(m as decimal(38,0)) * sjk - sj * sk_
+                    < 0 then -((-(cast(m as decimal(38,0)) * sjk - sj * sk_))
+                    div 1024) else (cast(m as decimal(38,0)) * sjk
+                    - sj * sk_) div 1024 end as long)""").as("num_s"),
+            expr("cast((cast(m as decimal(38,0)) * sjj - sj * sj) div 1024"
+              + " as long)").as("den_a_s"),
+            expr("cast((cast(m as decimal(38,0)) * skk - sk_ * sk_)"
+              + " div 1024 as long)").as("den_b_s"))
+          .select(col("n_edges"), col("max_deg"), col("num_s"),
+            col("den_a_s"), col("den_b_s"),
+            (col("num_s").cast("double")
+              / sqrt(col("den_a_s").cast("double")
+                * col("den_b_s").cast("double"))).as("r"))
+          .orderBy(col("n_edges"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        edges AS (
+          SELECT sk AS src, pk + 10000000 AS dst FROM pairs
+          UNION ALL
+          SELECT pk + 10000000 AS src, sk AS dst FROM pairs),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM edges GROUP BY 1),
+        jk AS (
+          SELECT dj.deg AS j, dk.deg AS k
+          FROM edges e
+          JOIN deg dj ON dj.node = e.src
+          JOIN deg dk ON dk.node = e.dst),
+        mom AS (
+          SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+                 CAST(SUM(j) AS HUGEINT) AS sj,
+                 CAST(SUM(k) AS HUGEINT) AS sk,
+                 SUM(CAST(j AS HUGEINT) * k) AS sjk,
+                 SUM(CAST(j AS HUGEINT) * j) AS sjj,
+                 SUM(CAST(k AS HUGEINT) * k) AS skk,
+                 CAST(MAX(j) AS BIGINT) AS max_deg
+          FROM jk),
+        sh AS (
+          SELECT CAST(m AS BIGINT) AS n_edges, max_deg,
+                 CAST(CASE WHEN m * sjk - sj * sk < 0
+                      THEN -((-(m * sjk - sj * sk)) // 1024)
+                      ELSE (m * sjk - sj * sk) // 1024 END AS BIGINT)
+                   AS num_s,
+                 CAST((m * sjj - sj * sj) // 1024 AS BIGINT) AS den_a_s,
+                 CAST((m * skk - sk * sk) // 1024 AS BIGINT) AS den_b_s
+          FROM mom)
+        SELECT n_edges, max_deg, num_s, den_a_s, den_b_s,
+               CAST(num_s AS DOUBLE)
+                 / sqrt(CAST(den_a_s AS DOUBLE) * CAST(den_b_s AS DOUBLE))
+                 AS r
+        FROM sh ORDER BY n_edges""")),
+
+    // Approximate neighborhood function (HyperBall/ANF-lite) — "how
+    // many nodes are within t hops of each node", THE diameter/
+    // centrality primitive for graphs too big for per-node BFS
+    // (Palmer et al. ANF; Boldi & Vigna HyperBall). Each node carries a
+    // Flajolet-Martin bit sketch (bit = trailing-zero count of the
+    // node's 62-bit hash — ntz via the branch-free
+    // bit_count((h & -h) − 1) identity); one synchronous round ORs
+    // every node's sketch into its neighbors' (edge join + bit_or
+    // partial aggregate — the Pregel superstep again), and the
+    // first-zero position R (isolated via (~m) & (m+1)) estimates
+    // |ball(v,t)| ≈ 2^R/0.77351 on the exact integer lattice. Single
+    // 62-bit sketch (not 64 registers) — the PLUMBING is the operator
+    // under test; a production deployment swaps in the q100 HLL
+    // registers per node. Gated as the R-histogram after rounds 1 and
+    // 2. Scale: state is 8 bytes/node, rounds are edge-key shuffles;
+    // nothing data-proportional on any single partition.
+    QueryDef(
+      "q328_neighborhood_function",
+      (s, dir) => {
+        import graft.functions.Kernels.md5Lower64
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = pairs
+          .select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
+          .unionByName(pairs.select((col("pk") + 10000000L).as("src"),
+            col("sk").as("dst")))
+          .cutLineage()
+        val m0 = edges.select(col("src").as("node")).distinct()
+          .withColumn("h",
+            pmod(md5Lower64(concat(lit("anf:"), col("node"))),
+              lit(4611686018427387904L)).cast("long"))
+          .withColumn("ntz",
+            least(bit_count(col("h").bitwiseAND(-col("h")) - 1), lit(61))
+              .cast("int"))
+          .select(col("node"), expr("shiftleft(1L, ntz)").as("mask"))
+          .cutLineage()
+        def round(m: org.apache.spark.sql.DataFrame) =
+          m.select(col("node"), col("mask"))
+            .unionByName(edges
+              .join(m.withColumnRenamed("node", "src"), Seq("src"))
+              .select(col("dst").as("node"), col("mask")))
+            .groupBy(col("node"))
+            .agg(expr("bit_or(mask)").as("mask"))
+        val m1 = round(m0).cutLineage()
+        val m2 = round(m1)
+        def hist(m: org.apache.spark.sql.DataFrame, t: Int) =
+          m.withColumn("r",
+            bit_count((expr("~mask").bitwiseAND(col("mask") + 1)) - 1)
+              .cast("long"))
+            .groupBy(col("r"))
+            .agg(count(lit(1)).as("n_nodes"))
+            .select(lit(t.toLong).as("round"), col("r"), col("n_nodes"),
+              expr("(shiftleft(1L, cast(r as int)) * 100000) div 77351")
+                .as("est_x1000"))
+        hist(m1, 1).unionByName(hist(m2, 2))
+          .orderBy(col("round"), col("r"))
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        edges AS (
+          SELECT sk AS src, pk + 10000000 AS dst FROM pairs
+          UNION ALL
+          SELECT pk + 10000000 AS src, sk AS dst FROM pairs),
+        m0 AS (
+          SELECT node,
+                 1::BIGINT << LEAST(CAST(bit_count((h & -h) - 1) AS INT), 61)
+                   AS mask
+          FROM (
+            SELECT DISTINCT src AS node,
+                   CAST(md5_number_lower('anf:' || CAST(src AS VARCHAR))
+                        % 4611686018427387904 AS BIGINT) AS h
+            FROM edges)),
+        m1 AS (
+          SELECT node, bit_or(mask) AS mask FROM (
+            SELECT node, mask FROM m0
+            UNION ALL
+            SELECT e.dst AS node, m.mask
+            FROM edges e JOIN m0 m ON m.node = e.src)
+          GROUP BY 1),
+        m2 AS (
+          SELECT node, bit_or(mask) AS mask FROM (
+            SELECT node, mask FROM m1
+            UNION ALL
+            SELECT e.dst AS node, m.mask
+            FROM edges e JOIN m1 m ON m.node = e.src)
+          GROUP BY 1),
+        h1 AS (
+          SELECT 1::BIGINT AS round,
+                 CAST(bit_count(((~mask) & (mask + 1)) - 1) AS BIGINT) AS r,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM m1 GROUP BY 2),
+        h2 AS (
+          SELECT 2::BIGINT AS round,
+                 CAST(bit_count(((~mask) & (mask + 1)) - 1) AS BIGINT) AS r,
+                 CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM m2 GROUP BY 2),
+        hh AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+        SELECT round, r, n_nodes,
+               ((1::BIGINT << CAST(r AS INT)) * 100000) // 77351
+                 AS est_x1000
+        FROM hh
+        ORDER BY round, r"""))
   )
 }
