@@ -65,6 +65,9 @@ object api {
   /** Policy-selected lineage cut for iterative loops:
     * `df.cutLineage()` via `import graft.plans.CheckpointPolicy._`. */
   val checkpointPolicy: plans.CheckpointPolicy.type = plans.CheckpointPolicy
+  /** Plan-fingerprint result cache: semantically-equal frames built at
+    * different call sites share one parquet materialization. */
+  val resultCache: plans.ResultCache.type = plans.ResultCache
 
   // ── Corpus dedup / text ───────────────────────────────────────────
   /** Sketch toolbox: shingles, MinHash signatures, banded LSH pairs,

@@ -55,7 +55,7 @@ class WindowLintSpec extends SparkSpec {
     "q290_batch_scoring" -> 3, // GlobalRank bucket-offset subtree (appears twice, q170-style) + 10-row decile gains frame
     "q292_conformal_coverage" -> 2, // GlobalRank residual-bucket offset subtree, referenced twice (q170-style)
     "q293_conformal_by_segment" -> 1, // GlobalRank residual-bucket offsets (single reference)
-    "q326_control_chart_rules" -> 3 // daily series (calendar-bounded, ~2.4k rows), one node per run-rule frame
+    "q326_control_chart_rules" -> 4 // daily series (calendar-bounded, ~2.4k rows): 3 run-rule frames + the R4 count/sum pair split by the planner
   )
 
   test("no query plans a data-proportional single-partition window") {
