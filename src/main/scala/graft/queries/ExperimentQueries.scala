@@ -2077,7 +2077,160 @@ object ExperimentQueries {
         SELECT t.priority, t.a, t.b, t.c, t.d,
                p.mh_or_ppm, p.crude_or_ppm
         FROM t CROSS JOIN pooled p
-        ORDER BY t.priority"""))
+        ORDER BY t.priority""")),
+
+    // Delta-method inference for a RATIO metric (revenue per order) —
+    // the experiment family's missing variance leg: q181 handles
+    // proportions and q182 user-level means, but the metrics products
+    // actually ship (revenue/order, clicks/session) are ratios of sums
+    // whose numerator and denominator are correlated WITHIN a
+    // randomization unit, so naive row-level variance is wrong. Deng et
+    // al.'s delta method: Var(ΣY/ΣX) ≈ (s_y² − 2R·s_xy + R²·s_x²) /
+    // (n·x̄²), from per-customer (x = orders, y = cents) moments. The
+    // moments are EXACT (counts in BIGINT, products in DECIMAL(38,0));
+    // ratios, variances, and the z statistic are ONE fixed-order IEEE
+    // closed form each (q168 stance — identical op order, sqrt is
+    // correctly rounded → bit-identical cross-engine). Scale: one
+    // customer-grain rollup, then 1-row arithmetic.
+    QueryDef(
+      "q329_delta_method_ratio",
+      (s, dir) => {
+        val per = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("ck"))
+          .agg(count(lit(1)).as("x"),
+            sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long")).as("y"))
+        val units = Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"),
+            (col("c_mktsegment") === "BUILDING").as("z"))
+          .join(per, Seq("ck"), "left")
+          .select(col("z"), coalesce(col("x"), lit(0L)).as("x"),
+            coalesce(col("y"), lit(0L)).as("y"))
+        val mom = units.agg(
+          sum(when(col("z"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(!col("z"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("z"), col("x")).otherwise(0L)).as("sx_t"),
+          sum(when(!col("z"), col("x")).otherwise(0L)).as("sx_c"),
+          sum(when(col("z"), col("y")).otherwise(0L)).as("sy_t"),
+          sum(when(!col("z"), col("y")).otherwise(0L)).as("sy_c"),
+          sum(when(col("z"), expr("cast(x as decimal(38,0)) * x"))
+            .otherwise(lit(0))).as("sxx_t"),
+          sum(when(!col("z"), expr("cast(x as decimal(38,0)) * x"))
+            .otherwise(lit(0))).as("sxx_c"),
+          sum(when(col("z"), expr("cast(y as decimal(38,0)) * y"))
+            .otherwise(lit(0))).as("syy_t"),
+          sum(when(!col("z"), expr("cast(y as decimal(38,0)) * y"))
+            .otherwise(lit(0))).as("syy_c"),
+          sum(when(col("z"), expr("cast(x as decimal(38,0)) * y"))
+            .otherwise(lit(0))).as("sxy_t"),
+          sum(when(!col("z"), expr("cast(x as decimal(38,0)) * y"))
+            .otherwise(lit(0))).as("sxy_c"))
+        def arm(sfx: String): Seq[org.apache.spark.sql.Column] = Seq(
+          expr(s"cast(sy_$sfx as double) / cast(sx_$sfx as double)")
+            .as(s"ratio_$sfx"),
+          expr(s"""((cast(syy_$sfx as double)
+                     - cast(sy_$sfx as double) * cast(sy_$sfx as double)
+                       / cast(n_$sfx as double))
+                    - cast(2 as double)
+                      * (cast(sy_$sfx as double) / cast(sx_$sfx as double))
+                      * (cast(sxy_$sfx as double)
+                         - cast(sx_$sfx as double) * cast(sy_$sfx as double)
+                           / cast(n_$sfx as double))
+                    + (cast(sy_$sfx as double) / cast(sx_$sfx as double))
+                      * (cast(sy_$sfx as double) / cast(sx_$sfx as double))
+                      * (cast(sxx_$sfx as double)
+                         - cast(sx_$sfx as double) * cast(sx_$sfx as double)
+                           / cast(n_$sfx as double)))
+                   / (cast(n_$sfx as double) - cast(1 as double))
+                   / (cast(n_$sfx as double)
+                      * (cast(sx_$sfx as double) / cast(n_$sfx as double))
+                      * (cast(sx_$sfx as double) / cast(n_$sfx as double)))""")
+            .as(s"var_$sfx"))
+        mom.select(Seq(col("n_t"), col("n_c"), col("sx_t").as("orders_t"),
+            col("sx_c").as("orders_c")) ++ arm("t") ++ arm("c"): _*)
+          .withColumn("z_stat",
+            (col("ratio_t") - col("ratio_c"))
+              / sqrt(col("var_t") + col("var_c")))
+          .orderBy(col("n_t"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS x,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS y
+          FROM orders GROUP BY 1),
+        units AS (
+          SELECT c.c_mktsegment = 'BUILDING' AS z,
+                 COALESCE(p.x, 0) AS x, COALESCE(p.y, 0) AS y
+          FROM customer c LEFT JOIN per p ON p.ck = c.c_custkey),
+        mom AS (
+          SELECT CAST(SUM(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                 CAST(SUM(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_c,
+                 CAST(SUM(CASE WHEN z THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+                 CAST(SUM(CASE WHEN NOT z THEN x ELSE 0 END) AS BIGINT)
+                   AS sx_c,
+                 CAST(SUM(CASE WHEN z THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+                 CAST(SUM(CASE WHEN NOT z THEN y ELSE 0 END) AS BIGINT)
+                   AS sy_c,
+                 SUM(CASE WHEN z THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+                   AS sxx_t,
+                 SUM(CASE WHEN NOT z THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+                   AS sxx_c,
+                 SUM(CASE WHEN z THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+                   AS syy_t,
+                 SUM(CASE WHEN NOT z THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+                   AS syy_c,
+                 SUM(CASE WHEN z THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+                   AS sxy_t,
+                 SUM(CASE WHEN NOT z THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+                   AS sxy_c
+          FROM units),
+        res AS (
+          SELECT n_t, n_c, sx_t AS orders_t, sx_c AS orders_c,
+                 CAST(sy_t AS DOUBLE) / CAST(sx_t AS DOUBLE) AS ratio_t,
+                 ((CAST(syy_t AS DOUBLE)
+                    - CAST(sy_t AS DOUBLE) * CAST(sy_t AS DOUBLE)
+                      / CAST(n_t AS DOUBLE))
+                   - CAST(2 AS DOUBLE)
+                     * (CAST(sy_t AS DOUBLE) / CAST(sx_t AS DOUBLE))
+                     * (CAST(sxy_t AS DOUBLE)
+                        - CAST(sx_t AS DOUBLE) * CAST(sy_t AS DOUBLE)
+                          / CAST(n_t AS DOUBLE))
+                   + (CAST(sy_t AS DOUBLE) / CAST(sx_t AS DOUBLE))
+                     * (CAST(sy_t AS DOUBLE) / CAST(sx_t AS DOUBLE))
+                     * (CAST(sxx_t AS DOUBLE)
+                        - CAST(sx_t AS DOUBLE) * CAST(sx_t AS DOUBLE)
+                          / CAST(n_t AS DOUBLE)))
+                  / (CAST(n_t AS DOUBLE) - CAST(1 AS DOUBLE))
+                  / (CAST(n_t AS DOUBLE)
+                     * (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+                     * (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)))
+                   AS var_t,
+                 CAST(sy_c AS DOUBLE) / CAST(sx_c AS DOUBLE) AS ratio_c,
+                 ((CAST(syy_c AS DOUBLE)
+                    - CAST(sy_c AS DOUBLE) * CAST(sy_c AS DOUBLE)
+                      / CAST(n_c AS DOUBLE))
+                   - CAST(2 AS DOUBLE)
+                     * (CAST(sy_c AS DOUBLE) / CAST(sx_c AS DOUBLE))
+                     * (CAST(sxy_c AS DOUBLE)
+                        - CAST(sx_c AS DOUBLE) * CAST(sy_c AS DOUBLE)
+                          / CAST(n_c AS DOUBLE))
+                   + (CAST(sy_c AS DOUBLE) / CAST(sx_c AS DOUBLE))
+                     * (CAST(sy_c AS DOUBLE) / CAST(sx_c AS DOUBLE))
+                     * (CAST(sxx_c AS DOUBLE)
+                        - CAST(sx_c AS DOUBLE) * CAST(sx_c AS DOUBLE)
+                          / CAST(n_c AS DOUBLE)))
+                  / (CAST(n_c AS DOUBLE) - CAST(1 AS DOUBLE))
+                  / (CAST(n_c AS DOUBLE)
+                     * (CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+                     * (CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+                   AS var_c
+          FROM mom)
+        SELECT n_t, n_c, orders_t, orders_c, ratio_t, var_t, ratio_c,
+               var_c,
+               (ratio_t - ratio_c) / sqrt(var_t + var_c) AS z_stat
+        FROM res ORDER BY n_t"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:
