@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Kernels._
 import graft.operators.{Similarity, Skew}
@@ -468,6 +469,183 @@ object ScaleQueries {
         FROM inter i
         JOIN tot ta ON ta.flag = i.flag_a
         JOIN tot tb ON tb.flag = i.flag_b
-        ORDER BY i.flag_a, i.flag_b"""))
+        ORDER BY i.flag_a, i.flag_b""")),
+
+    // GROUPED KMV distinct sketches — q321's global TakeOrdered(k)
+    // doesn't exist per group, and a naive per-group window would sort
+    // EVERY distinct hash of a group in one task. The scalable grouped
+    // min-k is two-level (the GlobalRank discipline): salt the hash
+    // space (h mod 64), take each (group, salt) shard's local min-k
+    // with a KEYED window (shard-bounded input), union the ≤64·k
+    // survivors, and take the final min-k per group over that bounded
+    // frame. The k-th order statistic — and therefore the estimate
+    // (k−1)·2³²/(h₍ₖ₎+1) — is identical to the single-sort form, so
+    // the gate is a full hash gate against exact per-group NDV, with
+    // the 20%-error audit as literal-true booleans. Scale: both
+    // windows have bounded partitions; the only full-data exchange is
+    // the distinct-hash shuffle.
+    QueryDef(
+      "q330_grouped_kmv",
+      (s, dir) => {
+        val k = 128
+        val base = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("g"),
+            md5Lower64Lo32(concat(lit("gkmv:"),
+              col("o_custkey").cast("string"))).as("h"),
+            col("o_custkey").as("ck"))
+          .cutLineage()
+        val dh = base.select(col("g"), col("h")).distinct()
+        val wShard = Window.partitionBy(col("g"), pmod(col("h"), lit(64L)))
+          .orderBy(col("h"))
+        val local = dh
+          .withColumn("rn", row_number().over(wShard))
+          .where(col("rn") <= k)
+        val wGroup = Window.partitionBy(col("g")).orderBy(col("h"))
+        val sk = local
+          .withColumn("rk", row_number().over(wGroup))
+          .where(col("rk") <= k)
+        val est = sk.groupBy(col("g"))
+          .agg(count(lit(1)).as("n_in"), max(col("h")).as("kth"))
+          .select(col("g"),
+            when(col("n_in") < k, col("n_in"))
+              .otherwise(expr(s"""(cast(${k - 1} as decimal(38,0))
+                * 4294967296) div (kth + 1)"""))
+              .cast("long").as("est"))
+        val exact = base.select(col("g"), col("ck")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).as("exact"))
+        exact.join(broadcast(est), Seq("g"))
+          .select(col("g"), col("exact"), col("est"),
+            (abs(col("est") - col("exact")) * 1000000L
+              <= col("exact") * 250000L).as("within_25pct"))
+          .orderBy(col("g"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT o_orderpriority AS g,
+                 CAST(md5_number_lower('gkmv:' || CAST(o_custkey AS VARCHAR))
+                      % 4294967296 AS BIGINT) AS h,
+                 o_custkey AS ck
+          FROM orders),
+        dh AS (SELECT DISTINCT g, h FROM base),
+        local AS (
+          SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (
+              PARTITION BY g, h % 64 ORDER BY h) AS rn
+            FROM dh) WHERE rn <= 128),
+        sk AS (
+          SELECT g, h FROM (
+            SELECT g, h, row_number() OVER (
+              PARTITION BY g ORDER BY h) AS rk
+            FROM local) WHERE rk <= 128),
+        est AS (
+          SELECT g, CAST(CASE WHEN COUNT(*) < 128 THEN COUNT(*)
+                   ELSE (127::HUGEINT * 4294967296) // (MAX(h) + 1) END
+                   AS BIGINT) AS est
+          FROM sk GROUP BY 1),
+        ex AS (
+          SELECT g, CAST(COUNT(DISTINCT ck) AS BIGINT) AS exact
+          FROM base GROUP BY 1)
+        SELECT e.g, e.exact, s.est,
+               abs(s.est - e.exact) * 1000000 <= e.exact * 250000
+                 AS within_25pct
+        FROM ex e JOIN est s ON s.g = e.g
+        ORDER BY e.g""")),
+
+    // One round of iterative proportional fitting (IPF / raking) —
+    // the survey-reweighting primitive a training-data pipeline uses
+    // to match a corpus cross-tab to target margins without per-cell
+    // targets. Cells = (nation × segment) counts; targets = UNIFORM
+    // margins (each nation 1/25 of mass, each segment 1/5). The row
+    // pass scales every cell by target_row/actual_row, the column pass
+    // rescales by target_col/(column mass AFTER the row pass) —
+    // all on the exact ppm lattice with explicit floors (weights are
+    // floor(10⁶·a/b) chains in DECIMAL(38,0), deterministic on both
+    // engines; no convergence loop — ONE audited round, the q319
+    // single-sweep stance). Emits per-cell weights plus the post-round
+    // margin imbalance in ppm. Scale: one partial-aggregated cross-tab,
+    // then ≤125-cell arithmetic.
+    QueryDef(
+      "q331_ipf_raking",
+      (s, dir) => {
+        val D = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cells = Tables.customer(s, dir)
+          .groupBy(col("c_nationkey").cast("long").as("nk"),
+            col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("n"))
+          .cutLineage()
+        val tot = cells.agg(sum(col("n")).as("nn"),
+          countDistinct(col("nk")).as("n_rows"),
+          countDistinct(col("seg")).as("n_cols"))
+        val rowM = cells.groupBy(col("nk")).agg(sum(col("n")).as("rm"))
+        val c1 = cells
+          .join(broadcast(rowM), Seq("nk"))
+          .crossJoin(broadcast(tot))
+          // row pass: w1 = 10⁶ · (N/n_rows) / rowmass, floored once
+          .withColumn("w1",
+            expr("""(cast(nn as decimal(38,0)) * 1000000)
+                    div (cast(n_rows as decimal(38,0)) * rm)"""))
+        val colM = c1.groupBy(col("seg"))
+          .agg(sum(expr("cast(n as decimal(38,0)) * w1")).as("cm1"))
+        val c2 = c1.join(broadcast(colM), Seq("seg"))
+          // column pass on the POST-row-pass mass: w2 = w1 · target_col
+          // / colmass1, floored once more
+          .withColumn("w2",
+            expr("""(w1 * ((cast(nn as decimal(38,0)) * 1000000)
+                    div n_cols)) div cm1"""))
+        val rowErr = c2.groupBy(col("nk"))
+          .agg(sum(expr("cast(n as decimal(38,0)) * w2")).as("rm2"),
+            max(expr("(cast(nn as decimal(38,0)) * 1000000) div n_rows"))
+              .as("target"))
+          .agg(max(expr("""case when rm2 > target then rm2 - target
+                           else target - rm2 end""")).cast("long")
+            .as("max_row_err_ppm"))
+        c2.select(col("nk"), col("seg"), col("n"),
+            col("w1").cast("long").as("w1_ppm"),
+            col("w2").cast("long").as("w2_ppm"))
+          .crossJoin(broadcast(rowErr))
+          .orderBy(col("nk"), col("seg"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT CAST(c_nationkey AS BIGINT) AS nk, c_mktsegment AS seg,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM customer GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                       CAST(COUNT(DISTINCT nk) AS BIGINT) AS n_rows,
+                       CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_cols
+                FROM cells),
+        rowm AS (SELECT nk, CAST(SUM(n) AS BIGINT) AS rm
+                 FROM cells GROUP BY 1),
+        c1 AS (
+          SELECT c.nk, c.seg, c.n,
+                 (CAST(t.nn AS HUGEINT) * 1000000)
+                   // (CAST(t.n_rows AS HUGEINT) * r.rm) AS w1,
+                 t.nn, t.n_rows, t.n_cols
+          FROM cells c
+          JOIN rowm r ON r.nk = c.nk
+          CROSS JOIN tot t),
+        colm AS (SELECT seg, SUM(CAST(n AS HUGEINT) * w1) AS cm1
+                 FROM c1 GROUP BY 1),
+        c2 AS (
+          SELECT c.nk, c.seg, c.n, c.w1,
+                 (c.w1 * ((CAST(c.nn AS HUGEINT) * 1000000) // c.n_cols))
+                   // m.cm1 AS w2,
+                 c.nn, c.n_rows
+          FROM c1 c JOIN colm m ON m.seg = c.seg),
+        rerr AS (
+          SELECT CAST(MAX(CASE WHEN rm2 > target THEN rm2 - target
+                          ELSE target - rm2 END) AS BIGINT)
+                   AS max_row_err_ppm
+          FROM (
+            SELECT SUM(CAST(n AS HUGEINT) * w2) AS rm2,
+                   MAX((CAST(nn AS HUGEINT) * 1000000) // n_rows)
+                     AS target
+            FROM c2 GROUP BY nk))
+        SELECT c.nk, c.seg, c.n,
+               CAST(c.w1 AS BIGINT) AS w1_ppm,
+               CAST(c.w2 AS BIGINT) AS w2_ppm,
+               r.max_row_err_ppm
+        FROM c2 c CROSS JOIN rerr r
+        ORDER BY c.nk, c.seg"""))
   )
 }
