@@ -171,4 +171,11 @@ object api {
 
   /** Cosine helper on array columns (codegen'd native dot product). */
   def cosine(a: Column, b: Column): Column = operators.Similarity.cosine(a, b)
+
+  /** Personalized PageRank: (node, r) micro-ranks measuring proximity
+    * to `seeds` after `rounds` exact-integer damped supersteps.
+    * `edges` must carry both directions of every undirected edge. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 3): DataFrame =
+    operators.Graphs.personalizedPageRank(edges, seeds, rounds)
 }

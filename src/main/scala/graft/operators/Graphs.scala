@@ -181,4 +181,51 @@ object Graphs {
         coalesce(col("new_lbl"), col("lbl")).as("lbl"),
         col("new_lbl").isNotNull.as("moved"))
   }
+
+  /** Personalized PageRank (random-walk-with-restart) on the exact
+    * integer micro-rank lattice: teleport mass returns to `seeds`
+    * instead of spreading uniformly, so rank measures PROXIMITY to the
+    * seed cohort — the related-entity / "similar items" primitive.
+    * Per-seed teleport boost = (150000·N) div S and init
+    * r0 = (1000000·N) div S (N = nodes, S = seeds present in the
+    * graph), keeping total walk mass comparable to uniform PageRank's
+    * N·10⁶. Each round UNIONs the damped in-edge contributions with
+    * the boost rows into ONE partial aggregate — the Pregel superstep
+    * with the teleport folded into the same shuffle, no full-outer
+    * join. Nodes the walk hasn't reached carry implicit rank 0 and
+    * enter the frame only when mass arrives: early-round frames are
+    * seed-neighborhood-sized, not graph-sized. Floor division
+    * everywhere (all operands positive), so a fixed round budget is
+    * bit-reproducible on any engine and any parallelism.
+    *
+    * `edges`: (src, dst) with both directions present; `seeds`: a
+    * (node) frame (rows absent from the graph are ignored). Returns
+    * (node, r) micro-ranks after `rounds` supersteps; unreached nodes
+    * have no row (implicit 0). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).cutLineage()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .cutLineage()
+    val sd = deg.join(seeds.select(col("node")), Seq("node"))
+      .select(col("node"))
+    val consts = deg.agg(count(lit(1)).as("nn"))
+      .crossJoin(sd.agg(count(lit(1)).as("ns")))
+    // boost/init feed r0 + every round — sanctioned branch cut
+    val seeded = sd.crossJoin(broadcast(consts))
+      .select(col("node"),
+        expr("(150000 * nn) div ns").as("boost"),
+        expr("(1000000 * nn) div ns").as("r0"))
+      .cutLineage()
+    def round(ranks: DataFrame): DataFrame =
+      ranks.join(deg, "node")
+        .selectExpr("node", "r div d AS contrib")
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("(85 * sum(contrib)) div 100").as("r"))
+        .unionByName(seeded.select(col("node"), col("boost").as("r")))
+        .groupBy(col("node")).agg(sum(col("r")).as("r"))
+    (1 to rounds).foldLeft(seeded.select(col("node"), col("r0").as("r")))(
+      (r, _) => round(r))
+  }
 }

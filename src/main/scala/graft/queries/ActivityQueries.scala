@@ -380,6 +380,89 @@ object ActivityQueries {
                  CAST(s.v_ppm AS HUGEINT) * 38415 * 1000000
                  AS logrank_significant
         FROM totals t CROSS JOIN sums s
-        ORDER BY t.n1"""))
+        ORDER BY t.n1""")),
+
+    // Nelson-Aalen cumulative hazard — the ADDITIVE companion of the
+    // q248 Kaplan-Meier product: H(t) = Σ_{u≤t} d_u/n_u estimates
+    // cumulative churn pressure and, unlike the KM product, lives
+    // entirely on the exact integer lattice — each per-tenure term is
+    // floored to ppm (d_u·10⁶ div n_u, positive operands, so both
+    // engines floor identically) and the prefix sum is plain integer
+    // addition: NO sequential float fold, no recursive-CTE walk — the
+    // reason production survival pipelines prefer H(t) (and the KM
+    // relation S ≈ e^(−H)) at scale. Same censoring contract as
+    // q248/q306 (30-day tenure buckets, right-censored within 90 days
+    // of the horizon); at-risk counts are the same suffix sums. Both
+    // prefix/suffix windows are keyed by segment and bounded by
+    // CALENDAR SPAN (~85 tenures), never row count. Scale: one
+    // partial-aggregable per-customer rollup + broadcast dim join;
+    // everything after is the bounded tenure lattice.
+    QueryDef(
+      "q335_nelson_aalen",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+        val horizon = o.groupBy().agg(max(col("d")).as("hmax"))
+        val cust = o.groupBy(col("o_custkey"))
+          .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+          .crossJoin(broadcast(horizon))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .select(col("segment"),
+            expr("CAST(datediff(last_d, first_d) AS BIGINT) div 30")
+              .as("tenure"),
+            (datediff(col("hmax"), col("last_d")) >= 90).as("event"))
+        val hist = cust.groupBy(col("segment"), col("tenure"))
+          .agg(count(lit(1)).as("m"),
+            sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+        val wSuf = Window.partitionBy(col("segment")).orderBy(col("tenure"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val wPre = Window.partitionBy(col("segment")).orderBy(col("tenure"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist.withColumn("n_risk", sum(col("m")).over(wSuf))
+          .withColumn("h_ppm_t", expr("(d * 1000000) div n_risk"))
+          .withColumn("cum_hazard_ppm", sum(col("h_ppm_t")).over(wPre))
+          .select(col("segment"), col("tenure"), col("n_risk"),
+            col("d").as("n_events"), col("h_ppm_t"),
+            col("cum_hazard_ppm"))
+          .orderBy(col("segment"), col("tenure"))
+      },
+      Some("""
+        WITH horizon AS (
+          SELECT MAX(CAST(o_orderdate AS DATE)) AS hmax FROM orders),
+        cust AS (
+          SELECT o_custkey,
+                 MIN(CAST(o_orderdate AS DATE)) AS first_d,
+                 MAX(CAST(o_orderdate AS DATE)) AS last_d
+          FROM orders GROUP BY 1),
+        tagged AS (
+          SELECT c.c_mktsegment AS segment,
+                 CAST(date_diff('day', u.first_d, u.last_d) AS BIGINT)
+                   // 30 AS tenure,
+                 (date_diff('day', u.last_d, h.hmax) >= 90) AS ev
+          FROM cust u
+          JOIN customer c ON u.o_custkey = c.c_custkey
+          CROSS JOIN horizon h),
+        hist AS (
+          SELECT segment, tenure, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM tagged GROUP BY 1, 2),
+        risk AS (
+          SELECT segment, tenure, m, d,
+                 CAST(SUM(m) OVER (PARTITION BY segment ORDER BY tenure
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS BIGINT) AS n_risk
+          FROM hist),
+        terms AS (
+          SELECT segment, tenure, n_risk, d,
+                 (d * 1000000) // n_risk AS h_ppm_t
+          FROM risk)
+        SELECT segment, tenure, n_risk, d AS n_events, h_ppm_t,
+               CAST(SUM(h_ppm_t) OVER (PARTITION BY segment ORDER BY tenure
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_hazard_ppm
+        FROM terms
+        ORDER BY segment, tenure"""))
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextKernels._
 import graft.operators.TextDedup
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** q51: the end-to-end training-data curation pipeline — per-doc quality
   * stats → quality gate → MinHash-LSH near-dup clusters → drop
@@ -99,5 +100,81 @@ object CurationQueries {
                CAST(SUM(CASE WHEN passes_quality AND is_canonical THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
         FROM labeled
         GROUP BY lang
-        ORDER BY lang""")))
+        ORDER BY lang""")),
+
+    // Token deny-list filtering — the blocklist pass every corpus
+    // pipeline runs (bad-words / NSFW / boilerplate markers), done the
+    // SCALE way: a BROADCAST hash semi-join of the per-doc distinct
+    // token stream against the list, NOT an N-pattern regex alternation
+    // re-scanned per document (regex cost grows with the list; the
+    // hash join doesn't). The list here is DERIVED deterministically
+    // (top-10 document-frequency tokens of length ≥ 5, ties broken by
+    // token — a vocab-sized aggregate + top-k, the same discovery
+    // shape as stopword induction); production swaps in a curated
+    // input table, the plumbing is identical. Per-source audit: docs
+    // flagged, hit mass, surviving token mass — the accounting a
+    // filtering stage must publish. Scale: one distinct (doc, token)
+    // shuffle, one vocab-sized partial aggregate, one broadcast join;
+    // per-doc token sets never sit on one partition.
+    QueryDef(
+      "q339_blocklist_filter",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+        // feeds the df-derivation AND the hit join — sanctioned cut
+        val docTok = d
+          .select(col("doc_id"), explode(col("ws")).as("tok")).distinct()
+          .cutLineage()
+        val block = docTok.where(length(col("tok")) >= 5)
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("tok")).limit(10)
+        val hits = docTok
+          .join(broadcast(block.select(col("tok"))), Seq("tok"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        d.select(col("doc_id"), col("source"),
+            size(col("ws")).cast("long").as("n_toks"))
+          .join(hits, Seq("doc_id"), "left")
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_hit").isNotNull, 1L).otherwise(0L))
+              .as("n_flagged"),
+            sum(coalesce(col("n_hit"), lit(0L))).as("blocked_token_hits"),
+            sum(when(col("n_hit").isNull, col("n_toks")).otherwise(0L))
+              .as("kept_token_mass"))
+          .withColumn("flagged_ppm",
+            expr("(n_flagged * 1000000) div n_docs"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws
+          FROM documents),
+        dt AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(ws) AS tok FROM toks)),
+        block AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS df
+            FROM dt WHERE length(tok) >= 5 GROUP BY 1)
+          ORDER BY df DESC, tok LIMIT 10),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+          FROM dt JOIN block USING (tok) GROUP BY 1),
+        docs AS (
+          SELECT t.doc_id, t.source, CAST(len(t.ws) AS BIGINT) AS n_toks,
+                 h.n_hit
+          FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id)
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_hit IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_flagged,
+               CAST(SUM(COALESCE(n_hit, 0)) AS BIGINT)
+                 AS blocked_token_hits,
+               CAST(SUM(CASE WHEN n_hit IS NULL THEN n_toks ELSE 0 END)
+                 AS BIGINT) AS kept_token_mass,
+               (CAST(SUM(CASE WHEN n_hit IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000) // COUNT(*) AS flagged_ppm
+        FROM docs
+        GROUP BY source
+        ORDER BY source""")))
 }

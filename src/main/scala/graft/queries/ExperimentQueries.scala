@@ -2231,6 +2231,220 @@ object ExperimentQueries {
                var_c,
                (ratio_t - ratio_c) / sqrt(var_t + var_c) AS z_stat
         FROM res ORDER BY n_t"""))
+    ,
+
+    // Uplift-by-band + Qini curve — the TARGETING companion of the
+    // q181 A/B gate: instead of one average effect, rank units by a
+    // model score and ask "how much incremental conversion do the
+    // top-scored bands capture?" (Radcliffe's Qini). Score = account-
+    // balance band (cents shifted positive then fixed-width 1100-unit
+    // bands — a VALUE-DOMAIN bucketing, ≤11 bands at any sf, positive
+    // everywhere so div/floor agree); treatment = the q181 hash coin;
+    // outcome = ≥1 URGENT-priority order. Per band: exact counts and
+    // the uplift on the ppm lattice. The Qini curve walks bands in
+    // score-DESC order via a triangular self-join over the ≤11-row
+    // band frame (bounded — never a data-proportional window):
+    // qini_ppm(k) = conv_t_cum·10⁶ − (conv_c_cum·n_t_cum·10⁶) div
+    // n_c_cum, and the random-targeting baseline prorates the final
+    // curve value by cumulative population share. Treatment is a pure
+    // hash coin, so an honest gate reads ≈0 uplift everywhere — the
+    // null-experiment stance of q314. Scale: one customer rollup + one
+    // broadcast dim join; everything after is ≤11 rows.
+    QueryDef(
+      "q333_uplift_qini",
+      (s, dir) => {
+        val urgent = Tables.orders(s, dir)
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+          .withColumn("y", lit(1L))
+        val units = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            expr("(cast(c_acctbal * 100 as bigint) + 100000) div 110000")
+              .as("band"),
+            when(md5BitsModK(md5Bits(concat(lit("up:"), col("c_custkey"))),
+              2L) === 0L, 1L).otherwise(0L).as("t"))
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("band"), col("t"),
+            coalesce(col("y"), lit(0L)).as("y"))
+        val bands = units.groupBy(col("band")).agg(
+            sum(col("t")).as("n_t"),
+            sum(lit(1L) - col("t")).as("n_c"),
+            sum(col("t") * col("y")).as("conv_t"),
+            sum((lit(1L) - col("t")) * col("y")).as("conv_c"))
+          .cutLineage()
+        val cum = bands.as("k").join(bands.as("j"),
+            col("j.band") >= col("k.band"))
+          .groupBy(col("k.band").as("band"), col("k.n_t").as("n_t"),
+            col("k.n_c").as("n_c"), col("k.conv_t").as("conv_t"),
+            col("k.conv_c").as("conv_c"))
+          .agg(sum(col("j.n_t")).as("ct_n"), sum(col("j.n_c")).as("cc_n"),
+            sum(col("j.conv_t")).as("ct_x"), sum(col("j.conv_c")).as("cc_x"))
+        val tot = bands.agg(
+          sum(col("n_t")).as("tn_t"), sum(col("n_c")).as("tn_c"),
+          sum(col("conv_t")).as("tx_t"), sum(col("conv_c")).as("tx_c"))
+        cum.crossJoin(broadcast(tot))
+          // every div has a guarded-positive numerator on the
+          // DECIMAL(38,0) lane except the random baseline, whose
+          // numerator can go negative under the null — |·|-split so
+          // Spark's truncating div and DuckDB's flooring // agree
+          // (the q327 discipline)
+          .withColumn("qrand_num",
+            expr("""(cast(tx_t as decimal(38,0)) * 1000000
+                     - (cast(tx_c as decimal(38,0)) * tn_t * 1000000)
+                       div tn_c) * (ct_n + cc_n)"""))
+          .select(col("band"), col("n_t"), col("n_c"), col("conv_t"),
+            col("conv_c"),
+            when(col("n_t") > 0 && col("n_c") > 0,
+              expr("""cast((cast(conv_t as decimal(38,0)) * 1000000)
+                        div n_t
+                      - (cast(conv_c as decimal(38,0)) * 1000000)
+                        div n_c as bigint)""")).otherwise(lit(0L))
+              .as("uplift_ppm"),
+            when(col("cc_n") > 0,
+              expr("""cast(cast(conv_t as decimal(38,0)) * 1000000
+                      - (cast(cc_x as decimal(38,0)) * ct_n * 1000000)
+                        div cc_n as bigint)""")).otherwise(lit(0L))
+              .as("qini_ppm"),
+            expr("""cast(case when qrand_num < 0
+                         then -((-qrand_num) div (tn_t + tn_c))
+                         else qrand_num div (tn_t + tn_c) end
+                    as bigint)""").as("qini_random_ppm"))
+          .orderBy(col("band").desc)
+      },
+      Some("""
+        WITH urgent AS (
+          SELECT DISTINCT o_custkey, 1::BIGINT AS y
+          FROM orders WHERE o_orderpriority = '1-URGENT'),
+        units AS (
+          SELECT (CAST(c.c_acctbal * 100 AS BIGINT) + 100000) // 110000
+                   AS band,
+                 CASE WHEN CAST(md5_number_lower('up:' || c.c_custkey) % 2
+                        AS BIGINT) = 0 THEN 1 ELSE 0 END AS t,
+                 COALESCE(u.y, 0) AS y
+          FROM customer c LEFT JOIN urgent u ON c.c_custkey = u.o_custkey),
+        bands AS (
+          SELECT band,
+                 CAST(SUM(t) AS BIGINT) AS n_t,
+                 CAST(SUM(1 - t) AS BIGINT) AS n_c,
+                 CAST(SUM(t * y) AS BIGINT) AS conv_t,
+                 CAST(SUM((1 - t) * y) AS BIGINT) AS conv_c
+          FROM units GROUP BY 1),
+        cum AS (
+          SELECT k.band, k.n_t, k.n_c, k.conv_t, k.conv_c,
+                 CAST(SUM(j.n_t) AS BIGINT) AS ct_n,
+                 CAST(SUM(j.n_c) AS BIGINT) AS cc_n,
+                 CAST(SUM(j.conv_t) AS BIGINT) AS ct_x,
+                 CAST(SUM(j.conv_c) AS BIGINT) AS cc_x
+          FROM bands k JOIN bands j ON j.band >= k.band
+          GROUP BY 1, 2, 3, 4, 5),
+        tot AS (
+          SELECT CAST(SUM(n_t) AS BIGINT) AS tn_t,
+                 CAST(SUM(n_c) AS BIGINT) AS tn_c,
+                 CAST(SUM(conv_t) AS BIGINT) AS tx_t,
+                 CAST(SUM(conv_c) AS BIGINT) AS tx_c
+          FROM bands),
+        wide AS (
+          SELECT band, n_t, n_c, conv_t, conv_c, ct_n, cc_n, ct_x, cc_x,
+                 tn_t, tn_c, tx_t, tx_c,
+                 (CAST(tx_t AS HUGEINT) * 1000000
+                  - (CAST(tx_c AS HUGEINT) * tn_t * 1000000) // tn_c)
+                   * (ct_n + cc_n) AS qrand_num
+          FROM cum CROSS JOIN tot)
+        SELECT band, n_t, n_c, conv_t, conv_c,
+               CASE WHEN n_t > 0 AND n_c > 0
+                    THEN CAST((CAST(conv_t AS HUGEINT) * 1000000) // n_t
+                         - (CAST(conv_c AS HUGEINT) * 1000000) // n_c
+                         AS BIGINT)
+                    ELSE 0 END AS uplift_ppm,
+               CASE WHEN cc_n > 0
+                    THEN CAST(CAST(conv_t AS HUGEINT) * 1000000
+                         - (CAST(cc_x AS HUGEINT) * ct_n * 1000000) // cc_n
+                         AS BIGINT)
+                    ELSE 0 END AS qini_ppm,
+               CAST(CASE WHEN qrand_num < 0
+                         THEN -((-qrand_num) // (tn_t + tn_c))
+                         ELSE qrand_num // (tn_t + tn_c) END AS BIGINT)
+                 AS qini_random_ppm
+        FROM wide
+        ORDER BY band DESC""")),
+
+    // Randomized response (Warner) — the LOCAL-differential-privacy
+    // collection primitive: each unit reports its true market segment
+    // with p = 3/4, else a hash-uniform segment from the k = 5 domain
+    // (so P(report s | true t) = p·[s=t] + (1−p)/k and ε = ln(1+pk/(1−p))
+    // = ln 16 ≈ 2.77 — stated, not computed: no transcendentals). Both
+    // the keep-coin and the replacement pick are content-keyed md5
+    // lanes, so the NOISY table itself is bit-identical on both engines
+    // — the gate checks the MECHANISM and the debiasing, not an RNG.
+    // Debias: est(s) = (obs(s) − n(1−p)/k)/p = (20·obs − n)/15, carried
+    // as the exact integer numerator est_x15 (no division — it can go
+    // negative on small samples, where div/floor would diverge). The
+    // accuracy audit |est − true| ≤ n/10 is the cross-multiplied
+    // boolean |est_x15 − 15·true| ≤ 15·n/10 (±n/10 ≈ 5σ of the RR noise
+    // at sf0.01 — a COMPUTED bound on both engines). Scale: one
+    // map-side-combinable rollup over the unit table; the segment
+    // domain is fixed at 5 rows.
+    QueryDef(
+      "q334_randomized_response",
+      (s, dir) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY")
+        val segArr = array(segs.map(lit): _*)
+        val reported = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_mktsegment").as("true_seg"))
+          .withColumn("keep",
+            md5BitsModK(md5Bits(concat(lit("rrcoin:"), col("c_custkey"))),
+              4L) < 3L)
+          .withColumn("pick", element_at(segArr,
+            (md5BitsModK(md5Bits(concat(lit("rrpick:"), col("c_custkey"))),
+              5L) + 1L).cast("int")))
+          .select(col("true_seg"),
+            when(col("keep"), col("true_seg")).otherwise(col("pick"))
+              .as("rep_seg"))
+          .cutLineage()
+        val n = reported.agg(count(lit(1)).as("n"))
+        val obs = reported.groupBy(col("rep_seg").as("segment"))
+          .agg(count(lit(1)).as("n_obs"))
+        val tru = reported.groupBy(col("true_seg").as("segment"))
+          .agg(count(lit(1)).as("n_true"))
+        obs.join(tru, Seq("segment"), "full_outer")
+          .select(col("segment"),
+            coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"))
+          .crossJoin(broadcast(n))
+          .select(col("segment"), col("n_obs"), col("n_true"),
+            (col("n_obs") * 20L - col("n")).as("est_x15"),
+            (abs(col("n_obs") * 20L - col("n") - col("n_true") * 15L)
+              * 10L <= col("n") * 15L).as("within_bound"))
+          .orderBy(col("segment"))
+      },
+      Some("""
+        WITH rep AS (
+          SELECT c_mktsegment AS true_seg,
+                 CASE WHEN CAST(md5_number_lower('rrcoin:' || c_custkey) % 4
+                        AS BIGINT) < 3
+                      THEN c_mktsegment
+                      ELSE (['AUTOMOBILE','BUILDING','FURNITURE',
+                             'HOUSEHOLD','MACHINERY'])[
+                        CAST(md5_number_lower('rrpick:' || c_custkey) % 5
+                          AS BIGINT) + 1]
+                 END AS rep_seg
+          FROM customer),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rep),
+        obs AS (SELECT rep_seg AS segment, CAST(COUNT(*) AS BIGINT) AS n_obs
+                FROM rep GROUP BY 1),
+        tru AS (SELECT true_seg AS segment, CAST(COUNT(*) AS BIGINT) AS n_true
+                FROM rep GROUP BY 1)
+        SELECT COALESCE(o.segment, t.segment) AS segment,
+               COALESCE(o.n_obs, 0) AS n_obs,
+               COALESCE(t.n_true, 0) AS n_true,
+               COALESCE(o.n_obs, 0) * 20 - n.n AS est_x15,
+               abs(COALESCE(o.n_obs, 0) * 20 - n.n
+                   - COALESCE(t.n_true, 0) * 15) * 10 <= n.n * 15
+                 AS within_bound
+        FROM obs o FULL JOIN tru t ON o.segment = t.segment
+        CROSS JOIN n
+        ORDER BY segment"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:

@@ -1202,6 +1202,98 @@ object GraphQueries {
                ((1::BIGINT << CAST(r AS INT)) * 100000) // 77351
                  AS est_x1000
         FROM hh
-        ORDER BY round, r"""))
+        ORDER BY round, r""")),
+
+    // Personalized PageRank (random-walk-with-restart) — the SEEDED
+    // variant of q108: teleport mass returns to a seed cohort instead
+    // of spreading uniformly, turning rank into a PROXIMITY score to
+    // the seeds — the "similar items" / related-entity primitive
+    // (the Pixie/SALSA recommender shape). Graph = q108's symmetrized
+    // supplier↔part projection; seeds = the suppkey % 5 == 0 supplier
+    // cohort (a value-domain rule: never empty at any sf, no dim join).
+    // Exact integer lattice: per-seed teleport boost = (150000·N) div S
+    // and init r0 = (1000000·N) div S, so total walk mass matches
+    // q108's N·10⁶ and ranks are cross-query comparable. Each round is
+    // contributions + boost rows UNIONed into one partial aggregate —
+    // the Pregel superstep with the teleport folded into the same
+    // shuffle (no full-outer join against the seed frame). Nodes the
+    // walk hasn't reached carry implicit rank 0 and only enter the
+    // frame when mass arrives: early-round frames are
+    // seed-neighborhood-sized, not graph-sized — the sparsity PPR
+    // exploits at 100 TB. 3 fixed rounds; top-20 on the total order.
+    QueryDef(
+      "q332_personalized_pagerank",
+      (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = pairs
+          .select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
+          .unionByName(pairs.select((col("pk") + 10000000L).as("src"),
+            col("sk").as("dst")))
+        val seeds = pairs.select(col("sk").as("node")).distinct()
+          .where(col("node") % 5 === 0)
+        val r3 = graft.operators.Graphs.personalizedPageRank(
+          edges, seeds, rounds = 3)
+        r3.select(
+            when(col("node") < 10000000L, "supplier").otherwise("part")
+              .as("node_type"),
+            when(col("node") < 10000000L, col("node"))
+              .otherwise(col("node") - 10000000L).as("entity_id"),
+            col("r").as("rank_micros"))
+          .orderBy(col("rank_micros").desc, col("node_type"), col("entity_id"))
+          .limit(20)
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        e AS (
+          SELECT sk AS src, 10000000 + pk AS dst FROM pairs
+          UNION ALL
+          SELECT 10000000 + pk AS src, sk AS dst FROM pairs),
+        deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+                FROM e GROUP BY 1),
+        consts AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+                 CAST(SUM(CASE WHEN node < 10000000 AND node % 5 = 0
+                          THEN 1 ELSE 0 END) AS BIGINT) AS ns
+          FROM deg),
+        seeds AS (
+          SELECT node, (150000 * nn) // ns AS boost,
+                 (1000000 * nn) // ns AS r0
+          FROM deg, consts WHERE node < 10000000 AND node % 5 = 0),
+        r0 AS (SELECT node, r0 AS r FROM seeds),
+        c1 AS (SELECT r.node, r.r // d.d AS contrib
+               FROM r0 r JOIN deg d USING (node)),
+        a1 AS (SELECT e.dst AS node,
+                      (85 * CAST(SUM(c.contrib) AS BIGINT)) // 100 AS r
+               FROM e JOIN c1 c ON e.src = c.node GROUP BY 1),
+        r1 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
+               (SELECT node, r FROM a1
+                UNION ALL SELECT node, boost FROM seeds) GROUP BY 1),
+        c2 AS (SELECT r.node, r.r // d.d AS contrib
+               FROM r1 r JOIN deg d USING (node)),
+        a2 AS (SELECT e.dst AS node,
+                      (85 * CAST(SUM(c.contrib) AS BIGINT)) // 100 AS r
+               FROM e JOIN c2 c ON e.src = c.node GROUP BY 1),
+        r2 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
+               (SELECT node, r FROM a2
+                UNION ALL SELECT node, boost FROM seeds) GROUP BY 1),
+        c3 AS (SELECT r.node, r.r // d.d AS contrib
+               FROM r2 r JOIN deg d USING (node)),
+        a3 AS (SELECT e.dst AS node,
+                      (85 * CAST(SUM(c.contrib) AS BIGINT)) // 100 AS r
+               FROM e JOIN c3 c ON e.src = c.node GROUP BY 1),
+        r3 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM
+               (SELECT node, r FROM a3
+                UNION ALL SELECT node, boost FROM seeds) GROUP BY 1)
+        SELECT CASE WHEN node < 10000000 THEN 'supplier' ELSE 'part' END
+                 AS node_type,
+               CASE WHEN node < 10000000 THEN node ELSE node - 10000000 END
+                 AS entity_id,
+               r AS rank_micros
+        FROM r3
+        ORDER BY rank_micros DESC, node_type, entity_id
+        LIMIT 20"""))
   )
 }

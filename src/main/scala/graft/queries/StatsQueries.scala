@@ -2152,7 +2152,98 @@ object StatsQueries {
         FROM pr p
         JOIN tot ta ON ta.flag = p.flag_a
         JOIN tot tb ON tb.flag = p.flag_b
-        ORDER BY p.flag_a, p.flag_b""")))
+        ORDER BY p.flag_a, p.flag_b""")),
+
+    // Cochran-Armitage trend test — "does the outcome rate RISE with an
+    // ordered dose?" — the 2×k companion of the Mantel-Haenszel (q318)
+    // and χ² (q185) gates; THE test for monotone dose-response over
+    // ordinal exposure bands. Dose = the order-priority digit (1..5, a
+    // fixed value domain); outcome = the order has ≥1 returned line.
+    // From the 5-cell lattice (n_i, d_i): A = Σi·d_i, B = Σi·n_i,
+    // C = Σi²·n_i, D = Σd_i, and z² = n(nA−DB)² / (D(n−D)(nC−B²)).
+    // The α=0.05 verdict is the cross-multiplied integer predicate
+    // 10⁴·n·(nA−DB)² > 38415·D(n−D)(nC−B²) on DECIMAL(38,0) — no
+    // division, no doubles; positive-definite denominators, and the
+    // signed factor (nA−DB) only ever enters SQUARED, so div/floor
+    // divergence can't arise. The exact squared lane holds to n ≈ 3·10⁷
+    // units; past that, rescale the moments to the ppm lattice first
+    // (the q306 shape). Scale: outcome flags partial-aggregate on the
+    // orderkey, the dose rollup is 5 cells, the verdict is 1-row math.
+    QueryDef(
+      "q336_cochran_armitage",
+      (s, dir) => {
+        val returned = Tables.lineitem(s, dir)
+          .where(col("l_returnflag") === "R")
+          .select(col("l_orderkey")).distinct()
+          .withColumn("ret", lit(1L))
+        val doses = Tables.orders(s, dir)
+          .select(col("o_orderkey"),
+            expr("CAST(substring(o_orderpriority, 1, 1) AS BIGINT)")
+              .as("dose"))
+          .join(returned, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("dose"), coalesce(col("ret"), lit(0L)).as("y"))
+        val cells = doses.groupBy(col("dose"))
+          .agg(count(lit(1)).as("n_i"), sum(col("y")).as("d_i"))
+          .cutLineage()
+        val mom = cells.agg(
+          sum(col("n_i")).as("n"), sum(col("d_i")).as("d"),
+          sum(col("dose") * col("d_i")).as("a"),
+          sum(col("dose") * col("n_i")).as("b"),
+          sum(col("dose") * col("dose") * col("n_i")).as("c"))
+        val verdict = mom.select(col("n"), col("d"), col("a"), col("b"),
+          col("c"),
+          (expr("cast(n as decimal(38,0)) * a - cast(d as decimal(38,0)) * b")
+            > 0).as("trend_up"),
+          (expr("""(cast(n as decimal(38,0))
+                   * (cast(n as decimal(38,0)) * a
+                      - cast(d as decimal(38,0)) * b)
+                   * (cast(n as decimal(38,0)) * a
+                      - cast(d as decimal(38,0)) * b)) * 10000""")
+            > expr("""cast(d as decimal(38,0)) * (n - d)
+                      * (cast(n as decimal(38,0)) * c
+                         - cast(b as decimal(38,0)) * b) * 38415"""))
+            .as("trend_significant"))
+        cells.crossJoin(broadcast(verdict))
+          .select(col("dose"), col("n_i"), col("d_i"), col("n"), col("d"),
+            col("a"), col("b"), col("c"), col("trend_up"),
+            col("trend_significant"))
+          .orderBy(col("dose"))
+      },
+      Some("""
+        WITH ret AS (
+          SELECT DISTINCT l_orderkey, 1::BIGINT AS ret
+          FROM lineitem WHERE l_returnflag = 'R'),
+        doses AS (
+          SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS dose,
+                 COALESCE(r.ret, 0) AS y
+          FROM orders o LEFT JOIN ret r ON o.o_orderkey = r.l_orderkey),
+        cells AS (
+          SELECT dose, CAST(COUNT(*) AS BIGINT) AS n_i,
+                 CAST(SUM(y) AS BIGINT) AS d_i
+          FROM doses GROUP BY 1),
+        mom AS (
+          SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+                 CAST(SUM(d_i) AS BIGINT) AS d,
+                 CAST(SUM(dose * d_i) AS BIGINT) AS a,
+                 CAST(SUM(dose * n_i) AS BIGINT) AS b,
+                 CAST(SUM(dose * dose * n_i) AS BIGINT) AS c
+          FROM cells),
+        verdict AS (
+          SELECT n, d, a, b, c,
+                 CAST(n AS HUGEINT) * a - CAST(d AS HUGEINT) * b > 0
+                   AS trend_up,
+                 (CAST(n AS HUGEINT)
+                  * (CAST(n AS HUGEINT) * a - CAST(d AS HUGEINT) * b)
+                  * (CAST(n AS HUGEINT) * a - CAST(d AS HUGEINT) * b))
+                  * 10000
+                 > CAST(d AS HUGEINT) * (n - d)
+                   * (CAST(n AS HUGEINT) * c - CAST(b AS HUGEINT) * b)
+                   * 38415 AS trend_significant
+          FROM mom)
+        SELECT c.dose, c.n_i, c.d_i, v.n, v.d, v.a, v.b, v.c,
+               v.trend_up, v.trend_significant
+        FROM cells c CROSS JOIN verdict v
+        ORDER BY c.dose""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.

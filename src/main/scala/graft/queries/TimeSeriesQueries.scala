@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.functions.Kernels._
 import graft.operators.AsOfJoin
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Round-4 batch 12 — time-series operators:
   *
@@ -984,6 +985,121 @@ object TimeSeriesQueries {
         FROM r
         WHERE r1 OR (p2 >= 2 OR m2 >= 2) OR (p1 >= 4 OR m1 >= 4)
            OR (c8 = 8 AND abs(s8) = 8)
-        ORDER BY day"""))
+        ORDER BY day""")),
+
+    // Pinball (quantile) loss backtest — the evaluation metric for
+    // QUANTILE forecasts (M5-Uncertainty, SLA sizing, safety-stock):
+    // for each of the last 6 months per region, forecast the τ ∈
+    // {0.1, 0.5, 0.9} revenue quantile as the τ-quantile of all PRIOR
+    // months (the expanding-window empirical baseline every fancier
+    // model must beat), then score pinball(τ): τ·(y−f) if y ≥ f else
+    // (1−τ)·(f−y) — asymmetric exactly so that the optimal forecast IS
+    // the τ-quantile. Everything on the cents lattice: quantile = the
+    // value at rank ceil(τ·n) (percentile_disc lower-interpolation) via
+    // a rank window KEYED on (region, test month) — partition size =
+    // prior-month count, CALENDAR-bounded (~84), never row count; the
+    // per-mille loss is exact integer cross-multiplication. Output: 5
+    // regions × 3 τ, summed over the 6 test months. Scale: one
+    // partial-aggregated monthly rollup (+ broadcast dims), then all
+    // frames are region×month bounded.
+    QueryDef(
+      "q338_pinball_loss",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+        val natReg = Tables.nation(s, dir)
+          .join(Tables.region(s, dir),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("nk"), col("r_name"))
+        val monthly = Tables.orders(s, dir)
+          .select(col("o_custkey").as("ck"),
+            col("o_orderdate").cast("date").as("day"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+              .cast("long").as("cents"))
+          .join(broadcast(cust), Seq("ck"))
+          .join(broadcast(natReg), Seq("nk"))
+          .groupBy(col("r_name"),
+            ((year(col("day")) - 1992) * 12 + month(col("day")) - 1)
+              .cast("long").as("ym"))
+          .agg(sum(col("cents")).as("cents"))
+          .cutLineage()
+        val mx = monthly.groupBy(col("r_name"))
+          .agg(max(col("ym")).as("mx"))
+        val pri = monthly.as("t")
+          .join(broadcast(mx), Seq("r_name"))
+          .where(col("t.ym") > col("mx") - 6)
+          .join(monthly.as("p"),
+            col("t.r_name") === col("p.r_name") &&
+              col("p.ym") < col("t.ym"))
+          .select(col("t.r_name").as("rg"), col("t.ym").as("tym"),
+            col("t.cents").as("actual"),
+            col("p.cents").as("pv"), col("p.ym").as("pym"))
+        val w = Window.partitionBy(col("rg"), col("tym"))
+          .orderBy(col("pv"), col("pym"))
+        val ranked = pri
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col("rg"), col("tym"))))
+        val fc = ranked
+          .select(col("rg"), col("tym"), col("actual"), col("pv"),
+            col("rn"), col("n"),
+            explode(array(lit(100L), lit(500L), lit(900L))).as("tau"))
+          .where(col("rn") === expr("(tau * n + 999) div 1000"))
+        fc.select(col("rg"), col("tau"),
+            col("actual"), col("pv").as("forecast"),
+            when(col("actual") >= col("pv"),
+              col("tau") * (col("actual") - col("pv")))
+              .otherwise((lit(1000L) - col("tau"))
+                * (col("pv") - col("actual"))).as("loss_x1000"))
+          .groupBy(col("rg"), col("tau"))
+          .agg(count(lit(1)).as("n_months"),
+            sum(col("loss_x1000")).as("pinball_x1000"),
+            sum(col("forecast")).as("sum_forecast_cents"),
+            sum(col("actual")).as("sum_actual_cents"))
+          .orderBy(col("rg"), col("tau"))
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT r.r_name,
+                 CAST((year(CAST(o.o_orderdate AS DATE)) - 1992) * 12
+                      + month(CAST(o.o_orderdate AS DATE)) - 1 AS BIGINT)
+                   AS ym,
+                 CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                   AS BIGINT)) AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY 1, 2),
+        mx AS (SELECT r_name, MAX(ym) AS mx FROM monthly GROUP BY 1),
+        pri AS (
+          SELECT t.r_name AS rg, t.ym AS tym, t.cents AS actual,
+                 p.cents AS pv, p.ym AS pym
+          FROM monthly t
+          JOIN mx ON mx.r_name = t.r_name
+          JOIN monthly p ON p.r_name = t.r_name AND p.ym < t.ym
+          WHERE t.ym > mx.mx - 6),
+        ranked AS (
+          SELECT rg, tym, actual, pv,
+                 CAST(row_number() OVER (PARTITION BY rg, tym
+                   ORDER BY pv, pym) AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY rg, tym) AS BIGINT) AS n
+          FROM pri),
+        fc AS (
+          SELECT rg, tym, actual, pv, tau
+          FROM ranked
+          CROSS JOIN (SELECT unnest([100, 500, 900]::BIGINT[]) AS tau) q
+          WHERE rn = (tau * n + 999) // 1000)
+        SELECT rg, tau,
+               CAST(COUNT(*) AS BIGINT) AS n_months,
+               CAST(SUM(CASE WHEN actual >= pv
+                        THEN tau * (actual - pv)
+                        ELSE (1000 - tau) * (pv - actual) END) AS BIGINT)
+                 AS pinball_x1000,
+               CAST(SUM(pv) AS BIGINT) AS sum_forecast_cents,
+               CAST(SUM(actual) AS BIGINT) AS sum_actual_cents
+        FROM fc
+        GROUP BY 1, 2
+        ORDER BY rg, tau"""))
   )
 }

@@ -1182,5 +1182,79 @@ object VectorQueries {
                CAST(SUM(CASE WHEN hamming > 16 THEN frame_idx ELSE 0 END)
                  AS BIGINT) AS boundary_sum,
                CAST(SUM(hamming) AS BIGINT) AS total_hamming
-        FROM ham GROUP BY 1 ORDER BY media_id""")))
+        FROM ham GROUP BY 1 ORDER BY media_id""")),
+
+    // Mutual-kNN graph — the SYMMETRIC neighborhood filter diversity/
+    // clustering pipelines build on top of plain kNN (UMAP's graph
+    // stage, reciprocal-NN dedup): an edge survives only if a is in
+    // b's top-k AND b is in a's top-k, which strips the hub-dominated
+    // asymmetric edges plain kNN is full of. Candidates come from the
+    // q41 SRP-bucket blocking (occupancy-driven plane count on BOTH
+    // engines, so in-bucket pair cost stays constant as the corpus
+    // grows); per-node top-3 via a rank window KEYED on the node
+    // (partition size = bucket occupancy, bounded by the plane
+    // autosizing, never corpus-proportional). The mutual filter is one
+    // equi-hash self-join of the top-k frame on the reversed pair key.
+    // Emits surviving pairs with both direction ranks — rank_ab ≠
+    // rank_ba asymmetry is the point. Scale: bucket join + keyed
+    // window + pair-key join; nothing all-pairs, nothing global.
+    QueryDef(
+      "q337_mutual_knn",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val planes = Similarity.autoPlanes(e.count(), targetOccupancy = 64L)
+        val b = e.select(col("vec_id"), col("embedding"),
+            Similarity.srpBucket(col("embedding"), planes, 64).as("bucket"))
+          .cutLineage()
+        val dots = b.as("a").join(b.as("c"),
+            col("a.bucket") === col("c.bucket") &&
+              col("a.vec_id") =!= col("c.vec_id"))
+          .select(col("a.vec_id").as("src"), col("c.vec_id").as("dst"),
+            Similarity.cosine(col("a.embedding"), col("c.embedding"))
+              .as("cos"))
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("cos").desc, col("dst"))
+        // consumed by both sides of the mutual join — sanctioned cut
+        val top = dots.withColumn("rnk", row_number().over(w))
+          .where(col("rnk") <= 3)
+          .select(col("src"), col("dst"), col("cos"), col("rnk"))
+          .cutLineage()
+        top.as("f").join(top.as("r"),
+            col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+          .where(col("f.src") < col("f.dst"))
+          .select(col("f.src").as("id_a"), col("f.dst").as("id_b"),
+            col("f.cos").as("cos"),
+            col("f.rnk").cast("long").as("rank_ab"),
+            col("r.rnk").cast("long").as("rank_ba"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""
+        WITH p AS (
+          SELECT GREATEST(4, LEAST(20, CAST(ceil(log2(GREATEST(1,
+                   (SELECT COUNT(*) FROM embeddings) // 64))) AS INT))) AS np),
+        b AS (
+          SELECT vec_id, embedding,
+                 CAST(list_sum(list_transform(range(0,(SELECT np FROM p)), j ->
+                   CASE WHEN list_reduce(list_transform(range(0,64), d ->
+                          embedding[d+1]::DOUBLE * ((((j*97 + d*31) % 13) - 6)::DOUBLE / 6.0::DOUBLE)), (x,y)->x+y) > 0
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS bucket
+          FROM embeddings),
+        dots AS (
+          SELECT a.vec_id AS src, c.vec_id AS dst,
+                 ${dotSql("a.embedding", "c.embedding")}
+                   / (sqrt(${dotSql("a.embedding", "a.embedding")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+        ranked AS (
+          SELECT src, dst, cos,
+                 row_number() OVER (PARTITION BY src
+                   ORDER BY cos DESC, dst) AS rnk
+          FROM dots),
+        topk AS (SELECT src, dst, cos, rnk FROM ranked WHERE rnk <= 3)
+        SELECT f.src AS id_a, f.dst AS id_b, f.cos AS cos,
+               CAST(f.rnk AS BIGINT) AS rank_ab,
+               CAST(r.rnk AS BIGINT) AS rank_ba
+        FROM topk f JOIN topk r ON f.src = r.dst AND f.dst = r.src
+        WHERE f.src < f.dst
+        ORDER BY id_a, id_b""")))
 }

@@ -95,4 +95,49 @@ class Round9PropertiesSpec extends SparkSpec {
     assert(h62(base) == h62(centerEdit)) // center substitution invisible
     assert(h62(base) != h62(edgeEdit)) // any other position changes it
   }
+
+  private def sym(pairs: (Long, Long)*): org.apache.spark.sql.DataFrame =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("personalizedPageRank ranks by proximity within a degree+parity class") {
+    // path 1-2-3-4-5, seed {1}. Truncated-power-iteration PPR mass is
+    // degree-weighted AND hop-parity-weighted on bipartite structure,
+    // so the robust proximity ordering compares nodes of the SAME
+    // degree and SAME distance parity: endpoint 1 (dist 0) beats
+    // endpoint 5 (dist 4), interior 2 (dist 1) beats interior 4
+    // (dist 3) — at both odd and even round budgets.
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    Seq(3, 4).foreach { rounds =>
+      val r = Graphs.personalizedPageRank(edges, seeds, rounds)
+        .orderBy("node").as[(Long, Long)].collect().toMap
+        .withDefaultValue(0L)
+      assert(r(1L) > r(5L), s"endpoints at rounds=$rounds: $r")
+      assert(r(2L) > r(4L), s"interior at rounds=$rounds: $r")
+    }
+  }
+
+  test("personalizedPageRank with all-node seeds is symmetric on a cycle") {
+    // 4-cycle is vertex-transitive: seeding every node must give every
+    // node the identical rank (the uniform-PageRank degenerate case)
+    val edges = sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val seeds = Seq(1L, 2L, 3L, 4L).map(Tuple1(_)).toDF("node")
+    val r = Graphs.personalizedPageRank(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r.size == 4 && r.values.toSet.size == 1)
+  }
+
+  test("personalizedPageRank: walk mass never reaches a disconnected component") {
+    // component {1,2} seeded, component {3,4} not: the unreached
+    // component carries implicit rank 0 (no rows)
+    val edges = sym((1L, 2L), (3L, 4L))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = Graphs.personalizedPageRank(edges, seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(r.keySet == Set(1L, 2L))
+    // at an even budget the seed holds more mass than its neighbor
+    // (odd budgets park the bulk of the walk on the odd-parity side
+    // of a bipartite component — expected power-iteration behavior)
+    assert(r(1L) > r(2L))
+  }
 }
