@@ -391,5 +391,102 @@ object CorpusQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                  AS cum_vocab
         FROM per
-        ORDER BY source""")))
+        ORDER BY source""")),
+
+    // Heaps-law vocabulary-growth curve — "how fast does the vocabulary
+    // grow as the corpus grows?", the audit that tells a tokenizer/
+    // dedup pipeline whether a corpus keeps yielding novel types
+    // (vocab ∝ tokensᵝ, β<1) or has degenerated (near-linear growth =
+    // boilerplate/noise; flat = saturated). Measured at power-of-2
+    // doc-id checkpoints WITHOUT any global rank: a token's entire
+    // contribution to every prefix is determined by its FIRST doc id
+    // (one min-aggregate on the token key), docs and tokens bucket to
+    // their ceiling power of 2 by a broadcast range join against the
+    // ≤28-row checkpoint table, and prefix totals are a triangular
+    // self-join over that bounded table — the corpus is scanned once,
+    // nothing data-proportional sits in one partition. Gated output:
+    // per checkpoint, exact doc/token/vocab counts, the type-token
+    // ratio in ppm, and the Heaps sub-linearity boolean (ratio must
+    // not rise vs the previous checkpoint).
+    QueryDef(
+      "q340_vocab_growth",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ws"))
+        val firstDoc = d
+          .select(col("doc_id"), explode(col("ws")).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+        val mx = d.agg(max(col("doc_id")).as("mxid"))
+        val ckpt = mx.select(explode(expr("sequence(3, 30)")).as("j"),
+            col("mxid"))
+          .select(expr("shiftleft(1L, j)").as("k"), col("mxid"))
+          .where(expr("k div 2") < col("mxid"))
+          .select(col("k"))
+        def bucket(df: org.apache.spark.sql.DataFrame, c: String) =
+          df.join(broadcast(ckpt),
+            col(c) <= col("k") &&
+              (col("k") === 8L || col(c) > expr("k div 2")))
+        val vb = bucket(firstDoc, "fd")
+          .groupBy(col("k")).agg(count(lit(1)).as("v"))
+        val db = bucket(
+            d.select(col("doc_id"), size(col("ws")).cast("long")
+              .as("n_toks")), "doc_id")
+          .groupBy(col("k")).agg(count(lit(1)).as("m"),
+            sum(col("n_toks")).as("s"))
+        val per = db.join(vb, Seq("k"), "left")
+          .select(col("k"), col("m"), col("s"),
+            coalesce(col("v"), lit(0L)).as("v"))
+        val pre = per.as("x").join(per.as("y"), col("y.k") <= col("x.k"))
+          .groupBy(col("x.k").as("k"))
+          .agg(sum(col("y.m")).as("n_docs"), sum(col("y.s")).as("n_tokens"),
+            sum(col("y.v")).as("vocab"))
+          .withColumn("ttr_ppm", expr("(vocab * 1000000) div n_tokens"))
+        pre.as("a").join(pre.as("p"),
+            col("p.k") === expr("a.k div 2"), "left")
+          .select(col("a.k").as("k"), col("a.n_docs").as("n_docs"),
+            col("a.n_tokens").as("n_tokens"), col("a.vocab").as("vocab"),
+            col("a.ttr_ppm").as("ttr_ppm"),
+            coalesce(col("a.ttr_ppm") <= col("p.ttr_ppm"), lit(true))
+              .as("heaps_slowing"))
+          .orderBy(col("k"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        fd AS (
+          SELECT tok, MIN(doc_id) AS fd FROM (
+            SELECT doc_id, unnest(ws) AS tok FROM d)
+          GROUP BY 1),
+        mx AS (SELECT MAX(doc_id) AS mxid FROM d),
+        ckpt AS (
+          SELECT (1::BIGINT << j) AS k
+          FROM (SELECT unnest(range(3, 31)) AS j), mx
+          WHERE (1::BIGINT << j) // 2 < mxid),
+        vb AS (
+          SELECT c.k, CAST(COUNT(*) AS BIGINT) AS v
+          FROM fd JOIN ckpt c
+            ON fd.fd <= c.k AND (c.k = 8 OR fd.fd > c.k // 2)
+          GROUP BY 1),
+        db AS (
+          SELECT c.k, CAST(COUNT(*) AS BIGINT) AS m,
+                 CAST(SUM(len(d.ws)) AS BIGINT) AS s
+          FROM d JOIN ckpt c
+            ON d.doc_id <= c.k AND (c.k = 8 OR d.doc_id > c.k // 2)
+          GROUP BY 1),
+        per AS (
+          SELECT db.k, db.m, db.s, COALESCE(vb.v, 0) AS v
+          FROM db LEFT JOIN vb ON vb.k = db.k),
+        pre AS (
+          SELECT x.k,
+                 CAST(SUM(y.m) AS BIGINT) AS n_docs,
+                 CAST(SUM(y.s) AS BIGINT) AS n_tokens,
+                 CAST(SUM(y.v) AS BIGINT) AS vocab,
+                 (CAST(SUM(y.v) AS BIGINT) * 1000000)
+                   // CAST(SUM(y.s) AS BIGINT) AS ttr_ppm
+          FROM per x JOIN per y ON y.k <= x.k
+          GROUP BY 1)
+        SELECT a.k, a.n_docs, a.n_tokens, a.vocab, a.ttr_ppm,
+               COALESCE(a.ttr_ppm <= p.ttr_ppm, TRUE) AS heaps_slowing
+        FROM pre a LEFT JOIN pre p ON p.k = a.k // 2
+        ORDER BY a.k""")))
 }

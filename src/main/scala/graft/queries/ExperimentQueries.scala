@@ -2444,7 +2444,128 @@ object ExperimentQueries {
                  AS within_bound
         FROM obs o FULL JOIN tru t ON o.segment = t.segment
         CROSS JOIN n
-        ORDER BY segment"""))
+        ORDER BY segment""")),
+
+    // O'Brien-Fleming group-sequential monitoring — the INTERIM-look
+    // discipline for a fixed-horizon A/B test (the complement of q276's
+    // open-ended SPRT): three equally-spaced looks at the cumulative
+    // two-proportion z², each compared against the OBF spending
+    // boundary z_k = C·√(K/k), which is nearly uncrossable early and
+    // relaxes to ≈ the fixed-sample bound at the end. Boundary
+    // constants are the published two-sided α=0.05, K=3 values
+    // z = {3.471, 2.454, 2.004} (Jennison & Turnbull tables), carried
+    // EXACTLY as z²·10⁶ = 3471², 2454², 2004² — integers, no normal
+    // quantile evaluated at query time. Looks are calendar thirds of
+    // the order-date span (integer datediff cuts); each order lands in
+    // its FIRST look bucket and cumulative counts come from a 3-row
+    // triangular walk — one corpus rollup total. The crossing verdict
+    // is the q336-style cross-multiplied integer predicate
+    // 10⁶·n·(xa·nb−xb·na)² > B_k·na·nb·X·(n−X) on DECIMAL(38,0) (the
+    // signed factor only enters squared; exact lane holds to n ≈ 10⁷
+    // units — past that, rescale to the ppm lattice first). Arms are
+    // the q181 hash coin, so the honest verdict is "never crossed".
+    QueryDef(
+      "q342_obrien_fleming",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"),
+            (col("o_orderstatus") === "F").as("conv"),
+            (md5BitsModK(md5Bits(concat(lit("gs:"), col("o_orderkey"))),
+              2L) === 0L).as("ctl"))
+        val bounds = o.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+        val perLook = o.crossJoin(broadcast(bounds))
+          .withColumn("dd", datediff(col("d"), col("dmin")).cast("long"))
+          .withColumn("span", datediff(col("dmax"), col("dmin")).cast("long"))
+          .withColumn("lk",
+            when(col("dd") <= expr("span div 3"), 1L)
+              .when(col("dd") <= expr("(span * 2) div 3"), 2L)
+              .otherwise(3L))
+          .groupBy(col("lk")).agg(
+            sum(when(col("ctl"), 1L).otherwise(0L)).as("pna"),
+            sum(when(col("ctl") && col("conv"), 1L).otherwise(0L)).as("pxa"),
+            sum(when(!col("ctl"), 1L).otherwise(0L)).as("pnb"),
+            sum(when(!col("ctl") && col("conv"), 1L).otherwise(0L))
+              .as("pxb"))
+          .cutLineage()
+        val cum = perLook.as("x").join(perLook.as("y"),
+            col("y.lk") <= col("x.lk"))
+          .groupBy(col("x.lk").as("look"))
+          .agg(sum(col("y.pna")).as("na"), sum(col("y.pxa")).as("xa"),
+            sum(col("y.pnb")).as("nb"), sum(col("y.pxb")).as("xb"))
+          .withColumn("bk",
+            when(col("look") === 1, 12047841L)
+              .when(col("look") === 2, 6022116L).otherwise(4016016L))
+          .withColumn("crossed",
+            expr("""(cast(na + nb as decimal(38,0))
+                     * (cast(xa as decimal(38,0)) * nb
+                        - cast(xb as decimal(38,0)) * na)
+                     * (cast(xa as decimal(38,0)) * nb
+                        - cast(xb as decimal(38,0)) * na) * 1000000)
+                   > (cast(bk as decimal(38,0)) * na * nb
+                      * (xa + xb) * (na + nb - xa - xb))"""))
+          .cutLineage()
+        val anyc = cum.agg(
+          max(when(col("crossed"), 1L).otherwise(0L)).as("any1"))
+        cum.crossJoin(broadcast(anyc))
+          .select(col("look"), col("na"), col("xa"), col("nb"), col("xb"),
+            col("bk").as("boundary_z2_x1e6"), col("crossed"),
+            (col("any1") === 1L).as("any_crossed"))
+          .orderBy(col("look"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 (o_orderstatus = 'F') AS conv,
+                 (CAST(md5_number_lower('gs:' || o_orderkey) % 2 AS BIGINT)
+                   = 0) AS ctl
+          FROM orders),
+        bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM o),
+        perlook AS (
+          SELECT CASE
+                   WHEN date_diff('day', b.dmin, o.d)
+                     <= date_diff('day', b.dmin, b.dmax) // 3 THEN 1
+                   WHEN date_diff('day', b.dmin, o.d)
+                     <= (date_diff('day', b.dmin, b.dmax) * 2) // 3 THEN 2
+                   ELSE 3 END AS lk,
+                 CAST(SUM(CASE WHEN ctl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pna,
+                 CAST(SUM(CASE WHEN ctl AND conv THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pxa,
+                 CAST(SUM(CASE WHEN NOT ctl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pnb,
+                 CAST(SUM(CASE WHEN NOT ctl AND conv THEN 1 ELSE 0 END)
+                   AS BIGINT) AS pxb
+          FROM o CROSS JOIN bounds b
+          GROUP BY 1),
+        cum AS (
+          SELECT x.lk AS look,
+                 CAST(SUM(y.pna) AS BIGINT) AS na,
+                 CAST(SUM(y.pxa) AS BIGINT) AS xa,
+                 CAST(SUM(y.pnb) AS BIGINT) AS nb,
+                 CAST(SUM(y.pxb) AS BIGINT) AS xb
+          FROM perlook x JOIN perlook y ON y.lk <= x.lk
+          GROUP BY 1),
+        v AS (
+          SELECT look, na, xa, nb, xb,
+                 CASE look WHEN 1 THEN 12047841::BIGINT
+                           WHEN 2 THEN 6022116::BIGINT
+                           ELSE 4016016::BIGINT END AS bk
+          FROM cum),
+        w AS (
+          SELECT look, na, xa, nb, xb, bk,
+                 (CAST(na + nb AS HUGEINT)
+                  * (CAST(xa AS HUGEINT) * nb - CAST(xb AS HUGEINT) * na)
+                  * (CAST(xa AS HUGEINT) * nb - CAST(xb AS HUGEINT) * na)
+                  * 1000000)
+                 > (CAST(bk AS HUGEINT) * na * nb
+                    * (xa + xb) * (na + nb - xa - xb)) AS crossed
+          FROM v)
+        SELECT CAST(look AS BIGINT) AS look, na, xa, nb, xb,
+               bk AS boundary_z2_x1e6, crossed,
+               (SELECT MAX(CASE WHEN crossed THEN 1 ELSE 0 END) FROM w) = 1
+                 AS any_crossed
+        FROM w
+        ORDER BY look"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:

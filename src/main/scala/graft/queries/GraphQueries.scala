@@ -1294,6 +1294,163 @@ object GraphQueries {
                r AS rank_micros
         FROM r3
         ORDER BY rank_micros DESC, node_type, entity_id
-        LIMIT 20"""))
+        LIMIT 20""")),
+
+    // k-truss peeling (k=4, two audited rounds) — the EDGE-grained
+    // dense-subgraph primitive: an edge survives only while it closes
+    // ≥ k−2 triangles in the CURRENT subgraph, so peeling strips the
+    // tree-like fringe that node-grained k-core (q213) keeps (a hub
+    // with many degree-1 spokes survives k-core but no truss).
+    // Per-edge support is counted the q162 way — degree-ordered
+    // orientation so every triangle is enumerated once at its
+    // lowest-(degree, id) corner (wedge cost O(E^1.5), hubs RECEIVE
+    // edges), then each triangle credits its three canonical edges via
+    // one explode + partial count. Two synchronous peel rounds with
+    // the support recomputed on the shrunken edge set — the bounded-
+    // sweep stance of q319/q331 (a production fixpoint loops the same
+    // round under CheckpointPolicy). Gate: the support histogram of
+    // the surviving subgraph plus the edge-count trajectory. Scale:
+    // each round is two equi-joins + one exploded partial count on
+    // pair keys; nothing data-proportional in one task.
+    QueryDef(
+      "q341_ktruss",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .where(col("l_partkey") % 10 === 0)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("p"))
+          .distinct()
+        val e0 = li.select(col("k"), col("p").as("a"))
+          .join(li.select(col("k"), col("p").as("b")), Seq("k"))
+          .where(col("a") < col("b"))
+          .select(col("a"), col("b")).distinct()
+          .cutLineage()
+        def support(e: org.apache.spark.sql.DataFrame) = {
+          val deg = e.select(col("a").as("n"))
+            .unionAll(e.select(col("b").as("n")))
+            .groupBy(col("n")).agg(count(lit(1)).as("d"))
+          val dir2 = e
+            .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+            .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+            .select(
+              when(col("da") < col("db") ||
+                   (col("da") === col("db") && col("a") < col("b")),
+                struct(col("a").as("u"), col("b").as("v")))
+                .otherwise(struct(col("b").as("u"), col("a").as("v")))
+                .as("uv"))
+            .select(col("uv.u").as("u"), col("uv.v").as("v"))
+          val wedges = dir2.select(col("u"), col("v").as("w1"))
+            .join(dir2.select(col("u"), col("v").as("w2")), Seq("u"))
+            .where(col("w1") < col("w2"))
+          val tris = wedges.join(
+            e.select(col("a").as("w1"), col("b").as("w2")), Seq("w1", "w2"))
+          tris.select(explode(array(
+              struct(least(col("u"), col("w1")).as("a"),
+                greatest(col("u"), col("w1")).as("b")),
+              struct(least(col("u"), col("w2")).as("a"),
+                greatest(col("u"), col("w2")).as("b")),
+              struct(col("w1").as("a"), col("w2").as("b")))).as("ed"))
+            .select(col("ed.a").as("a"), col("ed.b").as("b"))
+            .groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+        }
+        def keep(e: org.apache.spark.sql.DataFrame,
+            s2: org.apache.spark.sql.DataFrame) =
+          e.join(s2, Seq("a", "b")).where(col("supp") >= 2)
+            .select(col("a"), col("b")).cutLineage()
+        val e1 = keep(e0, support(e0))
+        val e2 = keep(e1, support(e1))
+        val counts = e0.agg(count(lit(1)).as("n_edges_0"))
+          .crossJoin(e1.agg(count(lit(1)).as("n_edges_1")))
+          .crossJoin(e2.agg(count(lit(1)).as("n_edges_2")))
+        e2.join(support(e2), Seq("a", "b"), "left")
+          .select(coalesce(col("supp"), lit(0L)).as("support"))
+          .groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(counts))
+          .orderBy(col("support"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS k, l_partkey AS p
+          FROM lineitem WHERE l_partkey % 10 = 0),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT x.p AS a, y.p AS b
+          FROM li x JOIN li y ON x.k = y.k AND x.p < y.p),
+        deg0 AS MATERIALIZED (
+          SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e0 UNION ALL SELECT b AS n FROM e0)
+          GROUP BY 1),
+        dir0 AS MATERIALIZED (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS v
+          FROM e0 e JOIN deg0 da ON da.n = e.a JOIN deg0 db ON db.n = e.b),
+        t0 AS MATERIALIZED (
+          SELECT w.u, w.w1, w.w2 FROM (
+            SELECT x.u, x.v AS w1, y.v AS w2
+            FROM dir0 x JOIN dir0 y ON x.u = y.u AND x.v < y.v) w
+          JOIN e0 ON e0.a = w.w1 AND e0.b = w.w2),
+        s0 AS MATERIALIZED (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS supp FROM (
+            SELECT LEAST(u, w1) AS a, GREATEST(u, w1) AS b FROM t0
+            UNION ALL SELECT LEAST(u, w2), GREATEST(u, w2) FROM t0
+            UNION ALL SELECT w1, w2 FROM t0) GROUP BY 1, 2),
+        e1 AS MATERIALIZED (
+          SELECT e.a, e.b FROM e0 e
+          JOIN s0 ON s0.a = e.a AND s0.b = e.b WHERE s0.supp >= 2),
+        deg1 AS MATERIALIZED (
+          SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e1 UNION ALL SELECT b AS n FROM e1)
+          GROUP BY 1),
+        dir1 AS MATERIALIZED (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS v
+          FROM e1 e JOIN deg1 da ON da.n = e.a JOIN deg1 db ON db.n = e.b),
+        t1 AS MATERIALIZED (
+          SELECT w.u, w.w1, w.w2 FROM (
+            SELECT x.u, x.v AS w1, y.v AS w2
+            FROM dir1 x JOIN dir1 y ON x.u = y.u AND x.v < y.v) w
+          JOIN e1 ON e1.a = w.w1 AND e1.b = w.w2),
+        s1 AS MATERIALIZED (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS supp FROM (
+            SELECT LEAST(u, w1) AS a, GREATEST(u, w1) AS b FROM t1
+            UNION ALL SELECT LEAST(u, w2), GREATEST(u, w2) FROM t1
+            UNION ALL SELECT w1, w2 FROM t1) GROUP BY 1, 2),
+        e2 AS MATERIALIZED (
+          SELECT e.a, e.b FROM e1 e
+          JOIN s1 ON s1.a = e.a AND s1.b = e.b WHERE s1.supp >= 2),
+        deg2 AS MATERIALIZED (
+          SELECT n, COUNT(*) AS d FROM (
+            SELECT a AS n FROM e2 UNION ALL SELECT b AS n FROM e2)
+          GROUP BY 1),
+        dir2 AS MATERIALIZED (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS v
+          FROM e2 e JOIN deg2 da ON da.n = e.a JOIN deg2 db ON db.n = e.b),
+        t2 AS MATERIALIZED (
+          SELECT w.u, w.w1, w.w2 FROM (
+            SELECT x.u, x.v AS w1, y.v AS w2
+            FROM dir2 x JOIN dir2 y ON x.u = y.u AND x.v < y.v) w
+          JOIN e2 ON e2.a = w.w1 AND e2.b = w.w2),
+        s2 AS MATERIALIZED (
+          SELECT a, b, CAST(COUNT(*) AS BIGINT) AS supp FROM (
+            SELECT LEAST(u, w1) AS a, GREATEST(u, w1) AS b FROM t2
+            UNION ALL SELECT LEAST(u, w2), GREATEST(u, w2) FROM t2
+            UNION ALL SELECT w1, w2 FROM t2) GROUP BY 1, 2),
+        hist AS MATERIALIZED (
+          SELECT COALESCE(s2.supp, 0) AS support,
+                 CAST(COUNT(*) AS BIGINT) AS n_edges
+          FROM e2 LEFT JOIN s2 ON s2.a = e2.a AND s2.b = e2.b
+          GROUP BY 1),
+        cnt AS MATERIALIZED (
+          SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges_0,
+                 CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_edges_1,
+                 CAST((SELECT COUNT(*) FROM e2) AS BIGINT) AS n_edges_2)
+        SELECT h.support, h.n_edges, c.n_edges_0, c.n_edges_1, c.n_edges_2
+        FROM hist h CROSS JOIN cnt c
+        ORDER BY h.support"""))
   )
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Kernels.{md5Bits, md5BitsModK}
 import graft.functions.TextKernels.tokens
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** Statistical language-model data-curation operators — the two scoring
   * primitives every pre-training corpus pipeline runs between dedup and
@@ -195,5 +196,131 @@ object LmQueries {
         JOIN gb ON t.b = gb.b
         CROSS JOIN tot
         GROUP BY t.doc_id, t.source, t.lang
-        ORDER BY t.doc_id""")))
+        ORDER BY t.doc_id""")),
+
+    // Interpolated Kneser-Ney bigram scoring — the smoothing that
+    // actually powers KenLM-style quality filters (q202's add-one is
+    // the baseline strawman): the backoff distribution is the
+    // CONTINUATION count (how many distinct contexts a word follows),
+    // not raw frequency, so "Francisco" stops looking probable outside
+    // "San Francisco". Discount d = 3/4 is the textbook constant and —
+    // deliberately — a RATIONAL, so the whole model lives on the exact
+    // ppm lattice: P_KN(w2|w1) = max(c−¾,0)/c(w1·) + ¾·N₁₊(w1·)/c(w1·)
+    // · N₁₊(·w2)/N₁₊(··) becomes two floored integer divisions
+    // (((4c−3)·10⁶) div 4c(w1·) and the cross-multiplied backoff term
+    // on DECIMAL(38,0)); an unseen context scores the pure
+    // continuation probability. Per held-out doc: bigram count, unseen
+    // bigram/context counts, and the summed ppm mass — the
+    // perplexity-filter signal without a transcendental (the q172/q202
+    // stance). Scale: four vocab-sized count tables (the two fertility
+    // tables are DISTINCT-aggregated once), all joined on token keys
+    // with map-side partials; the corpus side streams linearly.
+    QueryDef(
+      "q345_kneser_ney",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val en = d.where(col("lang") === "en")
+        val train = en.where(col("source").isin(TrainSrc: _*))
+        val held = en.where(!col("source").isin(TrainSrc: _*))
+        val tb = bigramRows(train)
+          .withColumn("w2", expr("substring(bg, length(w1) + 2)"))
+          .cutLineage()
+        val bigramC = tb.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
+        val contextC = tb.groupBy(col("w1")).agg(count(lit(1)).as("cc"),
+          countDistinct(col("w2")).as("n1w"))
+        val contC = tb.groupBy(col("w2"))
+          .agg(countDistinct(col("w1")).as("ncw"))
+        val nbb = tb.select(col("bg")).distinct()
+          .agg(count(lit(1)).as("nbb"))
+        bigramRows(held)
+          .withColumn("w2", expr("substring(bg, length(w1) + 2)"))
+          .join(bigramC, Seq("bg"), "left")
+          .join(contextC, Seq("w1"), "left")
+          .join(contC, Seq("w2"), "left")
+          .crossJoin(broadcast(nbb))
+          .select(col("doc_id"),
+            coalesce(col("bc"), lit(0L)).as("bcv"),
+            coalesce(col("cc"), lit(0L)).as("ccv"),
+            coalesce(col("n1w"), lit(0L)).as("n1wv"),
+            coalesce(col("ncw"), lit(0L)).as("ncwv"),
+            col("nbb"))
+          .withColumn("p_ppm",
+            when(col("ccv") > 0,
+              when(col("bcv") > 0,
+                expr("((4 * bcv - 3) * 1000000) div (4 * ccv)"))
+                .otherwise(lit(0L)) +
+              expr("""cast((cast(n1wv as decimal(38,0)) * ncwv * 3000000)
+                      div (cast(ccv as decimal(38,0)) * nbb * 4)
+                      as bigint)"""))
+              .otherwise(expr("(ncwv * 1000000) div nbb")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when(col("bcv") === 0L, 1L).otherwise(0L)).as("n_unseen"),
+            sum(when(col("ccv") === 0L, 1L).otherwise(0L))
+              .as("n_unseen_ctx"),
+            sum(col("p_ppm")).as("sum_p_ppm"))
+          .withColumn("mean_p_ppm", expr("sum_p_ppm div n_bigrams"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws
+          FROM documents WHERE lang = 'en'),
+        tb AS MATERIALIZED (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i]))
+                   AS w1,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i+1]))
+                   AS w2
+          FROM toks
+          WHERE source IN ('src0','src1','src2','src3','src4')),
+        bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS bc
+               FROM tb GROUP BY 1, 2),
+        cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cc,
+                      CAST(COUNT(DISTINCT w2) AS BIGINT) AS n1w
+               FROM tb GROUP BY 1),
+        ct AS (SELECT w2, CAST(COUNT(DISTINCT w1) AS BIGINT) AS ncw
+               FROM tb GROUP BY 1),
+        nbb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb
+                FROM (SELECT DISTINCT w1, w2 FROM tb)),
+        held AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i]))
+                   AS w1,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i+1]))
+                   AS w2
+          FROM toks
+          WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        j AS (
+          SELECT h.doc_id,
+                 COALESCE(b.bc, 0) AS bcv,
+                 COALESCE(c.cc, 0) AS ccv,
+                 COALESCE(c.n1w, 0) AS n1wv,
+                 COALESCE(t.ncw, 0) AS ncwv,
+                 (SELECT nbb FROM nbb) AS nbb
+          FROM held h
+          LEFT JOIN bc b ON b.w1 = h.w1 AND b.w2 = h.w2
+          LEFT JOIN cc c ON c.w1 = h.w1
+          LEFT JOIN ct t ON t.w2 = h.w2),
+        scored AS (
+          SELECT doc_id, bcv, ccv,
+                 CASE WHEN ccv > 0 THEN
+                   (CASE WHEN bcv > 0
+                         THEN ((4 * bcv - 3) * 1000000) // (4 * ccv)
+                         ELSE 0 END)
+                   + CAST((CAST(n1wv AS HUGEINT) * ncwv * 3000000)
+                          // (CAST(ccv AS HUGEINT) * nbb * 4) AS BIGINT)
+                 ELSE (ncwv * 1000000) // nbb END AS p_ppm
+          FROM j)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CASE WHEN bcv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unseen,
+               CAST(SUM(CASE WHEN ccv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unseen_ctx,
+               CAST(SUM(p_ppm) AS BIGINT) AS sum_p_ppm,
+               CAST(SUM(p_ppm) AS BIGINT) // COUNT(*) AS mean_p_ppm
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY doc_id""")))
 }
