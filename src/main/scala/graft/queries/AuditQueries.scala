@@ -331,5 +331,84 @@ object AuditQueries {
                (n_contained * 1000000) // ndv_child AS containment_ppm,
                n_contained = ndv_child AS is_ind
         FROM u
-        ORDER BY candidate""")))
+        ORDER BY candidate""")),
+
+    // Functional-dependency discovery (TANE/Metanome-style, the column-
+    // DETERMINATION half of profiling; q285's inclusion dependencies are
+    // the column-CONTAINMENT half): for each candidate lhs→rhs the g3
+    // error — the minimum fraction of rows to delete for the FD to hold
+    // exactly, n − Σ_lhs max_rhs cnt(lhs,rhs) — plus the verdict. The
+    // candidate list mixes key FDs (nation key→name), FDs the schema
+    // doesn't declare (the entity NAME embeds its key — name→key and
+    // name→nation hold exactly, what FD mining is for: surfacing
+    // redundant/derivable columns), and graded violations (date→status
+    // ~47% g3, nation→segment, customer→priority, order→returnflag,
+    // brand→type). Scale per candidate: one (lhs,rhs) partial count, one
+    // lhs-keyed rollup, one scalar agg — the same map-combine shape at
+    // any corpus size; the eight candidates union into an 8-row report.
+    QueryDef(
+      "q350_fd_discovery",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        def fd(label: String, df: DataFrame, l: org.apache.spark.sql.Column,
+            r: org.apache.spark.sql.Column): DataFrame = {
+          val g = df.select(l.cast("string").as("l"), r.cast("string").as("r"))
+            .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
+          g.groupBy(col("l")).agg(sum(col("c")).as("nl"), max(col("c")).as("mx"))
+            .agg(sum(col("nl")).as("n_rows"), count(lit(1)).as("n_lhs"),
+              sum(col("nl") - col("mx")).as("n_violations"))
+            .select(lit(label).as("candidate"), col("n_rows"), col("n_lhs"),
+              col("n_violations"),
+              expr("(n_violations * 1000000) div n_rows").as("g3_ppm"),
+              (col("n_violations") === 0L).as("holds"))
+        }
+        val na = Tables.nation(s, dir); val pt = Tables.part(s, dir)
+        val su = Tables.supplier(s, dir); val cu = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir); val li = Tables.lineitem(s, dir)
+        Seq(
+          fd("1_nation_key_name", na, col("n_nationkey"), col("n_name")),
+          fd("2_cust_nameid_key", cu, substring(col("c_name"), 10, 9),
+            col("c_custkey")),
+          fd("3_supp_name_nation", su, col("s_name"), col("s_nationkey")),
+          fd("4_orders_date_status", o, col("o_orderdate"),
+            col("o_orderstatus")),
+          fd("5_cust_nation_segment", cu, col("c_nationkey"),
+            col("c_mktsegment")),
+          fd("6_orders_cust_priority", o, col("o_custkey"),
+            col("o_orderpriority")),
+          fd("7_line_order_retflag", li, col("l_orderkey"),
+            col("l_returnflag")),
+          fd("8_part_brand_type", pt, col("p_brand"), col("p_type")))
+          .reduce(_ unionAll _).orderBy(col("candidate"))
+      },
+      Some {
+        def fdSql(label: String, table: String, l: String, r: String) =
+          s"""SELECT '$label' AS candidate,
+                 CAST(SUM(nl) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_lhs,
+                 CAST(SUM(nl - mx) AS BIGINT) AS n_violations,
+                 (CAST(SUM(nl - mx) AS BIGINT) * 1000000)
+                   // CAST(SUM(nl) AS BIGINT) AS g3_ppm,
+                 CAST(SUM(nl - mx) AS BIGINT) = 0 AS holds
+          FROM (SELECT l, SUM(c) AS nl, MAX(c) AS mx
+                FROM (SELECT CAST($l AS VARCHAR) AS l,
+                             CAST($r AS VARCHAR) AS r, COUNT(*) AS c
+                      FROM $table GROUP BY 1, 2)
+                GROUP BY 1)"""
+        Seq(
+          fdSql("1_nation_key_name", "nation", "n_nationkey", "n_name"),
+          fdSql("2_cust_nameid_key", "customer", "substring(c_name, 10, 9)",
+            "c_custkey"),
+          fdSql("3_supp_name_nation", "supplier", "s_name", "s_nationkey"),
+          fdSql("4_orders_date_status", "orders", "o_orderdate",
+            "o_orderstatus"),
+          fdSql("5_cust_nation_segment", "customer", "c_nationkey",
+            "c_mktsegment"),
+          fdSql("6_orders_cust_priority", "orders", "o_custkey",
+            "o_orderpriority"),
+          fdSql("7_line_order_retflag", "lineitem", "l_orderkey",
+            "l_returnflag"),
+          fdSql("8_part_brand_type", "part", "p_brand", "p_type"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+      }))
 }

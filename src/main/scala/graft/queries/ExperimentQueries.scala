@@ -2565,7 +2565,183 @@ object ExperimentQueries {
                (SELECT MAX(CASE WHEN crossed THEN 1 ELSE 0 END) FROM w) = 1
                  AS any_crossed
         FROM w
-        ORDER BY look"""))
+        ORDER BY look""")),
+
+    // Neyman allocation — the OPTIMAL stratified-sampling design
+    // (allocate n_h ∝ N_h·S_h: big AND volatile strata get the sample),
+    // the step before any stratified A/B test or survey estimate; equal
+    // or proportional allocation wastes variance on homogeneous strata.
+    // Strata are the five order priorities, the variable is order value
+    // in cents. Everything stays exact: the sample variance is the
+    // integer lattice (N·Σx²−(Σx)²) div (N·(N−1)) on DECIMAL(38,0);
+    // N_h·S_h = isqrt(N_h²·s²_h) with the isqrt computed as
+    // floor(sqrt(double)) then corrected ±1 by EXACT decimal square
+    // comparison (the double is only a seed — the decision predicate is
+    // integer); the 1000-unit budget splits by floor shares with
+    // largest-remainder apportionment (rank over the 5-row stratum
+    // table — bounded, allowlisted). Scale: one partial-agg pass for
+    // the moments; everything after lives on a 5-row frame.
+    QueryDef(
+      "q351_neyman_allocation",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("stratum"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("v"))
+        val m = o.groupBy(col("stratum"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("v").cast("decimal(38,0)")).as("sx"),
+            sum((col("v").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)"))
+              .as("sxx"))
+          .withColumn("s2",
+            expr("""cast((cast(n_rows as decimal(38,0)) * sxx - sx * sx)
+                    div (cast(n_rows as decimal(38,0)) * (n_rows - 1))
+                    as bigint)"""))
+          .withColumn("arg", expr(
+            "cast(n_rows as decimal(38,0)) * n_rows * s2"))
+          .withColumn("s0", floor(sqrt(col("arg").cast("double"))).cast("long"))
+          .withColumn("w_h", expr(
+            """case when cast(s0 + 1 as decimal(38,0)) * (s0 + 1) <= arg
+                    then s0 + 1
+                    when cast(s0 as decimal(38,0)) * s0 <= arg then s0
+                    else s0 - 1 end"""))
+          .cutLineage()
+        val tot = m.agg(sum(col("w_h")).as("tw"), sum(col("n_rows")).as("tn"))
+        val base = m.crossJoin(broadcast(tot))
+          .withColumn("alloc_base", expr("(1000 * w_h) div tw"))
+          .withColumn("rem", expr("(1000 * w_h) % tw"))
+          .withColumn("w_share_ppm", expr("(w_h * 1000000) div tw"))
+        val short = base.agg((lit(1000L) - sum(col("alloc_base"))).as("k"))
+        base.crossJoin(broadcast(short))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("stratum"))).cast("long"))
+          .withColumn("alloc_neyman",
+            col("alloc_base") + when(col("rk") <= col("k"), 1L).otherwise(0L))
+          .select(col("stratum"), col("n_rows"), col("s2").as("s2_cents2"),
+            col("w_h"), col("w_share_ppm"), col("alloc_base"),
+            col("alloc_neyman"))
+          .orderBy(col("stratum"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS stratum,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+          FROM orders),
+        m0 AS (
+          SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx
+          FROM o GROUP BY 1),
+        m1 AS (
+          SELECT stratum, n_rows,
+                 CAST((CAST(n_rows AS HUGEINT) * sxx - sx * sx)
+                      // (CAST(n_rows AS HUGEINT) * (n_rows - 1))
+                      AS BIGINT) AS s2
+          FROM m0),
+        m2 AS (
+          SELECT stratum, n_rows, s2,
+                 CAST(n_rows AS HUGEINT) * n_rows * s2 AS arg,
+                 CAST(floor(sqrt(CAST(CAST(n_rows AS HUGEINT) * n_rows * s2
+                   AS DOUBLE))) AS BIGINT) AS s0
+          FROM m1),
+        m AS MATERIALIZED (
+          SELECT stratum, n_rows, s2,
+                 CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= arg
+                      THEN s0 + 1
+                      WHEN CAST(s0 AS HUGEINT) * s0 <= arg THEN s0
+                      ELSE s0 - 1 END AS w_h
+          FROM m2),
+        tot AS (SELECT CAST(SUM(w_h) AS BIGINT) AS tw FROM m),
+        base AS (
+          SELECT m.stratum, m.n_rows, m.s2, m.w_h,
+                 (1000 * m.w_h) // t.tw AS alloc_base,
+                 (1000 * m.w_h) % t.tw AS rem,
+                 (m.w_h * 1000000) // t.tw AS w_share_ppm
+          FROM m CROSS JOIN tot t),
+        short AS (SELECT 1000 - CAST(SUM(alloc_base) AS BIGINT) AS k
+                  FROM base)
+        SELECT stratum, n_rows, s2 AS s2_cents2, w_h, w_share_ppm,
+               alloc_base,
+               alloc_base + CASE WHEN CAST(row_number() OVER
+                   (ORDER BY rem DESC, stratum) AS BIGINT)
+                   <= (SELECT k FROM short)
+                 THEN 1 ELSE 0 END AS alloc_neyman
+        FROM base
+        ORDER BY stratum""")),
+
+    // Off-policy evaluation by inverse-propensity replay (IPS + SNIPS)
+    // — "what WOULD this targeting rule have earned?" answered from
+    // logged randomized data without a new experiment: keep exactly the
+    // rows where the logged action agrees with the target policy's
+    // action, weight each by 1/propensity (the logged policy is the
+    // q181 hash coin, so w = 2 exactly — the weights are rational and
+    // the whole estimator stays on the integer lattice), and read off
+    // V̂_IPS = Σ 2·m·r / n vs V̂_SNIPS = Σ m·r / Σ m (the
+    // self-normalized variant that trades a little bias for variance —
+    // with propensity exactly ½ their disagreement measures match-rate
+    // imbalance). Rewards are a deterministic synthetic uplift (60% vs
+    // 40% by cents residue) so the policy-value gap is real. Scale: one
+    // projection + one partial agg per segment — IPS is embarrassingly
+    // map-side; the replay filter is a predicate, not a join.
+    QueryDef(
+      "q353_ips_offpolicy",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("seg"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("cents"),
+            (md5BitsModK(md5Bits(concat(lit("pol:"), col("o_orderkey"))),
+              2L) === 0L).as("a1"))
+          .withColumn("r", when(col("a1"),
+              when(expr("cents % 10") < 6, 1L).otherwise(0L))
+            .otherwise(when(expr("cents % 10") < 4, 1L).otherwise(0L)))
+          .withColumn("tgt",
+            substring(col("seg"), 1, 1).isin("1", "2"))
+          .withColumn("m",
+            when(col("a1") === col("tgt"), 1L).otherwise(0L))
+        o.groupBy(col("seg")).agg(
+            count(lit(1)).as("n"),
+            sum(col("m")).as("n_matched"),
+            sum(col("m") * col("r")).as("sum_r_matched"),
+            sum(col("r")).as("sum_r_logged"))
+          .select(col("seg"), col("n"), col("n_matched"),
+            expr("(2 * sum_r_matched * 1000000) div n").as("ips_ppm"),
+            when(col("n_matched") > 0,
+              expr("(sum_r_matched * 1000000) div n_matched"))
+              .otherwise(0L).as("snips_ppm"),
+            expr("(sum_r_logged * 1000000) div n").as("logged_value_ppm"))
+          .orderBy(col("seg"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS seg,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS cents,
+                 (CAST(md5_number_lower('pol:' || o_orderkey) % 2 AS BIGINT)
+                   = 0) AS a1
+          FROM orders),
+        t AS (
+          SELECT seg,
+                 CASE WHEN a1 THEN
+                   CASE WHEN cents % 10 < 6 THEN 1 ELSE 0 END
+                 ELSE CASE WHEN cents % 10 < 4 THEN 1 ELSE 0 END END AS r,
+                 CASE WHEN a1 = (substring(seg, 1, 1) IN ('1', '2'))
+                      THEN 1 ELSE 0 END AS m
+          FROM o)
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS n_matched,
+               (2 * CAST(SUM(m * r) AS BIGINT) * 1000000) // COUNT(*)
+                 AS ips_ppm,
+               CAST(CASE WHEN SUM(m) > 0
+                    THEN (CAST(SUM(m * r) AS BIGINT) * 1000000)
+                         // CAST(SUM(m) AS BIGINT)
+                    ELSE 0 END AS BIGINT) AS snips_ppm,
+               (CAST(SUM(r) AS BIGINT) * 1000000) // COUNT(*)
+                 AS logged_value_ppm
+        FROM t
+        GROUP BY seg
+        ORDER BY seg"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:

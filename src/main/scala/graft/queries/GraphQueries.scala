@@ -1451,6 +1451,256 @@ object GraphQueries {
                  CAST((SELECT COUNT(*) FROM e2) AS BIGINT) AS n_edges_2)
         SELECT h.support, h.n_edges, c.n_edges_0, c.n_edges_1, c.n_edges_2
         FROM hist h CROSS JOIN cnt c
-        ORDER BY h.support"""))
+        ORDER BY h.support""")),
+
+    // Harmonic centrality (HyperBall estimate, radius-2 truncation) —
+    // the per-node CENTRALITY readout of q328's neighborhood sketches
+    // (Boldi-Vigna: HyperBall's headline application is exactly
+    // harmonic centrality at web scale, where per-node BFS is
+    // impossible). C_H(v) = Σ_{u≠v} 1/d(u,v) truncated at radius 2:
+    // (|B(v,1)|−1) + (|B(v,2)|−|B(v,1)|)/2, with ball sizes from the
+    // same Flajolet-Martin first-zero estimator as q328 — |B| ≈
+    // 2^R/0.77351 in x1000 integer units ((2^R·10⁸) div 77351, R capped
+    // at 40: past 10¹² nodes a production deployment is on per-node HLL
+    // registers anyway, and the cap keeps the lattice in int64).
+    // Monotone by construction (mask₂ ⊇ mask₁ ⇒ R₂ ≥ R₁), so the
+    // 2-hop shell term is never negative. Gate: top-20 nodes by
+    // estimated harmonic centrality (total tiebreak on node id).
+    // Scale: two bit_or Pregel supersteps (8 bytes state per node) +
+    // one TakeOrdered(20) — no per-node BFS, nothing data-proportional
+    // in a single task.
+    QueryDef(
+      "q358_harmonic_centrality",
+      (s, dir) => {
+        import graft.functions.Kernels.md5Lower64
+        val pairs = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("sk"), col("l_partkey").as("pk"))
+          .distinct()
+        val edges = pairs
+          .select(col("sk").as("src"), (col("pk") + 10000000L).as("dst"))
+          .unionByName(pairs.select((col("pk") + 10000000L).as("src"),
+            col("sk").as("dst")))
+          .cutLineage()
+        val m0 = edges.select(col("src").as("node")).distinct()
+          .withColumn("h",
+            pmod(md5Lower64(concat(lit("anf:"), col("node"))),
+              lit(4611686018427387904L)).cast("long"))
+          .withColumn("ntz",
+            least(bit_count(col("h").bitwiseAND(-col("h")) - 1), lit(61))
+              .cast("int"))
+          .select(col("node"), expr("shiftleft(1L, ntz)").as("mask"))
+          .cutLineage()
+        def round(m: org.apache.spark.sql.DataFrame) =
+          m.select(col("node"), col("mask"))
+            .unionByName(edges
+              .join(m.withColumnRenamed("node", "src"), Seq("src"))
+              .select(col("dst").as("node"), col("mask")))
+            .groupBy(col("node"))
+            .agg(expr("bit_or(mask)").as("mask"))
+        val m1 = round(m0).cutLineage()
+        val m2 = round(m1)
+        def rOf(m: org.apache.spark.sql.DataFrame, name: String) =
+          m.select(col("node"),
+            least(bit_count((expr("~mask").bitwiseAND(col("mask") + 1)) - 1),
+              lit(40)).cast("long").as(name))
+        rOf(m1, "r1").join(rOf(m2, "r2"), Seq("node"))
+          .withColumn("est1_x1000", expr(
+            "(shiftleft(1L, cast(r1 as int)) * 100000000) div 77351"))
+          .withColumn("est2_x1000", expr(
+            "(shiftleft(1L, cast(r2 as int)) * 100000000) div 77351"))
+          .withColumn("harm_x1000", expr(
+            "(est1_x1000 - 1000) + (est2_x1000 - est1_x1000) div 2"))
+          .select(col("node"), col("r1"), col("r2"), col("est1_x1000"),
+            col("est2_x1000"), col("harm_x1000"))
+          .orderBy(col("harm_x1000").desc, col("node"))
+          .limit(20)
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem),
+        edges AS (
+          SELECT sk AS src, pk + 10000000 AS dst FROM pairs
+          UNION ALL
+          SELECT pk + 10000000 AS src, sk AS dst FROM pairs),
+        m0 AS (
+          SELECT node,
+                 1::BIGINT << LEAST(CAST(bit_count((h & -h) - 1) AS INT), 61)
+                   AS mask
+          FROM (
+            SELECT DISTINCT src AS node,
+                   CAST(md5_number_lower('anf:' || CAST(src AS VARCHAR))
+                        % 4611686018427387904 AS BIGINT) AS h
+            FROM edges)),
+        m1 AS MATERIALIZED (
+          SELECT node, bit_or(mask) AS mask FROM (
+            SELECT node, mask FROM m0
+            UNION ALL
+            SELECT e.dst AS node, m.mask
+            FROM edges e JOIN m0 m ON m.node = e.src)
+          GROUP BY 1),
+        m2 AS (
+          SELECT node, bit_or(mask) AS mask FROM (
+            SELECT node, mask FROM m1
+            UNION ALL
+            SELECT e.dst AS node, m.mask
+            FROM edges e JOIN m1 m ON m.node = e.src)
+          GROUP BY 1),
+        rr AS (
+          SELECT a.node,
+                 CAST(LEAST(bit_count(((~a.mask) & (a.mask + 1)) - 1), 40)
+                      AS BIGINT) AS r1,
+                 CAST(LEAST(bit_count(((~b.mask) & (b.mask + 1)) - 1), 40)
+                      AS BIGINT) AS r2
+          FROM m1 a JOIN m2 b ON b.node = a.node),
+        est AS (
+          SELECT node, r1, r2,
+                 ((1::BIGINT << CAST(r1 AS INT)) * 100000000) // 77351
+                   AS est1_x1000,
+                 ((1::BIGINT << CAST(r2 AS INT)) * 100000000) // 77351
+                   AS est2_x1000
+          FROM rr)
+        SELECT node, r1, r2, est1_x1000, est2_x1000,
+               (est1_x1000 - 1000) + (est2_x1000 - est1_x1000) // 2
+                 AS harm_x1000
+        FROM est
+        ORDER BY harm_x1000 DESC, node
+        LIMIT 20""")),
+
+    // Strongly connected components of the international supply graph —
+    // the DIRECTED-graph primitive the symmetric CC family (q48/q93)
+    // cannot express: nation A → nation B when A's customers buy from
+    // B's suppliers ABOVE the mean edge weight (the relative threshold
+    // keeps the graph sf-invariant in shape, never complete). SCC by
+    // transitive-closure SQUARING on the nation-domain edge frame:
+    // closure_{k+1} = closure_k ∪ (closure_k ∘ closure_k) doubles the
+    // covered path length per round, so 5 rounds reach length 32 > any
+    // diameter on a ≤25-node domain — and a 6th compose is gated to add
+    // NOTHING (converged=true, the audit that the fixed round count
+    // suffices). scc(v) = min(v, min{u : v→u ∧ u→v}). Scale: the 100 TB
+    // work is ONE partial-aggregable rollup to the nation-pair grain
+    // (≤625 rows); every squaring joins value-domain-bounded frames —
+    // the membership matrix never touches data volume. A >10⁵-node
+    // deployment switches to the FW-BW/coloring decomposition under
+    // CheckpointPolicy; the threshold rollup stays identical.
+    QueryDef(
+      "q359_scc_trade_graph",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").cast("long").as("cn"))
+        val supp = Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey").cast("long").as("sn"))
+        val w = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .where(col("cn") =!= col("sn"))
+          .groupBy(col("cn").as("src"), col("sn").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .cutLineage()
+        val tot = w.agg(sum(col("w")).as("tw"), count(lit(1)).as("ne"))
+        val e = w.crossJoin(broadcast(tot))
+          .where(col("w") * col("ne") >= col("tw"))
+          .select(col("src"), col("dst"))
+          .cutLineage()
+        def sq(c: org.apache.spark.sql.DataFrame) =
+          c.unionByName(
+            c.select(col("src"), col("dst").as("m"))
+              .join(c.select(col("src").as("m"), col("dst").as("d2")), Seq("m"))
+              .select(col("src"), col("d2").as("dst")))
+            .distinct().cutLineage()
+        val c5 = Iterator.iterate(e)(sq).drop(5).next()
+        val c6 = sq(c5)
+        val conv = c5.agg(count(lit(1)).as("n5"))
+          .crossJoin(c6.agg(count(lit(1)).as("n6")))
+          .select((col("n5") === col("n6")).as("converged"))
+        val nodes = e.select(col("src").as("node"))
+          .unionByName(e.select(col("dst").as("node"))).distinct()
+        val mutual = c5.as("f")
+          .join(c5.as("b"),
+            col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
+          .select(col("f.src").as("node"), col("f.dst").as("u"))
+        val scc = nodes.join(mutual, Seq("node"), "left")
+          .groupBy(col("node"))
+          .agg(least(col("node"), coalesce(min(col("u")), col("node")))
+            .as("scc_id"))
+        val nk = e.agg(count(lit(1)).as("n_edges_kept"))
+        scc.groupBy(col("scc_id"))
+          .agg(count(lit(1)).as("n_members"),
+            array_join(expr("transform(array_sort(collect_list(node)), " +
+              "x -> cast(x as string))"), ",").as("members"))
+          .crossJoin(broadcast(nk))
+          .crossJoin(broadcast(conv))
+          .select(col("scc_id"), col("n_members"), col("members"),
+            col("n_edges_kept"), col("converged"))
+          .orderBy(col("scc_id"))
+      },
+      Some("""
+        WITH w AS MATERIALIZED (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                 CAST(COUNT(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          WHERE c.c_nationkey <> s.s_nationkey
+          GROUP BY 1, 2),
+        tot AS (SELECT SUM(w) AS tw, COUNT(*) AS ne FROM w),
+        e AS MATERIALIZED (
+          SELECT src, dst FROM w CROSS JOIN tot
+          WHERE w * ne >= tw),
+        c1 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e
+            UNION ALL
+            SELECT x.src, y.dst FROM e x JOIN e y ON x.dst = y.src)),
+        c2 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM c1
+            UNION ALL
+            SELECT x.src, y.dst FROM c1 x JOIN c1 y ON x.dst = y.src)),
+        c3 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM c2
+            UNION ALL
+            SELECT x.src, y.dst FROM c2 x JOIN c2 y ON x.dst = y.src)),
+        c4 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM c3
+            UNION ALL
+            SELECT x.src, y.dst FROM c3 x JOIN c3 y ON x.dst = y.src)),
+        c5 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM c4
+            UNION ALL
+            SELECT x.src, y.dst FROM c4 x JOIN c4 y ON x.dst = y.src)),
+        c6 AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM c5
+            UNION ALL
+            SELECT x.src, y.dst FROM c5 x JOIN c5 y ON x.dst = y.src)),
+        conv AS (
+          SELECT (SELECT COUNT(*) FROM c5) = (SELECT COUNT(*) FROM c6)
+            AS converged),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        mutual AS (
+          SELECT f.src AS node, f.dst AS u
+          FROM c5 f JOIN c5 b ON f.src = b.dst AND f.dst = b.src),
+        scc AS (
+          SELECT n.node,
+                 LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc_id
+          FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+          GROUP BY n.node),
+        nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges_kept FROM e)
+        SELECT s.scc_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+               string_agg(CAST(s.node AS VARCHAR), ',' ORDER BY s.node)
+                 AS members,
+               nk.n_edges_kept, conv.converged
+        FROM scc s CROSS JOIN nk CROSS JOIN conv
+        GROUP BY s.scc_id, nk.n_edges_kept, conv.converged
+        ORDER BY s.scc_id"""))
   )
 }

@@ -408,5 +408,88 @@ object LayoutQueries {
                     WHEN ndv * 20 <= n THEN 'dict'
                     ELSE 'plain' END AS encoding
         FROM stats
-        ORDER BY col_name""")))
+        ORDER BY col_name""")),
+
+    // Shard-rebalancing audit: mod-N vs rendezvous (HRW) placement when
+    // a 9th shard joins an 8-shard layout — the data-movement number
+    // that decides whether growing a bucketed table / kv store forces a
+    // full rewrite. Mod-N remaps every key whose hash changes residue
+    // (8/9 of keys, ≈889k ppm — CRT: only h ≡ r (mod 72), r < 8 stay);
+    // rendezvous hashing moves ONLY keys whose argmax lands on the new
+    // shard (1/9, ≈111k ppm — the minimal-disruption optimum). Both on
+    // the exact md5 lattice: HRW score = md5Lower64("hrw:s:key"),
+    // winner = lexicographic max (score, s) — a 9-way bounded fan-out
+    // + one partial-agg argmax per key, no shuffle beyond the key
+    // rollup; the verdict booleans pin both fractions to their
+    // birthday-free expectations. At 100 TB this is the audit run
+    // BEFORE a resharding migration to size the copy job.
+    QueryDef(
+      "q352_rendezvous_sharding",
+      (s, dir) => {
+        val k = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+        val e = k.select(col("k"), explode(expr("sequence(0, 8)")).as("s"))
+          .select(col("k"), col("s").cast("long").as("s"),
+            md5Lower64(concat(lit("hrw:"), col("s").cast("string"),
+              lit(":"), col("k").cast("string"))).as("score"))
+        val hrw = e.groupBy(col("k")).agg(
+            max(when(col("s") <= 7L, struct(col("score"), col("s")))).as("o"),
+            max(struct(col("score"), col("s"))).as("n"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(when(col("o.s") =!= col("n.s"), 1L).otherwise(0L))
+              .as("n_moved"))
+          .withColumn("scheme", lit("hrw"))
+        val h = k.select(Kernels.md5Bits(concat(lit("mod:"),
+          col("k").cast("string"))).as("h"))
+        val md = h.agg(count(lit(1)).as("n_keys"),
+            sum(when(Kernels.md5BitsModK(col("h"), 8L) =!=
+              Kernels.md5BitsModK(col("h"), 9L), 1L).otherwise(0L))
+              .as("n_moved"))
+          .withColumn("scheme", lit("mod"))
+        hrw.unionAll(md)
+          .withColumn("moved_ppm", expr("(n_moved * 1000000) div n_keys"))
+          .withColumn("within_expected",
+            when(col("scheme") === "hrw",
+              col("moved_ppm").between(80000L, 145000L))
+              .otherwise(col("moved_ppm").between(850000L, 925000L)))
+          .select(col("scheme"), col("n_keys"), col("n_moved"),
+            col("moved_ppm"), col("within_expected"))
+          .orderBy(col("scheme"))
+      },
+      Some("""
+        WITH k AS (SELECT o_orderkey AS k FROM orders),
+        e AS (
+          SELECT k.k, s.s,
+                 md5_number_lower('hrw:' || s.s || ':' || k.k) AS score
+          FROM k, (SELECT unnest(range(0, 9)) AS s) s),
+        oldw AS (
+          SELECT k, s FROM (
+            SELECT k, s, row_number() OVER (PARTITION BY k
+              ORDER BY score DESC, s DESC) AS rn
+            FROM e WHERE s <= 7) WHERE rn = 1),
+        neww AS (
+          SELECT k, s FROM (
+            SELECT k, s, row_number() OVER (PARTITION BY k
+              ORDER BY score DESC, s DESC) AS rn
+            FROM e) WHERE rn = 1),
+        hrw AS (
+          SELECT 'hrw' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(CASE WHEN o.s <> n.s THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_moved
+          FROM oldw o JOIN neww n USING (k)),
+        md AS (
+          SELECT 'mod' AS scheme, CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(CASE WHEN md5_number_lower('mod:' || k) % 8
+                        <> md5_number_lower('mod:' || k) % 9
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+          FROM k),
+        u AS (SELECT * FROM hrw UNION ALL SELECT * FROM md)
+        SELECT scheme, n_keys, n_moved,
+               (n_moved * 1000000) // n_keys AS moved_ppm,
+               CASE WHEN scheme = 'hrw'
+                    THEN (n_moved * 1000000) // n_keys
+                         BETWEEN 80000 AND 145000
+                    ELSE (n_moved * 1000000) // n_keys
+                         BETWEEN 850000 AND 925000 END AS within_expected
+        FROM u
+        ORDER BY scheme""")))
 }

@@ -322,5 +322,83 @@ object LmQueries {
                CAST(SUM(p_ppm) AS BIGINT) // COUNT(*) AS mean_p_ppm
         FROM scored
         GROUP BY doc_id
-        ORDER BY doc_id""")))
+        ORDER BY doc_id""")),
+
+    // Good-Turing frequency smoothing — the count-of-counts view that
+    // q345's Kneser-Ney discount approximates with a constant: N_r =
+    // how many unigram types occur exactly r times, the GT adjusted
+    // count r* = (r+1)·N_{r+1}/N_r, and the UNSEEN-MASS estimate
+    // p₀ = N₁/N (the leave-one-out identity: singletons today predict
+    // novel types tomorrow — the number a crawler uses to decide if a
+    // source is mined out, and an LM uses to hold out probability for
+    // OOV). All ratios are single floored ppm divisions on exact
+    // counts. The r ≤ 5 rows are where GT is actually used (high-r
+    // counts are kept raw — N_r is too noisy there, the textbook
+    // caveat); r = 0 carries the unseen mass. Scale: one token count,
+    // one count-of-counts rollup (frame size = max frequency, data-
+    // bounded but tiny), one 6-row report — pure map-combine. The
+    // smoothed band is RELATIVE (r ≤ min r + 4): the synthetic corpus
+    // has a closed 31-type vocab whose rarest type occurs 26 times, so
+    // an absolute r ≤ 5 cut would be vacuously empty at every SF;
+    // anchoring at the observed minimum keeps the "noisiest tail of
+    // the count-of-counts curve" semantics on any corpus.
+    QueryDef(
+      "q357_good_turing",
+      (s, dir) => {
+        val f = Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("r"))
+        val tot = f.agg(sum(col("r")).as("n_tokens"),
+          count(lit(1)).as("vocab"), min(col("r")).as("r_min"))
+          .cutLineage()
+        val cc = f.groupBy(col("r")).agg(count(lit(1)).as("n_r"))
+          .cutLineage()
+        val base = cc.crossJoin(broadcast(tot.select(col("r_min"))))
+          .where(col("r") <= col("r_min") + 4).drop("r_min")
+          .join(cc.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+            Seq("r"), "left")
+          .select(col("r"), col("n_r"), coalesce(col("n_r1"), lit(0L))
+            .as("n_r_plus1"))
+        val zero = cc.where(col("r") === 1)
+          .select(lit(0L).as("r"), lit(0L).as("n_r"),
+            col("n_r").as("n_r_plus1"))
+        zero.unionAll(base).crossJoin(broadcast(tot))
+          .withColumn("gt_ppm",
+            when(col("r") === 0L, expr("(n_r_plus1 * 1000000) div n_tokens"))
+              .otherwise(when(col("n_r") > 0,
+                expr("((r + 1) * n_r_plus1 * 1000000) div n_r"))
+                .otherwise(0L)))
+          .select(col("r"), col("n_r"), col("n_r_plus1"), col("gt_ppm"),
+            col("n_tokens"), col("vocab"))
+          .orderBy(col("r"))
+      },
+      Some("""
+        WITH f AS MATERIALIZED (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS r FROM (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+          GROUP BY 1),
+        tot AS (SELECT CAST(SUM(r) AS BIGINT) AS n_tokens,
+                       CAST(COUNT(*) AS BIGINT) AS vocab,
+                       MIN(r) AS r_min FROM f),
+        cc AS MATERIALIZED (
+          SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM f GROUP BY 1),
+        base AS (
+          SELECT c.r, c.n_r, COALESCE(c1.n_r, 0) AS n_r_plus1
+          FROM cc c CROSS JOIN tot t
+          LEFT JOIN cc c1 ON c1.r = c.r + 1
+          WHERE c.r <= t.r_min + 4),
+        zero AS (
+          SELECT CAST(0 AS BIGINT) AS r, CAST(0 AS BIGINT) AS n_r,
+                 n_r AS n_r_plus1
+          FROM cc WHERE r = 1),
+        u AS (SELECT * FROM zero UNION ALL SELECT * FROM base)
+        SELECT u.r, u.n_r, u.n_r_plus1,
+               CASE WHEN u.r = 0
+                    THEN (u.n_r_plus1 * 1000000) // t.n_tokens
+                    WHEN u.n_r > 0
+                    THEN ((u.r + 1) * u.n_r_plus1 * 1000000) // u.n_r
+                    ELSE 0 END AS gt_ppm,
+               t.n_tokens, t.vocab
+        FROM u CROSS JOIN tot t
+        ORDER BY u.r""")))
 }

@@ -856,6 +856,346 @@ object RobustStatsQueries {
                  AS trend_significant
         FROM nm JOIN s ON s.segment = nm.segment
         JOIN ties ON ties.segment = nm.segment
-        ORDER BY nm.segment"""))
+        ORDER BY nm.segment""")),
+
+    // Blocking-quality audit — the two record-linkage metrics that
+    // judge ANY blocking scheme (Christen's pair completeness and
+    // reduction ratio), here applied to q193's sorted-neighborhood
+    // blocking: of all TRUE near-matches (Levenshtein ≤ 2 within
+    // brand), what fraction does the candidate set catch, and how much
+    // of the quadratic all-pairs space does blocking avoid? The
+    // completeness ground truth needs within-block ALL-PAIRS
+    // Levenshtein — inherently quadratic — so it runs on a BOUNDED
+    // audit slice (p_partkey < 4000, a value-domain rule: constant
+    // cost at any sf — the q167 lesson applied up front, not
+    // retrofitted), while the reduction ratio needs only COUNTS
+    // (possible pairs = m(m−1)/2 in closed form) and covers the full
+    // corpus. Candidates and truth normalize to the (least, greatest)
+    // pair key before intersecting. Scale: blocking is linear
+    // (rank window keyed by brand, offsets 1-2); the only quadratic
+    // piece is the fixed-size audit slice.
+    QueryDef(
+      "q343_blocking_quality",
+      (s, dir) => {
+        val p = Tables.part(s, dir).select(col("p_brand").as("brand"),
+          col("p_partkey").as("pk"), col("p_name").as("nm"))
+        val r = p.withColumn("rn",
+            row_number().over(Window.partitionBy(col("brand"))
+              .orderBy(col("nm"), col("pk"))).cast("long"))
+          .cutLineage()
+        val probes = r.withColumn("off", explode(array(lit(1L), lit(2L))))
+          .select(col("brand"), col("pk").as("pk_a"),
+            (col("rn") + col("off")).as("rn_b"))
+        val cand = probes.join(
+            r.select(col("brand"), col("pk").as("pk_b"),
+              col("rn").as("rn_b")), Seq("brand", "rn_b"))
+          .select(col("brand"),
+            least(col("pk_a"), col("pk_b")).as("ka"),
+            greatest(col("pk_a"), col("pk_b")).as("kb"))
+          .cutLineage()
+        val sample = r.where(col("pk") < 4000)
+          .select(col("brand"), col("pk"), col("nm"))
+        val truth = sample.as("x").join(sample.as("y"),
+            col("x.brand") === col("y.brand") &&
+              col("x.pk") < col("y.pk"))
+          .where(levenshtein(col("x.nm"), col("y.nm")) <= 2)
+          .select(col("x.brand").as("brand"), col("x.pk").as("ka"),
+            col("y.pk").as("kb"))
+          .cutLineage()
+        val caught = truth.join(cand, Seq("brand", "ka", "kb"), "left_semi")
+          .groupBy(col("brand")).agg(count(lit(1)).as("n_caught"))
+        val tb = truth.groupBy(col("brand")).agg(count(lit(1)).as("n_true"))
+        val cb = cand.groupBy(col("brand")).agg(count(lit(1)).as("n_cand"))
+        val mb = r.groupBy(col("brand")).agg(count(lit(1)).as("m"))
+        mb.join(cb, Seq("brand"), "left")
+          .join(tb, Seq("brand"), "left")
+          .join(caught, Seq("brand"), "left")
+          .select(col("brand"), col("m"),
+            coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+            expr("(m * (m - 1)) div 2").as("n_possible"),
+            coalesce(col("n_true"), lit(0L)).as("n_true"),
+            coalesce(col("n_caught"), lit(0L)).as("n_caught"))
+          .withColumn("completeness_ppm",
+            when(col("n_true") > 0,
+              expr("(n_caught * 1000000) div n_true"))
+              .otherwise(lit(1000000L)))
+          .withColumn("reduction_ppm",
+            when(col("n_possible") > 0,
+              lit(1000000L) - expr("(n_cand * 1000000) div n_possible"))
+              .otherwise(lit(1000000L)))
+          .orderBy(col("brand"))
+      },
+      Some("""
+        WITH r AS MATERIALIZED (
+          SELECT p_brand AS brand, p_partkey AS pk, p_name AS nm,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                   ORDER BY p_name, p_partkey) AS BIGINT) AS rn
+          FROM part),
+        cand AS MATERIALIZED (
+          SELECT a.brand,
+                 LEAST(a.pk, b.pk) AS ka, GREATEST(a.pk, b.pk) AS kb
+          FROM r a JOIN r b
+            ON a.brand = b.brand AND b.rn - a.rn IN (1, 2)),
+        sample AS MATERIALIZED (
+          SELECT brand, pk, nm FROM r WHERE pk < 4000),
+        truth AS MATERIALIZED (
+          SELECT x.brand, x.pk AS ka, y.pk AS kb
+          FROM sample x JOIN sample y
+            ON x.brand = y.brand AND x.pk < y.pk
+          WHERE levenshtein(x.nm, y.nm) <= 2),
+        caught AS (
+          SELECT t.brand, CAST(COUNT(*) AS BIGINT) AS n_caught
+          FROM truth t
+          WHERE EXISTS (SELECT 1 FROM cand c
+                        WHERE c.brand = t.brand AND c.ka = t.ka
+                          AND c.kb = t.kb)
+          GROUP BY 1),
+        tb AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_true
+               FROM truth GROUP BY 1),
+        cb AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_cand
+               FROM cand GROUP BY 1),
+        mb AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS m
+               FROM r GROUP BY 1)
+        SELECT mb.brand, mb.m,
+               COALESCE(cb.n_cand, 0) AS n_cand,
+               (mb.m * (mb.m - 1)) // 2 AS n_possible,
+               COALESCE(tb.n_true, 0) AS n_true,
+               COALESCE(ca.n_caught, 0) AS n_caught,
+               CASE WHEN COALESCE(tb.n_true, 0) > 0
+                    THEN (COALESCE(ca.n_caught, 0) * 1000000)
+                         // tb.n_true
+                    ELSE 1000000 END AS completeness_ppm,
+               CASE WHEN (mb.m * (mb.m - 1)) // 2 > 0
+                    THEN 1000000 - (COALESCE(cb.n_cand, 0) * 1000000)
+                         // ((mb.m * (mb.m - 1)) // 2)
+                    ELSE 1000000 END AS reduction_ppm
+        FROM mb
+        LEFT JOIN cb ON cb.brand = mb.brand
+        LEFT JOIN tb ON tb.brand = mb.brand
+        LEFT JOIN caught ca ON ca.brand = mb.brand
+        ORDER BY mb.brand""")),
+
+    // Hodges-Lehmann estimators — the rank-family POINT estimates that
+    // complement the Mann-Whitney TEST (q191): the one-sample
+    // pseudo-median (median of all Walsh averages (xᵢ+xⱼ)/2, i ≤ j; 29%
+    // breakdown, ~0.96 Gaussian efficiency — beats both mean and median)
+    // and the two-sample location shift (median of all pairwise
+    // differences xᵢ−yⱼ — what the Wilcoxon test actually estimates).
+    // Both are inherently pairwise, so they run on a BOUNDED audit slice
+    // (o_custkey < 300, a value-domain rule — constant pair count at any
+    // sf, the q343 stance); arms are the q191 hash coin so the estimate
+    // is a null-calibration. Exactness: Walsh averages carry as the SUM
+    // xᵢ+xⱼ (2·HL, no halving, stays on the cents lattice); the median
+    // pick is a row_number position select — the VALUE at rank
+    // ⌈n/2⌉ is deterministic regardless of tie order. Scale: pair
+    // generation is per-segment within the fixed slice; the rank pick
+    // windows partition per segment over bounded pair sets.
+    QueryDef(
+      "q347_hodges_lehmann",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).where(col("o_custkey") < 300)
+          .select(col("o_orderpriority").as("seg"), col("o_orderkey").as("k"),
+            cents(col("o_totalprice")).as("v"),
+            (md5BitsModK(md5Bits(concat(lit("hl:"), col("o_orderkey"))),
+              2L) === 0L).as("ctl"))
+          .cutLineage()
+        val walsh = o.as("x").join(o.as("y"),
+            col("x.seg") === col("y.seg") && col("x.k") <= col("y.k"))
+          .select(col("x.seg").as("seg"),
+            (col("x.v") + col("y.v")).as("w2"),
+            col("x.k").as("ka"), col("y.k").as("kb"))
+        val ww = Window.partitionBy(col("seg"))
+          .orderBy(col("w2"), col("ka"), col("kb"))
+        val hl1 = walsh
+          .withColumn("rn", row_number().over(ww).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("seg"))))
+          .where(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("seg"), col("cnt").as("n_walsh_pairs"),
+            col("w2").as("hl2_cents"))
+        val diffs = o.as("x").join(o.as("y"),
+            col("x.seg") === col("y.seg") && !col("x.ctl") && col("y.ctl"))
+          .select(col("x.seg").as("seg"),
+            (col("x.v") - col("y.v")).as("d"),
+            col("x.k").as("ka"), col("y.k").as("kb"))
+        val wd = Window.partitionBy(col("seg"))
+          .orderBy(col("d"), col("ka"), col("kb"))
+        val hl2 = diffs
+          .withColumn("rn", row_number().over(wd).cast("long"))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("seg"))))
+          .where(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("seg"), col("cnt").as("n_diff_pairs"),
+            col("d").as("shift_cents"))
+        val nn = o.groupBy(col("seg")).agg(count(lit(1)).as("n"),
+          sum(when(col("ctl"), 1L).otherwise(0L)).as("n_ctl"))
+        nn.join(hl1, Seq("seg")).join(hl2, Seq("seg"))
+          .orderBy(col("seg"))
+      },
+      Some("""
+        WITH o AS MATERIALIZED (
+          SELECT o_orderpriority AS seg, o_orderkey AS k,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS v,
+                 (CAST(md5_number_lower('hl:' || o_orderkey) % 2 AS BIGINT)
+                   = 0) AS ctl
+          FROM orders WHERE o_custkey < 300),
+        walsh AS (
+          SELECT x.seg, x.v + y.v AS w2, x.k AS ka, y.k AS kb
+          FROM o x JOIN o y ON x.seg = y.seg AND x.k <= y.k),
+        hl1 AS (
+          SELECT seg, cnt AS n_walsh_pairs, w2 AS hl2_cents FROM (
+            SELECT seg, w2,
+                   CAST(row_number() OVER (PARTITION BY seg
+                     ORDER BY w2, ka, kb) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS cnt
+            FROM walsh)
+          WHERE rn = (cnt + 1) // 2),
+        diffs AS (
+          SELECT x.seg, x.v - y.v AS d, x.k AS ka, y.k AS kb
+          FROM o x JOIN o y ON x.seg = y.seg AND NOT x.ctl AND y.ctl),
+        hl2 AS (
+          SELECT seg, cnt AS n_diff_pairs, d AS shift_cents FROM (
+            SELECT seg, d,
+                   CAST(row_number() OVER (PARTITION BY seg
+                     ORDER BY d, ka, kb) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY seg) AS BIGINT) AS cnt
+            FROM diffs)
+          WHERE rn = (cnt + 1) // 2),
+        nn AS (
+          SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN ctl THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_ctl
+          FROM o GROUP BY 1)
+        SELECT nn.seg, nn.n, nn.n_ctl, h1.n_walsh_pairs, h1.hl2_cents,
+               h2.n_diff_pairs, h2.shift_cents
+        FROM nn JOIN hl1 h1 ON h1.seg = nn.seg
+        JOIN hl2 h2 ON h2.seg = nn.seg
+        ORDER BY nn.seg""")),
+
+    // Kruskal-Wallis H — the k-group extension of q191's Mann-Whitney
+    // (one-way ANOVA on ranks, no normality assumed): do the five order
+    // priorities draw order values from the same distribution? Rank
+    // machinery is q191's verbatim: distinct-value partial agg with
+    // per-group conditional counts, cntlt via the two-level value-range
+    // bucket scheme (no data-proportional global window on the Spark
+    // side), midranks carried as the DOUBLE-RANK integer 2·cntlt+cnt+1
+    // so tie averages never leave the int64 lattice. The statistic
+    // H = 3·Σᵢ Tᵢ²/nᵢ / (n(n+1)) − 3(n+1) (Tᵢ = double-rank group sum)
+    // and its tie correction H/C, C = 1 − Σ(t³−t)/(n³−n), are one-shot
+    // doubles from int64-exact operands in ONE spelled-out association
+    // order (the q191 stance — bit-identical across engines); the
+    // verdict compares against chi²₀.₉₅(df=4) = 9.487729036781154.
+    // Scale: everything collapses at the distinct-value rollup;
+    // the 5-group pivot is a single row.
+    QueryDef(
+      "q356_kruskal_wallis",
+      (s, dir) => {
+        val gs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW")
+        val base = Tables.orders(s, dir)
+          .select(cents(col("o_totalprice")).as("v"),
+            col("o_orderpriority").as("g"))
+        val dv = base.groupBy(col("v")).agg(
+          count(lit(1)).as("cnt"),
+          gs.zipWithIndex.map { case (p, i) =>
+            sum(when(col("g") === p, 1L).otherwise(0L)).as(s"c${i + 1}")
+          }: _*)
+        val bucketed = dv.withColumn("bucket", expr("v div 65536"))
+        val boff = bucketed.groupBy(col("bucket"))
+          .agg(sum(col("cnt")).as("bcnt"))
+          .withColumn("offset",
+            coalesce(sum(col("bcnt")).over(Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bucket"), col("offset"))
+        val wB = Window.partitionBy(col("bucket")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val ranked = bucketed.join(broadcast(boff), "bucket")
+          .withColumn("cntlt",
+            col("offset") + sum(col("cnt")).over(wB) - col("cnt"))
+        val aggCols =
+          sum(col("cnt")).as("n") +:
+            sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("t3") +:
+            gs.indices.flatMap { i =>
+              val tn = if (i == 2) "t3x" else s"t${i + 1}"
+              Seq(sum(col(s"c${i + 1}")).as(s"n${i + 1}"),
+                sum(col(s"c${i + 1}").cast(DecimalType(38, 0)) *
+                  (col("cntlt") * 2 + col("cnt") + 1))
+                  .cast("long").as(tn))
+            }
+        val agg = ranked.groupBy().agg(aggCols.head, aggCols.tail: _*)
+        agg
+          .withColumn("s", expr(
+            """cast(t1 as double)*cast(t1 as double)/cast(n1 as double)
+             + cast(t2 as double)*cast(t2 as double)/cast(n2 as double)
+             + cast(t3x as double)*cast(t3x as double)/cast(n3 as double)
+             + cast(t4 as double)*cast(t4 as double)/cast(n4 as double)
+             + cast(t5 as double)*cast(t5 as double)/cast(n5 as double)"""))
+          .withColumn("h", expr(
+            """(3.0 * s) / (cast(n as double) * (cast(n as double) + 1.0))
+               - 3.0 * (cast(n as double) + 1.0)"""))
+          .withColumn("c", expr(
+            """1.0 - cast(t3 as double)
+               / (cast(n as double) * cast(n as double) * cast(n as double)
+                  - cast(n as double))"""))
+          .withColumn("h_c", expr("h / c"))
+          .select(col("n"), col("n1"), col("n2"), col("n3"), col("n4"),
+            col("n5"), col("t3").as("tie_cubes"), col("h"), col("h_c"),
+            (col("h_c") > 9.487729036781154).as("significant"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                   AS v,
+                 o_orderpriority AS g
+          FROM orders),
+        dv AS (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(CASE WHEN g='1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN g='2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN g='3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                 CAST(SUM(CASE WHEN g='4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                 CAST(SUM(CASE WHEN g='5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c5
+          FROM base GROUP BY v),
+        ranked AS (
+          SELECT v, cnt, c1, c2, c3, c4, c5,
+                 CAST(COALESCE(SUM(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),0)
+                   AS BIGINT) AS cntlt
+          FROM dv),
+        agg AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(CAST(cnt AS HUGEINT)*cnt*cnt - cnt) AS BIGINT) AS t3,
+                 CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(CAST(c1 AS HUGEINT)*(2*cntlt + cnt + 1)) AS BIGINT) AS t1,
+                 CAST(SUM(c2) AS BIGINT) AS n2,
+                 CAST(SUM(CAST(c2 AS HUGEINT)*(2*cntlt + cnt + 1)) AS BIGINT) AS t2,
+                 CAST(SUM(c3) AS BIGINT) AS n3,
+                 CAST(SUM(CAST(c3 AS HUGEINT)*(2*cntlt + cnt + 1)) AS BIGINT) AS t3x,
+                 CAST(SUM(c4) AS BIGINT) AS n4,
+                 CAST(SUM(CAST(c4 AS HUGEINT)*(2*cntlt + cnt + 1)) AS BIGINT) AS t4,
+                 CAST(SUM(c5) AS BIGINT) AS n5,
+                 CAST(SUM(CAST(c5 AS HUGEINT)*(2*cntlt + cnt + 1)) AS BIGINT) AS t5
+          FROM ranked),
+        st AS (
+          SELECT *,
+                 CAST(t1 AS DOUBLE)*CAST(t1 AS DOUBLE)/CAST(n1 AS DOUBLE)
+               + CAST(t2 AS DOUBLE)*CAST(t2 AS DOUBLE)/CAST(n2 AS DOUBLE)
+               + CAST(t3x AS DOUBLE)*CAST(t3x AS DOUBLE)/CAST(n3 AS DOUBLE)
+               + CAST(t4 AS DOUBLE)*CAST(t4 AS DOUBLE)/CAST(n4 AS DOUBLE)
+               + CAST(t5 AS DOUBLE)*CAST(t5 AS DOUBLE)/CAST(n5 AS DOUBLE)
+                 AS s
+          FROM agg),
+        hs AS (
+          SELECT *,
+                 (CAST(3.0 AS DOUBLE) * s)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE)
+                      + CAST(1.0 AS DOUBLE)))
+                 - CAST(3.0 AS DOUBLE) * (CAST(n AS DOUBLE)
+                   + CAST(1.0 AS DOUBLE)) AS h,
+                 CAST(1.0 AS DOUBLE) - CAST(t3 AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS c
+          FROM st)
+        SELECT n, n1, n2, n3, n4, n5, t3 AS tie_cubes, h, h / c AS h_c,
+               h / c > 9.487729036781154 AS significant
+        FROM hs"""))
   )
 }

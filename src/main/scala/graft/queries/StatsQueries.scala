@@ -2243,7 +2243,191 @@ object StatsQueries {
         SELECT c.dose, c.n_i, c.d_i, v.n, v.d, v.a, v.b, v.c,
                v.trend_up, v.trend_significant
         FROM cells c CROSS JOIN verdict v
-        ORDER BY c.dose""")))
+        ORDER BY c.dose""")),
+
+    // AMS F₂ sketch (Alon-Matias-Szegedy second frequency moment) — the
+    // self-join-size / repeat-rate estimator that completes the sketch
+    // shelf (HLL counts distincts = F₀, CMS points, KMV samples; F₂ is
+    // Σf² — what a join planner needs for |R ⋈ R| and a skew monitor
+    // for "how repeated is this key?"). Sixteen ±1 sign estimators from
+    // the md5 lattice (sign_i(v) = parity of md5("ams:i:v")), each
+    // X_i = (Σ_rows sign_i)² an unbiased F₂ estimate; the committed
+    // estimate is the MEDIAN-OF-MEANS over 4 groups of 4 (rank pick on
+    // a 4-row frame — the textbook variance-then-tail reduction). The
+    // stream fans out ×16 into flat codegen'd projections (no HOF
+    // md5 — the q46 lesson) and collapses via map-side partials to 16
+    // rows; the exact F₂ audit is one key rollup. Signed sums fit
+    // int64 to ~3·10⁹ rows/shard; beyond that the per-shard sketches
+    // merge by vector addition (linear — the whole point of AMS).
+    QueryDef(
+      "q354_ams_f2",
+      (s, dir) => {
+        import graft.functions.Kernels.{md5Bits, md5BitsModK}
+        val v = Tables.lineitem(s, dir).select(col("l_partkey").as("v"))
+        val est = v.select(col("v"),
+            explode(expr("sequence(0, 15)")).as("i"))
+          .select(col("i").cast("long").as("i"),
+            (md5BitsModK(md5Bits(concat(lit("ams:"), col("i").cast("string"),
+              lit(":"), col("v").cast("string"))), 2L) * 2L - 1L).as("sg"))
+          .groupBy(col("i")).agg(sum(col("sg")).as("ssum"))
+          .select(col("i"), expr("i div 4").as("g"),
+            (col("ssum") * col("ssum")).as("x"))
+          .groupBy(col("g")).agg(expr("sum(x) div 4").as("gmean"))
+        val mid = est
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("gmean"), col("g"))).cast("long"))
+          .where(col("rn") === 2L) // lower median of the 4 group means
+          .select(col("gmean").as("ams_est"))
+        val exact = v.groupBy(col("v")).agg(count(lit(1)).as("f"))
+          .agg(sum(col("f") * col("f")).as("f2_exact"),
+            sum(col("f")).as("n_rows"))
+        exact.crossJoin(broadcast(mid))
+          .withColumn("ratio_ppm", expr(
+            """cast((cast(ams_est as decimal(38,0)) * 1000000)
+               div f2_exact as bigint)"""))
+          .select(col("n_rows"), col("f2_exact"), col("ams_est"),
+            col("ratio_ppm"),
+            col("ratio_ppm").between(250000L, 4000000L).as("within_bound"))
+      },
+      Some("""
+        WITH v AS (SELECT l_partkey AS v FROM lineitem),
+        e AS (
+          SELECT i.i,
+                 CAST(md5_number_lower('ams:' || i.i || ':' || v.v) % 2
+                   AS BIGINT) * 2 - 1 AS sg
+          FROM v, (SELECT unnest(range(0, 16)) AS i) i),
+        sums AS (
+          SELECT i, CAST(SUM(sg) AS BIGINT) AS ssum
+          FROM e GROUP BY 1),
+        grp AS (
+          SELECT i // 4 AS g,
+                 CAST(SUM(ssum * ssum) // 4 AS BIGINT) AS gmean
+          FROM sums GROUP BY 1),
+        mid AS (
+          SELECT gmean AS ams_est FROM (
+            SELECT gmean,
+                   CAST(row_number() OVER (ORDER BY gmean, g) AS BIGINT)
+                     AS rn
+            FROM grp)
+          WHERE rn = 2),
+        exact AS (
+          SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact,
+                 CAST(SUM(f) AS BIGINT) AS n_rows
+          FROM (SELECT v, CAST(COUNT(*) AS BIGINT) AS f
+                FROM v GROUP BY 1))
+        SELECT e.n_rows, e.f2_exact, m.ams_est,
+               CAST((CAST(m.ams_est AS HUGEINT) * 1000000) // e.f2_exact
+                 AS BIGINT) AS ratio_ppm,
+               CAST((CAST(m.ams_est AS HUGEINT) * 1000000) // e.f2_exact
+                 AS BIGINT) BETWEEN 250000 AND 4000000 AS within_bound
+        FROM exact e CROSS JOIN mid m""")),
+
+    // Friedman test — the REPEATED-MEASURES companion of q356's
+    // Kruskal-Wallis: blocks (order months) remove the between-month
+    // revenue trend before asking whether the five order priorities
+    // differ, exactly the design a metrics team needs when every
+    // treatment is observed in every period (k correlated samples —
+    // KW's independence assumption is violated, Friedman's within-block
+    // ranking is not). Blocks = calendar months with ALL five
+    // priorities present (complete blocks only — the test's
+    // requirement); within each 5-row block the priority's revenue sum
+    // takes the DOUBLED midrank 2·cntlt+cnteq+1 (the q191/q356 integer
+    // tie lattice, here over a 5-row keyed window — bounded frames
+    // only). χ²_F = ΣR_j²/(10·n) − 18·n for k=5 (from the doubled-rank
+    // sums: 12/(n·k(k+1))·Σ(R2_j/2)² − 3n(k+1)), one spelled-out double
+    // expression from int64-exact operands; verdict vs
+    // χ²₀.₉₅(df=4) = 9.487729036781154, has_ties gated alongside (the
+    // cents lattice makes block-internal ties measure-zero). Scale:
+    // the corpus collapses at the (month, priority) rollup — blocks
+    // are calendar-bounded, so everything after the first partial agg
+    // is flat in data volume.
+    QueryDef(
+      "q361_friedman",
+      (s, dir) => {
+        val gs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW")
+        val cell = Tables.orders(s, dir)
+          .groupBy(
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+              .cast("long").as("mkey"),
+            col("o_orderpriority").as("g"))
+          .agg(sum((col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long")).as("v"))
+        val comp = cell.groupBy(col("mkey"))
+          .agg(count(lit(1)).as("kc"))
+          .where(col("kc") === 5).select(col("mkey"))
+        val wlt = Window.partitionBy(col("mkey")).orderBy(col("v"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val weq = Window.partitionBy(col("mkey")).orderBy(col("v"))
+          .rangeBetween(0, 0)
+        val ranked = cell.join(broadcast(comp), Seq("mkey"))
+          .withColumn("cntlt", count(lit(1)).over(wlt).cast("long"))
+          .withColumn("cnteq", count(lit(1)).over(weq).cast("long"))
+          .withColumn("r2", col("cntlt") * 2 + col("cnteq") + 1)
+        val aggCols =
+          countDistinct(col("mkey")).as("n_blocks") +:
+            gs.zipWithIndex.map { case (p, i) =>
+              sum(when(col("g") === p, col("r2")).otherwise(0L))
+                .as(s"r2_${i + 1}")
+            } :+
+            sum(when(col("cnteq") > 1, 1L).otherwise(0L)).as("n_tied_cells")
+        ranked.groupBy().agg(aggCols.head, aggCols.tail: _*)
+          .withColumn("s2", expr(
+            "r2_1*r2_1 + r2_2*r2_2 + r2_3*r2_3 + r2_4*r2_4 + r2_5*r2_5"))
+          .withColumn("chi2", expr(
+            """cast(s2 as double) / (10.0 * cast(n_blocks as double))
+               - 18.0 * cast(n_blocks as double)"""))
+          .select(col("n_blocks"), col("r2_1"), col("r2_2"), col("r2_3"),
+            col("r2_4"), col("r2_5"), col("n_tied_cells"), col("s2"),
+            col("chi2"),
+            (col("chi2") > 9.487729036781154).as("significant"))
+      },
+      Some("""
+        WITH cell AS (
+          SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT)
+                   AS mkey,
+                 o_orderpriority AS g,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+                   AS BIGINT)) AS BIGINT) AS v
+          FROM orders GROUP BY 1, 2),
+        comp AS (SELECT mkey FROM cell GROUP BY 1 HAVING COUNT(*) = 5),
+        ranked AS (
+          SELECT c.g,  c.mkey,
+                 CAST(COUNT(*) OVER (PARTITION BY c.mkey ORDER BY c.v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) AS cntlt,
+                 CAST(COUNT(*) OVER (PARTITION BY c.mkey ORDER BY c.v
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                   AS BIGINT) AS cnteq
+          FROM cell c JOIN comp USING (mkey)),
+        agg AS (
+          SELECT CAST(COUNT(DISTINCT mkey) AS BIGINT) AS n_blocks,
+                 CAST(SUM(CASE WHEN g='1-URGENT'
+                   THEN 2*cntlt+cnteq+1 ELSE 0 END) AS BIGINT) AS r2_1,
+                 CAST(SUM(CASE WHEN g='2-HIGH'
+                   THEN 2*cntlt+cnteq+1 ELSE 0 END) AS BIGINT) AS r2_2,
+                 CAST(SUM(CASE WHEN g='3-MEDIUM'
+                   THEN 2*cntlt+cnteq+1 ELSE 0 END) AS BIGINT) AS r2_3,
+                 CAST(SUM(CASE WHEN g='4-NOT SPECIFIED'
+                   THEN 2*cntlt+cnteq+1 ELSE 0 END) AS BIGINT) AS r2_4,
+                 CAST(SUM(CASE WHEN g='5-LOW'
+                   THEN 2*cntlt+cnteq+1 ELSE 0 END) AS BIGINT) AS r2_5,
+                 CAST(SUM(CASE WHEN cnteq > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tied_cells
+          FROM ranked),
+        st AS (
+          SELECT *,
+                 CAST(r2_1*r2_1 + r2_2*r2_2 + r2_3*r2_3 + r2_4*r2_4
+                      + r2_5*r2_5 AS BIGINT) AS s2
+          FROM agg)
+        SELECT n_blocks, r2_1, r2_2, r2_3, r2_4, r2_5, n_tied_cells, s2,
+               CAST(s2 AS DOUBLE) / (10.0 * CAST(n_blocks AS DOUBLE))
+                 - 18.0 * CAST(n_blocks AS DOUBLE) AS chi2,
+               (CAST(s2 AS DOUBLE) / (10.0 * CAST(n_blocks AS DOUBLE))
+                 - 18.0 * CAST(n_blocks AS DOUBLE)) > 9.487729036781154
+                 AS significant
+        FROM st""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.

@@ -6,6 +6,7 @@ import graft.functions.Kernels.{md5Bits, md5BitsModK, md5Lower64}
 import graft.functions.TextKernels._
 import graft.operators.TextDedup
 import graft.sources.Tables
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 
 /** LLM-training-data text pipeline over the `documents` corpus: quality
   * stats, language-ID heuristic, fingerprints, MinHash+LSH near-dup,
@@ -967,5 +968,298 @@ object TextQueries {
                (p.n_tokens * 1000000) // t.tok_tot AS raw_share_ppm,
                (p.eff_micro * 1000000) // t.eff_tot AS eff_share_ppm
         FROM per_lang p CROSS JOIN tot t
-        ORDER BY p.lang""")))
+        ORDER BY p.lang""")),
+
+    // RAKE keyword extraction (Rose et al.) — PHRASE-level salience,
+    // the unsupervised keyword pass that complements the word-level
+    // BM25/tf-idf family (q82/q172): candidate phrases are maximal
+    // stopword-free token runs (delimiters = the corpus stopword set
+    // {the, a}, phrases capped at 3 tokens), each word scores
+    // deg/freq — deg counts co-occurrence mass (the word's phrase
+    // LENGTH per occurrence), freq its occurrences — and a phrase
+    // scores the sum of its words' scores. Everything on the exact
+    // ppm lattice: word score = (deg·10⁶) div freq floored once,
+    // phrase score = integer sum of word ppms, so both engines agree
+    // bit-for-bit (true RAKE's float ratios would drift in sum order).
+    // Segmentation is a stopword-prefix-count window KEYED by doc
+    // (partition = one document's tokens); word stats and phrase
+    // scores are vocab-/phrase-table-sized partial aggregates; top-15
+    // by (score, phrase) is a TakeOrdered. Nothing all-pairs, nothing
+    // global but the bounded top-k.
+    QueryDef(
+      "q344_rake_keywords",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(tokens(col("text"))))
+          .withColumnRenamed("pos", "pos").withColumnRenamed("col", "w")
+          .withColumn("stop", col("w").isin("the", "a"))
+        val wSeg = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val seg = d
+          .withColumn("seg", sum(when(col("stop"), 1L).otherwise(0L))
+            .over(wSeg))
+          .where(!col("stop"))
+          .cutLineage()
+        val wLen = Window.partitionBy(col("doc_id"), col("seg"))
+        val words = seg
+          .withColumn("plen", count(lit(1)).over(wLen))
+          .where(col("plen") <= 3)
+          .cutLineage()
+        val wordScore = words.groupBy(col("w"))
+          .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+          .withColumn("w_ppm", expr("(deg * 1000000) div freq"))
+        val phrases = words.groupBy(col("doc_id"), col("seg"))
+          .agg(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+              x => x.getField("w"))).as("phrase"))
+          .groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+          .cutLineage()
+        phrases
+          .select(col("phrase"), col("n_occ"),
+            explode(split(col("phrase"), " ")).as("w"))
+          .join(wordScore.select(col("w"), col("w_ppm")), Seq("w"))
+          .groupBy(col("phrase"), col("n_occ"))
+          .agg(sum(col("w_ppm")).as("score_ppm"),
+            count(lit(1)).cast("long").as("n_words"))
+          .orderBy(col("score_ppm").desc, col("phrase"))
+          .limit(15)
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(range(0, len(ws))) AS pos,
+                 unnest(ws) AS w
+          FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                FROM documents)),
+        seg AS MATERIALIZED (
+          SELECT doc_id, pos, w,
+                 SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS seg
+          FROM tok
+          QUALIFY NOT (w IN ('the', 'a'))),
+        words AS MATERIALIZED (
+          SELECT doc_id, seg, pos, w,
+                 COUNT(*) OVER (PARTITION BY doc_id, seg) AS plen
+          FROM seg
+          QUALIFY plen <= 3),
+        wordscore AS (
+          SELECT w, (CAST(SUM(plen) AS BIGINT) * 1000000)
+                   // CAST(COUNT(*) AS BIGINT) AS w_ppm
+          FROM words GROUP BY 1),
+        phrases AS MATERIALIZED (
+          SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
+            SELECT doc_id, seg, string_agg(w, ' ' ORDER BY pos) AS phrase
+            FROM words GROUP BY doc_id, seg)
+          GROUP BY 1),
+        pw AS (
+          SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+          FROM phrases)
+        SELECT pw.phrase, pw.n_occ,
+               CAST(SUM(ws.w_ppm) AS BIGINT) AS score_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM pw JOIN wordscore ws ON ws.w = pw.w
+        GROUP BY 1, 2
+        ORDER BY score_ppm DESC, phrase
+        LIMIT 15""")),
+
+    // TextRank keywords (Mihalcea & Tarau) — the GRAPH-based salience
+    // scorer that completes the keyword triad (q82 tf-idf = frequency,
+    // q344 RAKE = phrase co-occurrence degree, TextRank = recursive
+    // importance): words are nodes, adjacent-token co-occurrence the
+    // undirected weighted edges, and rank is PageRank's damped fixpoint
+    // on the q108 micro lattice — r(v) = 0.15·10⁶ + Σᵤ floor(17·wᵤᵥ·
+    // r(u) / (20·Wᵤ)) with d = 17/20 rational, two audited synchronous
+    // rounds from the uniform 10⁶ state (the bounded-sweep stance;
+    // production loops the same round under CheckpointPolicy). A word
+    // ranks high when its NEIGHBORS rank high — frequency alone doesn't
+    // buy rank (the property RAKE's deg/freq can't express). Scale:
+    // bigram extraction is a per-doc lead window (bounded partitions);
+    // the graph tables are vocab-sized with partial-agg joins on token
+    // keys; top-15 is a TakeOrdered — no global sort, nothing all-pairs.
+    QueryDef(
+      "q349_textrank",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+        val wD = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val e = tok.withColumn("w2", lead(col("w"), 1).over(wD))
+          .where(col("w2").isNotNull && col("w") =!= col("w2"))
+          .select(least(col("w"), col("w2")).as("a"),
+            greatest(col("w"), col("w2")).as("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("wt"))
+          .cutLineage()
+        val dirE = e.select(col("a").as("u"), col("b").as("v"), col("wt"))
+          .unionAll(e.select(col("b").as("u"), col("a").as("v"), col("wt")))
+        val deg = dirE.groupBy(col("u"))
+          .agg(sum(col("wt")).as("wdeg"), count(lit(1)).as("n_neighbors"))
+          .cutLineage()
+        def step(r: DataFrame): DataFrame =
+          dirE.join(deg.select(col("u"), col("wdeg")), Seq("u"))
+            .join(r.select(col("node").as("u"), col("r").as("ru")), Seq("u"))
+            .groupBy(col("v").as("node"))
+            .agg((lit(150000L) +
+              sum(expr("(17 * wt * ru) div (20 * wdeg)"))).as("r"))
+        val r0 = deg.select(col("u").as("node"), lit(1000000L).as("r"))
+        val r2 = step(step(r0).cutLineage())
+        r2.join(deg.select(col("u").as("node"), col("wdeg"),
+            col("n_neighbors")), Seq("node"))
+          .select(col("node").as("word"), col("wdeg"), col("n_neighbors"),
+            col("r").as("rank_micro"))
+          .orderBy(col("rank_micro").desc, col("word")).limit(15)
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i]))
+                   AS w1,
+                 unnest(list_transform(range(1, len(ws)), i -> ws[i+1]))
+                   AS w2
+          FROM d),
+        e AS MATERIALIZED (
+          SELECT LEAST(w1, w2) AS a, GREATEST(w1, w2) AS b,
+                 CAST(COUNT(*) AS BIGINT) AS wt
+          FROM bg WHERE w1 <> w2 GROUP BY 1, 2),
+        dirE AS MATERIALIZED (
+          SELECT a AS u, b AS v, wt FROM e
+          UNION ALL SELECT b, a, wt FROM e),
+        deg AS MATERIALIZED (
+          SELECT u, CAST(SUM(wt) AS BIGINT) AS wdeg,
+                 CAST(COUNT(*) AS BIGINT) AS n_neighbors
+          FROM dirE GROUP BY 1),
+        r1 AS MATERIALIZED (
+          SELECT de.v AS node,
+                 150000 + CAST(SUM((17 * de.wt * 1000000)
+                   // (20 * g.wdeg)) AS BIGINT) AS r
+          FROM dirE de JOIN deg g ON g.u = de.u
+          GROUP BY 1),
+        r2 AS (
+          SELECT de.v AS node,
+                 150000 + CAST(SUM((17 * de.wt * r1.r)
+                   // (20 * g.wdeg)) AS BIGINT) AS r
+          FROM dirE de JOIN deg g ON g.u = de.u
+          JOIN r1 ON r1.node = de.u
+          GROUP BY 1)
+        SELECT r2.node AS word, deg.wdeg, deg.n_neighbors,
+               r2.r AS rank_micro
+        FROM r2 JOIN deg ON deg.u = r2.node
+        ORDER BY rank_micro DESC, word
+        LIMIT 15""")),
+
+    // Winnowing fingerprints (Schleimer-Wilkerson-Aiken, the MOSS
+    // algorithm) — the POSITION-ROBUST fingerprint selection the flat
+    // min-shingle family (q29) lacks: slide a window of w = 4
+    // consecutive 4-gram hashes and keep each window's minimum
+    // (leftmost-min variant; h62 makes intra-window ties measure-zero),
+    // guaranteeing any shared run of ≥ w+k−1 tokens yields a shared
+    // fingerprint (the detection floor q87's exact 13-grams can't give
+    // below 13 tokens) at expected density 2/(w+1) ≈ 400k ppm. Hashes
+    // are the string-free ngramHash62 Horner lattice; the min is a
+    // per-doc BOUNDED window frame (4 rows); the min's position comes
+    // from an equi-join on (doc, hash) + range predicate — shuffles
+    // ride 8-byte keys. Gate per source: kgram/fingerprint counts, the
+    // density vs the 2/(w+1) expectation, and the cross-doc shared-
+    // fingerprint count (the clone-candidate feed). At 100 TB the
+    // fingerprint set IS the dedup index — 40% of kgram count, built
+    // with one bounded window and one hash join.
+    QueryDef(
+      "q355_winnowing",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+        val sh = TextDedup.ngramHash62Pos(d, "doc_id", "ws", 4)
+          .select(col("doc_id"), col("pos"), col("h62").as("h"))
+          .cutLineage()
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(-3, 0)
+        val win = sh.withColumn("mw", min(col("h")).over(wd))
+          .where(col("pos") >= 3)
+          .select(col("doc_id"), col("pos").as("e"), col("mw"))
+        val fps = win.join(sh.select(col("doc_id"), col("pos"),
+              col("h").as("mw")), Seq("doc_id", "mw"))
+          .where(col("pos").between(col("e") - 3, col("e")))
+          .groupBy(col("doc_id"), col("e"), col("mw"))
+          .agg(min(col("pos")).as("fpos"))
+          .select(col("doc_id"), col("mw").as("h"), col("fpos")).distinct()
+          .cutLineage()
+        val src = d.select(col("doc_id"), col("source"))
+        val kg = sh.join(src, Seq("doc_id")).groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_kgrams"))
+        val fpAgg = fps.join(src, Seq("doc_id")).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_fingerprints"))
+        val cross = fps.join(src, Seq("doc_id"))
+          .select(col("source"), col("h"), col("doc_id")).distinct()
+          .groupBy(col("source"), col("h"))
+          .agg(count(lit(1)).as("df"))
+          .where(col("df") >= 2)
+          .groupBy(col("source")).agg(count(lit(1)).as("n_crossdoc_fp"))
+        kg.join(fpAgg, Seq("source"))
+          .join(cross, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("n_kgrams"),
+            col("n_fingerprints"),
+            expr("(n_fingerprints * 1000000) div n_kgrams")
+              .as("density_ppm"),
+            expr("""(n_fingerprints * 1000000) div n_kgrams
+                    between 330000 and 470000""").as("within_expected"),
+            coalesce(col("n_crossdoc_fp"), lit(0L)).as("n_crossdoc_fp"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ws
+          FROM documents),
+        th AS (
+          SELECT doc_id, list_transform(ws,
+                   t -> CAST(md5_number_lower(t) % 2147483647 AS BIGINT)) AS hs
+          FROM toks WHERE len(ws) >= 4),
+        sh AS MATERIALIZED (
+          SELECT doc_id, unnest(range(0, len(hs) - 3)) AS pos,
+                 unnest(list_transform(range(1, len(hs) - 2),
+                   i -> list_reduce(list_slice(hs, i, i + 3),
+                          (a, x) -> (a * 131 + x) % 2147483647) * 2147483648 +
+                        list_reduce(list_slice(hs, i, i + 3),
+                          (a, x) -> (a * 137 + x) % 2147483647))) AS h
+          FROM th),
+        win AS (
+          SELECT doc_id, pos AS e, mw FROM (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mw
+            FROM sh)
+          WHERE pos >= 3),
+        fps AS MATERIALIZED (
+          SELECT DISTINCT doc_id, mw AS h, fpos FROM (
+            SELECT w.doc_id, w.e, w.mw, MIN(s.pos) AS fpos
+            FROM win w JOIN sh s
+              ON s.doc_id = w.doc_id AND s.h = w.mw
+             AND s.pos BETWEEN w.e - 3 AND w.e
+            GROUP BY 1, 2, 3)),
+        src AS (SELECT doc_id, source FROM toks),
+        kg AS (
+          SELECT t.source, CAST(COUNT(DISTINCT s.doc_id) AS BIGINT)
+                   AS n_docs,
+                 CAST(COUNT(*) AS BIGINT) AS n_kgrams
+          FROM sh s JOIN src t USING (doc_id) GROUP BY 1),
+        fpa AS (
+          SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+          FROM fps f JOIN src t USING (doc_id) GROUP BY 1),
+        crossd AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_crossdoc_fp FROM (
+            SELECT source, h, COUNT(*) AS df FROM (
+              SELECT DISTINCT t.source, f.h, f.doc_id
+              FROM fps f JOIN src t USING (doc_id))
+            GROUP BY 1, 2)
+          WHERE df >= 2 GROUP BY 1)
+        SELECT kg.source, kg.n_docs, kg.n_kgrams, fpa.n_fingerprints,
+               (fpa.n_fingerprints * 1000000) // kg.n_kgrams
+                 AS density_ppm,
+               (fpa.n_fingerprints * 1000000) // kg.n_kgrams
+                 BETWEEN 330000 AND 470000 AS within_expected,
+               COALESCE(c.n_crossdoc_fp, 0) AS n_crossdoc_fp
+        FROM kg JOIN fpa ON fpa.source = kg.source
+        LEFT JOIN crossd c ON c.source = kg.source
+        ORDER BY kg.source""")))
 }

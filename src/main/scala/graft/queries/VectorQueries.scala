@@ -1256,5 +1256,500 @@ object VectorQueries {
                CAST(r.rnk AS BIGINT) AS rank_ba
         FROM topk f JOIN topk r ON f.src = r.dst AND f.dst = r.src
         WHERE f.src < f.dst
-        ORDER BY id_a, id_b""")))
+        ORDER BY id_a, id_b""")),
+
+    // Cluster-quality audit of the q114 fixed-point k-means: simplified
+    // silhouette + Davies-Bouldin, the two internal validity indices a
+    // SemDeDup-style pipeline checks BEFORE trusting cluster-local dedup
+    // (q270): bad clustering silently under-dedups across cluster
+    // borders. Both indices use CENTROID distances only (the classic
+    // all-pairs silhouette is O(n²) — a non-starter; the centroid form
+    // is the standard large-scale surrogate) on q114's exact integer
+    // lattice: a = squared distance to own centroid, b = min squared
+    // distance to any other, silhouette = (b−a)·10⁶ div max(a,b) — all
+    // nonneg integers, no sqrt. Davies-Bouldin on the squared-distance
+    // variant: S_k = mean within-cluster squared distance (DECIMAL(38,0)
+    // sum, one floor div), R_ij = (S_i+S_j)·10⁶ div ‖c_i−c_j‖², DB =
+    // mean_k max_j R_kj. Scale: per-vec work is a k=4 broadcast fan-out
+    // + partial aggs on vec_id; cluster/centroid tables are k-sized —
+    // the audit costs one extra assign pass over the corpus, nothing
+    // quadratic anywhere.
+    QueryDef(
+      "q346_cluster_quality",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val ex = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            floor(col("xf").cast("double") * lit(1000000.0d)).cast("long").as("xq"))
+          .cutLineage()
+        val c0 = ex.where(col("vec_id") < 4)
+          .select(col("vec_id").as("cid"), col("dim"), col("xq").as("cq"))
+        def assign(cent: DataFrame): DataFrame = {
+          val d2 = ex.join(broadcast(cent), Seq("dim"))
+            .groupBy(col("vec_id"), col("cid"))
+            .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+          val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+          d2.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+            .select(col("vec_id"), col("cid"))
+        }
+        def update(asg: DataFrame): DataFrame =
+          ex.join(asg, Seq("vec_id"))
+            .groupBy(col("cid"), col("dim"))
+            .agg(floor(sum(col("xq")).cast("double") / count(lit(1)))
+              .cast("long").as("cq"))
+        val c2 = update(assign(update(assign(c0)))).cutLineage()
+        val d3 = ex.join(broadcast(c2), Seq("dim"))
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+        val w3 = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+        val per = d3.withColumn("rn", row_number().over(w3))
+          .groupBy(col("vec_id"))
+          .agg(max(when(col("rn") === 1, col("cid"))).as("cid"),
+            max(when(col("rn") === 1, col("d2"))).as("a"),
+            min(when(col("rn") > 1, col("d2"))).as("b"))
+          .withColumn("s_ppm",
+            when(greatest(col("a"), col("b")) === 0L, 0L)
+              .otherwise(expr(
+                """cast(((cast(b as decimal(38,0)) - a) * 1000000)
+                   div greatest(a, b) as bigint)""")))
+        val clus = per.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_vectors"), sum(col("s_ppm")).as("sum_s"),
+            sum(col("a").cast("decimal(38,0)")).as("sum_a"))
+          .withColumn("mean_sil_ppm", expr("sum_s div n_vectors"))
+          .withColumn("s_k", expr("cast(sum_a div n_vectors as bigint)"))
+          .select(col("cid"), col("n_vectors"), col("mean_sil_ppm"), col("s_k"))
+          .cutLineage()
+        val m2 = c2.as("x").join(c2.as("y"),
+            col("x.dim") === col("y.dim") && col("x.cid") =!= col("y.cid"))
+          .groupBy(col("x.cid").as("cid"), col("y.cid").as("cj"))
+          .agg(sum((col("x.cq") - col("y.cq")) * (col("x.cq") - col("y.cq")))
+            .as("m2"))
+        val r = m2
+          .join(clus.select(col("cid"), col("s_k").as("si")), Seq("cid"))
+          .join(clus.select(col("cid").as("cj"), col("s_k").as("sj")), Seq("cj"))
+          .withColumn("rij", when(col("m2") === 0L, lit(1000000000000L))
+            .otherwise(expr(
+              "cast(((cast(si as decimal(38,0)) + sj) * 1000000) div m2 as bigint)")))
+          .groupBy(col("cid")).agg(max(col("rij")).as("db_k_ppm"))
+        val dbi = r.agg(expr("sum(db_k_ppm) div count(1)").as("db_index_ppm"))
+        clus.join(r, Seq("cid"))
+          .crossJoin(broadcast(dbi))
+          .select(col("cid"), col("n_vectors"), col("mean_sil_ppm"),
+            col("s_k"), col("db_k_ppm"), col("db_index_ppm"))
+          .orderBy(col("cid"))
+      },
+      Some("""
+        WITH ex AS MATERIALIZED (
+          SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xq
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM ex WHERE vec_id < 4),
+        d1 AS (SELECT e.vec_id, c.cid,
+                      SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+               FROM ex e JOIN c0 c USING (dim) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        c1 AS (SELECT a.cid, e.dim,
+                      CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+               FROM ex e JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        d2_ AS (SELECT e.vec_id, c.cid,
+                       SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+                FROM ex e JOIN c1 c USING (dim) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                 FROM d2_) WHERE rn = 1),
+        c2 AS MATERIALIZED (
+               SELECT a.cid, e.dim,
+                      CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+               FROM ex e JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+        d3 AS (SELECT e.vec_id, c.cid,
+                      SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+               FROM ex e JOIN c2 c USING (dim) GROUP BY 1, 2),
+        per AS (
+          SELECT vec_id,
+                 MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+                 MAX(CASE WHEN rn = 1 THEN d2 END) AS a,
+                 MIN(CASE WHEN rn > 1 THEN d2 END) AS b
+          FROM (SELECT vec_id, cid, d2,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY d2, cid) AS rn
+                FROM d3)
+          GROUP BY 1),
+        sil AS (
+          SELECT vec_id, cid, a,
+                 CASE WHEN GREATEST(a, b) = 0 THEN 0
+                      ELSE CAST(((CAST(b AS HUGEINT) - a) * 1000000)
+                                // GREATEST(a, b) AS BIGINT) END AS s_ppm
+          FROM per),
+        clus AS MATERIALIZED (
+          SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                 CAST(CAST(SUM(s_ppm) AS HUGEINT) // COUNT(*) AS BIGINT)
+                   AS mean_sil_ppm,
+                 CAST(CAST(SUM(a) AS HUGEINT) // COUNT(*) AS BIGINT) AS s_k
+          FROM sil GROUP BY 1),
+        m2 AS (
+          SELECT x.cid AS cid, y.cid AS cj,
+                 SUM((x.cq - y.cq) * (x.cq - y.cq)) AS m2
+          FROM c2 x JOIN c2 y ON x.dim = y.dim AND x.cid <> y.cid
+          GROUP BY 1, 2),
+        r AS MATERIALIZED (
+          SELECT m2.cid, MAX(CASE WHEN m2.m2 = 0 THEN 1000000000000
+                 ELSE CAST(((CAST(ci.s_k AS HUGEINT) + cj.s_k) * 1000000)
+                           // m2.m2 AS BIGINT) END) AS db_k_ppm
+          FROM m2
+          JOIN clus ci ON ci.cid = m2.cid
+          JOIN clus cj ON cj.cid = m2.cj
+          GROUP BY 1),
+        dbi AS (SELECT CAST(CAST(SUM(db_k_ppm) AS HUGEINT) // COUNT(*)
+                       AS BIGINT) AS db_index_ppm FROM r)
+        SELECT c.cid, c.n_vectors, c.mean_sil_ppm, c.s_k, r.db_k_ppm,
+               d.db_index_ppm
+        FROM clus c JOIN r ON r.cid = c.cid CROSS JOIN dbi d
+        ORDER BY c.cid""")),
+
+    // Top principal direction by power iteration — PCA's first
+    // eigenvector from q204's covariance statistic, the drift/whitening
+    // primitive (project onto v₁ to monitor where a corpus actually
+    // moves). The d×d SCATTER matrix n·Σxy − Σx·Σy is exact
+    // DECIMAL(38,0) from the integer micro-lattice (q204 before its one
+    // double division); power iteration runs on the BOUNDED 64×64 frame
+    // — three audited synchronous rounds from the all-ones micro
+    // vector, each round one matvec (64-key join + partial sum) and a
+    // RATIONAL renormalization: v'ᵢ = sign(wᵢ)·(|wᵢ|·10⁶ div max|w|) —
+    // abs-then-sign so truncation-toward-zero is engine-identical (no
+    // float L2 norm anywhere). The Rayleigh quotient v·Mv/(v·v) comes
+    // out once, rescaled to covariance units in ppm. Decimal headroom:
+    // |w| ≤ d·n²·10¹⁸ holds to n ≈ 6·10⁴ per shard — larger corpora
+    // first rescale the scatter to the per-row lattice (divide by n).
+    // Scale: one corpus pass for the moments (≤2080-row map partials);
+    // everything after lives on d²-sized frames.
+    QueryDef(
+      "q348_power_iteration",
+      (s, dir) => {
+        import org.apache.spark.sql.DataFrame
+        val q = Tables.embeddings(s, dir).select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double").cast("decimal(18,6)") * 1000000).cast("long")).as("v"))
+        val d = 64
+        val pairRows = q.select(explode(flatten(
+            transform(sequence(lit(1), lit(d)), i =>
+              transform(sequence(i, lit(d)), j =>
+                struct(i.as("i"), j.as("j"),
+                  (element_at(col("v"), i) * element_at(col("v"), j)).as("xy"))))))
+            .as("p"))
+          .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+            col("p.xy").as("xy"))
+        val sums = pairRows.groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"))
+        val dims = q.select(posexplode(col("v")).as(Seq("i0", "x")))
+          .select((col("i0") + 1).cast("long").as("i"), col("x"))
+          .groupBy(col("i")).agg(sum(col("x")).as("sx"))
+        val upper = sums
+          .join(broadcast(dims.select(col("i"), col("sx").as("sxi"))), Seq("i"))
+          .join(broadcast(dims.select(col("i").as("j"), col("sx").as("sxj"))), Seq("j"))
+          .select(col("i"), col("j"), col("n"),
+            expr("""cast(n as decimal(38,0)) * sxy
+                    - cast(sxi as decimal(38,0)) * sxj""").as("sc"))
+        val mfull = upper.select(col("i"), col("j"), col("n"), col("sc"))
+          .unionAll(upper.where(col("i") =!= col("j"))
+            .select(col("j").as("i"), col("i").as("j"), col("n"), col("sc")))
+          .cutLineage()
+        def step(v: DataFrame): DataFrame = {
+          val w = mfull.join(v.select(col("i").as("j"), col("vj")), Seq("j"))
+            .groupBy(col("i")).agg(sum(expr("sc * vj")).as("w"))
+          val mx = w.agg(max(abs(col("w"))).as("mx"))
+          w.crossJoin(broadcast(mx))
+            .select(col("i"),
+              when(col("mx") === 0, 0L).otherwise(expr(
+                """case when w < 0 then -1L else 1L end
+                   * cast((abs(w) * 1000000) div mx as bigint)"""))
+                .as("vj"))
+        }
+        val v0 = mfull.select(col("i")).distinct()
+          .select(col("i"), lit(1000000L).as("vj"))
+        val v3 = step(step(step(v0).cutLineage()).cutLineage()).cutLineage()
+        val w4 = mfull.join(v3.select(col("i").as("j"), col("vj")), Seq("j"))
+          .groupBy(col("i")).agg(max(col("n")).as("n"),
+            sum(expr("sc * vj")).as("w"))
+        val lam = w4.join(v3, Seq("i"))
+          .agg(max(col("n")).as("n_rows"),
+            sum(expr("cast(vj as decimal(38,0)) * w")).as("num"),
+            sum(expr("cast(vj as decimal(38,0)) * vj")).as("den"))
+          .select(col("n_rows"), expr(
+            """cast(num div (den * cast(n_rows as decimal(38,0)) * n_rows
+                * 1000000) as bigint)""").as("lambda_cov_ppm"))
+        v3.crossJoin(broadcast(lam))
+          .select(col("i").as("dim"), col("vj").as("component_micro"),
+            col("n_rows"), col("lambda_cov_ppm"))
+          .orderBy(col("dim"))
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(CAST(x::DOUBLE AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS v
+          FROM embeddings),
+        ij AS (
+          SELECT i.i AS i, j.j AS j
+          FROM (SELECT unnest(range(1, 65)) AS i) i,
+               (SELECT unnest(range(1, 65)) AS j) j
+          WHERE j.j >= i.i),
+        sums AS (
+          SELECT ij.i, ij.j,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(q.v[ij.i] * q.v[ij.j]) AS BIGINT) AS sxy
+          FROM q, ij
+          GROUP BY 1, 2),
+        dims AS (
+          SELECT d.i, CAST(SUM(q.v[d.i]) AS BIGINT) AS sx
+          FROM q, (SELECT unnest(range(1, 65)) AS i) d
+          GROUP BY 1),
+        upper_ AS (
+          SELECT s.i, s.j, s.n,
+                 CAST(s.n AS HUGEINT) * s.sxy
+                   - CAST(di.sx AS HUGEINT) * dj.sx AS sc
+          FROM sums s
+          JOIN dims di ON di.i = s.i
+          JOIN dims dj ON dj.i = s.j),
+        m AS MATERIALIZED (
+          SELECT i, j, n, sc FROM upper_
+          UNION ALL
+          SELECT j, i, n, sc FROM upper_ WHERE i <> j),
+        v0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS vj FROM m),
+        w1 AS (SELECT m.i, SUM(m.sc * v.vj) AS w
+               FROM m JOIN v0 v ON v.i = m.j GROUP BY 1),
+        v1 AS MATERIALIZED (
+          SELECT i, CASE WHEN mx = 0 THEN 0
+                 ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                   * CAST((abs(w) * 1000000) // mx AS BIGINT) END AS vj
+          FROM w1 CROSS JOIN (SELECT MAX(abs(w)) AS mx FROM w1)),
+        w2 AS (SELECT m.i, SUM(m.sc * v.vj) AS w
+               FROM m JOIN v1 v ON v.i = m.j GROUP BY 1),
+        v2 AS MATERIALIZED (
+          SELECT i, CASE WHEN mx = 0 THEN 0
+                 ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                   * CAST((abs(w) * 1000000) // mx AS BIGINT) END AS vj
+          FROM w2 CROSS JOIN (SELECT MAX(abs(w)) AS mx FROM w2)),
+        w3 AS (SELECT m.i, SUM(m.sc * v.vj) AS w
+               FROM m JOIN v2 v ON v.i = m.j GROUP BY 1),
+        v3 AS MATERIALIZED (
+          SELECT i, CASE WHEN mx = 0 THEN 0
+                 ELSE (CASE WHEN w < 0 THEN -1 ELSE 1 END)
+                   * CAST((abs(w) * 1000000) // mx AS BIGINT) END AS vj
+          FROM w3 CROSS JOIN (SELECT MAX(abs(w)) AS mx FROM w3)),
+        w4 AS (SELECT m.i, MAX(m.n) AS n, SUM(m.sc * v.vj) AS w
+               FROM m JOIN v3 v ON v.i = m.j GROUP BY 1),
+        lam AS (
+          SELECT MAX(w4.n) AS n_rows,
+                 CAST(SUM(CAST(v3.vj AS HUGEINT) * w4.w)
+                      // (SUM(CAST(v3.vj AS HUGEINT) * v3.vj)
+                         * CAST(MAX(w4.n) AS HUGEINT) * MAX(w4.n)
+                         * 1000000) AS BIGINT) AS lambda_cov_ppm
+          FROM w4 JOIN v3 ON v3.i = w4.i)
+        SELECT v3.i AS dim, v3.vj AS component_micro, lam.n_rows,
+               lam.lambda_cov_ppm
+        FROM v3 CROSS JOIN lam
+        ORDER BY dim""")),
+
+    // Grid-DBSCAN over the embedding corpus — density-based clustering
+    // with noise, the shape k-means (q114) cannot express (k-means
+    // forces every point into a cluster; DBSCAN's noise verdict is what
+    // a curation pipeline uses to QUARANTINE outlier embeddings before
+    // SemDeDup). The 64-d corpus projects onto two deterministic ±1
+    // random hyperplanes (the q31 SRP discipline, md5-seeded, exact
+    // int64 dot products on the 10⁶ micro-lattice), quantizes to a
+    // W=500k grid with ENGINE-NEUTRAL floored cells (the |·|-split
+    // ceiling form — Spark `div` truncates, DuckDB `//` floors, so
+    // neither engine's operator is used on a negative numerator), and
+    // runs the cell-grained DBSCAN: core cells carry ≥2× mean density
+    // (relative rule — sf-invariant), core cells merge by 8-adjacency
+    // min-label propagation (6 synchronous rounds on the CELL table,
+    // convergence GATED — labels stable between rounds 5 and 6),
+    // border points sit in non-core cells adjacent to a core cell and
+    // adopt the min adjacent cluster, the rest is noise. Scale: the
+    // corpus appears in exactly two passes (projection rollup, point
+    // classification join); everything else operates on the occupied-
+    // cell table, bounded by the projection's value range over W —
+    // never by corpus size. A production variant swaps the 2-d SRP
+    // plane for the PQ codebook grid (q218) with the same cell-CC.
+    QueryDef(
+      "q360_grid_dbscan",
+      (s, dir) => {
+        import graft.functions.Kernels.{md5Bits, md5BitsModK}
+        val ex = Tables.embeddings(s, dir)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"),
+            floor(col("xf").cast("double") * lit(1000000.0d)).cast("long").as("xq"))
+        val sg = ex.select(col("dim")).distinct()
+          .withColumn("s1",
+            md5BitsModK(md5Bits(concat(lit("dbscan:1:"),
+              col("dim").cast("string"))), 2L) * 2L - 1L)
+          .withColumn("s2",
+            md5BitsModK(md5Bits(concat(lit("dbscan:2:"),
+              col("dim").cast("string"))), 2L) * 2L - 1L)
+        val pc = ex.join(broadcast(sg), Seq("dim"))
+          .groupBy(col("vec_id"))
+          .agg(sum(col("xq") * col("s1")).as("p1"),
+            sum(col("xq") * col("s2")).as("p2"))
+          .withColumn("cx", expr(
+            "CASE WHEN p1 < 0 THEN -((-p1 + 499999) div 500000) ELSE p1 div 500000 END"))
+          .withColumn("cy", expr(
+            "CASE WHEN p2 < 0 THEN -((-p2 + 499999) div 500000) ELSE p2 div 500000 END"))
+          .select(col("vec_id"), col("cx"), col("cy"))
+          .cutLineage()
+        val cells = pc.groupBy(col("cx"), col("cy"))
+          .agg(count(lit(1)).as("n")).cutLineage()
+        val tot = cells.agg(sum(col("n")).as("nt"),
+          count(lit(1)).as("nc"))
+        val core = cells.crossJoin(broadcast(tot))
+          .where(col("n") * col("nc") >= col("nt") * 2)
+          .withColumn("cid", (col("cx") + 500L) * 1000L + col("cy") + 500L)
+          .select(col("cx"), col("cy"), col("cid"), col("n"))
+          .cutLineage()
+        val nbr = core.select(col("cx"), col("cy"), col("cid"))
+          .withColumn("dx", explode(expr("sequence(-1L, 1L)")))
+          .withColumn("dy", explode(expr("sequence(-1L, 1L)")))
+          .select((col("cx") + col("dx")).as("nx"),
+            (col("cy") + col("dy")).as("ny"), col("cid"))
+        val adjE = nbr.join(
+            core.select(col("cx").as("nx"), col("cy").as("ny"),
+              col("cid").as("cid2")), Seq("nx", "ny"))
+          .select(col("cid"), col("cid2")).cutLineage()
+        def lround(l: org.apache.spark.sql.DataFrame) =
+          adjE.join(l.withColumnRenamed("cid", "cid2"), Seq("cid2"))
+            .groupBy(col("cid")).agg(min(col("lbl")).as("lbl"))
+        val l0 = core.select(col("cid"), col("cid").as("lbl"))
+        val l5 = Iterator.iterate(l0)(l => lround(l).cutLineage())
+          .drop(5).next()
+        val l6 = lround(l5)
+        val conv = l5.withColumnRenamed("lbl", "lbl5")
+          .join(l6.withColumnRenamed("lbl", "lbl6"), Seq("cid"))
+          .agg(sum(when(col("lbl5") =!= col("lbl6"), 1L).otherwise(0L))
+            .as("n_changed"))
+          .select((col("n_changed") === 0L).as("converged"))
+        val coreL = core.join(l6, Seq("cid"))
+          .select(col("cx"), col("cy"), col("cid"), col("n"), col("lbl"))
+          .cutLineage()
+        val borderL = cells
+          .join(core.select(col("cx"), col("cy"), lit(1).as("is_core")),
+            Seq("cx", "cy"), "left")
+          .where(col("is_core").isNull)
+          .select(col("cx"), col("cy"), col("n"))
+          .withColumn("dx", explode(expr("sequence(-1L, 1L)")))
+          .withColumn("dy", explode(expr("sequence(-1L, 1L)")))
+          .select(col("cx"), col("cy"), col("n"),
+            (col("cx") + col("dx")).as("nx"),
+            (col("cy") + col("dy")).as("ny"))
+          .join(coreL.select(col("cx").as("nx"), col("cy").as("ny"),
+            col("lbl")), Seq("nx", "ny"))
+          .groupBy(col("cx"), col("cy"))
+          .agg(max(col("n")).as("n"), min(col("lbl")).as("lbl"))
+        val clus = coreL.groupBy(col("lbl"))
+          .agg(count(lit(1)).as("n_core_cells"),
+            sum(col("n")).as("n_core_points"))
+          .join(borderL.groupBy(col("lbl"))
+            .agg(sum(col("n")).as("n_border_points")), Seq("lbl"), "left")
+          .select(col("lbl").as("cluster_id"), col("n_core_cells"),
+            col("n_core_points"),
+            coalesce(col("n_border_points"), lit(0L)).as("n_border_points"))
+        val noise = tot.crossJoin(
+            clus.agg(sum(col("n_core_points") + col("n_border_points"))
+              .as("assigned")))
+          .select((col("nt") - coalesce(col("assigned"), lit(0L)))
+            .as("n_noise"))
+        clus.crossJoin(broadcast(noise)).crossJoin(broadcast(conv))
+          .orderBy(col("cluster_id"))
+      },
+      Some("""
+        WITH ex AS MATERIALIZED (
+          SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xq
+          FROM embeddings),
+        sg AS (
+          SELECT dim,
+                 CAST(md5_number_lower('dbscan:1:' || dim) % 2 AS BIGINT)
+                   * 2 - 1 AS s1,
+                 CAST(md5_number_lower('dbscan:2:' || dim) % 2 AS BIGINT)
+                   * 2 - 1 AS s2
+          FROM (SELECT DISTINCT dim FROM ex)),
+        pc AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(CASE WHEN p1 < 0 THEN -((-p1 + 499999) // 500000)
+                      ELSE p1 // 500000 END AS BIGINT) AS cx,
+                 CAST(CASE WHEN p2 < 0 THEN -((-p2 + 499999) // 500000)
+                      ELSE p2 // 500000 END AS BIGINT) AS cy
+          FROM (SELECT e.vec_id, SUM(e.xq * g.s1) AS p1,
+                       SUM(e.xq * g.s2) AS p2
+                FROM ex e JOIN sg g USING (dim) GROUP BY 1)),
+        cells AS MATERIALIZED (
+          SELECT cx, cy, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pc GROUP BY 1, 2),
+        tot AS (SELECT SUM(n) AS nt, COUNT(*) AS nc FROM cells),
+        core AS MATERIALIZED (
+          SELECT cx, cy, (cx + 500) * 1000 + cy + 500 AS cid, n
+          FROM cells CROSS JOIN tot WHERE n * nc >= nt * 2),
+        adje AS MATERIALIZED (
+          SELECT a.cid, b.cid AS cid2
+          FROM (SELECT c.cx + dx.dx AS nx, c.cy + dy.dy AS ny, c.cid
+                FROM core c,
+                     (SELECT unnest([-1, 0, 1]) AS dx) dx,
+                     (SELECT unnest([-1, 0, 1]) AS dy) dy) a
+          JOIN core b ON b.cx = a.nx AND b.cy = a.ny),
+        l0 AS (SELECT cid, cid AS lbl FROM core),
+        l1 AS (SELECT e.cid, MIN(l.lbl) AS lbl FROM adje e
+               JOIN l0 l ON l.cid = e.cid2 GROUP BY 1),
+        l2 AS (SELECT e.cid, MIN(l.lbl) AS lbl FROM adje e
+               JOIN l1 l ON l.cid = e.cid2 GROUP BY 1),
+        l3 AS (SELECT e.cid, MIN(l.lbl) AS lbl FROM adje e
+               JOIN l2 l ON l.cid = e.cid2 GROUP BY 1),
+        l4 AS (SELECT e.cid, MIN(l.lbl) AS lbl FROM adje e
+               JOIN l3 l ON l.cid = e.cid2 GROUP BY 1),
+        l5 AS MATERIALIZED (
+               SELECT e.cid, MIN(l.lbl) AS lbl FROM adje e
+               JOIN l4 l ON l.cid = e.cid2 GROUP BY 1),
+        l6 AS MATERIALIZED (
+               SELECT e.cid, MIN(l.lbl) AS lbl FROM adje e
+               JOIN l5 l ON l.cid = e.cid2 GROUP BY 1),
+        conv AS (
+          SELECT SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END) = 0
+            AS converged
+          FROM l5 a JOIN l6 b ON b.cid = a.cid),
+        corel AS MATERIALIZED (
+          SELECT c.cx, c.cy, c.cid, c.n, l.lbl
+          FROM core c JOIN l6 l ON l.cid = c.cid),
+        borderl AS MATERIALIZED (
+          SELECT nc.cx, nc.cy, MAX(nc.n) AS n, MIN(cl.lbl) AS lbl
+          FROM (SELECT ce.cx, ce.cy, ce.n FROM cells ce
+                LEFT JOIN core co ON co.cx = ce.cx AND co.cy = ce.cy
+                WHERE co.cid IS NULL) nc,
+               (SELECT unnest([-1, 0, 1]) AS dx) dx,
+               (SELECT unnest([-1, 0, 1]) AS dy) dy,
+               corel cl
+          WHERE cl.cx = nc.cx + dx.dx AND cl.cy = nc.cy + dy.dy
+          GROUP BY 1, 2),
+        clus AS MATERIALIZED (
+          SELECT k.lbl AS cluster_id,
+                 CAST(k.n_core_cells AS BIGINT) AS n_core_cells,
+                 CAST(k.n_core_points AS BIGINT) AS n_core_points,
+                 CAST(COALESCE(b.n_border_points, 0) AS BIGINT)
+                   AS n_border_points
+          FROM (SELECT lbl, COUNT(*) AS n_core_cells,
+                       SUM(n) AS n_core_points
+                FROM corel GROUP BY 1) k
+          LEFT JOIN (SELECT lbl, SUM(n) AS n_border_points
+                     FROM borderl GROUP BY 1) b ON b.lbl = k.lbl),
+        noise AS (
+          SELECT CAST(t.nt - COALESCE(
+                   (SELECT SUM(n_core_points + n_border_points) FROM clus),
+                   0) AS BIGINT) AS n_noise
+          FROM tot t)
+        SELECT c.cluster_id, c.n_core_cells, c.n_core_points,
+               c.n_border_points, noise.n_noise, conv.converged
+        FROM clus c CROSS JOIN noise CROSS JOIN conv
+        ORDER BY c.cluster_id""")))
 }

@@ -55,7 +55,11 @@ class WindowLintSpec extends SparkSpec {
     "q290_batch_scoring" -> 3, // GlobalRank bucket-offset subtree (appears twice, q170-style) + 10-row decile gains frame
     "q292_conformal_coverage" -> 2, // GlobalRank residual-bucket offset subtree, referenced twice (q170-style)
     "q293_conformal_by_segment" -> 1, // GlobalRank residual-bucket offsets (single reference)
-    "q326_control_chart_rules" -> 4 // daily series (calendar-bounded, ~2.4k rows): 3 run-rule frames + the R4 count/sum pair split by the planner
+    "q326_control_chart_rules" -> 4, // daily series (calendar-bounded, ~2.4k rows): 3 run-rule frames + the R4 count/sum pair split by the planner
+    "q351_neyman_allocation" -> 1, // 5-row stratum table (largest-remainder rank)
+    "q354_ams_f2" -> 1, // 4-row estimator-group frame (median-of-means rank)
+    "q356_kruskal_wallis" -> 1 // value-range bucket offsets (two-level scheme, q191's)
+
   )
 
   test("no query plans a data-proportional single-partition window") {
