@@ -2741,7 +2741,172 @@ object ExperimentQueries {
                  AS logged_value_ppm
         FROM t
         GROUP BY seg
-        ORDER BY seg"""))
+        ORDER BY seg""")),
+
+    // Stratified sampling under the q351 Neyman allocation, with the
+    // Horvitz-Thompson estimator audited against ground truth — the
+    // EXECUTION half of the survey-sampling pair (q351 decides how many
+    // per stratum; this gate actually draws them and proves the
+    // estimator). Deterministic Bernoulli draw per stratum:
+    // keep ⇔ md5("ssamp:"+orderkey) mod 10⁶ < rate_ppm, rate_ppm =
+    // (n_h·10⁶) div N_h from the 1000-unit Neyman allocation — a FIXED
+    // budget, so the sample stays ~1000 rows at any corpus size (the
+    // whole point of a sampling budget at 100 TB). Gates: (1) per
+    // stratum, the achieved count sits within 3σ of N_h·rate (exact
+    // binomial variance on the DECIMAL(38,0) lattice); (2) the HT
+    // total Σ_h S_h·10⁶ div rate_h reproduces the exact corpus total
+    // within ±10% (measured ratios 991780/1062019/1028455 ppm across
+    // the three shipped sf). Scale: moments + sampling are the only
+    // corpus passes (both partial-aggregable / broadcast-filtered);
+    // everything else lives on the 5-row stratum lattice.
+    QueryDef(
+      "q362_stratified_sample",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderpriority").as("stratum"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("v"))
+        val m = o.groupBy(col("stratum"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("v").cast("decimal(38,0)")).as("sx"),
+            sum((col("v").cast("decimal(38,0)") * col("v"))
+              .cast("decimal(38,0)")).as("sxx"))
+          .withColumn("s2",
+            expr("""cast((cast(n_rows as decimal(38,0)) * sxx - sx * sx)
+                    div (cast(n_rows as decimal(38,0)) * (n_rows - 1))
+                    as bigint)"""))
+          .withColumn("arg", expr(
+            "cast(n_rows as decimal(38,0)) * n_rows * s2"))
+          .withColumn("s0", floor(sqrt(col("arg").cast("double"))).cast("long"))
+          .withColumn("w_h", expr(
+            """case when cast(s0 + 1 as decimal(38,0)) * (s0 + 1) <= arg
+                    then s0 + 1
+                    when cast(s0 as decimal(38,0)) * s0 <= arg then s0
+                    else s0 - 1 end"""))
+          .cutLineage()
+        val tot = m.agg(sum(col("w_h")).as("tw"))
+        val base = m.crossJoin(broadcast(tot))
+          .withColumn("alloc_base", expr("(1000 * w_h) div tw"))
+          .withColumn("rem", expr("(1000 * w_h) % tw"))
+        val short = base.agg((lit(1000L) - sum(col("alloc_base"))).as("k"))
+        val rates = base.crossJoin(broadcast(short))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("rem").desc, col("stratum"))).cast("long"))
+          .withColumn("n_h",
+            col("alloc_base") + when(col("rk") <= col("k"), 1L).otherwise(0L))
+          .withColumn("rate_ppm", expr("(n_h * 1000000) div n_rows"))
+          .select(col("stratum"), col("n_rows"), col("rate_ppm"))
+          .cutLineage()
+        val samp = o.join(broadcast(rates), Seq("stratum"))
+          .where(md5BitsModK(md5Bits(concat(lit("ssamp:"), col("o_orderkey"))),
+            1000000L) < col("rate_ppm"))
+        val per = rates.join(
+            samp.groupBy(col("stratum")).agg(
+              count(lit(1)).as("n_samp"),
+              sum(col("v").cast("decimal(38,0)")).as("sv")),
+            Seq("stratum"), "left")
+          .withColumn("n_sampled", coalesce(col("n_samp"), lit(0L)))
+          .withColumn("ht_total_cents", expr(
+            """cast((coalesce(sv, cast(0 as decimal(38,0))) * 1000000)
+               div rate_ppm as bigint)"""))
+          .withColumn("dev_ok", expr(
+            """(cast(n_sampled as decimal(38,0)) * 1000000
+                - cast(n_rows as decimal(38,0)) * rate_ppm)
+               * (cast(n_sampled as decimal(38,0)) * 1000000
+                  - cast(n_rows as decimal(38,0)) * rate_ppm)
+               <= cast(9 as decimal(38,0)) * n_rows * rate_ppm
+                  * (1000000 - rate_ppm)"""))
+          .cutLineage()
+        val ex = o.agg(sum(col("v").cast("decimal(38,0)")).cast("long")
+          .as("exact_total"))
+        val ht = per.agg(sum(col("ht_total_cents").cast("decimal(38,0)"))
+          .cast("long").as("ht_total"))
+        per.crossJoin(broadcast(ex)).crossJoin(broadcast(ht))
+          .withColumn("ratio_ppm", expr(
+            """cast((cast(ht_total as decimal(38,0)) * 1000000)
+               div exact_total as bigint)"""))
+          .select(col("stratum"), col("n_rows"), col("rate_ppm"),
+            col("n_sampled"), col("dev_ok"), col("ht_total_cents"),
+            col("exact_total"), col("ratio_ppm"),
+            col("ratio_ppm").between(900000L, 1100000L).as("within_bound"))
+          .orderBy(col("stratum"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_orderpriority AS stratum,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+          FROM orders),
+        m0 AS (
+          SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx
+          FROM o GROUP BY 1),
+        m1 AS (
+          SELECT stratum, n_rows,
+                 CAST((CAST(n_rows AS HUGEINT) * sxx - sx * sx)
+                      // (CAST(n_rows AS HUGEINT) * (n_rows - 1))
+                      AS BIGINT) AS s2
+          FROM m0),
+        m2 AS (
+          SELECT stratum, n_rows,
+                 CAST(n_rows AS HUGEINT) * n_rows * s2 AS arg,
+                 CAST(floor(sqrt(CAST(CAST(n_rows AS HUGEINT) * n_rows * s2
+                   AS DOUBLE))) AS BIGINT) AS s0
+          FROM m1),
+        m AS MATERIALIZED (
+          SELECT stratum, n_rows,
+                 CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= arg
+                      THEN s0 + 1
+                      WHEN CAST(s0 AS HUGEINT) * s0 <= arg THEN s0
+                      ELSE s0 - 1 END AS w_h
+          FROM m2),
+        tot AS (SELECT CAST(SUM(w_h) AS BIGINT) AS tw FROM m),
+        base AS (
+          SELECT m.stratum, m.n_rows,
+                 (1000 * m.w_h) // t.tw AS alloc_base,
+                 (1000 * m.w_h) % t.tw AS rem
+          FROM m CROSS JOIN tot t),
+        short AS (
+          SELECT 1000 - CAST(SUM(alloc_base) AS BIGINT) AS k FROM base),
+        rates AS MATERIALIZED (
+          SELECT stratum, n_rows,
+                 ((alloc_base + CASE WHEN rk <= k THEN 1 ELSE 0 END)
+                  * 1000000) // n_rows AS rate_ppm
+          FROM (SELECT b.*, CAST(row_number() OVER
+                  (ORDER BY rem DESC, stratum) AS BIGINT) AS rk
+                FROM base b) b2 CROSS JOIN short),
+        samp AS MATERIALIZED (
+          SELECT o.stratum, o.v
+          FROM o JOIN rates r USING (stratum)
+          WHERE CAST(md5_number_lower('ssamp:' || o.o_orderkey) % 1000000
+                AS BIGINT) < r.rate_ppm),
+        per AS MATERIALIZED (
+          SELECT r.stratum, r.n_rows, r.rate_ppm,
+                 CAST(COUNT(s.v) AS BIGINT) AS n_sampled,
+                 CAST(COALESCE(SUM(CAST(s.v AS HUGEINT)), 0) * 1000000
+                      // r.rate_ppm AS BIGINT) AS ht_total_cents
+          FROM rates r LEFT JOIN samp s ON s.stratum = r.stratum
+          GROUP BY 1, 2, 3),
+        ex AS (SELECT CAST(SUM(CAST(v AS HUGEINT)) AS BIGINT)
+                 AS exact_total FROM o),
+        ht AS (SELECT CAST(SUM(CAST(ht_total_cents AS HUGEINT)) AS BIGINT)
+                 AS ht_total FROM per)
+        SELECT p.stratum, p.n_rows, p.rate_ppm, p.n_sampled,
+               (CAST(p.n_sampled AS HUGEINT) * 1000000
+                - CAST(p.n_rows AS HUGEINT) * p.rate_ppm)
+               * (CAST(p.n_sampled AS HUGEINT) * 1000000
+                  - CAST(p.n_rows AS HUGEINT) * p.rate_ppm)
+               <= 9 * CAST(p.n_rows AS HUGEINT) * p.rate_ppm
+                  * (1000000 - p.rate_ppm) AS dev_ok,
+               p.ht_total_cents, ex.exact_total,
+               CAST(CAST(ht.ht_total AS HUGEINT) * 1000000
+                    // ex.exact_total AS BIGINT) AS ratio_ppm,
+               CAST(CAST(ht.ht_total AS HUGEINT) * 1000000
+                    // ex.exact_total AS BIGINT)
+                 BETWEEN 900000 AND 1100000 AS within_bound
+        FROM per p CROSS JOIN ex CROSS JOIN ht
+        ORDER BY p.stratum"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:

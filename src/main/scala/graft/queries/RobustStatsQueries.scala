@@ -1196,6 +1196,193 @@ object RobustStatsQueries {
           FROM st)
         SELECT n, n1, n2, n3, n4, n5, t3 AS tie_cubes, h, h / c AS h_c,
                h / c > 9.487729036781154 AS significant
-        FROM hs"""))
+        FROM hs""")),
+
+    // Quantile normalization — map every group's value distribution onto
+    // the POOLED distribution by rank (the bioinformatics batch-effect
+    // remover, and the feature-prep step that makes per-shard score
+    // distributions comparable before a global threshold). Full
+    // resolution, no single-partition sort anywhere: within-group and
+    // pooled ranks come from the q191 two-level value-bucket lattice
+    // (group windows keyed (g, bucket); the pooled offset window runs on
+    // the bounded global bucket table), the target pooled rank is
+    // t = ⌈midrank_g·N / n_g⌉ on the DECIMAL(38,0) lane, and the
+    // rank→pooled-value inversion is a RANK-BLOCK MERGE: pooled rank
+    // intervals explode onto the 4096-wide rank blocks they touch
+    // (linear — one row per touch), targets key by (t−1) div 4096, and
+    // one block-keyed carry window (last_value IGNORE NULLS over
+    // (rank, is_t, interval-start)) hands every target the covering
+    // pooled value — the start tiebreak makes the carry deterministic
+    // when several intervals clamp to the block boundary. Gate: after
+    // normalization every group's mean equals the pooled mean within
+    // 1000 ppm (measured ≤115 ppm at sf0.001, ≤2 at sf0.01+). Scale:
+    // two corpus rollups (group cells, pooled cells) + one block-keyed
+    // merge whose partitions are ≤4096 ranks wide — nothing
+    // data-proportional in a single task.
+    QueryDef(
+      "q363_quantile_normalization",
+      (s, dir) => {
+        val B = 4096L
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("g"),
+            cents(col("o_totalprice")).as("v"))
+        val dv = o.groupBy(col("g"), col("v"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("bkt", expr("v div 65536")).cutLineage()
+        val gOff = dv.groupBy(col("g"), col("bkt"))
+          .agg(sum(col("cnt")).as("bcnt"))
+          .withColumn("goff", coalesce(sum(col("bcnt")).over(
+            Window.partitionBy(col("g")).orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("g"), col("bkt"), col("goff"))
+        val wg = Window.partitionBy(col("g"), col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gRank = dv.join(broadcast(gOff), Seq("g", "bkt"))
+          .withColumn("cntlt",
+            col("goff") + sum(col("cnt")).over(wg) - col("cnt"))
+          .select(col("g"), col("v"), col("cnt"), col("cntlt"))
+        val ng = dv.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
+        val nAll = dv.agg(sum(col("cnt")).as("nn"))
+        val pool0 = dv.groupBy(col("v")).agg(sum(col("cnt")).as("pcnt"))
+          .withColumn("bkt", expr("v div 65536")).cutLineage()
+        val pOff = pool0.groupBy(col("bkt")).agg(sum(col("pcnt")).as("bcnt"))
+          .withColumn("poff", coalesce(sum(col("bcnt")).over(
+            Window.orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bkt"), col("poff"))
+        val wp = Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pool = pool0.join(broadcast(pOff), Seq("bkt"))
+          .withColumn("pclt",
+            col("poff") + sum(col("pcnt")).over(wp) - col("pcnt"))
+          .select(col("v").as("v_pool"), col("pcnt"), col("pclt"))
+          .cutLineage()
+        val tq = gRank.join(broadcast(ng), Seq("g")).crossJoin(broadcast(nAll))
+          .withColumn("t", expr(
+            """cast((cast(2*cntlt + cnt as decimal(38,0)) * nn + 2*n_g - 1)
+               div (2 * n_g) as bigint)"""))
+          .select(col("g"), col("v"), col("cnt"), col("t"))
+        val pb = pool
+          .withColumn("b", explode(expr(
+            s"sequence(pclt div $B, (pclt + pcnt - 1) div $B)")))
+          .select(col("b"),
+            greatest(col("pclt") + 1, col("b") * B + 1).as("rank"),
+            lit(0L).as("is_t"), col("v_pool"), col("pclt").as("srt"),
+            lit(null).cast("string").as("g"),
+            lit(null).cast("long").as("v"),
+            lit(null).cast("long").as("cnt"))
+        val tb = tq.select(expr(s"(t - 1) div $B").as("b"),
+          col("t").as("rank"), lit(1L).as("is_t"),
+          lit(null).cast("long").as("v_pool"), col("t").as("srt"),
+          col("g"), col("v"), col("cnt"))
+        val wc = Window.partitionBy(col("b"))
+          .orderBy(col("rank"), col("is_t"), col("srt"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mapped = pb.unionByName(tb)
+          .withColumn("normv", last(col("v_pool"), ignoreNulls = true).over(wc))
+          .where(col("is_t") === 1L)
+          .select(col("g"), col("cnt"), col("normv"))
+        val pm = o.agg(sum(col("v").cast(DecimalType(38, 0))).as("sv"),
+            count(lit(1)).as("n"))
+          .select(expr("cast(sv div n as bigint)").as("pooled_mean_cents"))
+        mapped.groupBy(col("g"))
+          .agg(sum(col("cnt")).as("n_rows"),
+            count(lit(1)).as("n_distinct"),
+            sum(col("cnt").cast(DecimalType(38, 0)) * col("normv"))
+              .as("snorm"))
+          .withColumn("mean_norm_cents",
+            expr("cast(snorm div n_rows as bigint)"))
+          .crossJoin(broadcast(pm))
+          .withColumn("dev_ppm", expr(
+            """cast((abs(mean_norm_cents - pooled_mean_cents) * 1000000)
+               div pooled_mean_cents as bigint)"""))
+          .select(col("g"), col("n_rows"), col("n_distinct"),
+            col("mean_norm_cents"), col("pooled_mean_cents"),
+            col("dev_ppm"), (col("dev_ppm") <= 1000L).as("aligned"))
+          .orderBy(col("g"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS g,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+          FROM orders),
+        dv AS MATERIALIZED (
+          SELECT g, v, CAST(COUNT(*) AS BIGINT) AS cnt, v // 65536 AS bkt
+          FROM o GROUP BY 1, 2),
+        goff AS (
+          SELECT g, bkt,
+                 CAST(COALESCE(SUM(bcnt) OVER (PARTITION BY g ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS goff
+          FROM (SELECT g, bkt, SUM(cnt) AS bcnt FROM dv GROUP BY 1, 2)),
+        grank AS (
+          SELECT d.g, d.v, d.cnt,
+                 o2.goff + CAST(SUM(d.cnt) OVER (PARTITION BY d.g, d.bkt
+                   ORDER BY d.v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS BIGINT) - d.cnt AS cntlt
+          FROM dv d JOIN goff o2 ON o2.g = d.g AND o2.bkt = d.bkt),
+        ng AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g FROM dv GROUP BY 1),
+        nall AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn FROM dv),
+        pool0 AS MATERIALIZED (
+          SELECT v, CAST(SUM(cnt) AS BIGINT) AS pcnt, v // 65536 AS bkt
+          FROM dv GROUP BY 1),
+        poff AS (
+          SELECT bkt,
+                 CAST(COALESCE(SUM(bcnt) OVER (ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS poff
+          FROM (SELECT bkt, SUM(pcnt) AS bcnt FROM pool0 GROUP BY 1)),
+        pool AS MATERIALIZED (
+          SELECT p.v AS v_pool, p.pcnt,
+                 o3.poff + CAST(SUM(p.pcnt) OVER (PARTITION BY p.bkt
+                   ORDER BY p.v ROWS BETWEEN UNBOUNDED PRECEDING AND
+                   CURRENT ROW) AS BIGINT) - p.pcnt AS pclt
+          FROM pool0 p JOIN poff o3 ON o3.bkt = p.bkt),
+        tq AS MATERIALIZED (
+          SELECT r.g, r.v, r.cnt,
+                 CAST((CAST(2*r.cntlt + r.cnt AS HUGEINT) * nall.nn
+                       + 2*ng.n_g - 1) // (2 * ng.n_g) AS BIGINT) AS t
+          FROM grank r JOIN ng ON ng.g = r.g CROSS JOIN nall),
+        pb AS (
+          SELECT CAST(u.b AS BIGINT) AS b,
+                 GREATEST(pclt + 1, CAST(u.b AS BIGINT) * 4096 + 1) AS rank,
+                 0 AS is_t, v_pool, pclt AS srt,
+                 NULL::VARCHAR AS g, NULL::BIGINT AS cnt
+          FROM pool,
+               unnest(range(pclt // 4096, (pclt + pcnt - 1) // 4096 + 1))
+                 AS u(b)),
+        tb AS (
+          SELECT (t - 1) // 4096 AS b, t AS rank, 1 AS is_t,
+                 NULL::BIGINT AS v_pool, t AS srt, g, cnt
+          FROM tq),
+        mapped AS MATERIALIZED (
+          SELECT g, cnt, normv FROM (
+            SELECT *,
+                   last_value(v_pool IGNORE NULLS) OVER (PARTITION BY b
+                     ORDER BY rank, is_t, srt
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS normv
+            FROM (SELECT * FROM pb UNION ALL SELECT * FROM tb))
+          WHERE is_t = 1),
+        pm AS (
+          SELECT CAST(SUM(CAST(v AS HUGEINT)) // COUNT(*) AS BIGINT)
+            AS pooled_mean_cents
+          FROM o),
+        res AS (
+          SELECT m.g, CAST(SUM(m.cnt) AS BIGINT) AS n_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 CAST(SUM(CAST(m.cnt AS HUGEINT) * m.normv) // SUM(m.cnt)
+                   AS BIGINT) AS mean_norm_cents,
+                 pm.pooled_mean_cents
+          FROM mapped m CROSS JOIN pm
+          GROUP BY m.g, pm.pooled_mean_cents)
+        SELECT g, n_rows, n_distinct, mean_norm_cents, pooled_mean_cents,
+               CAST((abs(mean_norm_cents - pooled_mean_cents) * 1000000)
+                    // pooled_mean_cents AS BIGINT) AS dev_ppm,
+               CAST((abs(mean_norm_cents - pooled_mean_cents) * 1000000)
+                    // pooled_mean_cents AS BIGINT) <= 1000 AS aligned
+        FROM res
+        ORDER BY g"""))
   )
 }

@@ -58,7 +58,9 @@ class WindowLintSpec extends SparkSpec {
     "q326_control_chart_rules" -> 4, // daily series (calendar-bounded, ~2.4k rows): 3 run-rule frames + the R4 count/sum pair split by the planner
     "q351_neyman_allocation" -> 1, // 5-row stratum table (largest-remainder rank)
     "q354_ams_f2" -> 1, // 4-row estimator-group frame (median-of-means rank)
-    "q356_kruskal_wallis" -> 1 // value-range bucket offsets (two-level scheme, q191's)
+    "q356_kruskal_wallis" -> 1, // value-range bucket offsets (two-level scheme, q191's)
+    "q362_stratified_sample" -> 1, // 5-row stratum table (largest-remainder rank, q351's)
+    "q363_quantile_normalization" -> 1 // pooled value-range bucket offsets (two-level scheme)
 
   )
 
