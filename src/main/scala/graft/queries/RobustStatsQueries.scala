@@ -1383,6 +1383,207 @@ object RobustStatsQueries {
                CAST((abs(mean_norm_cents - pooled_mean_cents) * 1000000)
                     // pooled_mean_cents AS BIGINT) <= 1000 AS aligned
         FROM res
-        ORDER BY g"""))
+        ORDER BY g""")),
+
+    // Jonckheere-Terpstra — the ORDERED-alternative k-group test q356's
+    // Kruskal-Wallis cannot express: KW asks "do the five priorities
+    // differ AT ALL", JT asks "do order values INCREASE along the
+    // priority order" (the dose-response question for a continuous
+    // outcome; q336's Cochran-Armitage is its binary-outcome cousin),
+    // gaining power exactly when the alternative is monotone. The
+    // statistic is the sum of the 10 pairwise Mann-Whitney counts
+    // U_jk (j<k), assembled at the distinct-value grain: per value v,
+    // per-group cumulative counts cum_k(v) ride the q191 two-level
+    // value-bucket lattice (5 running sums in ONE bucket-keyed window;
+    // the offset window runs once on the bounded bucket table), and the
+    // DOUBLED statistic 2U = Σ_v Σ_{j<k} c_j·(2·(n_k−cum_k) + c_k)
+    // stays integer under ties. Null moments are exact: 2E = n²−Σn_j²;
+    // the tie-corrected variance (Hollander-Wolfe) is emitted as a
+    // TERM-FLOORED integer — A div 72 + B div (36n(n-1)(n-2)) +
+    // C div (8n(n-1)), each flooring error < 1 on a variance of order
+    // n³, and deterministic on both engines (the exact rational would
+    // overflow DECIMAL(38,0) past ~2·10⁶ rows; a 100 TB deployment
+    // stratifies per shard first). Verdict: z² in ppm vs
+    // χ²₀.₉₅(1) = 3.841459. Scale: one distinct-value rollup, bounded
+    // frames after.
+    QueryDef(
+      "q364_jonckheere_terpstra",
+      (s, dir) => {
+        val gs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW")
+        val base = Tables.orders(s, dir)
+          .select(cents(col("o_totalprice")).as("v"),
+            col("o_orderpriority").as("g"))
+        val dv = base.groupBy(col("v")).agg(
+          count(lit(1)).as("cnt"),
+          gs.zipWithIndex.map { case (p, i) =>
+            sum(when(col("g") === p, 1L).otherwise(0L)).as(s"c${i + 1}")
+          }: _*)
+          .withColumn("bkt", expr("v div 65536")).cutLineage()
+        val wOff = Window.orderBy(col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bsums = (1 to 5).map(i => sum(col(s"c$i")).as(s"b$i"))
+        val boff = dv.groupBy(col("bkt"))
+          .agg(bsums.head, bsums.tail: _*)
+          .select(col("bkt") +: (1 to 5).map(i =>
+            coalesce(sum(col(s"b$i")).over(wOff), lit(0L)).as(s"off$i")): _*)
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = dv.join(broadcast(boff), Seq("bkt"))
+          .select((Seq(col("v"), col("cnt")) ++
+            (1 to 5).map(i => col(s"c$i")) ++
+            (1 to 5).map(i =>
+              (col(s"off$i") + sum(col(s"c$i")).over(wIn)).as(s"cum$i"))): _*)
+        val nsums = sum(col("cnt")).as("n") +:
+          (1 to 5).map(i => sum(col(s"c$i")).as(s"n$i"))
+        val ns = dv.agg(nsums.head, nsums.tail: _*)
+        val pairsJK = for { j <- 1 to 4; k <- (j + 1) to 5 } yield (j, k)
+        val contrib = pairsJK.map { case (j, k) =>
+          col(s"c$j").cast(DecimalType(38, 0)) *
+            (lit(2L) * (col(s"n$k") - col(s"cum$k")) + col(s"c$k"))
+        }.reduce(_ + _)
+        val stats = cum.crossJoin(broadcast(ns))
+          .agg(sum(contrib).as("u2d"),
+            sum(expr("""cast(cnt as decimal(38,0)) * (cnt - 1)
+                        * (2 * cnt + 5)""")).as("t1"),
+            sum(expr("""cast(cnt as decimal(38,0)) * (cnt - 1)
+                        * (cnt - 2)""")).as("t2"),
+            sum(expr("cast(cnt as decimal(38,0)) * (cnt - 1)")).as("t3"))
+          .crossJoin(broadcast(ns))
+        stats
+          .withColumn("u2", col("u2d").cast("long"))
+          .withColumn("e2", expr(
+            """cast((cast(n as decimal(38,0)) * n
+               - (cast(n1 as decimal(38,0)) * n1 + cast(n2 as decimal(38,0)) * n2
+                  + cast(n3 as decimal(38,0)) * n3 + cast(n4 as decimal(38,0)) * n4
+                  + cast(n5 as decimal(38,0)) * n5)) div 2 as bigint)"""))
+          .withColumn("g1", expr(
+            (1 to 5).map(i =>
+              s"cast(n$i as decimal(38,0)) * (n$i - 1) * (2 * n$i + 5)")
+              .mkString(" + ")))
+          .withColumn("g2", expr(
+            (1 to 5).map(i =>
+              s"cast(n$i as decimal(38,0)) * (n$i - 1) * (n$i - 2)")
+              .mkString(" + ")))
+          .withColumn("g3", expr(
+            (1 to 5).map(i => s"cast(n$i as decimal(38,0)) * (n$i - 1)")
+              .mkString(" + ")))
+          .withColumn("var_floor", expr(
+            """cast((cast(n as decimal(38,0)) * (n - 1) * (2 * n + 5)
+                     - g1 - t1) div 72
+               + (g2 * t2) div (cast(36 as decimal(38,0)) * n * (n - 1) * (n - 2))
+               + (g3 * t3) div (cast(8 as decimal(38,0)) * n * (n - 1))
+               as bigint)"""))
+          .withColumn("z2_ppm", expr(
+            """case when var_floor <= 0 then 0
+               else cast(((cast(u2 as decimal(38,0)) - e2)
+                          * (cast(u2 as decimal(38,0)) - e2) * 1000000)
+                         div (cast(4 as decimal(38,0)) * var_floor)
+                         as bigint) end"""))
+          .select(col("n"), col("n1"), col("n2"), col("n3"), col("n4"),
+            col("n5"), col("u2"), col("e2"), col("var_floor"),
+            col("z2_ppm"),
+            (col("z2_ppm") > 3841459L).as("trend_significant"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT)
+                   AS v,
+                 o_orderpriority AS g
+          FROM orders),
+        dv AS MATERIALIZED (
+          SELECT v, CAST(COUNT(*) AS BIGINT) AS cnt,
+                 CAST(SUM(CASE WHEN g='1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                 CAST(SUM(CASE WHEN g='2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                 CAST(SUM(CASE WHEN g='3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                 CAST(SUM(CASE WHEN g='4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+                 CAST(SUM(CASE WHEN g='5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+                 v // 65536 AS bkt
+          FROM base GROUP BY v),
+        boff AS (
+          SELECT bkt,
+                 CAST(COALESCE(SUM(b1) OVER w, 0) AS BIGINT) AS off1,
+                 CAST(COALESCE(SUM(b2) OVER w, 0) AS BIGINT) AS off2,
+                 CAST(COALESCE(SUM(b3) OVER w, 0) AS BIGINT) AS off3,
+                 CAST(COALESCE(SUM(b4) OVER w, 0) AS BIGINT) AS off4,
+                 CAST(COALESCE(SUM(b5) OVER w, 0) AS BIGINT) AS off5
+          FROM (SELECT bkt, SUM(c1) AS b1, SUM(c2) AS b2, SUM(c3) AS b3,
+                       SUM(c4) AS b4, SUM(c5) AS b5
+                FROM dv GROUP BY 1)
+          WINDOW w AS (ORDER BY bkt
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        cum AS (
+          SELECT d.v, d.cnt, d.c1, d.c2, d.c3, d.c4, d.c5,
+                 o2.off1 + CAST(SUM(d.c1) OVER wb AS BIGINT) AS cum1,
+                 o2.off2 + CAST(SUM(d.c2) OVER wb AS BIGINT) AS cum2,
+                 o2.off3 + CAST(SUM(d.c3) OVER wb AS BIGINT) AS cum3,
+                 o2.off4 + CAST(SUM(d.c4) OVER wb AS BIGINT) AS cum4,
+                 o2.off5 + CAST(SUM(d.c5) OVER wb AS BIGINT) AS cum5
+          FROM dv d JOIN boff o2 ON o2.bkt = d.bkt
+          WINDOW wb AS (PARTITION BY d.bkt ORDER BY d.v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        ns AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                 CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+                 CAST(SUM(c3) AS BIGINT) AS n3, CAST(SUM(c4) AS BIGINT) AS n4,
+                 CAST(SUM(c5) AS BIGINT) AS n5
+          FROM dv),
+        st AS (
+          SELECT
+            SUM(CAST(c1 AS HUGEINT) * (2*(n2 - cum2) + c2)
+              + CAST(c1 AS HUGEINT) * (2*(n3 - cum3) + c3)
+              + CAST(c1 AS HUGEINT) * (2*(n4 - cum4) + c4)
+              + CAST(c1 AS HUGEINT) * (2*(n5 - cum5) + c5)
+              + CAST(c2 AS HUGEINT) * (2*(n3 - cum3) + c3)
+              + CAST(c2 AS HUGEINT) * (2*(n4 - cum4) + c4)
+              + CAST(c2 AS HUGEINT) * (2*(n5 - cum5) + c5)
+              + CAST(c3 AS HUGEINT) * (2*(n4 - cum4) + c4)
+              + CAST(c3 AS HUGEINT) * (2*(n5 - cum5) + c5)
+              + CAST(c4 AS HUGEINT) * (2*(n5 - cum5) + c5)) AS u2d,
+            SUM(CAST(cnt AS HUGEINT) * (cnt-1) * (2*cnt+5)) AS t1,
+            SUM(CAST(cnt AS HUGEINT) * (cnt-1) * (cnt-2)) AS t2,
+            SUM(CAST(cnt AS HUGEINT) * (cnt-1)) AS t3
+          FROM cum CROSS JOIN ns),
+        fin AS (
+          SELECT ns.n, ns.n1, ns.n2, ns.n3, ns.n4, ns.n5,
+                 CAST(st.u2d AS BIGINT) AS u2,
+                 CAST((CAST(ns.n AS HUGEINT) * ns.n
+                      - (CAST(ns.n1 AS HUGEINT)*ns.n1 + CAST(ns.n2 AS HUGEINT)*ns.n2
+                         + CAST(ns.n3 AS HUGEINT)*ns.n3 + CAST(ns.n4 AS HUGEINT)*ns.n4
+                         + CAST(ns.n5 AS HUGEINT)*ns.n5)) // 2 AS BIGINT) AS e2,
+                 CAST(
+                   (CAST(ns.n AS HUGEINT) * (ns.n - 1) * (2*ns.n + 5)
+                    - (CAST(ns.n1 AS HUGEINT)*(ns.n1-1)*(2*ns.n1+5)
+                       + CAST(ns.n2 AS HUGEINT)*(ns.n2-1)*(2*ns.n2+5)
+                       + CAST(ns.n3 AS HUGEINT)*(ns.n3-1)*(2*ns.n3+5)
+                       + CAST(ns.n4 AS HUGEINT)*(ns.n4-1)*(2*ns.n4+5)
+                       + CAST(ns.n5 AS HUGEINT)*(ns.n5-1)*(2*ns.n5+5))
+                    - st.t1) // 72
+                   + (CAST(ns.n1 AS HUGEINT)*(ns.n1-1)*(ns.n1-2)
+                      + CAST(ns.n2 AS HUGEINT)*(ns.n2-1)*(ns.n2-2)
+                      + CAST(ns.n3 AS HUGEINT)*(ns.n3-1)*(ns.n3-2)
+                      + CAST(ns.n4 AS HUGEINT)*(ns.n4-1)*(ns.n4-2)
+                      + CAST(ns.n5 AS HUGEINT)*(ns.n5-1)*(ns.n5-2)) * st.t2
+                     // (CAST(36 AS HUGEINT) * ns.n * (ns.n-1) * (ns.n-2))
+                   + (CAST(ns.n1 AS HUGEINT)*(ns.n1-1)
+                      + CAST(ns.n2 AS HUGEINT)*(ns.n2-1)
+                      + CAST(ns.n3 AS HUGEINT)*(ns.n3-1)
+                      + CAST(ns.n4 AS HUGEINT)*(ns.n4-1)
+                      + CAST(ns.n5 AS HUGEINT)*(ns.n5-1)) * st.t3
+                     // (CAST(8 AS HUGEINT) * ns.n * (ns.n-1))
+                   AS BIGINT) AS var_floor
+          FROM st CROSS JOIN ns)
+        SELECT n, n1, n2, n3, n4, n5, u2, e2, var_floor,
+               CASE WHEN var_floor <= 0 THEN 0
+                    ELSE CAST(((CAST(u2 AS HUGEINT) - e2)
+                               * (CAST(u2 AS HUGEINT) - e2) * 1000000)
+                              // (CAST(4 AS HUGEINT) * var_floor) AS BIGINT)
+               END AS z2_ppm,
+               CASE WHEN var_floor <= 0 THEN 0
+                    ELSE CAST(((CAST(u2 AS HUGEINT) - e2)
+                               * (CAST(u2 AS HUGEINT) - e2) * 1000000)
+                              // (CAST(4 AS HUGEINT) * var_floor) AS BIGINT)
+               END > 3841459 AS trend_significant
+        FROM fin"""))
   )
 }

@@ -1100,6 +1100,123 @@ object TimeSeriesQueries {
                CAST(SUM(actual) AS BIGINT) AS sum_actual_cents
         FROM fc
         GROUP BY 1, 2
-        ORDER BY rg, tau"""))
+        ORDER BY rg, tau""")),
+
+    // Mann-Kendall trend test + Theil-Sen slope — the standard PAIR for
+    // nonparametric time-series trend (the q188 CUSUM asks "did the
+    // level SHIFT", this asks "is there a monotone TREND", robust to
+    // outlier months that wreck an OLS slope). Series = monthly revenue
+    // (calendar-bounded, ~96 rows at any data size — the pair frame is
+    // ≤n(n-1)/2 ≈ 4.6k rows, a BOUNDED all-pairs, never corpus²).
+    // S = Σ_{i<j} sign(r_j−r_i) exact; Var(S) carries the tie
+    // correction [n(n-1)(2n+5) − Σt(t-1)(2t+5)] div 18 (floored —
+    // error < 1 on an integer-scale variance, engine-identical);
+    // verdict = continuity-corrected z² in ppm vs χ²₀.₉₅(1). The
+    // Theil-Sen estimate is the LOWER MEDIAN of the pairwise slopes on
+    // the micro-lattice — dy·10⁶ over TRUE month distance dx (gap
+    // months cost nothing), floored via the |·|-split so both engines
+    // agree on negative slopes, rank picked with a (slope, i, j) total
+    // tiebreak. Scale: one monthly rollup ends the corpus's
+    // involvement; every later frame is calendar-bounded.
+    QueryDef(
+      "q365_mann_kendall_theil_sen",
+      (s, dir) => {
+        val monthly = Tables.orders(s, dir)
+          .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("mkey"),
+            (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+              .cast("long").as("midx"))
+          .agg(sum(expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+            .as("r"))
+          .cutLineage()
+        val pairs = monthly.select(col("mkey").as("ki"), col("midx").as("xi"),
+            col("r").as("ri"))
+          .join(monthly.select(col("mkey").as("kj"), col("midx").as("xj"),
+            col("r").as("rj")), col("ki") < col("kj"))
+          .withColumn("dy", col("rj") - col("ri"))
+          .withColumn("dx", col("xj") - col("xi"))
+          .withColumn("slope_micro", expr(
+            """case when dy < 0 then -((-dy * 1000000 + dx - 1) div dx)
+               else (dy * 1000000) div dx end"""))
+          .cutLineage()
+        val sAgg = pairs.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(signum(col("dy")).cast("long")).as("s"))
+        val ties = monthly.groupBy(col("r")).agg(count(lit(1)).as("t"))
+          .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("t1"),
+            count(lit(1)).as("n_distinct_r"))
+        val nn = monthly.agg(count(lit(1)).as("n_months"))
+        val med = pairs
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("slope_micro"), col("ki"), col("kj")))
+            .cast("long"))
+          .crossJoin(broadcast(sAgg.select(col("n_pairs").as("np"))))
+          .where(col("rn") === expr("(np + 1) div 2"))
+          .select(col("slope_micro").as("ts_slope_micro_per_month"))
+        sAgg.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+          .crossJoin(broadcast(med))
+          .withColumn("var18", expr(
+            """(n_months * (n_months - 1) * (2 * n_months + 5) - t1)
+               div 18"""))
+          .withColumn("z2_ppm", expr(
+            """case when var18 <= 0 or abs(s) <= 1 then 0
+               else ((abs(s) - 1) * (abs(s) - 1) * 1000000) div var18
+               end"""))
+          .select(col("n_months"), col("n_pairs"), col("s"), col("var18"),
+            col("z2_ppm"), (col("z2_ppm") > 3841459L).as("mk_significant"),
+            col("ts_slope_micro_per_month"))
+      },
+      Some("""
+        WITH monthly AS MATERIALIZED (
+          SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT)
+                   AS mkey,
+                 CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT)
+                   AS midx,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+                   AS BIGINT)) AS BIGINT) AS r
+          FROM orders GROUP BY 1, 2),
+        pairs AS MATERIALIZED (
+          SELECT a.mkey AS ki, b.mkey AS kj,
+                 b.r - a.r AS dy, b.midx - a.midx AS dx,
+                 CASE WHEN b.r - a.r < 0
+                      THEN -((-(b.r - a.r) * 1000000 + (b.midx - a.midx) - 1)
+                             // (b.midx - a.midx))
+                      ELSE ((b.r - a.r) * 1000000) // (b.midx - a.midx)
+                 END AS slope_micro
+          FROM monthly a JOIN monthly b ON a.mkey < b.mkey),
+        sagg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(SUM(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1
+                          ELSE 0 END) AS BIGINT) AS s
+          FROM pairs),
+        ties AS (
+          SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t1
+          FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t
+                FROM monthly GROUP BY r)),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_months FROM monthly),
+        med AS (
+          SELECT slope_micro AS ts_slope_micro_per_month FROM (
+            SELECT slope_micro,
+                   CAST(row_number() OVER (ORDER BY slope_micro, ki, kj)
+                     AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS np
+            FROM pairs)
+          WHERE rn = (np + 1) // 2),
+        fin AS (
+          SELECT nn.n_months, sagg.n_pairs, sagg.s,
+                 (nn.n_months * (nn.n_months - 1) * (2 * nn.n_months + 5)
+                  - ties.t1) // 18 AS var18,
+                 med.ts_slope_micro_per_month
+          FROM sagg CROSS JOIN nn CROSS JOIN ties CROSS JOIN med)
+        SELECT n_months, n_pairs, s, var18,
+               CASE WHEN var18 <= 0 OR abs(s) <= 1 THEN 0
+                    ELSE ((abs(s) - 1) * (abs(s) - 1) * 1000000) // var18
+               END AS z2_ppm,
+               CASE WHEN var18 <= 0 OR abs(s) <= 1 THEN 0
+                    ELSE ((abs(s) - 1) * (abs(s) - 1) * 1000000) // var18
+               END > 3841459 AS mk_significant,
+               ts_slope_micro_per_month
+        FROM fin"""))
   )
 }

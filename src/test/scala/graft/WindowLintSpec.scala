@@ -59,8 +59,9 @@ class WindowLintSpec extends SparkSpec {
     "q351_neyman_allocation" -> 1, // 5-row stratum table (largest-remainder rank)
     "q354_ams_f2" -> 1, // 4-row estimator-group frame (median-of-means rank)
     "q356_kruskal_wallis" -> 1, // value-range bucket offsets (two-level scheme, q191's)
-    "q362_stratified_sample" -> 1, // 5-row stratum table (largest-remainder rank, q351's)
-    "q363_quantile_normalization" -> 1 // pooled value-range bucket offsets (two-level scheme)
+    "q364_jonckheere_terpstra" -> 1, // value-range bucket offsets (5 group sums, one node)
+    "q365_mann_kendall_theil_sen" -> 1 // Theil-Sen median rank over the calendar-bounded pair frame
+
 
   )
 
