@@ -2427,7 +2427,89 @@ object StatsQueries {
                (CAST(s2 AS DOUBLE) / (10.0 * CAST(n_blocks AS DOUBLE))
                  - 18.0 * CAST(n_blocks AS DOUBLE)) > 9.487729036781154
                  AS significant
-        FROM st""")))
+        FROM st""")),
+
+    // Page's trend test — the ORDERED alternative on q361's blocked
+    // design (the within-block cousin of q364: Friedman asks "do the
+    // priorities differ", Page asks "do their ranks INCREASE in the
+    // stated order", the right test when the treatments carry a natural
+    // ordering). L = Σ_j j·R_j on the identical doubled-midrank
+    // lattice: L2 = Σ_j j·R2_j, exact null moments E[L2] = n·k(k+1)²/2
+    // (= 90n at k=5) and Var[L2] = 4·Var[L] = n·k²(k+1)(k²−1)/36
+    // (= 100n at k=5, no-ties form — block-internal ties are
+    // measure-zero on the cents lattice and q361 gates has_ties
+    // alongside), so z² = (L2−90n)²/(100n) is a pure integer ratio
+    // emitted in ppm, verdict vs χ²₀.₉₅(1). Scale: identical to q361 —
+    // the corpus collapses at the (month, priority) rollup.
+    QueryDef(
+      "q367_page_trend",
+      (s, dir) => {
+        val gs = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+          "5-LOW")
+        val cell = Tables.orders(s, dir)
+          .groupBy(
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+              .cast("long").as("mkey"),
+            col("o_orderpriority").as("g"))
+          .agg(sum((col("o_totalprice")
+              .cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+            .cast("long")).as("v"))
+        val comp = cell.groupBy(col("mkey"))
+          .agg(count(lit(1)).as("kc"))
+          .where(col("kc") === 5).select(col("mkey"))
+        val wlt = Window.partitionBy(col("mkey")).orderBy(col("v"))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val weq = Window.partitionBy(col("mkey")).orderBy(col("v"))
+          .rangeBetween(0, 0)
+        val ranked = cell.join(broadcast(comp), Seq("mkey"))
+          .withColumn("r2",
+            count(lit(1)).over(wlt).cast("long") * 2
+              + count(lit(1)).over(weq).cast("long") + 1)
+          .withColumn("j",
+            gs.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
+              when(col("g") === p, lit(i + 1L)).otherwise(acc)
+            })
+        ranked.agg(countDistinct(col("mkey")).as("n_blocks"),
+            sum(col("j") * col("r2")).as("l2"))
+          .withColumn("e2", lit(90L) * col("n_blocks"))
+          .withColumn("var2", lit(100L) * col("n_blocks"))
+          .withColumn("z2_ppm", expr(
+            "((l2 - e2) * (l2 - e2) * 1000000) div var2"))
+          .select(col("n_blocks"), col("l2"), col("e2"), col("var2"),
+            col("z2_ppm"),
+            (col("z2_ppm") > 3841459L).as("trend_significant"))
+      },
+      Some("""
+        WITH cell AS (
+          SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT)
+                   AS mkey,
+                 o_orderpriority AS g,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+                   AS BIGINT)) AS BIGINT) AS v
+          FROM orders GROUP BY 1, 2),
+        comp AS (SELECT mkey FROM cell GROUP BY 1 HAVING COUNT(*) = 5),
+        ranked AS (
+          SELECT c.g, c.mkey,
+                 CAST(COUNT(*) OVER (PARTITION BY c.mkey ORDER BY c.v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS BIGINT) * 2
+                 + CAST(COUNT(*) OVER (PARTITION BY c.mkey ORDER BY c.v
+                   RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                   AS BIGINT) + 1 AS r2,
+                 CASE c.g WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                      WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                      ELSE 5 END AS j
+          FROM cell c JOIN comp USING (mkey)),
+        agg AS (
+          SELECT CAST(COUNT(DISTINCT mkey) AS BIGINT) AS n_blocks,
+                 CAST(SUM(j * r2) AS BIGINT) AS l2
+          FROM ranked)
+        SELECT n_blocks, l2, 90 * n_blocks AS e2, 100 * n_blocks AS var2,
+               ((l2 - 90 * n_blocks) * (l2 - 90 * n_blocks) * 1000000)
+                 // (100 * n_blocks) AS z2_ppm,
+               ((l2 - 90 * n_blocks) * (l2 - 90 * n_blocks) * 1000000)
+                 // (100 * n_blocks) > 3841459 AS trend_significant
+        FROM agg""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.

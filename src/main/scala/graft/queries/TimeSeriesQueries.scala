@@ -1217,6 +1217,90 @@ object TimeSeriesQueries {
                     ELSE ((abs(s) - 1) * (abs(s) - 1) * 1000000) // var18
                END > 3841459 AS mk_significant,
                ts_slope_micro_per_month
+        FROM fin""")),
+
+    // Wald-Wolfowitz runs test on month-over-month revenue change signs
+    // — the RANDOMNESS audit that complements q365's trend test: MK
+    // asks "does the series drift", runs asks "are the ups and downs
+    // independent" (too FEW runs = positive autocorrelation / regime
+    // persistence, too many = oscillation — either breaks the i.i.d.
+    // assumption every control-chart and CI gate implicitly makes).
+    // Exact integer end-to-end: signs from lagged diffs (zeros
+    // dropped), runs counted as 1 + sign flips, and the z² avoids
+    // the textbook's float moments entirely — with m = 2·n₊·n₋,
+    // z² = (R·n − n − m)²·(n−1) / (m·(m−n)) exactly, emitted in ppm.
+    // Verdict vs χ²₀.₉₅(1). Scale: the corpus ends at the monthly
+    // rollup; both windows run on the ~96-row calendar-bounded frame.
+    QueryDef(
+      "q366_runs_test",
+      (s, dir) => {
+        val monthly = Tables.orders(s, dir)
+          .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("mkey"))
+          .agg(sum(expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"))
+            .as("r"))
+          .cutLineage()
+        val wOrd = Window.orderBy(col("mkey"))
+        val signs = monthly
+          .withColumn("d", col("r") - lag(col("r"), 1).over(wOrd))
+          .where(col("d").isNotNull && col("d") =!= 0L)
+          .select(col("mkey"), signum(col("d")).cast("long").as("sg"))
+        val wOrd2 = Window.orderBy(col("mkey"))
+        val flips = signs
+          .withColumn("prev", lag(col("sg"), 1).over(wOrd2))
+          .agg(count(lit(1)).as("n_changes"),
+            sum(when(col("sg") === 1L, 1L).otherwise(0L)).as("n_plus"),
+            sum(when(col("sg") === -1L, 1L).otherwise(0L)).as("n_minus"),
+            (sum(when(col("prev").isNotNull && col("prev") =!= col("sg"), 1L)
+              .otherwise(0L)) + 1L).as("n_runs"))
+        flips
+          .withColumn("m", lit(2L) * col("n_plus") * col("n_minus"))
+          .withColumn("num", col("n_runs") * col("n_changes")
+            - col("n_changes") - col("m"))
+          .withColumn("z2_ppm", expr(
+            """case when m * (m - n_changes) <= 0 then 0
+               else (num * num * (n_changes - 1) * 1000000)
+                    div (m * (m - n_changes)) end"""))
+          .select(col("n_changes"), col("n_plus"), col("n_minus"),
+            col("n_runs"), col("z2_ppm"),
+            (col("z2_ppm") <= 3841459L).as("random_ok"))
+      },
+      Some("""
+        WITH monthly AS (
+          SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT)
+                   AS mkey,
+                 CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))*100
+                   AS BIGINT)) AS BIGINT) AS r
+          FROM orders GROUP BY 1),
+        signs AS (
+          SELECT mkey, CASE WHEN d > 0 THEN 1 ELSE -1 END AS sg
+          FROM (SELECT mkey, r - lag(r) OVER (ORDER BY mkey) AS d
+                FROM monthly)
+          WHERE d IS NOT NULL AND d <> 0),
+        flips AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_changes,
+                 CAST(SUM(CASE WHEN sg = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_plus,
+                 CAST(SUM(CASE WHEN sg = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_minus,
+                 CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> sg
+                          THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+          FROM (SELECT sg, lag(sg) OVER (ORDER BY mkey) AS prev
+                FROM signs)),
+        fin AS (
+          SELECT *, 2 * n_plus * n_minus AS m,
+                 n_runs * n_changes - n_changes - 2 * n_plus * n_minus
+                   AS num
+          FROM flips)
+        SELECT n_changes, n_plus, n_minus, n_runs,
+               CASE WHEN m * (m - n_changes) <= 0 THEN 0
+                    ELSE (num * num * (n_changes - 1) * 1000000)
+                         // (m * (m - n_changes)) END AS z2_ppm,
+               CASE WHEN m * (m - n_changes) <= 0 THEN 0
+                    ELSE (num * num * (n_changes - 1) * 1000000)
+                         // (m * (m - n_changes)) END <= 3841459
+                 AS random_ok
         FROM fin"""))
   )
 }
