@@ -2906,7 +2906,149 @@ object ExperimentQueries {
                     // ex.exact_total AS BIGINT)
                  BETWEEN 900000 AND 1100000 AS within_bound
         FROM per p CROSS JOIN ex CROSS JOIN ht
-        ORDER BY p.stratum"""))
+        ORDER BY p.stratum""")),
+
+    // Power analysis / minimum-detectable-effect calculator — the
+    // question every experiment DESIGN starts with ("how small a lift
+    // can this segment even see?") and the one the q179-family verdicts
+    // implicitly assume was asked. Per stratum: the exact cents²
+    // variance lattice (q351's), then the two-sided α=.05 / power=.80
+    // two-sample MDE — mde² = (z_{.975}+z_{.80})²·4σ²/n with
+    // (1.959964+0.841621)² pinned as the rational 7848880 ppm, so
+    // mde_cents = isqrt((31395520·s²) div (n·10⁶)) via the q351
+    // double-seeded integer sqrt (decimal-compare corrected — no float
+    // sqrt result crosses the gate). Also emitted: the per-arm sample
+    // size needed to detect a 1% lift of the stratum mean — the
+    // capacity-planning number. Scale: one moment rollup ends the
+    // corpus's involvement; the calculator is a 5-row lattice.
+    QueryDef(
+      "q368_power_mde",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderpriority").as("stratum"),
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")
+              .as("v"))
+        val m = o.groupBy(col("stratum"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("v").cast("decimal(38,0)")).as("sx"),
+            sum((col("v").cast("decimal(38,0)") * col("v"))
+              .cast("decimal(38,0)")).as("sxx"))
+          .withColumn("s2",
+            expr("""cast((cast(n_rows as decimal(38,0)) * sxx - sx * sx)
+                    div (cast(n_rows as decimal(38,0)) * (n_rows - 1))
+                    as bigint)"""))
+          .withColumn("mean_cents", expr("cast(sx div n_rows as bigint)"))
+        val mde = m
+          .withColumn("arg", expr(
+            "(cast(31395520 as decimal(38,0)) * s2) div (n_rows * 1000000)"))
+          .withColumn("s0", floor(sqrt(col("arg").cast("double"))).cast("long"))
+          .withColumn("mde_cents", expr(
+            """case when cast(s0 + 1 as decimal(38,0)) * (s0 + 1) <= arg
+                    then s0 + 1
+                    when cast(s0 as decimal(38,0)) * s0 <= arg then s0
+                    else s0 - 1 end"""))
+          .withColumn("mde_rel_ppm", expr(
+            "(mde_cents * 1000000) div mean_cents"))
+          .withColumn("n_per_arm_for_1pct", expr(
+            """cast((cast(7848880 as decimal(38,0)) * 2 * s2)
+               div (cast(mean_cents as decimal(38,0)) * mean_cents * 100)
+               as bigint) + 1"""))
+          .select(col("stratum"), col("n_rows"), col("s2").as("s2_cents2"),
+            col("mean_cents"), col("mde_cents"), col("mde_rel_ppm"),
+            col("n_per_arm_for_1pct"))
+          .orderBy(col("stratum"))
+        mde
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_orderpriority AS stratum,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS v
+          FROM orders),
+        m0 AS (
+          SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx
+          FROM o GROUP BY 1),
+        m1 AS (
+          SELECT stratum, n_rows,
+                 CAST((CAST(n_rows AS HUGEINT) * sxx - sx * sx)
+                      // (CAST(n_rows AS HUGEINT) * (n_rows - 1))
+                      AS BIGINT) AS s2,
+                 CAST(sx // n_rows AS BIGINT) AS mean_cents
+          FROM m0),
+        m2 AS (
+          SELECT stratum, n_rows, s2, mean_cents,
+                 (CAST(31395520 AS HUGEINT) * s2) // (n_rows * 1000000)
+                   AS arg,
+                 CAST(floor(sqrt(CAST((CAST(31395520 AS HUGEINT) * s2)
+                   // (n_rows * 1000000) AS DOUBLE))) AS BIGINT) AS s0
+          FROM m1),
+        m3 AS (
+          SELECT stratum, n_rows, s2, mean_cents,
+                 CASE WHEN CAST(s0 + 1 AS HUGEINT) * (s0 + 1) <= arg
+                      THEN s0 + 1
+                      WHEN CAST(s0 AS HUGEINT) * s0 <= arg THEN s0
+                      ELSE s0 - 1 END AS mde_cents
+          FROM m2)
+        SELECT stratum, n_rows, s2 AS s2_cents2, mean_cents, mde_cents,
+               (mde_cents * 1000000) // mean_cents AS mde_rel_ppm,
+               CAST((CAST(7848880 AS HUGEINT) * 2 * s2)
+                    // (CAST(mean_cents AS HUGEINT) * mean_cents * 100)
+                    AS BIGINT) + 1 AS n_per_arm_for_1pct
+        FROM m3
+        ORDER BY stratum""")),
+
+    // Sample-ratio-mismatch (SRM) guard — the first alarm every
+    // experimentation platform fires BEFORE reading any metric: if the
+    // 50/50 hash split didn't deliver 50/50, the assignment pipeline is
+    // broken and all downstream inference is garbage (Kohavi's classic
+    // failure taxonomy). Two assignment rules run side by side: the
+    // honest md5 coin (expect pass) and a deliberately skewed 45/55
+    // rule (expect SRM DETECTED — the gate proves the alarm fires, not
+    // just that it stays quiet). χ² for a 2-cell equal-split is
+    // (n₁−n₀)²/n, exact in ppm on int64. Scale: one map-side-combinable
+    // rollup per rule over the assignment scan; two output rows.
+    QueryDef(
+      "q369_srm_check",
+      (s, dir) => {
+        val o = Tables.orders(s, dir).select(col("o_orderkey"))
+          .withColumn("h", md5BitsModK(md5Bits(concat(lit("srm:"),
+            col("o_orderkey"))), 100L))
+        val rules = o.select(lit("fair_50_50").as("rule"),
+            when(col("h") < 50L, 1L).otherwise(0L).as("a"))
+          .unionByName(o.select(lit("skewed_45_55").as("rule"),
+            when(col("h") < 45L, 1L).otherwise(0L).as("a")))
+        rules.groupBy(col("rule"))
+          .agg(sum(col("a")).as("n1"),
+            sum(lit(1L) - col("a")).as("n0"))
+          .withColumn("chi2_ppm", expr(
+            "((n1 - n0) * (n1 - n0) * 1000000) div (n1 + n0)"))
+          .select(col("rule"), col("n1"), col("n0"), col("chi2_ppm"),
+            (col("chi2_ppm") > 3841459L).as("srm_detected"))
+          .orderBy(col("rule"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT CAST(md5_number_lower('srm:' || o_orderkey) % 100
+                 AS BIGINT) AS h
+          FROM orders),
+        rules AS (
+          SELECT 'fair_50_50' AS rule,
+                 CASE WHEN h < 50 THEN 1 ELSE 0 END AS a FROM o
+          UNION ALL
+          SELECT 'skewed_45_55' AS rule,
+                 CASE WHEN h < 45 THEN 1 ELSE 0 END AS a FROM o),
+        agg AS (
+          SELECT rule, CAST(SUM(a) AS BIGINT) AS n1,
+                 CAST(SUM(1 - a) AS BIGINT) AS n0
+          FROM rules GROUP BY 1)
+        SELECT rule, n1, n0,
+               ((n1 - n0) * (n1 - n0) * 1000000) // (n1 + n0) AS chi2_ppm,
+               ((n1 - n0) * (n1 - n0) * 1000000) // (n1 + n0) > 3841459
+                 AS srm_detected
+        FROM agg
+        ORDER BY rule"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:
