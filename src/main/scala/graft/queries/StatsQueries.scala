@@ -2509,7 +2509,216 @@ object StatsQueries {
                  // (100 * n_blocks) AS z2_ppm,
                ((l2 - 90 * n_blocks) * (l2 - 90 * n_blocks) * 1000000)
                  // (100 * n_blocks) > 3841459 AS trend_significant
-        FROM agg""")))
+        FROM agg""")),
+
+    // Categorical-association suite on the priority × status contingency
+    // table — the nominal-by-nominal measures the numeric correlation
+    // family (q303/q304 Spearman/Kendall) cannot express, and the audit
+    // a feature-selection pass runs before one-hot-encoding a column
+    // pair: χ² independence (per-cell exact rational, floored in ppm —
+    // error ≤ one ppm per cell, engine-identical), Cramér's V² =
+    // χ²/(n·min(r−1,c−1)) (the [0,1] effect size; V itself needs a
+    // √ and adds nothing the gate can't read off V²), and
+    // Goodman-Kruskal λ in BOTH directions (proportional reduction in
+    // MODAL prediction error — exact integer, no transcendentals
+    // anywhere). Scale: the corpus collapses at the ≤15-cell
+    // contingency rollup; everything after is constant-size.
+    QueryDef(
+      "q370_categorical_association",
+      (s, dir) => {
+        val ct = Tables.orders(s, dir)
+          .groupBy(col("o_orderpriority").as("p"),
+            col("o_orderstatus").as("st"))
+          .agg(count(lit(1)).as("o"))
+          .cutLineage()
+        val rs = ct.groupBy(col("p")).agg(sum(col("o")).as("rsum"))
+        val cs = ct.groupBy(col("st")).agg(sum(col("o")).as("csum"))
+        val n = ct.agg(sum(col("o")).as("n"))
+        val chi = ct.join(broadcast(rs), Seq("p"))
+          .join(broadcast(cs), Seq("st"))
+          .crossJoin(broadcast(n))
+          .withColumn("cell_ppm", expr(
+            """cast(((cast(o as decimal(38,0)) * n - cast(rsum as decimal(38,0)) * csum)
+                     * (cast(o as decimal(38,0)) * n - cast(rsum as decimal(38,0)) * csum)
+                     * 1000000)
+                    div (cast(rsum as decimal(38,0)) * csum * n) as bigint)"""))
+          .agg(sum(col("cell_ppm")).as("chi2_ppm"))
+        val lamRow = ct.groupBy(col("p")).agg(max(col("o")).as("rmax"))
+          .agg(sum(col("rmax")).as("sum_row_modes"))
+        val lamCol = ct.groupBy(col("st")).agg(max(col("o")).as("cmax"))
+          .agg(sum(col("cmax")).as("sum_col_modes"))
+        val maxCol = cs.agg(max(col("csum")).as("max_csum"))
+        val maxRow = rs.agg(max(col("rsum")).as("max_rsum"))
+        chi.crossJoin(broadcast(n))
+          .crossJoin(broadcast(lamRow)).crossJoin(broadcast(lamCol))
+          .crossJoin(broadcast(maxCol)).crossJoin(broadcast(maxRow))
+          .withColumn("v2_ppm", expr("chi2_ppm div (n * 2)"))
+          .withColumn("lambda_status_given_priority_ppm", expr(
+            """case when n = max_csum then 0
+               else ((sum_row_modes - max_csum) * 1000000)
+                    div (n - max_csum) end"""))
+          .withColumn("lambda_priority_given_status_ppm", expr(
+            """case when n = max_rsum then 0
+               else ((sum_col_modes - max_rsum) * 1000000)
+                    div (n - max_rsum) end"""))
+          .select(col("n"), col("chi2_ppm"), col("v2_ppm"),
+            (col("chi2_ppm") > lit(15507313L)).as("dependent"),
+            col("sum_row_modes"), col("sum_col_modes"),
+            col("lambda_status_given_priority_ppm"),
+            col("lambda_priority_given_status_ppm"))
+      },
+      Some("""
+        WITH ct AS MATERIALIZED (
+          SELECT o_orderpriority AS p, o_orderstatus AS st,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM orders GROUP BY 1, 2),
+        rs AS (SELECT p, CAST(SUM(o) AS BIGINT) AS rsum FROM ct GROUP BY 1),
+        cs AS (SELECT st, CAST(SUM(o) AS BIGINT) AS csum FROM ct GROUP BY 1),
+        nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ct),
+        chi AS (
+          SELECT CAST(SUM(
+            ((CAST(c.o AS HUGEINT) * nn.n - CAST(r.rsum AS HUGEINT) * cc.csum)
+             * (CAST(c.o AS HUGEINT) * nn.n - CAST(r.rsum AS HUGEINT) * cc.csum)
+             * 1000000)
+            // (CAST(r.rsum AS HUGEINT) * cc.csum * nn.n)) AS BIGINT)
+            AS chi2_ppm
+          FROM ct c JOIN rs r ON r.p = c.p JOIN cs cc ON cc.st = c.st
+          CROSS JOIN nn),
+        lr AS (SELECT CAST(SUM(rmax) AS BIGINT) AS sum_row_modes
+               FROM (SELECT p, MAX(o) AS rmax FROM ct GROUP BY 1)),
+        lc AS (SELECT CAST(SUM(cmax) AS BIGINT) AS sum_col_modes
+               FROM (SELECT st, MAX(o) AS cmax FROM ct GROUP BY 1)),
+        mc AS (SELECT CAST(MAX(csum) AS BIGINT) AS max_csum FROM cs),
+        mr AS (SELECT CAST(MAX(rsum) AS BIGINT) AS max_rsum FROM rs)
+        SELECT nn.n, chi.chi2_ppm, chi.chi2_ppm // (nn.n * 2) AS v2_ppm,
+               chi.chi2_ppm > 15507313 AS dependent,
+               lr.sum_row_modes, lc.sum_col_modes,
+               CASE WHEN nn.n = mc.max_csum THEN 0
+                    ELSE ((lr.sum_row_modes - mc.max_csum) * 1000000)
+                         // (nn.n - mc.max_csum) END
+                 AS lambda_status_given_priority_ppm,
+               CASE WHEN nn.n = mr.max_rsum THEN 0
+                    ELSE ((lc.sum_col_modes - mr.max_rsum) * 1000000)
+                         // (nn.n - mr.max_rsum) END
+                 AS lambda_priority_given_status_ppm
+        FROM chi CROSS JOIN nn CROSS JOIN lr CROSS JOIN lc
+        CROSS JOIN mc CROSS JOIN mr""")),
+
+    // One-pass Pearson correlation MATRIX over four lineitem measures
+    // (quantity, extended-price cents, discount cents, tax cents) — the
+    // multi-column generalization of q163's pairwise REGR family: ALL
+    // 14 moments (4 sums + 10 cross-products) accumulate in ONE
+    // partial-aggregable scan, which is the entire point at 100 TB — a
+    // naive per-pair corr() call scans the table 6 times; this plan
+    // scans once, and the 6 correlations fall out of a 1-row lattice.
+    // Exactness: moments ride DECIMAL(38,0); the scaled covariance
+    // operands (n·P_ij − S_i·S_j) are 2²⁰-shifted with the q327
+    // truncate-toward-zero |·|-split so they re-enter int64's double-
+    // exact window before the ONE float op per pair, r = num/√(dᵢ·dⱼ)
+    // (bit-identical both engines; decimals > 2⁵³ would round
+    // divergently — the q135 lesson). Scale: one scan, map-side
+    // partials, constant-size everything after.
+    QueryDef(
+      "q371_correlation_matrix",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          col("l_quantity").cast("long").as("x1"),
+          expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+            .as("x2"),
+          expr("cast(cast(l_discount as decimal(18,2)) * 100 as bigint)")
+            .as("x3"),
+          expr("cast(cast(l_tax as decimal(18,2)) * 100 as bigint)")
+            .as("x4"))
+        val pairsIdx = for { i <- 1 to 4; j <- i to 4 } yield (i, j)
+        val aggs = count(lit(1)).as("n") +:
+          (1 to 4).map(i => sum(col(s"x$i").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .as(s"s$i")) ++:
+          pairsIdx.map { case (i, j) =>
+            sum((col(s"x$i").cast(org.apache.spark.sql.types.DecimalType(38, 0)) * col(s"x$j"))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as(s"p$i$j")
+          }
+        val m = li.agg(aggs.head, aggs.tail: _*)
+        val shifted = (for { i <- 1 to 4; j <- i to 4 } yield (i, j))
+          .foldLeft(m) { case (df, (i, j)) =>
+            df.withColumn(s"m$i$j", expr(
+              s"""case when cast(n as decimal(38,0)) * p$i$j - s$i * s$j < 0
+                  then -cast((-(cast(n as decimal(38,0)) * p$i$j - s$i * s$j))
+                             div 1048576 as bigint)
+                  else cast((cast(n as decimal(38,0)) * p$i$j - s$i * s$j)
+                            div 1048576 as bigint) end"""))
+          }
+        val names = Map(1 -> "quantity", 2 -> "extprice", 3 -> "discount",
+          4 -> "tax")
+        val rows = (for { i <- 1 to 4; j <- (i + 1) to 4 } yield (i, j))
+          .map { case (i, j) =>
+            struct(lit(names(i)).as("a"), lit(names(j)).as("b"),
+              col(s"m$i$j").as("num_s"), col(s"m$i$i").as("den_a_s"),
+              col(s"m$j$j").as("den_b_s"))
+          }
+        shifted.select(col("n"), explode(array(rows: _*)).as("pr"))
+          .select(col("pr.a").as("a"), col("pr.b").as("b"), col("n"),
+            col("pr.num_s").as("num_s"), col("pr.den_a_s").as("den_a_s"),
+            col("pr.den_b_s").as("den_b_s"))
+          .withColumn("r", expr(
+            """case when den_a_s <= 0 or den_b_s <= 0 then 0.0d
+               else cast(num_s as double)
+                    / sqrt(cast(den_a_s as double) * cast(den_b_s as double))
+               end"""))
+          .orderBy(col("a"), col("b"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT CAST(l_quantity AS BIGINT) AS x1,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)
+                   AS x2,
+                 CAST(CAST(l_discount AS DECIMAL(18,2))*100 AS BIGINT) AS x3,
+                 CAST(CAST(l_tax AS DECIMAL(18,2))*100 AS BIGINT) AS x4
+          FROM lineitem),
+        m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+                 SUM(CAST(x3 AS HUGEINT)) AS s3, SUM(CAST(x4 AS HUGEINT)) AS s4,
+                 SUM(CAST(x1 AS HUGEINT)*x1) AS p11, SUM(CAST(x1 AS HUGEINT)*x2) AS p12,
+                 SUM(CAST(x1 AS HUGEINT)*x3) AS p13, SUM(CAST(x1 AS HUGEINT)*x4) AS p14,
+                 SUM(CAST(x2 AS HUGEINT)*x2) AS p22, SUM(CAST(x2 AS HUGEINT)*x3) AS p23,
+                 SUM(CAST(x2 AS HUGEINT)*x4) AS p24, SUM(CAST(x3 AS HUGEINT)*x3) AS p33,
+                 SUM(CAST(x3 AS HUGEINT)*x4) AS p34, SUM(CAST(x4 AS HUGEINT)*x4) AS p44
+          FROM li),
+        sh AS (
+          SELECT n,
+            CAST(CASE WHEN n*p12 - s1*s2 < 0 THEN -((-(n*p12 - s1*s2)) // 1048576)
+                 ELSE (n*p12 - s1*s2) // 1048576 END AS BIGINT) AS m12,
+            CAST(CASE WHEN n*p13 - s1*s3 < 0 THEN -((-(n*p13 - s1*s3)) // 1048576)
+                 ELSE (n*p13 - s1*s3) // 1048576 END AS BIGINT) AS m13,
+            CAST(CASE WHEN n*p14 - s1*s4 < 0 THEN -((-(n*p14 - s1*s4)) // 1048576)
+                 ELSE (n*p14 - s1*s4) // 1048576 END AS BIGINT) AS m14,
+            CAST(CASE WHEN n*p23 - s2*s3 < 0 THEN -((-(n*p23 - s2*s3)) // 1048576)
+                 ELSE (n*p23 - s2*s3) // 1048576 END AS BIGINT) AS m23,
+            CAST(CASE WHEN n*p24 - s2*s4 < 0 THEN -((-(n*p24 - s2*s4)) // 1048576)
+                 ELSE (n*p24 - s2*s4) // 1048576 END AS BIGINT) AS m24,
+            CAST(CASE WHEN n*p34 - s3*s4 < 0 THEN -((-(n*p34 - s3*s4)) // 1048576)
+                 ELSE (n*p34 - s3*s4) // 1048576 END AS BIGINT) AS m34,
+            CAST((n*p11 - s1*s1) // 1048576 AS BIGINT) AS m11,
+            CAST((n*p22 - s2*s2) // 1048576 AS BIGINT) AS m22,
+            CAST((n*p33 - s3*s3) // 1048576 AS BIGINT) AS m33,
+            CAST((n*p44 - s4*s4) // 1048576 AS BIGINT) AS m44
+          FROM m),
+        rows_ AS (
+          SELECT 'quantity' AS a, 'extprice' AS b, n, m12 AS num_s,
+                 m11 AS den_a_s, m22 AS den_b_s FROM sh
+          UNION ALL SELECT 'quantity', 'discount', n, m13, m11, m33 FROM sh
+          UNION ALL SELECT 'quantity', 'tax', n, m14, m11, m44 FROM sh
+          UNION ALL SELECT 'extprice', 'discount', n, m23, m22, m33 FROM sh
+          UNION ALL SELECT 'extprice', 'tax', n, m24, m22, m44 FROM sh
+          UNION ALL SELECT 'discount', 'tax', n, m34, m33, m44 FROM sh)
+        SELECT a, b, n, num_s, den_a_s, den_b_s,
+               CASE WHEN den_a_s <= 0 OR den_b_s <= 0 THEN 0.0
+                    ELSE CAST(num_s AS DOUBLE)
+                         / sqrt(CAST(den_a_s AS DOUBLE)
+                                * CAST(den_b_s AS DOUBLE)) END AS r
+        FROM rows_
+        ORDER BY a, b"""))
+  )
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.
