@@ -2717,8 +2717,90 @@ object StatsQueries {
                          / sqrt(CAST(den_a_s AS DOUBLE)
                                 * CAST(den_b_s AS DOUBLE)) END AS r
         FROM rows_
-        ORDER BY a, b"""))
-  )
+        ORDER BY a, b""")),
+
+    // Cochran's Q — the BINARY-outcome member of the blocked-design
+    // family (q361 Friedman ranks a continuous outcome, q367 Page
+    // orders it; Q asks whether k binary treatments differ when every
+    // block sees all k — the k-treatment generalization of McNemar).
+    // Blocks = complete months, treatments = the five priorities,
+    // binary outcome = "the cell's F-status rate exceeds the global
+    // F rate" (cross-multiplied — no division enters the flag). The
+    // statistic is pure integer: Q = (k−1)(k·ΣC_j² − T²)/(k·T − ΣR_i²)
+    // from column successes C_j, row successes R_i, total T — emitted
+    // in ppm, verdict vs χ²₀.₉₅(4) = 9.487729. Scale: the corpus
+    // collapses at the (month, priority, status) rollup; blocks are
+    // calendar-bounded so every later frame is constant-size.
+    QueryDef(
+      "q373_cochran_q",
+      (s, dir) => {
+        val cell = Tables.orders(s, dir)
+          .groupBy(
+            (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+              .cast("long").as("mkey"),
+            col("o_orderpriority").as("g"))
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("fc"))
+          .cutLineage()
+        val glob = cell.agg(sum(col("nc")).as("ntot"), sum(col("fc")).as("nf"))
+        val comp = cell.groupBy(col("mkey")).agg(count(lit(1)).as("kc"))
+          .where(col("kc") === 5).select(col("mkey"))
+        val x = cell.join(broadcast(comp), Seq("mkey"))
+          .crossJoin(broadcast(glob))
+          .withColumn("x", when(col("fc") * col("ntot") > col("nf") * col("nc"),
+            1L).otherwise(0L))
+          .select(col("mkey"), col("g"), col("x"))
+          .cutLineage()
+        val cj = x.groupBy(col("g")).agg(sum(col("x")).as("cjv"))
+          .agg(sum(col("cjv") * col("cjv")).as("sum_cj2"),
+            sum(col("cjv")).as("t"))
+        val ri = x.groupBy(col("mkey")).agg(sum(col("x")).as("riv"))
+          .agg(sum(col("riv") * col("riv")).as("sum_ri2"),
+            count(lit(1)).as("n_blocks"))
+        cj.crossJoin(broadcast(ri))
+          .withColumn("qnum", expr("4 * (5 * sum_cj2 - t * t)"))
+          .withColumn("qden", expr("5 * t - sum_ri2"))
+          .withColumn("q_ppm", expr(
+            """case when qden <= 0 then 0
+               else (qnum * 1000000) div qden end"""))
+          .select(col("n_blocks"), col("t"), col("sum_cj2"), col("sum_ri2"),
+            col("q_ppm"), (col("q_ppm") > 9487729L).as("significant"))
+      },
+      Some("""
+        WITH cell AS MATERIALIZED (
+          SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT)
+                   AS mkey,
+                 o_orderpriority AS g,
+                 CAST(COUNT(*) AS BIGINT) AS nc,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fc
+          FROM orders GROUP BY 1, 2),
+        gtot AS (SELECT CAST(SUM(nc) AS BIGINT) AS ntot,
+                        CAST(SUM(fc) AS BIGINT) AS nf FROM cell),
+        comp AS (SELECT mkey FROM cell GROUP BY 1 HAVING COUNT(*) = 5),
+        x AS MATERIALIZED (
+          SELECT c.mkey, c.g,
+                 CASE WHEN c.fc * g2.ntot > g2.nf * c.nc THEN 1 ELSE 0 END
+                   AS x
+          FROM cell c JOIN comp USING (mkey) CROSS JOIN gtot g2),
+        cj AS (
+          SELECT CAST(SUM(cjv * cjv) AS BIGINT) AS sum_cj2,
+                 CAST(SUM(cjv) AS BIGINT) AS t
+          FROM (SELECT g, CAST(SUM(x) AS BIGINT) AS cjv FROM x GROUP BY 1)),
+        ri AS (
+          SELECT CAST(SUM(riv * riv) AS BIGINT) AS sum_ri2,
+                 CAST(COUNT(*) AS BIGINT) AS n_blocks
+          FROM (SELECT mkey, CAST(SUM(x) AS BIGINT) AS riv FROM x GROUP BY 1))
+        SELECT ri.n_blocks, cj.t, cj.sum_cj2, ri.sum_ri2,
+               CASE WHEN 5 * cj.t - ri.sum_ri2 <= 0 THEN 0
+                    ELSE (4 * (5 * cj.sum_cj2 - cj.t * cj.t) * 1000000)
+                         // (5 * cj.t - ri.sum_ri2) END AS q_ppm,
+               CASE WHEN 5 * cj.t - ri.sum_ri2 <= 0 THEN 0
+                    ELSE (4 * (5 * cj.sum_cj2 - cj.t * cj.t) * 1000000)
+                         // (5 * cj.t - ri.sum_ri2) END > 9487729
+                 AS significant
+        FROM cj CROSS JOIN ri""")))
 
   /** Shared joint contingency table for the correlation gates (q303,
     * q304): per returnflag, quantity × discount-cents cell counts.

@@ -1261,5 +1261,89 @@ object TextQueries {
                COALESCE(c.n_crossdoc_fp, 0) AS n_crossdoc_fp
         FROM kg JOIN fpa ON fpa.source = kg.source
         LEFT JOIN crossd c ON c.source = kg.source
-        ORDER BY kg.source""")))
+        ORDER BY kg.source""")),
+
+    // Cohen's κ between two independent curation filters — the
+    // agreement audit a pipeline runs BEFORE chaining filters: raw
+    // percent-agreement overstates consensus when both filters pass
+    // almost everything, κ subtracts the chance-agreement floor
+    // (the inter-annotator-agreement statistic, here with the two
+    // "annotators" being the length gate and the repetition gate the
+    // quality funnel (q92) composes). Filter A: 200 ≤ n_chars ≤ 5000.
+    // Filter B: modal-token share < 30% (max per-doc token count ·10 <
+    // n_tokens·3 — the q59 repetition idea at doc grain). Exact
+    // rational end-to-end: po = (a+d)/n, pe from the margins, and
+    // κ = (n(a+d) − Σmargins)/(n² − Σmargins) emitted in SIGNED ppm
+    // via the truncate-toward-zero |·|-split both engines share.
+    // Scale: one token-count rollup per doc (partial-aggregable) + a
+    // 4-cell contingency — nothing after the first agg sees data size.
+    QueryDef(
+      "q372_filter_agreement_kappa",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("doc_id"), col("n_chars"),
+            explode(tokens(col("text"))).as("w"))
+          .groupBy(col("doc_id"), col("n_chars"), col("w"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"), col("n_chars"))
+          .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_tokens"))
+        val flags = toks
+          .withColumn("fa", col("n_chars").between(200L, 5000L))
+          .withColumn("fb", col("max_c") * 10 < col("n_tokens") * 3)
+        val cells = flags.agg(
+          sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("fa") && !col("fb"), 1L).otherwise(0L)).as("d"))
+        cells
+          .withColumn("n", expr("a + b + c + d"))
+          .withColumn("po_ppm", expr("((a + d) * 1000000) div n"))
+          .withColumn("pe_num", expr(
+            "(a + b) * (a + c) + (c + d) * (b + d)"))
+          .withColumn("pe_ppm", expr("(pe_num * 1000000) div (n * n)"))
+          .withColumn("knum", expr("n * (a + d) - pe_num"))
+          .withColumn("kden", expr("n * n - pe_num"))
+          .withColumn("kappa_ppm", expr(
+            """case when kden = 0 then 0
+               when knum < 0 then -(((-knum) * 1000000) div kden)
+               else (knum * 1000000) div kden end"""))
+          .select(col("a"), col("b"), col("c"), col("d"), col("n"),
+            col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
+      },
+      Some(s"""
+        WITH $ToksCte,
+        tc AS (
+          SELECT t.doc_id, d.n_chars,
+                 CAST(MAX(cnt) AS BIGINT) AS max_c,
+                 CAST(SUM(cnt) AS BIGINT) AS n_tokens
+          FROM (SELECT doc_id, w, COUNT(*) AS cnt
+                FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+                GROUP BY 1, 2) t
+          JOIN documents d ON d.doc_id = t.doc_id
+          GROUP BY 1, 2),
+        flags AS (
+          SELECT (n_chars BETWEEN 200 AND 5000) AS fa,
+                 (max_c * 10 < n_tokens * 3) AS fb
+          FROM tc),
+        cells AS (
+          SELECT CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN NOT fa AND fb THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN NOT fa AND NOT fb THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM flags),
+        fin AS (
+          SELECT *, a + b + c + d AS n,
+                 (a + b) * (a + c) + (c + d) * (b + d) AS pe_num
+          FROM cells)
+        SELECT a, b, c, d, n,
+               ((a + d) * 1000000) // n AS po_ppm,
+               (pe_num * 1000000) // (n * n) AS pe_ppm,
+               CASE WHEN n * n - pe_num = 0 THEN 0
+                    WHEN n * (a + d) - pe_num < 0
+                    THEN -(((-(n * (a + d) - pe_num)) * 1000000)
+                           // (n * n - pe_num))
+                    ELSE ((n * (a + d) - pe_num) * 1000000)
+                         // (n * n - pe_num) END AS kappa_ppm
+        FROM fin"""))
+  )
 }
