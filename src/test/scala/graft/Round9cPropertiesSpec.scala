@@ -134,4 +134,128 @@ class Round9cPropertiesSpec extends org.scalatest.funsuite.AnyFunSuite {
       assert(cell === Math.floorDiv(p, W), s"p=$p")
     }
   }
+
+  // ---- q364: Jonckheere-Terpstra doubled-U lattice -----------------------
+
+  test("q364 distinct-value 2U lattice equals the O(n^2) pairwise count") {
+    val k = 3
+    val gen = Gen.listOfN(30, for {
+      g <- Gen.chooseNum(1, k); v <- Gen.chooseNum(0L, 8L) // heavy ties
+    } yield (g, v))
+    samples(gen, 150).foreach { xs =>
+      // reference: 2U = sum over ordered group pairs of 2*#{x<y} + #{x=y}
+      val ref = (for {
+        (gi, vi) <- xs; (gj, vj) <- xs
+        if gi < gj
+      } yield if (vi < vj) 2L else if (vi == vj) 1L else 0L).sum
+      // lattice: per distinct v, c_j and cumulative cum_j (values <= v)
+      val dv = xs.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, g) =>
+        (v, (1 to k).map(j => g.count(_._1 == j).toLong))
+      }
+      var cum = Vector.fill(k)(0L)
+      val n = (1 to k).map(j => xs.count(_._1 == j).toLong)
+      var u2 = 0L
+      dv.foreach { case (_, cs) =>
+        cum = cum.zip(cs).map { case (a, b) => a + b }
+        for (j <- 0 until k; l <- (j + 1) until k)
+          u2 += cs(j) * (2L * (n(l) - cum(l)) + cs(l))
+      }
+      assert(u2 === ref, s"on $xs")
+    }
+  }
+
+  // ---- q366: runs-test exact z^2 identity --------------------------------
+
+  test("q366 integer z^2 equals the float formula on random sign strings") {
+    val gen = Gen.listOfN(40, Gen.oneOf(1L, -1L)).suchThat { s =>
+      s.contains(1L) && s.contains(-1L)
+    }
+    samples(gen, 100).foreach { s =>
+      val n = s.size.toLong
+      val n1 = s.count(_ == 1L).toLong; val n2 = n - n1
+      val r = 1L + s.sliding(2).count(p => p.head != p.last)
+      val m = 2L * n1 * n2
+      if (m > n) {
+        val num = r * n - n - m
+        val z2int = num * num * (n - 1) * 1000000L / (m * (m - n))
+        val e = 1.0 + m.toDouble / n
+        val varr = m.toDouble * (m - n) / (n.toDouble * n * (n - 1))
+        val z2f = math.pow(r - e, 2) / varr
+        assert(math.abs(z2int / 1e6 - z2f) < 1e-3,
+          s"z2 int ${z2int / 1e6} vs float $z2f on $s")
+      }
+    }
+  }
+
+  // ---- q370: Cramér V^2 and Goodman-Kruskal λ edge laws ------------------
+
+  test("q370 perfect dependence saturates V2 and λ; independence zeroes " +
+    "them") {
+    // perfectly dependent 3x3 (diagonal)
+    val n = 300L
+    val diag = Seq.tabulate(3, 3)((i, j) => if (i == j) 100L else 0L)
+    def chi2n(t: Seq[Seq[Long]]): Double = {
+      val rs = t.map(_.sum); val cs = t.transpose.map(_.sum)
+      val tot = rs.sum.toDouble
+      (for (i <- 0 until 3; j <- 0 until 3) yield {
+        val e = rs(i) * cs(j) / tot
+        math.pow(t(i)(j) - e, 2) / e
+      }).sum
+    }
+    assert(math.abs(chi2n(diag) / (n * 2) - 1.0) < 1e-12) // V^2 = 1
+    // λ(col|row) = 1: knowing the row pins the column mode exactly
+    val sumRowModes = diag.map(_.max).sum
+    val maxCsum = diag.transpose.map(_.sum).max
+    assert((sumRowModes - maxCsum).toDouble / (n - maxCsum) === 1.0)
+    // independent product table → χ² = 0 and λ = 0
+    val prod = Seq.tabulate(3, 3)((i, j) => (i + 1L) * (j + 1L) * 10L)
+    assert(chi2n(prod) < 1e-9)
+    val srm = prod.map(_.max).sum
+    val mc = prod.transpose.map(_.sum).max
+    assert(srm === mc) // λ numerator is zero
+  }
+
+  // ---- q372: Cohen's κ edge laws -----------------------------------------
+
+  test("q372 κ lattice: identical filters → 1e6 ppm; independent " +
+    "margins → 0") {
+    def kappaPpm(a: Long, b: Long, c: Long, d: Long): Long = {
+      val n = a + b + c + d
+      val peNum = (a + b) * (a + c) + (c + d) * (b + d)
+      val knum = n * (a + d) - peNum
+      val kden = n * n - peNum
+      if (kden == 0) 0
+      else if (knum < 0) -((-knum) * 1000000L / kden)
+      else knum * 1000000L / kden
+    }
+    assert(kappaPpm(30, 0, 0, 70) === 1000000L)
+    // exact product margins: a=pq*n, b=p(1-q)n, ... → κ = 0
+    assert(kappaPpm(12, 28, 18, 42) === 0L) // p=0.4 rows, q=0.3 cols, n=100
+    val gen = for {
+      a <- Gen.chooseNum(0L, 50L); b <- Gen.chooseNum(0L, 50L)
+      c <- Gen.chooseNum(0L, 50L); d <- Gen.chooseNum(0L, 50L)
+      if a + b + c + d > 0
+    } yield (a, b, c, d)
+    samples(gen, 200).foreach { case (a, b, c, d) =>
+      val k = kappaPpm(a, b, c, d)
+      assert(k >= -1000000L && k <= 1000000L, s"κ out of range on $a,$b,$c,$d")
+    }
+  }
+
+  // ---- q373: Cochran's Q edge laws ---------------------------------------
+
+  test("q373 Q is zero when every treatment has equal successes and " +
+    "positive otherwise") {
+    val k = 5
+    def qNum(cols: Seq[Long]): Long = {
+      val t = cols.sum
+      (k - 1L) * (k * cols.map(x => x * x).sum - t * t)
+    }
+    // equal columns → k·ΣC² = T² exactly
+    assert(qNum(Seq.fill(k)(7L)) === 0L)
+    val gen = Gen.listOfN(k, Gen.chooseNum(0L, 20L))
+    samples(gen, 200).foreach { cols =>
+      assert(qNum(cols) >= 0L, s"Cauchy-Schwarz violated on $cols")
+    }
+  }
 }
