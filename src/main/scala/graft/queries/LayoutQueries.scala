@@ -427,10 +427,15 @@ object LayoutQueries {
       "q352_rendezvous_sharding",
       (s, dir) => {
         val k = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+        // score = sign-flipped native bits: unsigned order preserved
+        // (md5BitsOrderable), ONE codegen'd digest per (key, shard)
+        // instead of the hex-conv path — the winners (and the gate
+        // values) are identical to md5Lower64's unsigned max.
         val e = k.select(col("k"), explode(expr("sequence(0, 8)")).as("s"))
           .select(col("k"), col("s").cast("long").as("s"),
-            md5Lower64(concat(lit("hrw:"), col("s").cast("string"),
-              lit(":"), col("k").cast("string"))).as("score"))
+            Kernels.md5BitsOrderable(Kernels.md5Bits(
+              concat(lit("hrw:"), col("s").cast("string"),
+                lit(":"), col("k").cast("string")))).as("score"))
         val hrw = e.groupBy(col("k")).agg(
             max(when(col("s") <= 7L, struct(col("score"), col("s")))).as("o"),
             max(struct(col("score"), col("s"))).as("n"))
