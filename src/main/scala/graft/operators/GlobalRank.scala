@@ -80,4 +80,61 @@ object GlobalRank {
     when(rn <= cut, idiv(rn - lit(1L), q + lit(1L)) + lit(1L))
       .otherwise(r + idiv(rn - lit(1L) - cut, q) + lit(1L))
   }
+
+  /** Inverts a ranked distribution: hands every target row the pooled
+    * value whose rank interval covers the target's rank — `sorted[t]`
+    * without ever materializing (or single-partition-sorting) the
+    * row-expanded distribution. The quantile-normalization /
+    * exact-quantile-lookup primitive (q363's core, factored).
+    *
+    * `pool` carries one row per DISTINCT value: (`valueCol`,
+    * `cumLtCol` = count of strictly-smaller rows, `cntCol` = multiplicity)
+    * — exactly what [[withGlobalRank]]-style two-level counting produces.
+    * `targets` carries `rankCol` ∈ [1, N]. Returns `targets`' columns
+    * plus `outCol` = the pooled value at that rank.
+    *
+    * Scale contract: pooled intervals explode one row per `blockSize`-wide
+    * rank BLOCK they touch (P + N/blockSize rows total — linear, never
+    * P×blocks), targets key by block, and ONE block-partitioned carry
+    * window (`last_value` ignoring nulls over (rank, kind,
+    * interval-start)) resolves the covering interval — ≤ blockSize ranks
+    * of work per task, deterministic under boundary clamps (the start
+    * tiebreak orders same-boundary intervals by true start).
+    */
+  def valueAtRank(
+      pool: DataFrame,
+      valueCol: String,
+      cumLtCol: String,
+      cntCol: String,
+      targets: DataFrame,
+      rankCol: String,
+      outCol: String,
+      blockSize: Long = 4096L): DataFrame = {
+    val B = blockSize
+    val vType = pool.schema(valueCol).dataType
+    val payload = struct(targets.columns.map(col): _*)
+    val t = targets.select(
+      expr(s"($rankCol - 1) div $B").as("__b"),
+      col(rankCol).cast("long").as("__rank"),
+      lit(1L).as("__ist"),
+      lit(null).cast(vType).as("__pv"),
+      col(rankCol).cast("long").as("__srt"),
+      payload.as("__pay"))
+    val p = pool.select(col(valueCol).as("__pv"),
+        col(cumLtCol).cast("long").as("__lt"),
+        col(cntCol).cast("long").as("__c"))
+      .withColumn("__b", explode(expr(
+        s"sequence(__lt div $B, (__lt + __c - 1) div $B)")))
+      .select(col("__b"),
+        greatest(col("__lt") + 1, col("__b") * B + 1).as("__rank"),
+        lit(0L).as("__ist"), col("__pv"), col("__lt").as("__srt"),
+        lit(null).cast(t.schema("__pay").dataType).as("__pay"))
+    val wc = Window.partitionBy(col("__b"))
+      .orderBy(col("__rank"), col("__ist"), col("__srt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.unionByName(t)
+      .withColumn(outCol, last(col("__pv"), ignoreNulls = true).over(wc))
+      .where(col("__ist") === 1L)
+      .select(targets.columns.map(c => col(s"__pay.$c")) :+ col(outCol): _*)
+  }
 }

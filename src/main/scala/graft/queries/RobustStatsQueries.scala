@@ -1262,25 +1262,8 @@ object RobustStatsQueries {
             """cast((cast(2*cntlt + cnt as decimal(38,0)) * nn + 2*n_g - 1)
                div (2 * n_g) as bigint)"""))
           .select(col("g"), col("v"), col("cnt"), col("t"))
-        val pb = pool
-          .withColumn("b", explode(expr(
-            s"sequence(pclt div $B, (pclt + pcnt - 1) div $B)")))
-          .select(col("b"),
-            greatest(col("pclt") + 1, col("b") * B + 1).as("rank"),
-            lit(0L).as("is_t"), col("v_pool"), col("pclt").as("srt"),
-            lit(null).cast("string").as("g"),
-            lit(null).cast("long").as("v"),
-            lit(null).cast("long").as("cnt"))
-        val tb = tq.select(expr(s"(t - 1) div $B").as("b"),
-          col("t").as("rank"), lit(1L).as("is_t"),
-          lit(null).cast("long").as("v_pool"), col("t").as("srt"),
-          col("g"), col("v"), col("cnt"))
-        val wc = Window.partitionBy(col("b"))
-          .orderBy(col("rank"), col("is_t"), col("srt"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val mapped = pb.unionByName(tb)
-          .withColumn("normv", last(col("v_pool"), ignoreNulls = true).over(wc))
-          .where(col("is_t") === 1L)
+        val mapped = graft.operators.GlobalRank.valueAtRank(
+            pool, "v_pool", "pclt", "pcnt", tq, "t", "normv", B)
           .select(col("g"), col("cnt"), col("normv"))
         val pm = o.agg(sum(col("v").cast(DecimalType(38, 0))).as("sv"),
             count(lit(1)).as("n"))

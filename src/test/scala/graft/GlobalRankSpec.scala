@@ -69,4 +69,25 @@ class GlobalRankSpec extends SparkSpec {
     assert(unpart.head.orderSpec.map(_.child.sql).mkString.contains("__gr_bkt"),
       "the unpartitioned window must order the BUCKET table, not the data")
   }
+
+  test("valueAtRank hands every rank the sorted multiset's value at that " +
+    "rank (blockSize=8 exercises boundary clamps)") {
+    // heavy-tie multiset, values 0..12
+    val vs = (1 to 300).map(i => (i * 2654435761L % 13).abs)
+    val sorted = vs.sorted.toVector
+    val pool = vs.groupBy(identity).toSeq.map { case (v, xs) =>
+      (v, sorted.indexOf(v).toLong, xs.size.toLong)
+    }.toDF("v", "lt", "c")
+    val targets = (1 to 300).map(t => (t.toLong, s"t$t")).toDF("rk", "tag")
+    val got = GlobalRank.valueAtRank(
+        pool, "v", "lt", "c", targets, "rk", "out", blockSize = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (1 to 300).foreach { t =>
+      assert(got(t.toLong) === sorted(t - 1), s"rank $t")
+    }
+    // target columns survive untouched
+    val cols = GlobalRank.valueAtRank(
+      pool, "v", "lt", "c", targets, "rk", "out", 8L).columns.toSeq
+    assert(cols === Seq("rk", "tag", "out"))
+  }
 }
