@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 import org.apache.spark.sql.functions._
 import graft.functions.Kernels
 import graft.functions.Kernels.md5Lower64
@@ -496,5 +498,160 @@ object LayoutQueries {
                     ELSE (n_moved * 1000000) // n_keys
                          BETWEEN 850000 AND 925000 END AS within_expected
         FROM u
-        ORDER BY scheme""")))
+        ORDER BY scheme""")),
+
+    // Consistent-hash RING with virtual nodes — q352's HRW sibling and
+    // the other half of the placement-scheme shelf (HRW: O(shards) per
+    // key, no state; ring: O(1) per key given the point table, the
+    // memcached/Dynamo/Cassandra shape). Ring = 2²⁰ positions; every
+    // (shard, vnode) hashes to a point, a key belongs to its CLOCKWISE
+    // SUCCESSOR point. The successor lookup is deliberately NOT a
+    // per-key theta-join (broadcast-nested-loop × points — the naive
+    // plan): the point table converts to covering rank INTERVALS (one
+    // bounded lag window) and `GlobalRank.valueAtRank` resolves every
+    // key in ≤4096-rank block tasks — the DuckDB oracle keeps the
+    // textbook MIN(p ≥ x) theta-join form, so the two plans cross-check
+    // each other. Gates: (1) growing 8→9 shards at 64 vnodes moves
+    // ≈ 1/9 of keys (the consistent-hashing contract mod-N breaks);
+    // (2) shard-load CV² shrinks when vnodes go 4 → 64 (why vnodes
+    // exist). Scale: three valueAtRank passes over the key scan;
+    // every ring/interval frame is bounded by shards×vnodes.
+    QueryDef(
+      "q374_consistent_hash_ring",
+      (s, dir) => {
+        val R = 1048576L
+        def ring(shards: Int, vnodes: Int): DataFrame = {
+          val pts = s.range(shards.toLong).toDF("shard")
+            .withColumn("vn", explode(expr(s"sequence(0L, ${vnodes - 1}L)")))
+            .withColumn("p", Kernels.md5BitsModK(Kernels.md5Bits(
+              concat(lit("vn:"), col("shard").cast("string"), lit(":"),
+                col("vn").cast("string"))), R))
+          val ded = pts.withColumn("rn", row_number().over(
+              Window.partitionBy(col("p")).orderBy(col("shard"), col("vn"))))
+            .where(col("rn") === 1)
+            .select(col("shard").cast("long").as("shard"), col("p"))
+          val iv = ded.withColumn("prev",
+            lag(col("p"), 1).over(Window.orderBy(col("p"))))
+          val mids = iv.where(col("prev").isNotNull)
+            .select(col("shard").as("owner"), (col("prev") + 1).as("lt"),
+              (col("p") - col("prev")).as("c"))
+          val firsts = iv.where(col("prev").isNull)
+            .select(col("shard").as("owner"), lit(0L).as("lt"),
+              (col("p") + 1).as("c"))
+          val wrap = ded
+            .agg(min(struct(col("p"), col("shard"))).as("f"),
+              max(col("p")).as("pm"))
+            .select(col("f.shard").as("owner"), (col("pm") + 1).as("lt"),
+              (lit(R - 1) - col("pm")).as("c"))
+            .where(col("c") > 0)
+          mids.unionByName(firsts).unionByName(wrap).cutLineage()
+        }
+        val keys = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("k"))
+          .withColumn("t", Kernels.md5BitsModK(Kernels.md5Bits(
+            concat(lit("ring:"), col("k").cast("string"))), R) + 1)
+        def assign(rg: DataFrame, out: String) =
+          graft.operators.GlobalRank.valueAtRank(
+            rg, "owner", "lt", "c", keys, "t", out)
+            .select(col("k"), col(out))
+        val j = assign(ring(8, 64), "o8")
+          .join(assign(ring(9, 64), "o9"), Seq("k"))
+          .join(assign(ring(9, 4), "o9v4"), Seq("k"))
+          .cutLineage()
+        val mv = j.agg(count(lit(1)).as("n_keys"),
+          sum(when(col("o8") =!= col("o9"), 1L).otherwise(0L)).as("n_moved"))
+        def cv2(c: String, name: String) = j.groupBy(col(c))
+          .agg(count(lit(1)).as("l"))
+          .agg(sum(expr("cast(9 * l as decimal(38,0)) * (9 * l)"))
+            .as("s2"), sum(col("l")).as("n"))
+          .select(expr(
+            """cast(((s2 - cast(9 as decimal(38,0)) * n * n) * 1000000)
+               div (cast(9 as decimal(38,0)) * n * n) as bigint)""")
+            .as(name))
+        mv.crossJoin(broadcast(cv2("o9", "cv2_v64_ppm")))
+          .crossJoin(broadcast(cv2("o9v4", "cv2_v4_ppm")))
+          .withColumn("moved_ppm", expr("(n_moved * 1000000) div n_keys"))
+          .select(col("n_keys"), col("n_moved"), col("moved_ppm"),
+            col("moved_ppm").between(80000L, 145000L).as("moved_ok"),
+            col("cv2_v64_ppm"), col("cv2_v4_ppm"),
+            (col("cv2_v4_ppm") > col("cv2_v64_ppm"))
+              .as("vnodes_improve_balance"))
+      },
+      Some("""
+        WITH pts AS (
+          SELECT s.s AS shard, v.v AS vn,
+                 CAST(md5_number_lower('vn:' || s.s || ':' || v.v)
+                      % 1048576 AS BIGINT) AS p
+          FROM (SELECT unnest(range(0, 9)) AS s) s,
+               (SELECT unnest(range(0, 64)) AS v) v),
+        r964 AS MATERIALIZED (
+          SELECT shard, p FROM (
+            SELECT shard, p, row_number() OVER (PARTITION BY p
+              ORDER BY shard, vn) AS rn
+            FROM pts) WHERE rn = 1),
+        r864 AS MATERIALIZED (
+          SELECT shard, p FROM (
+            SELECT shard, p, row_number() OVER (PARTITION BY p
+              ORDER BY shard, vn) AS rn
+            FROM pts WHERE shard <= 7) WHERE rn = 1),
+        r94 AS MATERIALIZED (
+          SELECT shard, p FROM (
+            SELECT shard, p, row_number() OVER (PARTITION BY p
+              ORDER BY shard, vn) AS rn
+            FROM pts WHERE vn <= 3) WHERE rn = 1),
+        kx AS MATERIALIZED (
+          SELECT o_orderkey AS k,
+                 CAST(md5_number_lower('ring:' || o_orderkey) % 1048576
+                      AS BIGINT) AS x
+          FROM orders),
+        s964 AS (
+          SELECT kx.k, MIN(r.p) AS sp FROM kx
+          LEFT JOIN r964 r ON r.p >= kx.x GROUP BY kx.k),
+        o964 AS MATERIALIZED (
+          SELECT s.k, COALESCE(r2.shard, rf.shard) AS owner
+          FROM s964 s
+          LEFT JOIN r964 r2 ON r2.p = s.sp
+          CROSS JOIN (SELECT shard FROM r964 ORDER BY p LIMIT 1) rf),
+        s864 AS (
+          SELECT kx.k, MIN(r.p) AS sp FROM kx
+          LEFT JOIN r864 r ON r.p >= kx.x GROUP BY kx.k),
+        o864 AS MATERIALIZED (
+          SELECT s.k, COALESCE(r2.shard, rf.shard) AS owner
+          FROM s864 s
+          LEFT JOIN r864 r2 ON r2.p = s.sp
+          CROSS JOIN (SELECT shard FROM r864 ORDER BY p LIMIT 1) rf),
+        s94 AS (
+          SELECT kx.k, MIN(r.p) AS sp FROM kx
+          LEFT JOIN r94 r ON r.p >= kx.x GROUP BY kx.k),
+        o94 AS MATERIALIZED (
+          SELECT s.k, COALESCE(r2.shard, rf.shard) AS owner
+          FROM s94 s
+          LEFT JOIN r94 r2 ON r2.p = s.sp
+          CROSS JOIN (SELECT shard FROM r94 ORDER BY p LIMIT 1) rf),
+        mv AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                 CAST(SUM(CASE WHEN a.owner <> b.owner THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_moved
+          FROM o864 a JOIN o964 b ON b.k = a.k),
+        c64 AS (
+          SELECT CAST(((SUM(CAST(9 * l AS HUGEINT) * (9 * l))
+                        - 9 * CAST(SUM(l) AS HUGEINT) * SUM(l)) * 1000000)
+                      // (9 * CAST(SUM(l) AS HUGEINT) * SUM(l)) AS BIGINT)
+                   AS cv2_v64_ppm
+          FROM (SELECT owner, CAST(COUNT(*) AS BIGINT) AS l
+                FROM o964 GROUP BY 1)),
+        c4 AS (
+          SELECT CAST(((SUM(CAST(9 * l AS HUGEINT) * (9 * l))
+                        - 9 * CAST(SUM(l) AS HUGEINT) * SUM(l)) * 1000000)
+                      // (9 * CAST(SUM(l) AS HUGEINT) * SUM(l)) AS BIGINT)
+                   AS cv2_v4_ppm
+          FROM (SELECT owner, CAST(COUNT(*) AS BIGINT) AS l
+                FROM o94 GROUP BY 1))
+        SELECT mv.n_keys, mv.n_moved,
+               (mv.n_moved * 1000000) // mv.n_keys AS moved_ppm,
+               (mv.n_moved * 1000000) // mv.n_keys
+                 BETWEEN 80000 AND 145000 AS moved_ok,
+               c64.cv2_v64_ppm, c4.cv2_v4_ppm,
+               c4.cv2_v4_ppm > c64.cv2_v64_ppm AS vnodes_improve_balance
+        FROM mv CROSS JOIN c64 CROSS JOIN c4""")))
 }
