@@ -1567,6 +1567,78 @@ object RobustStatsQueries {
                                * (CAST(u2 AS HUGEINT) - e2) * 1000000)
                               // (CAST(4 AS HUGEINT) * var_floor) AS BIGINT)
                END > 3841459 AS trend_significant
-        FROM fin"""))
+        FROM fin""")),
+
+    // Exact WEIGHTED quantile table — line value quantiles where every
+    // distinct price carries its total ordered QUANTITY as weight (the
+    // "median unit price of goods actually shipped" question; unweighted
+    // quantiles over-represent small orders, and approx sketches cannot
+    // even express a weighted rank). Type-1 weighted quantile: value at
+    // weighted rank t_p = ⌈p·W/100⌉ on the cumulative-weight lattice —
+    // the q191 two-level value-bucket counting with SUM(weight) in place
+    // of COUNT, inverted by `GlobalRank.valueAtRank` (its third
+    // consumer: q363 normalizes, q374 places, this one reads the
+    // quantile table off a 9-row target frame). The oracle keeps the
+    // direct MIN(v | cumweight ≥ t) form — plan cross-check again.
+    // Scale: one distinct-value rollup + a 9-target block merge;
+    // nothing data-proportional in a single task.
+    QueryDef(
+      "q375_weighted_quantiles",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(
+          expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)")
+            .as("v"),
+          col("l_quantity").cast("long").as("w"))
+        val dv = li.groupBy(col("v")).agg(sum(col("w")).as("pw"))
+          .withColumn("bkt", expr("v div 65536")).cutLineage()
+        val bOff = dv.groupBy(col("bkt")).agg(sum(col("pw")).as("bcnt"))
+          .withColumn("off", coalesce(sum(col("bcnt")).over(
+            Window.orderBy(col("bkt"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("bkt"), col("off"))
+        val wIn = Window.partitionBy(col("bkt")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val pool = dv.join(broadcast(bOff), Seq("bkt"))
+          .withColumn("plt", col("off") + sum(col("pw")).over(wIn) - col("pw"))
+          .select(col("v").as("vp"), col("pw"), col("plt"))
+          .cutLineage()
+        val tot = li.agg(sum(col("w")).as("tw"))
+        val targets = s.range(1).toDF("z")
+          .withColumn("p", explode(expr(
+            "array(1L, 5L, 10L, 25L, 50L, 75L, 90L, 95L, 99L)")))
+          .crossJoin(broadcast(tot))
+          .withColumn("t", expr("(p * tw + 99) div 100"))
+          .select(col("p"), col("tw"), col("t"))
+        graft.operators.GlobalRank.valueAtRank(
+            pool, "vp", "plt", "pw", targets, "t", "value_cents")
+          .select(col("p"), col("tw").as("total_weight"),
+            col("t").as("weighted_rank"), col("value_cents"))
+          .orderBy(col("p"))
+      },
+      Some("""
+        WITH li AS (
+          SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2))*100 AS BIGINT)
+                   AS v,
+                 CAST(l_quantity AS BIGINT) AS w
+          FROM lineitem),
+        dv AS MATERIALIZED (
+          SELECT v, CAST(SUM(w) AS BIGINT) AS pw FROM li GROUP BY 1),
+        cum AS MATERIALIZED (
+          SELECT v, pw,
+                 CAST(COALESCE(SUM(pw) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS plt
+          FROM dv),
+        tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM li),
+        tg AS (
+          SELECT p.p, tot.tw, (p.p * tot.tw + 99) // 100 AS t
+          FROM (SELECT unnest([1, 5, 10, 25, 50, 75, 90, 95, 99]) AS p) p
+          CROSS JOIN tot)
+        SELECT CAST(tg.p AS BIGINT) AS p, tg.tw AS total_weight,
+               CAST(tg.t AS BIGINT) AS weighted_rank,
+               (SELECT MIN(c.v) FROM cum c WHERE c.plt + c.pw >= tg.t)
+                 AS value_cents
+        FROM tg
+        ORDER BY p"""))
   )
 }
