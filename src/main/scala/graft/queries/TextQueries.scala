@@ -1344,6 +1344,110 @@ object TextQueries {
                            // (n * n - pe_num))
                     ELSE ((n * (a + d) - pe_num) * 1000000)
                          // (n * n - pe_num) END AS kappa_ppm
-        FROM fin"""))
+        FROM fin""")),
+
+    // Capture-recapture estimate of the TRUE duplicate count — the
+    // ecology estimator (Lincoln-Petersen, Chapman's bias-corrected
+    // form) applied to dedup QA: run two independent duplicate
+    // catchers, treat each flagged-doc set as a "capture", and estimate
+    // how many duplicates exist that BOTH methods missed — the question
+    // "is my dedup recall 60% or 95%" that no single method can answer
+    // about itself. Catcher A = winnowing min-shingle fingerprint
+    // collision (q26's lattice); catcher B = full-64-bit SimHash
+    // collision (q28's). Chapman N̂ = (a+1)(b+1) div (m+1) − 1, all
+    // integer. The independence assumption is only approximate here
+    // (both catchers over-sample strong duplicates), so N̂ reads as a
+    // LOWER bound on the true dup population — stated as such; the
+    // per-method coverage ratios a/N̂, b/N̂ are the actionable output.
+    // Scale: two fingerprint rollups (group-count windows keyed by the
+    // fingerprint — bounded by dup-group size) + a 4-cell contingency.
+    QueryDef(
+      "q376_capture_recapture",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val ws = tokens(col("text"))
+        val winnow = TextDedup.minShingleFingerprints(
+          TextDedup.shingleRows(
+            d.select(col("doc_id"), ws.as("ws")), "doc_id", "ws", 3),
+          "doc_id", "_sh")
+        val aFlag = winnow.withColumn("ga",
+            count(lit(1)).over(Window.partitionBy(col("winnow_fp"))))
+          .select(col("doc_id"), (col("ga") > 1).as("fa"))
+        val sh = TextDedup.simhashes(
+          d.select(col("doc_id"), ws.as("ws")), "doc_id", "ws")
+        val bFlag = sh.withColumn("gb",
+            count(lit(1)).over(Window.partitionBy(col("simhash_hi"),
+              col("simhash_lo"))))
+          .select(col("doc_id"), (col("gb") > 1).as("fb"))
+        val j = d.select(col("doc_id"))
+          .join(aFlag, Seq("doc_id"), "left")
+          .join(bFlag, Seq("doc_id"), "left")
+          .select(coalesce(col("fa"), lit(false)).as("fa"),
+            coalesce(col("fb"), lit(false)).as("fb"))
+        j.agg(count(lit(1)).as("n_docs"),
+            sum(when(col("fa"), 1L).otherwise(0L)).as("a"),
+            sum(when(col("fb"), 1L).otherwise(0L)).as("b"),
+            sum(when(col("fa") && col("fb"), 1L).otherwise(0L)).as("m"))
+          .withColumn("union_observed", expr("a + b - m"))
+          .withColumn("chapman_nhat", expr(
+            "((a + 1) * (b + 1)) div (m + 1) - 1"))
+          .withColumn("coverage_a_ppm", expr(
+            "case when chapman_nhat <= 0 then 0 else (a * 1000000) div chapman_nhat end"))
+          .withColumn("coverage_b_ppm", expr(
+            "case when chapman_nhat <= 0 then 0 else (b * 1000000) div chapman_nhat end"))
+          .select(col("n_docs"), col("a"), col("b"), col("m"),
+            col("union_observed"), col("chapman_nhat"),
+            col("coverage_a_ppm"), col("coverage_b_ppm"))
+      },
+      Some(s"""
+        WITH $ToksCte, $ShCte,
+        wfp AS (
+          SELECT t.doc_id,
+                 list_min(list_transform(sh.s, x -> md5_number_lower(x)))::VARCHAR
+                   AS winnow_fp
+          FROM toks t JOIN sh ON sh.doc_id = t.doc_id),
+        afl AS (
+          SELECT doc_id,
+                 COUNT(*) OVER (PARTITION BY winnow_fp) > 1 AS fa
+          FROM wfp),
+        h AS (SELECT doc_id,
+                list_transform(ws, t -> ((md5_number_lower(t) >> 32))::BIGINT) his,
+                list_transform(ws, t -> ((md5_number_lower(t) & 4294967295))::BIGINT) los
+              FROM toks),
+        sim AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(range(0,32), b ->
+              CASE WHEN list_sum(list_transform(his, h2 -> ((h2 >> b) & 1)*2 - 1)) > 0
+                   THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS hi,
+            CAST(list_sum(list_transform(range(0,32), b ->
+              CASE WHEN list_sum(list_transform(los, h2 -> ((h2 >> b) & 1)*2 - 1)) > 0
+                   THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS lo
+          FROM h),
+        bfl AS (
+          SELECT doc_id, COUNT(*) OVER (PARTITION BY hi, lo) > 1 AS fb
+          FROM sim),
+        flags AS (
+          SELECT COALESCE(a.fa, false) AS fa, COALESCE(b.fb, false) AS fb
+          FROM documents d
+          LEFT JOIN afl a ON a.doc_id = d.doc_id
+          LEFT JOIN bfl b ON b.doc_id = d.doc_id),
+        cells AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN fa AND fb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS m
+          FROM flags)
+        SELECT n_docs, a, b, m, a + b - m AS union_observed,
+               ((a + 1) * (b + 1)) // (m + 1) - 1 AS chapman_nhat,
+               CASE WHEN ((a + 1) * (b + 1)) // (m + 1) - 1 <= 0 THEN 0
+                    ELSE (a * 1000000)
+                         // (((a + 1) * (b + 1)) // (m + 1) - 1) END
+                 AS coverage_a_ppm,
+               CASE WHEN ((a + 1) * (b + 1)) // (m + 1) - 1 <= 0 THEN 0
+                    ELSE (b * 1000000)
+                         // (((a + 1) * (b + 1)) // (m + 1) - 1) END
+                 AS coverage_b_ppm
+        FROM cells"""))
   )
 }
