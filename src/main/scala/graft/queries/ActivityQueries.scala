@@ -463,6 +463,66 @@ object ActivityQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS BIGINT) AS cum_hazard_ppm
         FROM terms
-        ORDER BY segment, tenure"""))
+        ORDER BY segment, tenure""")),
+
+    // Index of dispersion (variance-to-mean ratio) of per-user daily
+    // event counts, by event type — the count-data audit every
+    // Poisson-assuming model (rate alerts, traffic CIs, the q186
+    // watermark sizing) silently depends on: D ≈ 1 means Poisson
+    // arrivals, D ≫ 1 means bursty/overdispersed (negative-binomial
+    // territory — Poisson CIs are then anti-conservative). Exact
+    // rational: over ACTIVE (user, day) cells (the observable support —
+    // stated, since zero-cell inclusion needs a user×day frame),
+    // D = s²/x̄ = (n·Σx² − S²)·10⁶ div ((n−1)·n·x̄)… assembled as
+    // ((n·Σx² − S²) · 10⁶) div ((n−1)·S) in DECIMAL(38,0), emitted in
+    // ppm with the conventional D > 1.5 burstiness flag. Scale: one
+    // partial-aggregable (user, day, type) rollup, then a ≤5-row
+    // moment lattice.
+    QueryDef(
+      "q377_dispersion_index",
+      (s, dir) => {
+        val cells = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            col("user_id"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        cells.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("x")).as("sx"),
+            sum((col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+              * col("x")).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as("sxx"))
+          .withColumn("d_ppm", expr(
+            """case when n_cells <= 1 or sx = 0 then 0
+               else cast(((cast(n_cells as decimal(38,0)) * sxx
+                           - cast(sx as decimal(38,0)) * sx) * 1000000)
+                         div (cast(n_cells - 1 as decimal(38,0)) * sx)
+                         as bigint) end"""))
+          .select(col("event_type"), col("n_cells"), col("sx").as("n_events"),
+            col("d_ppm"), (col("d_ppm") > 1500000L).as("overdispersed"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH cells AS (
+          SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2, 3),
+        m AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx
+          FROM cells GROUP BY 1)
+        SELECT event_type, n_cells, sx AS n_events,
+               CASE WHEN n_cells <= 1 OR sx = 0 THEN 0
+                    ELSE CAST(((CAST(n_cells AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx) * 1000000)
+                              // (CAST(n_cells - 1 AS HUGEINT) * sx)
+                              AS BIGINT) END AS d_ppm,
+               CASE WHEN n_cells <= 1 OR sx = 0 THEN 0
+                    ELSE CAST(((CAST(n_cells AS HUGEINT) * sxx
+                                - CAST(sx AS HUGEINT) * sx) * 1000000)
+                              // (CAST(n_cells - 1 AS HUGEINT) * sx)
+                              AS BIGINT) END > 1500000 AS overdispersed
+        FROM m
+        ORDER BY event_type"""))
   )
 }
