@@ -3048,7 +3048,161 @@ object ExperimentQueries {
                ((n1 - n0) * (n1 - n0) * 1000000) // (n1 + n0) > 3841459
                  AS srm_detected
         FROM agg
-        ORDER BY rule"""))
+        ORDER BY rule""")),
+
+    // Benjamini-Yekutieli FDR — q257's BH step-up under ARBITRARY
+    // dependence: when the 20 cell tests share users/seasonality (they
+    // do — cells are customer slices of one corpus), BH's independence
+    // assumption is void and BY divides every threshold by the harmonic
+    // sum c(m)=Σ1/i (c(20)=3.5977…), the price of dependence-proofness.
+    // Same 2-proportion χ² lattice as q257; the BY ladder is the exact
+    // χ²₁ inverse at p = α·i/(m·c(m)), pinned as shared literals on both
+    // engines (the q257 discipline — no quantile function evaluates at
+    // query time). Gate emits BOTH verdicts per cell plus the
+    // containment audit (BY ⊆ BH — step-up monotonicity) so a ladder
+    // regression on either side turns the gate red. Scale: one cell
+    // rollup; the ladder is a 20-row CASE.
+    QueryDef(
+      "q378_by_fdr",
+      (s, dir) => {
+        val critBh = Seq(
+          9.140593461244016, 7.879438576622458, 7.1491386083838355,
+          6.634896601021211, 6.23853263690954, 5.91646788464017,
+          5.645522561950897, 5.411894431054339, 5.206700155589299,
+          5.0238861873148934, 4.85914255610666, 4.709292246885099,
+          4.571926354981466, 4.445175139346929, 4.327558440040948,
+          4.217884587921396, 4.115180092638893, 4.018639511074708,
+          3.927588924489973, 3.8414588206941236)
+        val critBy = Seq(
+          11.502889763256723, 10.219332387177902, 9.473473991920127,
+          8.946824784334273, 8.5399227884125, 8.208576599544221,
+          7.929261277116032, 7.687958995201674, 7.475641842088394,
+          7.2861541236353125, 7.115110755620628, 6.9592777088098305,
+          6.816201674742337, 6.683977584401699, 6.56109666117191,
+          6.446343697159773, 6.33872558169262, 6.237420327082558,
+          6.141739920697333, 6.051102735047298)
+        def ladder(cs: Seq[Double]) = cs.zipWithIndex
+          .map { case (v, i) => s"WHEN ${i + 1} THEN ${v}d" }
+          .mkString("CASE rnk ", " ", " END")
+        val o = Tables.orders(s, dir).select(
+          (col("o_custkey") % 20).as("cell"),
+          md5BitsModK(md5Bits(concat(lit("bh:"), col("o_orderkey"))), 2L)
+            .as("arm"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("y"))
+        val cells = o.groupBy(col("cell")).agg(
+          sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("ya"),
+          sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("yb"))
+        val z2 = cells.select(col("cell"),
+          expr("""
+            (CAST(na + nb AS DOUBLE)
+              * (CAST(na AS DOUBLE)*CAST(yb AS DOUBLE) - CAST(nb AS DOUBLE)*CAST(ya AS DOUBLE))
+              * (CAST(na AS DOUBLE)*CAST(yb AS DOUBLE) - CAST(nb AS DOUBLE)*CAST(ya AS DOUBLE)))
+            / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)
+               *CAST(ya + yb AS DOUBLE)*CAST(na + nb - ya - yb AS DOUBLE))
+          """).as("z2"))
+        val ranked = z2.withColumn("rnk",
+            row_number().over(Window.orderBy(col("z2").desc, col("cell")))
+              .cast("long"))
+          .withColumn("crit_bh", expr(ladder(critBh)))
+          .withColumn("crit_by", expr(ladder(critBy)))
+        val cuts = ranked.groupBy().agg(
+          max(when(col("z2") >= col("crit_bh"), col("rnk")).otherwise(0L))
+            .as("cut_bh"),
+          max(when(col("z2") >= col("crit_by"), col("rnk")).otherwise(0L))
+            .as("cut_by"))
+        ranked.crossJoin(broadcast(cuts))
+          .select(col("cell"), col("rnk"), col("z2"), col("crit_by"),
+            (col("rnk") <= col("cut_bh")).as("significant_bh"),
+            (col("rnk") <= col("cut_by")).as("significant_by"),
+            (col("cut_by") <= col("cut_bh")).as("by_within_bh"))
+          .orderBy(col("rnk"))
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey % 20 AS cell,
+                 CAST(md5_number_lower('bh:' || o_orderkey) % 2 AS BIGINT) AS arm,
+                 CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                      THEN 1 ELSE 0 END AS y
+          FROM orders),
+        cells AS (
+          SELECT cell,
+                 CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                 CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS ya,
+                 CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS yb
+          FROM o GROUP BY cell),
+        z AS (
+          SELECT cell,
+                 (CAST(na + nb AS DOUBLE)
+                   * (CAST(na AS DOUBLE)*CAST(yb AS DOUBLE) - CAST(nb AS DOUBLE)*CAST(ya AS DOUBLE))
+                   * (CAST(na AS DOUBLE)*CAST(yb AS DOUBLE) - CAST(nb AS DOUBLE)*CAST(ya AS DOUBLE)))
+                 / (CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)
+                    *CAST(ya + yb AS DOUBLE)*CAST(na + nb - ya - yb AS DOUBLE)) AS z2
+          FROM cells),
+        ranked AS (
+          SELECT cell, z2,
+                 row_number() OVER (ORDER BY z2 DESC, cell) AS rnk
+          FROM z),
+        laddered AS (
+          SELECT cell, z2, rnk,
+                 CASE rnk
+                   WHEN 1 THEN CAST('9.140593461244016' AS DOUBLE)
+                   WHEN 2 THEN CAST('7.879438576622458' AS DOUBLE)
+                   WHEN 3 THEN CAST('7.1491386083838355' AS DOUBLE)
+                   WHEN 4 THEN CAST('6.634896601021211' AS DOUBLE)
+                   WHEN 5 THEN CAST('6.23853263690954' AS DOUBLE)
+                   WHEN 6 THEN CAST('5.91646788464017' AS DOUBLE)
+                   WHEN 7 THEN CAST('5.645522561950897' AS DOUBLE)
+                   WHEN 8 THEN CAST('5.411894431054339' AS DOUBLE)
+                   WHEN 9 THEN CAST('5.206700155589299' AS DOUBLE)
+                   WHEN 10 THEN CAST('5.0238861873148934' AS DOUBLE)
+                   WHEN 11 THEN CAST('4.85914255610666' AS DOUBLE)
+                   WHEN 12 THEN CAST('4.709292246885099' AS DOUBLE)
+                   WHEN 13 THEN CAST('4.571926354981466' AS DOUBLE)
+                   WHEN 14 THEN CAST('4.445175139346929' AS DOUBLE)
+                   WHEN 15 THEN CAST('4.327558440040948' AS DOUBLE)
+                   WHEN 16 THEN CAST('4.217884587921396' AS DOUBLE)
+                   WHEN 17 THEN CAST('4.115180092638893' AS DOUBLE)
+                   WHEN 18 THEN CAST('4.018639511074708' AS DOUBLE)
+                   WHEN 19 THEN CAST('3.927588924489973' AS DOUBLE)
+                   WHEN 20 THEN CAST('3.8414588206941236' AS DOUBLE)
+                 END AS crit_bh,
+                 CASE rnk
+                   WHEN 1 THEN CAST('11.502889763256723' AS DOUBLE)
+                   WHEN 2 THEN CAST('10.219332387177902' AS DOUBLE)
+                   WHEN 3 THEN CAST('9.473473991920127' AS DOUBLE)
+                   WHEN 4 THEN CAST('8.946824784334273' AS DOUBLE)
+                   WHEN 5 THEN CAST('8.5399227884125' AS DOUBLE)
+                   WHEN 6 THEN CAST('8.208576599544221' AS DOUBLE)
+                   WHEN 7 THEN CAST('7.929261277116032' AS DOUBLE)
+                   WHEN 8 THEN CAST('7.687958995201674' AS DOUBLE)
+                   WHEN 9 THEN CAST('7.475641842088394' AS DOUBLE)
+                   WHEN 10 THEN CAST('7.2861541236353125' AS DOUBLE)
+                   WHEN 11 THEN CAST('7.115110755620628' AS DOUBLE)
+                   WHEN 12 THEN CAST('6.9592777088098305' AS DOUBLE)
+                   WHEN 13 THEN CAST('6.816201674742337' AS DOUBLE)
+                   WHEN 14 THEN CAST('6.683977584401699' AS DOUBLE)
+                   WHEN 15 THEN CAST('6.56109666117191' AS DOUBLE)
+                   WHEN 16 THEN CAST('6.446343697159773' AS DOUBLE)
+                   WHEN 17 THEN CAST('6.33872558169262' AS DOUBLE)
+                   WHEN 18 THEN CAST('6.237420327082558' AS DOUBLE)
+                   WHEN 19 THEN CAST('6.141739920697333' AS DOUBLE)
+                   WHEN 20 THEN CAST('6.051102735047298' AS DOUBLE)
+                 END AS crit_by
+          FROM ranked),
+        cuts AS (
+          SELECT MAX(CASE WHEN z2 >= crit_bh THEN rnk ELSE 0 END) AS cb,
+                 MAX(CASE WHEN z2 >= crit_by THEN rnk ELSE 0 END) AS cy
+          FROM laddered)
+        SELECT l.cell, CAST(l.rnk AS BIGINT) AS rnk, l.z2, l.crit_by,
+               l.rnk <= cuts.cb AS significant_bh,
+               l.rnk <= cuts.cy AS significant_by,
+               cuts.cy <= cuts.cb AS by_within_bh
+        FROM laddered l CROSS JOIN cuts
+        ORDER BY l.rnk"""))
   )
 
   /** Frames produced by the shared split-conformal calibration stage:

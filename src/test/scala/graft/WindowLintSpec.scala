@@ -61,7 +61,8 @@ class WindowLintSpec extends SparkSpec {
     "q356_kruskal_wallis" -> 1, // value-range bucket offsets (two-level scheme, q191's)
     "q364_jonckheere_terpstra" -> 1, // value-range bucket offsets (5 group sums, one node)
     "q365_mann_kendall_theil_sen" -> 1, // Theil-Sen median rank over the calendar-bounded pair frame
-    "q366_runs_test" -> 2 // two lag windows on the ~96-row monthly frame (diff signs, sign flips)
+    "q366_runs_test" -> 2, // two lag windows on the ~96-row monthly frame (diff signs, sign flips)
+    "q378_by_fdr" -> 2 // rank over the 20-cell test frame; subtree referenced twice (cuts + output, q170-style)
 
 
   )
