@@ -31,11 +31,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Unit = {
-      // clear leftovers persisted by PREVIOUS queries (CC edge frames,
-      // catalog nodes): accumulated pins otherwise grow memory pressure
-      // through the suite and make late queries measure earlier ones' state
+    // Clear leftovers persisted by PREVIOUS queries before each run.
+    // Two distinct pools (round-9 watch item — the ~20% driver-vs-builder
+    // suite drift):
+    //   1. cacheManager entries (CC edge frames, catalog nodes) —
+    //      catalog.clearCache().
+    //   2. localCheckpoint blocks from cutLineage()'s local policy: these
+    //      are NOT in the cacheManager; the checkpoint RDD sits in
+    //      sc.persistentRdds and only the ASYNC ContextCleaner reaps its
+    //      blocks after a driver GC notices the dropped reference. Across
+    //      a 379-query suite the blocks accumulate and their eventual
+    //      collection lands inside LATER queries' timed windows. Reap
+    //      deterministically instead: every bench query is self-contained,
+    //      so any still-persisted RDD after the noop write is garbage.
+    def reap(): Unit = {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    def run(name: String): Unit = {
+      reap()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
@@ -56,15 +73,15 @@ object Bench {
     // Failed queries record -1 (never a time-to-failure masquerading as a
     // fast run) and are listed in `failed`.
     //
-    // Cache-clear and an explicit GC happen BEFORE the timer starts: with
-    // ~200 queries in one JVM, collections of the PREVIOUS query's garbage
-    // otherwise land inside the next query's measured window, inflating
-    // the whole suite ~25-30% in a way that scales with suite LENGTH, not
-    // query cost (observed round-4 -> round-5: uniform inflation on
-    // unchanged queries as the surface grew 152 -> 198).
+    // Cache-clear, checkpoint-block reap, and an explicit GC happen BEFORE
+    // the timer starts: with ~400 queries in one JVM, collections of the
+    // PREVIOUS query's garbage otherwise land inside the next query's
+    // measured window, inflating the whole suite ~25-30% in a way that
+    // scales with suite LENGTH, not query cost (observed round-4 ->
+    // round-5: uniform inflation on unchanged queries as the surface grew
+    // 152 -> 198; round-8 -> round-9: +8%/query as it grew 314 -> 379).
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      spark.catalog.clearCache()
-      System.gc()
+      reap()
       val t0 = System.nanoTime()
       val ok = try {
         SparkEntry.queries(name)(spark, sfDir)

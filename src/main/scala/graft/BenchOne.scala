@@ -24,7 +24,12 @@ object BenchOne {
       .write.format("noop").mode("overwrite").save() catch { case _: Throwable => () }
     names.foreach { name =>
       val times = (1 to reps).map { _ =>
+        // same pre-timer reap as Bench: cacheManager + localCheckpoint
+        // blocks (sc.persistentRdds) + a GC, all OUTSIDE the window
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()

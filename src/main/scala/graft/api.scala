@@ -68,6 +68,12 @@ object api {
   /** Plan-fingerprint result cache: semantically-equal frames built at
     * different call sites share one parquet materialization. */
   val resultCache: plans.ResultCache.type = plans.ResultCache
+  /** Secondary-sort streaming folds for non-prefix-expressible per-key
+    * recurrences (clamped balances, EWMA/Holt levels, SPRT stopping):
+    * `foldGroups` (one output row per key) / `scanGroups` (one output
+    * per input row, state reseeded at key changes) — O(1) memory, a hot
+    * key streams and never buffers. */
+  val sortedFold: operators.SortedFold.type = operators.SortedFold
 
   // ── Corpus dedup / text ───────────────────────────────────────────
   /** Sketch toolbox: shingles, MinHash signatures, banded LSH pairs,
@@ -82,6 +88,12 @@ object api {
   /** Embedding search: codegen'd dot/cosine, brute-force exact top-k,
     * SRP-LSH and IVF bucketed top-k, embedding near-dup pairs. */
   val similarity: operators.Similarity.type = operators.Similarity
+  /** Materialized ANN index — the build-once / probe-many seam:
+    * `buildSrp`/`buildIvf` write the index as bucket/cell-PARTITIONED
+    * parquet (the directory layout IS the index), `probeSrp`/`probeIvf`
+    * answer top-k with the index scan dynamic-partition-pruned to the
+    * probed buckets, `ensureBuilt` shares one build across many probes. */
+  val annIndex: operators.AnnIndex.type = operators.AnnIndex
   /** Opaque-binary media columns: PPM decode, dHash near-dup, PCM
     * energy windows, resize, concatenated-PPM video frame-sampling +
     * per-frame hashing — mapPartitions one-codec-per-partition. */

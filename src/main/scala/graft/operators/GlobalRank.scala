@@ -100,6 +100,13 @@ object GlobalRank {
     * interval-start)) resolves the covering interval — ≤ blockSize ranks
     * of work per task, deterministic under boundary clamps (the start
     * tiebreak orders same-boundary intervals by true start).
+    *
+    * Precondition: `cntCol` ≥ 1 on every pool row. A zero-count row has
+    * a DESCENDING `sequence(lt div B, (lt+c-1) div B)` (Spark counts
+    * down when start > stop), emitting phantom zero-width intervals
+    * that can tie a real interval at a block boundary and shadow the
+    * correct carry nondeterministically — so zero-count rows are
+    * filtered here, defensively, before the explode.
     */
   def valueAtRank(
       pool: DataFrame,
@@ -120,7 +127,8 @@ object GlobalRank {
       lit(null).cast(vType).as("__pv"),
       col(rankCol).cast("long").as("__srt"),
       payload.as("__pay"))
-    val p = pool.select(col(valueCol).as("__pv"),
+    val p = pool.where(col(cntCol) >= 1)
+      .select(col(valueCol).as("__pv"),
         col(cumLtCol).cast("long").as("__lt"),
         col(cntCol).cast("long").as("__c"))
       .withColumn("__b", explode(expr(

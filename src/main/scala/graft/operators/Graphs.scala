@@ -198,10 +198,19 @@ object Graphs {
     * everywhere (all operands positive), so a fixed round budget is
     * bit-reproducible on any engine and any parallelism.
     *
-    * `edges`: (src, dst) with both directions present; `seeds`: a
-    * (node) frame (rows absent from the graph are ignored). Returns
-    * (node, r) micro-ranks after `rounds` supersteps; unreached nodes
-    * have no row (implicit 0). */
+    * `edges`: (src, dst) with both directions present — this contract
+    * is LOAD-BEARING, not stylistic: `ranks.join(deg, "node")` is an
+    * inner join, so a node with rank mass but NO out-edges silently
+    * drops its entire mass that round (no redistribution, no error),
+    * and `nn` counts only nodes with out-degree ≥ 1. Under the
+    * symmetric contract neither case exists (every reached node has an
+    * out-edge back). A caller passing a DIRECTED edge list gets
+    * deflated, non-mass-conserving ranks with no warning — symmetrize
+    * first (`edges.unionByName(edges.selectExpr("dst AS src",
+    * "src AS dst"))`) if the input is directed. `seeds`: a (node)
+    * frame (rows absent from the graph are ignored). Returns (node, r)
+    * micro-ranks after `rounds` supersteps; unreached nodes have no
+    * row (implicit 0). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cutLineage()

@@ -23,7 +23,12 @@ import org.apache.spark.sql.DataFrame
   *     the reliable checkpoint dir (HDFS/object store — replicated, so an
   *     executor loss recomputes nothing and loses nothing). The dir comes
   *     from `SparkContext.checkpointDir` if already set, else from
-  *     `graft.checkpoint.dir` (set lazily on first use).
+  *     `graft.checkpoint.dir` (set lazily on first use). This is not just
+  *     a claim: `graft.RecoveryProof` (script-run) SIGKILLs an executor
+  *     JVM mid-iteration under `local-cluster[2,2,1024]` with this policy
+  *     and asserts the CC / k-core outputs are byte-identical to an
+  *     undisturbed run — measured results in SCALE.md §"Executor-loss
+  *     recovery".
   *   - `graft.checkpoint.policy=parquet`: write-and-reread a parquet
   *     round-trip under `graft.checkpoint.dir`. Same durability as
   *     `reliable` with two extras clusters care about: columnar compression
@@ -61,10 +66,47 @@ object CheckpointPolicy {
         s"$PolicyKey must be local|reliable|parquet, got '$other'")
     }
 
+  // ── Test-visible pre-cut plan registry ────────────────────────────
+  // materialize() TRUNCATES lineage, so any plan node upstream of a cut
+  // is invisible to suite-wide plan lints that sweep only the final
+  // optimizedPlan (WindowLintSpec's documented blind spot). When a test
+  // thread opts in, every materialize() on that thread first records the
+  // about-to-be-cut frame's optimized plan. ThreadLocal, not global:
+  // sbt runs suites concurrently in one JVM, and a shared buffer would
+  // collect cuts from unrelated suites mid-sweep. Production cost when
+  // not recording: one ThreadLocal read per cut.
+  private val cutPlanRecorder = new ThreadLocal[
+    java.util.ArrayList[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]()
+
+  /** Start recording pre-cut optimized plans on the CALLING thread. */
+  def startRecordingCutPlans(): Unit =
+    cutPlanRecorder.set(new java.util.ArrayList)
+
+  /** Plans recorded on this thread since [[startRecordingCutPlans]]. */
+  def recordedCutPlans
+      : Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    Option(cutPlanRecorder.get) match {
+      case Some(buf) =>
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toList
+      case None => Nil
+    }
+
+  /** Stop recording and drop this thread's buffer. */
+  def stopRecordingCutPlans(): Unit = cutPlanRecorder.remove()
+
   /** Materialize `df` and truncate its lineage under the session's
     * configured policy. Eager in all three modes — iterative callers rely
     * on the cut frame being computed exactly once. */
-  def materialize(df: DataFrame): DataFrame = resolve(df) match {
+  def materialize(df: DataFrame): DataFrame = {
+    val rec = cutPlanRecorder.get
+    // optimizedPlan is lazy-cached in QueryExecution and the cut is about
+    // to execute the frame anyway — recording adds no extra optimization.
+    if (rec != null) rec.add(df.queryExecution.optimizedPlan)
+    materialize0(df)
+  }
+
+  private def materialize0(df: DataFrame): DataFrame = resolve(df) match {
     case Local => df.localCheckpoint(true)
     case Reliable =>
       val sc = df.sparkSession.sparkContext

@@ -185,12 +185,11 @@ object ActivityQueries {
           .sortWithinPartitions(col("segment"), col("tenure"))
           .as[(String, Long, Long, Long)]
           .mapPartitions { rows =>
-            var curSeg: String = null
-            var surv = 1.0
-            rows.map { case (seg, t, n, d) =>
-              if (seg != curSeg) { curSeg = seg; surv = 1.0 }
-              surv = surv * ((n - d).toDouble / n.toDouble)
-              (seg, t, n, d, surv)
+            graft.operators.SortedFold.scanGroups(
+              rows, (r: (String, Long, Long, Long)) => r._1, 1.0) {
+              case (surv, (seg, t, n, d)) =>
+                val s2 = surv * ((n - d).toDouble / n.toDouble)
+                (s2, (seg, t, n, d, s2))
             }
           }
           .toDF("segment", "tenure", "n_risk", "n_events", "survival")

@@ -855,15 +855,12 @@ object ExperimentQueries {
           .sortWithinPartitions(col("exp"), col("us"), col("event_id"))
           .as[(Long, Long, Long, Long)]
           .mapPartitions { rows =>
-            val it = rows.buffered
-            new Iterator[(Long, Long, Long, Int, Long, Long, Long)] {
-              def hasNext: Boolean = it.hasNext
-              def next(): (Long, Long, Long, Int, Long, Long, Long) = {
-                val exp = it.head._1
+            graft.operators.SortedFold.foldGroups(rows, (r: (Long, Long, Long, Long)) => r._1) {
+              (exp, g) =>
                 var n = 0L; var nSucc = 0L; var cum = 0L
                 var dcode = 0; var nAt = 0L; var llrAt = 0L
-                while (it.hasNext && it.head._1 == exp) {
-                  val succ = it.next()._4
+                g.foreach { r =>
+                  val succ = r._4
                   cum += (if (succ == 1L) 200671L else -50011L)
                   n += 1; nSucc += succ
                   if (dcode == 0 && (cum >= 2944439L || cum <= -2944439L)) {
@@ -872,7 +869,6 @@ object ExperimentQueries {
                   }
                 }
                 (exp, n, nSucc, dcode, nAt, llrAt, cum)
-              }
             }
           }
           .toDF("exp", "n_total", "n_success", "dcode", "n_at_decision",
@@ -2301,7 +2297,7 @@ object ExperimentQueries {
                         div n_c as bigint)""")).otherwise(lit(0L))
               .as("uplift_ppm"),
             when(col("cc_n") > 0,
-              expr("""cast(cast(conv_t as decimal(38,0)) * 1000000
+              expr("""cast(cast(ct_x as decimal(38,0)) * 1000000
                       - (cast(cc_x as decimal(38,0)) * ct_n * 1000000)
                         div cc_n as bigint)""")).otherwise(lit(0L))
               .as("qini_ppm"),
@@ -2357,7 +2353,7 @@ object ExperimentQueries {
                          AS BIGINT)
                     ELSE 0 END AS uplift_ppm,
                CASE WHEN cc_n > 0
-                    THEN CAST(CAST(conv_t AS HUGEINT) * 1000000
+                    THEN CAST(CAST(ct_x AS HUGEINT) * 1000000
                          - (CAST(cc_x AS HUGEINT) * ct_n * 1000000) // cc_n
                          AS BIGINT)
                     ELSE 0 END AS qini_ppm,

@@ -272,21 +272,17 @@ object TimeSeriesQueries {
           .sortWithinPartitions(col("user_id"), col("tus"), col("event_id"))
           .as[(Long, Long, Long, Long)]
           .mapPartitions { rows =>
-            val it = rows.buffered
-            new Iterator[(Long, Long, Long, Long, Long)] {
-              def hasNext: Boolean = it.hasNext
-              def next(): (Long, Long, Long, Long, Long) = {
-                val user = it.head._1
+            graft.operators.SortedFold.foldGroups(rows, (r: (Long, Long, Long, Long)) => r._1) {
+              (user, g) =>
                 var n = 0L; var bal = 0L; var maxb = 0L; var clamps = 0L
-                while (it.hasNext && it.head._1 == user) {
-                  val d = it.next()._4
+                g.foreach { r =>
+                  val d = r._4
                   n += 1
                   val nb = bal + d
                   if (nb < 0L) { clamps += 1; bal = 0L } else bal = nb
                   if (bal > maxb) maxb = bal
                 }
                 (user, n, bal, maxb, clamps)
-              }
             }
           }
           .toDF("user_id", "n_flows", "final_balance", "max_balance", "n_clamps")
@@ -492,19 +488,14 @@ object TimeSeriesQueries {
           .sortWithinPartitions(col("sk"), col("hi"), col("lo"), col("line"))
           .as[(Long, Long, Long, Long)]
           .mapPartitions { rows =>
-            val it = rows.buffered
-            new Iterator[(Long, Long, Long, Long, Long)] {
-              def hasNext: Boolean = it.hasNext
-              def next(): (Long, Long, Long, Long, Long) = {
-                val sk = it.head._1
+            graft.operators.SortedFold.foldGroups(rows, (r: (Long, Long, Long, Long)) => r._1) {
+              (sk, g) =>
                 var n = 0L; var sel = 0L; var lastEnd = -1L; var cks = 0L
-                while (it.hasNext && it.head._1 == sk) {
-                  val r = it.next()
+                g.foreach { r =>
                   n += 1
                   if (r._2 > lastEnd) { sel += 1; lastEnd = r._3; cks += r._3 }
                 }
                 (sk, n, sel, lastEnd, cks)
-              }
             }
           }
           .toDF("sk", "n_intervals", "n_selected", "last_end_day",
@@ -579,20 +570,16 @@ object TimeSeriesQueries {
           .sortWithinPartitions(col("ck"), col("d"))
           .as[(Long, Long, Long)]
           .mapPartitions { rows =>
-            val it = rows.buffered
-            new Iterator[(Long, Long, Long, Double)] {
-              def hasNext: Boolean = it.hasNext
-              def next(): (Long, Long, Long, Double) = {
-                val ck = it.head._1
+            graft.operators.SortedFold.foldGroups(rows, (r: (Long, Long, Long)) => r._1) {
+              (ck, g) =>
                 var n = 0L; var tot = 0L; var level = 0.0
-                while (it.hasNext && it.head._1 == ck) {
-                  val cents = it.next()._3
+                g.foreach { r =>
+                  val cents = r._3
                   val x = cents.toDouble
                   level = if (n == 0L) x else 0.3 * x + 0.7 * level
                   n += 1; tot += cents
                 }
                 (ck, n, tot, level)
-              }
             }
           }
           .toDF("ck", "n_days", "total_cents", "ewma_cents")
@@ -648,14 +635,11 @@ object TimeSeriesQueries {
           .sortWithinPartitions(col("ck"), col("d"))
           .as[(Long, Long, Long)]
           .mapPartitions { rows =>
-            val it = rows.buffered
-            new Iterator[(Long, Long, Long, Double, Double, Double)] {
-              def hasNext: Boolean = it.hasNext
-              def next(): (Long, Long, Long, Double, Double, Double) = {
-                val ck = it.head._1
+            graft.operators.SortedFold.foldGroups(rows, (r: (Long, Long, Long)) => r._1) {
+              (ck, g) =>
                 var n = 0L; var tot = 0L; var l = 0.0; var b = 0.0
-                while (it.hasNext && it.head._1 == ck) {
-                  val cents = it.next()._3
+                g.foreach { r =>
+                  val cents = r._3
                   val x = cents.toDouble
                   if (n == 0L) { l = x; b = 0.0 }
                   else {
@@ -666,7 +650,6 @@ object TimeSeriesQueries {
                   n += 1; tot += cents
                 }
                 (ck, n, tot, l, b, l + 3.0 * b)
-              }
             }
           }
           .toDF("ck", "n_days", "total_cents", "holt_level", "holt_trend",
@@ -791,17 +774,12 @@ object TimeSeriesQueries {
           .select(col("r_name"), col("d"), col("cents"))
           .as[(String, Long, Long)]
           .mapPartitions { rows =>
-            val it = rows.buffered
-            new Iterator[(String, Long, Long, Double, Double, Double,
-                Double, Double, Double, Double, Double, Double, Double)] {
-              def hasNext: Boolean = it.hasNext
-              def next(): (String, Long, Long, Double, Double, Double,
-                  Double, Double, Double, Double, Double, Double, Double) = {
-                val r = it.head._1
+            graft.operators.SortedFold.foldGroups(rows, (r: (String, Long, Long)) => r._1) {
+              (r, g) =>
                 var n = 0L; var tot = 0L; var l = 0.0; var b = 0.0
                 val sv = new Array[Double](7)
-                while (it.hasNext && it.head._1 == r) {
-                  val cents = it.next()._3
+                g.foreach { row =>
+                  val cents = row._3
                   val x = cents.toDouble
                   if (n == 0L) { l = x; b = 0.0 }
                   else {
@@ -816,7 +794,6 @@ object TimeSeriesQueries {
                 val f3 = l + 3.0 * b + sv(((n + 2) % 7).toInt)
                 (r, n, tot, l, b, sv(0), sv(1), sv(2), sv(3), sv(4),
                   sv(5), sv(6), f3)
-              }
             }
           }
           .toDF("r_name", "n_days", "total_cents", "hw_level", "hw_trend",

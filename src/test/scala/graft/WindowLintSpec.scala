@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+import graft.plans.CheckpointPolicy
 
 /** Suite-wide single-partition-window lint (round-7 verdict item 3).
   *
@@ -16,6 +17,15 @@ import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
   * in round 7 for GlobalRank's two-level bucketed scheme) turns this
   * spec red.
   *
+  * Blind-spot closure (round-9 advice): `cutLineage()` TRUNCATES
+  * lineage, so a window upstream of a cut never reaches the final
+  * optimizedPlan. The sweep therefore also collects every PRE-CUT
+  * optimized plan via [[CheckpointPolicy.startRecordingCutPlans]] (a
+  * thread-local registry fed by `materialize()`), and the per-query
+  * count below is final-plan nodes PLUS pre-cut-plan nodes. Cut-using
+  * iterative loops record one plan per round; their counts are stable
+  * because round budgets are fixed.
+  *
   * Streaming queries are excluded: their `fn` executes full checkpointed
   * stream lifetimes at call time and their windows live inside
   * micro-batches planned by the streaming runner.
@@ -24,9 +34,10 @@ class WindowLintSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  /** query -> max allowed unpartitioned Window NODES in the optimized
-    * plan (shared subtrees count once per occurrence), with the bounded
-    * input that justifies each. Everything else must have zero.
+  /** query -> max allowed unpartitioned Window NODES across the final
+    * optimized plan AND all pre-cut plans (shared subtrees count once
+    * per occurrence), with the bounded input that justifies each.
+    * Everything else must have zero.
     */
   private val allow: Map[String, Int] = Map(
     "q95_training_shuffle" -> 1, // 256-row shard-bucket count prefix-sum
@@ -45,6 +56,11 @@ class WindowLintSpec extends SparkSpec {
     "q197_retention_hazard" -> 1, // age-level life table (calendar-bounded)
     "q224_source_novelty" -> 1, // source-level table (bounded domain)
     "q236_ks_two_sample" -> 1, // value-range bucket offsets (two-level scheme)
+    "q242_isotonic_calibration" -> 2, // pre-cut: value-domain bucket offsets + the <=20-row ventile-bin prefix
+    "q362_stratified_sample" -> 1, // pre-cut: largest-remainder rank over the 5-row stratum frame
+    "q363_quantile_normalization" -> 1, // pre-cut: pooled bucket-offset window (value-domain bucket table)
+    "q374_consistent_hash_ring" -> 6, // pre-cut: ring-point lag over the <=576-row (shards x vnodes) point table, subtree referenced twice per ring x 3 rings
+    "q375_weighted_quantiles" -> 1, // pre-cut: pooled bucket-offset window (value-domain bucket table)
     "q265_exact_quantile_select" -> 1, // GlobalRank bucket offsets
     "q257_bh_fdr" -> 2, // spatial grid-cell table (fixed grid)
     "q272_zone_map_pruning" -> 1, // GlobalRank calendar-day bucket offsets
@@ -63,17 +79,27 @@ class WindowLintSpec extends SparkSpec {
     "q365_mann_kendall_theil_sen" -> 1, // Theil-Sen median rank over the calendar-bounded pair frame
     "q366_runs_test" -> 2, // two lag windows on the ~96-row monthly frame (diff signs, sign flips)
     "q378_by_fdr" -> 2 // rank over the 20-cell test frame; subtree referenced twice (cuts + output, q170-style)
-
-
   )
+
+  /** Count unpartitioned Window nodes in the final optimized plan plus
+    * every pre-cut plan recorded while `fn` ran on this thread.
+    */
+  private def unpartitionedWindows(
+      d: graft.queries.QueryDef): Seq[LWindow] = {
+    CheckpointPolicy.startRecordingCutPlans()
+    try {
+      val finalPlan = d.fn(spark, dir).queryExecution.optimizedPlan
+      (CheckpointPolicy.recordedCutPlans :+ finalPlan).flatMap(_.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      })
+    } finally CheckpointPolicy.stopRecordingCutPlans()
+  }
 
   test("no query plans a data-proportional single-partition window") {
     val streaming = graft.queries.StreamQueries.defs.map(_.name).toSet
     val offenders = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.allDefs.filterNot(d => streaming(d.name)).foreach { d =>
-      val unpart = d.fn(spark, dir).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }
+      val unpart = unpartitionedWindows(d)
       val cap = allow.getOrElse(d.name, 0)
       if (unpart.size > cap)
         offenders += s"${d.name}: ${unpart.size} unpartitioned Window nodes (allowed $cap); " +
@@ -90,9 +116,7 @@ class WindowLintSpec extends SparkSpec {
     allow.foreach { case (name, cap) =>
       assert(byName.contains(name), s"allowlist names unknown query $name")
       assert(!streaming(name), s"allowlist lists streaming query $name")
-      val n = byName(name).fn(spark, dir).queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty => w
-      }.size
+      val n = unpartitionedWindows(byName(name)).size
       assert(n == cap,
         s"$name: allowlist says $cap unpartitioned windows, plan has $n — " +
           "tighten or document the drift")
