@@ -31,18 +31,24 @@ import org.apache.spark.sql.functions._
   */
 object RecoveryProof {
 
-  /** Deterministic edge list shaped like q48's LSH pair graph: chains
-    * and small cliques keyed off orderkeys, big enough that CC runs
-    * several large-star/small-star rounds across many partitions. */
+  /** Deterministic edge list shaped like q48's LSH pair graph: dense
+    * 20-node star clusters plus sparse bridges every 400 nodes — small
+    * component diameter (the shape large-star/small-star converges on
+    * in a few rounds), many components, spread across partitions. A
+    * PATH-shaped graph is deliberately avoided: it maxes the round cap
+    * and this proof is about recovery, not worst-case convergence. */
   private def edges(s: SparkSession, n: Long): DataFrame = {
-    import s.implicits._
     val base = s.range(n).toDF("i")
-    // chain segments of length 5 + cross links every 97 to merge chains
-    val chain = base.selectExpr("i AS a", "i + 1 AS b")
-      .where(expr("i % 5 <> 4"))
-    val cross = base.selectExpr("i AS a", "i + 97 AS b")
-      .where(expr("i % 97 = 0 AND i + 97 < " + n))
-    chain.unionByName(cross)
+    // ring per 20-block (every ring node has degree >= 2: the 2-core)
+    val ring = base.selectExpr("i AS a",
+      s"CASE WHEN i % 20 = 19 THEN i - 19 ELSE i + 1 END AS b")
+    // bridge consecutive blocks every 400 nodes (merges 20 blocks)
+    val bridge = base.selectExpr("i AS a", "i + 20 AS b")
+      .where(expr("i % 400 = 0 AND i + 20 < " + n))
+    // degree-1 leaves hanging off ring nodes (pruned by k-core, kept by CC)
+    val leaf = s.range(n / 5).toDF("j")
+      .selectExpr(s"$n + j AS a", s"(j * 20) % $n AS b")
+    ring.unionByName(bridge).unionByName(leaf)
   }
 
   private def ccChecksum(e: DataFrame): (Long, Long) = {
@@ -102,16 +108,25 @@ object RecoveryProof {
       .config("spark.ui.enabled", "false")
       .config("graft.checkpoint.policy", policy)
       .config("graft.checkpoint.dir", "/tmp/graft_recovery_ckpt")
+      // local-cluster executors are fresh JVMs built from SPARK_HOME jars;
+      // they also need the repo classes (run with SPARK_SCALA_VERSION=2.13
+      // so the worker's command builder resolves a bare distro layout)
+      .config("spark.executor.extraClassPath",
+        sys.props.getOrElse("graft.repo.classes",
+          "/root/repo/target/scala-2.13/classes"))
       // fail fast if recovery is NOT working (default 4 is fine; be explicit)
       .config("spark.task.maxFailures", "4")
     b.getOrCreate()
   }
 
   def main(args: Array[String]): Unit = {
-    val n = 200000L
+    // args: [n] [kill|nokill] — smaller n / nokill for bisection runs
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val doKill = !args.contains("nokill")
     var failures = 0
 
     // 1. baseline on plain local[4]
+    println(s"[recovery] phase 1: baseline local[4], n=$n")
     val s1 = session("local[4]", "local")
     s1.sparkContext.setLogLevel("ERROR")
     val ccExp = ccChecksum(edges(s1, n))
@@ -122,17 +137,19 @@ object RecoveryProof {
     // 2. local-cluster + reliable policy + mid-loop SIGKILL
     def killedRun(tag: String)(body: SparkSession => (Long, Long))
         : (Long, Long) = {
+      println(s"[recovery] phase 2($tag): local-cluster, kill=$doKill")
       val s = session("local-cluster[2,2,1024]", "reliable")
-      s.sparkContext.setLogLevel("ERROR")
+      s.sparkContext.setLogLevel("WARN")
       try {
         // wait for both executors to register before starting
         var waited = 0
         while (s.sparkContext.getExecutorMemoryStatus.size < 3 && waited < 60) {
           Thread.sleep(1000); waited += 1
         }
-        killOneExecutor(delayMs = 3000)
+        println(s"[recovery] $tag: ${s.sparkContext.getExecutorMemoryStatus.size - 1} executors up after ${waited}s")
+        if (doKill) killOneExecutor(delayMs = 3000)
         val out = body(s)
-        println(s"[recovery] $tag with kill -> $out")
+        println(s"[recovery] $tag (kill=$doKill) -> $out")
         out
       } finally s.stop()
     }

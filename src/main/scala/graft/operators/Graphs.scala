@@ -153,11 +153,17 @@ object Graphs {
         Seq("dst"))
       .groupBy(col("src").as("node"), col("cand"))
       .agg(count(lit(1)).as("k"))
-    // community frames are |labels|-distinct — orders smaller than the
-    // node/edge frames at any scale where communities have formed, so
-    // both lookups broadcast rather than re-shuffling the node frame.
+    // The community frame is |distinct labels|-sized. On a CONVERGED
+    // partition that's orders smaller than the node frame and the
+    // lookups broadcast — but on a barely-converged input (LPA after a
+    // few rounds on a bipartite graph keeps ~node-proportional label
+    // counts) a FORCED broadcast ships a data-proportional frame
+    // through the driver. No hint, deliberately: AQE sees the real
+    // post-shuffle size and picks broadcast exactly when the frame is
+    // small — the adaptive behavior a 100 TB run needs (measured at the
+    // sf3.3 twin: the forced hint was the q319 alpha-1.3 driver).
     val cur = labels.join(degV, Seq("node"))
-      .join(broadcast(commDeg.select(col("lbl"), col("cdeg").as("deg_a"))),
+      .join(commDeg.select(col("lbl"), col("cdeg").as("deg_a")),
         Seq("lbl"))
       .join(kvc.select(col("node"), col("cand").as("lbl"),
         col("k").as("k_a")), Seq("node", "lbl"), "left")
@@ -165,8 +171,8 @@ object Graphs {
         coalesce(col("k_a"), lit(0L)).as("k_a"))
     val gains = cur.join(kvc, Seq("node"))
       .where(col("cand") =!= col("lbl"))
-      .join(broadcast(commDeg.select(col("lbl").as("cand"),
-        col("cdeg").as("deg_b"))), Seq("cand"))
+      .join(commDeg.select(col("lbl").as("cand"),
+        col("cdeg").as("deg_b")), Seq("cand"))
       .crossJoin(broadcast(m2))
       .select(col("node"), col("cand"),
         expr("""cast(m2 as decimal(38,0)) * (k - k_a)

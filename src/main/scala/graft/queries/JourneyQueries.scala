@@ -685,7 +685,11 @@ object JourneyQueries {
         val tot = perChannel.agg(sum(col("credit_micro")).as("tot_micro"))
         perChannel.crossJoin(broadcast(tot))
           .select(col("channel"), col("n_credits"), col("credit_micro"),
-            expr("(credit_micro * 1000000) div tot_micro").as("share_ppm"))
+            // DECIMAL(38,0) lane: credit_micro is an already-micro-scaled
+            // corpus-proportional SUM — ×10⁶ breaks int64 near 10¹³
+            // micro-credits (the q279 sf10-twin lesson)
+            expr("""cast((cast(credit_micro as decimal(38,0)) * 1000000)
+                    div tot_micro as bigint)""").as("share_ppm"))
           .orderBy(col("channel"))
       },
       Some("""
@@ -710,7 +714,8 @@ object JourneyQueries {
         tot AS (SELECT CAST(SUM(credit_micro) AS BIGINT) AS tot_micro
                 FROM per_channel)
         SELECT c.channel, c.n_credits, c.credit_micro,
-               (c.credit_micro * 1000000) // t.tot_micro AS share_ppm
+               CAST((CAST(c.credit_micro AS HUGEINT) * 1000000) // t.tot_micro
+                 AS BIGINT) AS share_ppm
         FROM per_channel c CROSS JOIN tot t
         ORDER BY c.channel""")),
 

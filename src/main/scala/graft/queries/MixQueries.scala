@@ -284,8 +284,13 @@ object MixQueries {
           .withColumn("wgt", floor(sqrt(col("cap"))).cast("long"))
         val all = Window.partitionBy(lit(1))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        // DECIMAL(38,0) lane on every cap-sized cross-multiplication:
+        // cap is a per-language CHARACTER SUM (corpus-proportional), so
+        // cap*10^9 and cap*(W-pw) break int64 around 10^10 chars/lang
+        // (the q279 sf10-twin lesson applied ahead of the crash)
         val byRatio = Window.partitionBy(lit(1))
-          .orderBy(expr("cap * 1000000000 DIV wgt"), col("lang"))
+          .orderBy(expr("cast(cap as decimal(38,0)) * 1000000000 DIV wgt"),
+            col("lang"))
         val prefix = byRatio.rowsBetween(Window.unboundedPreceding, -1)
         val runMin = byRatio.rowsBetween(Window.unboundedPreceding, 0)
         val flagged = langs
@@ -296,8 +301,9 @@ object MixQueries {
           .withColumn("pc", coalesce(sum(col("cap")).over(prefix), lit(0L)))
           .withColumn("pw", coalesce(sum(col("wgt")).over(prefix), lit(0L)))
           .withColumn("cond",
-            (col("cap") * (col("W") - col("pw")) <
-              col("wgt") * (col("B") - col("pc"))).cast("int"))
+            (col("cap").cast("decimal(38,0)") * (col("W") - col("pw")) <
+              col("wgt").cast("decimal(38,0)") * (col("B") - col("pc")))
+              .cast("int"))
           .withColumn("is_capped", min(col("cond")).over(runMin) === 1)
         flagged
           .withColumn("cap_c",
@@ -306,7 +312,7 @@ object MixQueries {
             sum(when(col("is_capped"), col("wgt")).otherwise(0L)).over(all))
           .withColumn("alloc",
             when(col("is_capped"), col("cap")).otherwise(
-              expr("wgt * (B - cap_c) DIV (W - cap_w)")))
+              expr("cast(wgt as decimal(38,0)) * (B - cap_c) DIV (W - cap_w)")))
           .select(col("lang"), col("cap"), col("wgt"), col("is_capped"),
             col("alloc"))
           .orderBy(col("lang"))
@@ -323,13 +329,14 @@ object MixQueries {
                  COALESCE(SUM(cap) OVER w, 0) AS pc,
                  COALESCE(SUM(wgt) OVER w, 0) AS pw
           FROM langs
-          WINDOW w AS (ORDER BY (cap * 1000000000) // wgt, lang
+          WINDOW w AS (ORDER BY (CAST(cap AS HUGEINT) * 1000000000) // wgt, lang
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
         flagged AS (
           SELECT *,
-                 MIN(CASE WHEN cap * (W - pw) < wgt * (B - pc)
+                 MIN(CASE WHEN CAST(cap AS HUGEINT) * (W - pw)
+                               < CAST(wgt AS HUGEINT) * (B - pc)
                           THEN 1 ELSE 0 END)
-                   OVER (ORDER BY (cap * 1000000000) // wgt, lang
+                   OVER (ORDER BY (CAST(cap AS HUGEINT) * 1000000000) // wgt, lang
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
                    AS is_capped
           FROM tot),
@@ -339,8 +346,9 @@ object MixQueries {
                  SUM(CASE WHEN is_capped THEN wgt ELSE 0 END) OVER () AS cap_w
           FROM flagged)
         SELECT lang, cap, wgt, is_capped,
-               CAST(CASE WHEN is_capped THEN cap
-                    ELSE wgt * (B - cap_c) // (W - cap_w) END AS BIGINT) AS alloc
+               CAST(CASE WHEN is_capped THEN CAST(cap AS HUGEINT)
+                    ELSE CAST(wgt AS HUGEINT) * (B - cap_c) // (W - cap_w)
+                    END AS BIGINT) AS alloc
         FROM totals
         ORDER BY lang""")),
 

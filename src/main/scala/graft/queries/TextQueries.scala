@@ -929,8 +929,14 @@ object TextQueries {
         perLang.crossJoin(broadcast(tot))
           .select(col("lang"), col("n_docs"), col("n_tokens"),
             col("eff_micro"),
-            expr("(n_tokens * 1000000) div tok_tot").as("raw_share_ppm"),
-            expr("(eff_micro * 1000000) div eff_tot").as("eff_share_ppm"))
+            // DECIMAL(38,0) lane: eff_micro is ALREADY micro-scaled, so
+            // eff_micro*10^6 breaks int64 once per-language token mass
+            // passes ~9*10^6 tokens (hit at the sf10 twin); same lane
+            // for the raw share for symmetry
+            expr("""cast((cast(n_tokens as decimal(38,0)) * 1000000)
+                    div tok_tot as bigint)""").as("raw_share_ppm"),
+            expr("""cast((cast(eff_micro as decimal(38,0)) * 1000000)
+                    div eff_tot as bigint)""").as("eff_share_ppm"))
           .orderBy(col("lang"))
       },
       Some(s"""
@@ -965,8 +971,10 @@ object TextQueries {
                        CAST(SUM(eff_micro) AS BIGINT) AS eff_tot
                 FROM per_lang)
         SELECT p.lang, p.n_docs, p.n_tokens, p.eff_micro,
-               (p.n_tokens * 1000000) // t.tok_tot AS raw_share_ppm,
-               (p.eff_micro * 1000000) // t.eff_tot AS eff_share_ppm
+               CAST((CAST(p.n_tokens AS HUGEINT) * 1000000) // t.tok_tot
+                 AS BIGINT) AS raw_share_ppm,
+               CAST((CAST(p.eff_micro AS HUGEINT) * 1000000) // t.eff_tot
+                 AS BIGINT) AS eff_share_ppm
         FROM per_lang p CROSS JOIN tot t
         ORDER BY p.lang""")),
 
