@@ -98,6 +98,34 @@ object AnnIndex {
       .where(col("rnk") <= k)
   }
 
+  /** Multi-probe SRP: probe the query's own bucket PLUS the `planes`
+    * buckets at Hamming distance 1 (flip each sign bit) — the standard
+    * recall knob for sign-LSH (a near neighbor that lands across one
+    * hyperplane is recovered at (planes+1)× probe cost instead of
+    * needing more tables). Buckets PARTITION the corpus, so the probed
+    * candidate sets are disjoint — no dedup stage. The index scan is
+    * still DPP-pruned: (planes+1)·|queries| bucket values reach the
+    * pruning subquery instead of |queries|. */
+  def probeSrpMultiProbe(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int,
+      dim: Int): DataFrame = {
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      Similarity.srpBucket(col(vecCol), planes, dim).as("b0"))
+    val q = q0
+      .withColumn("__j", explode(expr(s"sequence(-1, ${planes - 1})")))
+      .withColumn("bucket", when(col("__j") < 0, col("b0"))
+        .otherwise(expr("b0 ^ cast(shiftleft(1, __j) as bigint)")))
+      .select(col("q_id"), col("q_vec"), col("bucket"))
+    val scored = index.join(broadcast(q), Seq("bucket"))
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("bucket"), col("id").as("n_id"),
+        Similarity.cosine(col("q_vec"), col("vec")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.select(col("q_id"), col("bucket"), col("n_id"), col("cos"),
+        row_number().over(w).as("rnk"))
+      .where(col("rnk") <= k)
+  }
+
   // ── IVF index ──────────────────────────────────────────────────────
 
   /** Max-dot cell assignment against a (broadcast) centroid table with
@@ -129,15 +157,25 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
-  /** Probe-many: assign each query to its cell via the materialized
-    * centroids, then top-k inside the cell — the cells scan is DPP-
-    * pruned to the probed cells by the broadcast equi-join. */
+  /** Probe-many: assign each query to its `nprobe` NEAREST cells via
+    * the materialized centroids, then top-k across the probed cells —
+    * the cells scan is DPP-pruned to the probed cells by the broadcast
+    * equi-join. `nprobe = 1` is classic IVF; raising it is THE IVF
+    * recall knob (probe cost grows as nprobe·corpus/cells). */
   def probeIvf(spark: SparkSession, path: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     val cent = spark.read.parquet(s"$path/centroids")
     val cells = readIndex(spark, s"$path/cells")
-    val q = assign(queries, cent, idCol, vecCol)
-      .select(col("id").as("q_id"), col("v").as("q_vec"), col("cell"))
+    val qs = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cent))
+      .select(col("id"), col("v"), col("cid"),
+        Similarity.dot(col("v"), col("cvec")).as("d"))
+    val wq = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cid"))
+    val q = qs.select(col("id"), col("v"), col("cid"),
+        row_number().over(wq).as("__rn"))
+      .where(col("__rn") <= nprobe)
+      .select(col("id").as("q_id"), col("v").as("q_vec"),
+        col("cid").as("cell"))
     val scored = cells.join(broadcast(q), Seq("cell"))
       .where(col("q_id") =!= col("id"))
       .select(col("q_id"), col("cell"), col("id").as("n_id"),

@@ -189,5 +189,86 @@ object AnnIndexQueries {
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
           FROM dots)
         SELECT q_id, CAST(cell AS BIGINT) AS cell, n_id, cos, rnk FROM ranked WHERE rnk <= 3
+        ORDER BY q_id, rnk""")),
+
+    // Multi-probe SRP: probe the query's own bucket plus all 6 buckets
+    // at Hamming distance 1 (flip each sign bit) — the sign-LSH recall
+    // knob. Buckets partition the corpus so probed candidate sets are
+    // disjoint (no dedup stage); the index scan stays DPP-pruned, now
+    // to (planes+1) buckets per query. Candidate pools strictly
+    // contain q381's, so every q384 cosine at rank r is >= q381's at
+    // rank r — the recall-vs-cost tradeoff made inspectable.
+    QueryDef(
+      "q384_srp_multiprobe",
+      (s, dir) => {
+        val path = ensureSrp(s, dir)
+        val q = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        AnnIndex.probeSrpMultiProbe(AnnIndex.readIndex(s, path), q,
+            "vec_id", "embedding", k = 3, planes = SrpPlanes, dim = 64)
+          .select(col("q_id"), col("bucket"), col("n_id"), col("cos"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, ${srpSql(SrpPlanes)} AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id q_id, embedding q_vec, bucket AS b0
+              FROM b WHERE vec_id < 10),
+        probes AS (
+          SELECT q_id, q_vec,
+                 CASE WHEN u.j < 0 THEN b0
+                      ELSE xor(b0, (1::BIGINT << CAST(u.j AS INT))) END AS bucket
+          FROM q, unnest(range(-1, $SrpPlanes)) AS u(j)),
+        dots AS (
+          SELECT p.q_id, p.bucket, c.vec_id n_id,
+                 ${dotSql("p.q_vec", "c.embedding")}
+                   / (sqrt(${dotSql("p.q_vec", "p.q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM b c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.q_id),
+        ranked AS (
+          SELECT q_id, bucket, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM dots)
+        SELECT q_id, bucket, n_id, cos, rnk FROM ranked WHERE rnk <= 3
+        ORDER BY q_id, rnk""")),
+
+    // IVF nprobe=2: each query probes its TWO nearest cells instead of
+    // one — the IVF recall knob (probe cost 2·corpus/cells). Shares the
+    // q382 build; the cells scan is DPP-pruned to the probed cells.
+    QueryDef(
+      "q385_ivf_nprobe2",
+      (s, dir) => {
+        val path = ensureIvf(s, dir)
+        val q = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        AnnIndex.probeIvf(s, path, q, "vec_id", "embedding", k = 3,
+            nprobe = 2)
+          .select(col("q_id"), col("cell"), col("n_id"), col("cos"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $IvfCells),
+        assign AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${dotSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+            FROM embeddings e, cent c) t WHERE rn = 1),
+        q AS (
+          SELECT vec_id q_id, embedding q_vec, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${dotSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+            FROM embeddings e, cent c WHERE e.vec_id < 10) t WHERE rn <= 2),
+        dots AS (
+          SELECT q_id, q.cell, a.vec_id n_id,
+                 ${dotSql("q_vec", "a.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("a.embedding", "a.embedding")})) AS cos
+          FROM assign a JOIN q ON a.cell = q.cell AND a.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, cell, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM dots)
+        SELECT q_id, CAST(cell AS BIGINT) AS cell, n_id, cos, rnk FROM ranked WHERE rnk <= 3
         ORDER BY q_id, rnk""")))
 }

@@ -76,13 +76,16 @@ class RecipesSpec extends SparkSpec {
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
     assert(dirs.nonEmpty && dirs.length <= 16,
       s"expected <=2^4 bucket dirs, got ${dirs.length}")
-    // and the probe plan joins on that partition column
+    // and the probe's index scan is DYNAMIC-PARTITION-PRUNED on that
+    // column — the property that makes probe cost corpus/2^planes
+    // instead of corpus (PlanAudit shows the same expression at sf0.01)
     val index = annIndex.readIndex(spark, path)
     val q = graft.sources.Tables.embeddings(spark, dir)
       .where(col("vec_id") < 5)
     val plan = annIndex.probeSrp(index, q, "vec_id", "embedding",
       k = 3, planes = 4, dim = 64).queryExecution.executedPlan.toString
-    assert(plan.contains("bucket"), "probe must join on the partition col")
+    assert(plan.contains("dynamicpruning"),
+      "probe scan must carry a dynamic partition pruning filter on bucket")
   }
 
   test("recipe: run the reference pipeline by model name") {
