@@ -67,6 +67,20 @@ object RecoveryProof {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** LPA rounds + one Louvain local-move sweep (q233/q319's loops) —
+    * exercises the cut-per-round iteration AND the adaptive (unhinted)
+    * community-degree joins under executor loss. */
+  private def louvainChecksum(e: DataFrame): (Long, Long) = {
+    val und = e.unionByName(e.selectExpr("b AS a", "a AS b"))
+      .selectExpr("a AS src", "b AS dst")
+    val lab = graft.operators.Graphs.labelPropagation(und, 2)
+    val l2 = graft.operators.Graphs.louvainRefineRound(und, lab)
+    val r = l2.agg(
+      sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"),
+      sum(col("node") * col("lbl")).as("cks")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** SIGKILL one CoarseGrainedExecutorBackend child process after
     * `delayMs`, retrying until one exists. Returns the killed pid. */
   private def killOneExecutor(delayMs: Long): Thread = {
@@ -131,7 +145,8 @@ object RecoveryProof {
     s1.sparkContext.setLogLevel("ERROR")
     val ccExp = ccChecksum(edges(s1, n))
     val kcExp = kcoreChecksum(edges(s1, n))
-    println(s"[recovery] baseline cc=$ccExp kcore=$kcExp")
+    val lvExp = louvainChecksum(edges(s1, n))
+    println(s"[recovery] baseline cc=$ccExp kcore=$kcExp louvain=$lvExp")
     s1.stop()
 
     // 2. local-cluster + reliable policy + mid-loop SIGKILL
@@ -163,6 +178,11 @@ object RecoveryProof {
     if (kcGot != kcExp) {
       println(s"FAIL kcore: expected $kcExp got $kcGot"); failures += 1
     } else println("PASS kcore: identical output after executor SIGKILL")
+
+    val lvGot = killedRun("louvain")(s => louvainChecksum(edges(s, n)))
+    if (lvGot != lvExp) {
+      println(s"FAIL louvain: expected $lvExp got $lvGot"); failures += 1
+    } else println("PASS louvain: identical output after executor SIGKILL")
 
     if (failures > 0) sys.exit(1)
     println("[recovery] ALL PASS")
