@@ -25,6 +25,13 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE right-size shuffles in BOTH directions: start high and
+      // coalesce down (small inputs end at ~cpus partitions as before;
+      // big inputs keep enough partitions to stay under the spill
+      // threshold — the sf3.3/sf10 twins measured 1M-row partitions
+      // spilling at initialPartitionNum = cpus)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
