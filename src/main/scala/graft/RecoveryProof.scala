@@ -81,9 +81,78 @@ object RecoveryProof {
     (r.getLong(0), r.getLong(1))
   }
 
-  /** SIGKILL one CoarseGrainedExecutorBackend child process after
-    * `delayMs`, retrying until one exists. Returns the killed pid. */
-  private def killOneExecutor(delayMs: Long): Thread = {
+  /** Watermarked tumbling-window streaming aggregation (q116's exact
+    * topology: file-source micro-batches → 6h windows × event type →
+    * append-mode parquet sink), sized so the data phase spans several
+    * micro-batches (`maxFilesPerTrigger=1`, one spool file each) — the
+    * SIGKILL lands mid-micro-batch, not between queries. A second
+    * AvailableNow lifetime enqueues a sentinel two days past the data so
+    * the watermark finalizes every window (the q116 flush contract).
+    * Returns (emitted window rows, order-free value checksum). All
+    * values integral → decimal sums exact at any retry/partitioning. */
+  private def streamChecksum(s: SparkSession, n: Long, root: String,
+      arm: () => Unit = () => ()): (Long, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rp, true)
+    val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+
+    val slices = 6
+    def evSlice(i: Int): DataFrame =
+      s.range(i * n / slices, (i + 1) * n / slices).selectExpr(
+        "id AS event_id",
+        // 10 days of event time starting 2024-01-01, deterministic spread
+        "timestamp_seconds(1704067200 + (id * 131 % 864000)) AS ts",
+        "concat('t', CAST(id % 5 AS STRING)) AS event_type",
+        "CAST(id % 1000 AS DOUBLE) AS value")
+    val sentinel = s.range(1).selectExpr(
+      "-1 AS event_id",
+      "timestamp_seconds(1706832000) AS ts", // 2024-02-02: flushes all
+      "'flush' AS event_type", "CAST(0 AS DOUBLE) AS value")
+
+    def runOnce(): Unit = {
+      val q = s.readStream.schema(evSlice(0).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$spool/*")
+        .withWatermark("ts", "1 minute")
+        .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // lifetime 1: the data micro-batches (this is where the kill lands —
+    // the killer is armed only once the spool is written and the
+    // streaming query is about to start)
+    (0 until slices).foreach(i =>
+      evSlice(i).coalesce(1).write.mode("overwrite").parquet(s"$spool/batch_$i"))
+    arm()
+    runOnce()
+    // lifetime 2: the watermark-flush sentinel
+    sentinel.coalesce(1).write.mode("overwrite").parquet(s"$spool/batch_z")
+    runOnce()
+
+    val res = s.read.parquet(out).where(col("event_type") =!= "flush")
+    val r = res.agg(count(lit(1)).as("rows"),
+      (sum(hash(col("window_start"), col("event_type"), col("n_events"),
+        col("sum_value").cast("long")).cast("long"))
+        + sum(col("n_events"))).as("cks")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** SIGKILL one CoarseGrainedExecutorBackend belonging to THIS app after
+    * `delayMs`, retrying until one exists. Candidates are filtered by the
+    * `--app-id <appId>` token the standalone worker puts in the executor
+    * command line, so an unrelated Spark app's executors on the same host
+    * are never touched. */
+  private def killOneExecutor(appId: String, delayMs: Long): Thread = {
     val t = new Thread(() => {
       Thread.sleep(delayMs)
       var killed = false
@@ -95,7 +164,8 @@ object RecoveryProof {
             try {
               val cmd = java.nio.file.Files.readString(
                 f.toPath.resolve("cmdline"))
-              cmd.contains("CoarseGrainedExecutorBackend")
+              cmd.contains("CoarseGrainedExecutorBackend") &&
+                cmd.contains(appId)
             } catch { case _: Exception => false }
           }
           .map(_.getName)
@@ -143,14 +213,19 @@ object RecoveryProof {
     println(s"[recovery] phase 1: baseline local[4], n=$n")
     val s1 = session("local[4]", "local")
     s1.sparkContext.setLogLevel("ERROR")
+    val nStream = math.max(n * 12, 1200000L) // several seconds per lifetime
     val ccExp = ccChecksum(edges(s1, n))
     val kcExp = kcoreChecksum(edges(s1, n))
     val lvExp = louvainChecksum(edges(s1, n))
-    println(s"[recovery] baseline cc=$ccExp kcore=$kcExp louvain=$lvExp")
+    val stExp = streamChecksum(s1, nStream, "/tmp/graft_recovery_stream_base")
+    println(s"[recovery] baseline cc=$ccExp kcore=$kcExp louvain=$lvExp stream=$stExp")
     s1.stop()
 
-    // 2. local-cluster + reliable policy + mid-loop SIGKILL
-    def killedRun(tag: String)(body: SparkSession => (Long, Long))
+    // 2. local-cluster + reliable policy + mid-loop SIGKILL. The body
+    // receives an `arm` hook that starts the killer 3s later — bodies
+    // with setup work (spool writes) arm it right before the loop under
+    // test so the kill lands inside it, not in the setup.
+    def killedRun(tag: String)(body: (SparkSession, () => Unit) => (Long, Long))
         : (Long, Long) = {
       println(s"[recovery] phase 2($tag): local-cluster, kill=$doKill")
       val s = session("local-cluster[2,2,1024]", "reliable")
@@ -162,27 +237,41 @@ object RecoveryProof {
           Thread.sleep(1000); waited += 1
         }
         println(s"[recovery] $tag: ${s.sparkContext.getExecutorMemoryStatus.size - 1} executors up after ${waited}s")
-        if (doKill) killOneExecutor(delayMs = 3000)
-        val out = body(s)
+        val arm = () => {
+          if (doKill) {
+            killOneExecutor(s.sparkContext.applicationId, delayMs = 3000)
+            ()
+          }
+        }
+        val out = body(s, arm)
         println(s"[recovery] $tag (kill=$doKill) -> $out")
         out
       } finally s.stop()
     }
 
-    val ccGot = killedRun("cc")(s => ccChecksum(edges(s, n)))
+    val ccGot = killedRun("cc")((s, arm) => { arm(); ccChecksum(edges(s, n)) })
     if (ccGot != ccExp) {
       println(s"FAIL cc: expected $ccExp got $ccGot"); failures += 1
     } else println("PASS cc: identical output after executor SIGKILL")
 
-    val kcGot = killedRun("kcore")(s => kcoreChecksum(edges(s, n)))
+    val kcGot = killedRun("kcore")((s, arm) => { arm(); kcoreChecksum(edges(s, n)) })
     if (kcGot != kcExp) {
       println(s"FAIL kcore: expected $kcExp got $kcGot"); failures += 1
     } else println("PASS kcore: identical output after executor SIGKILL")
 
-    val lvGot = killedRun("louvain")(s => louvainChecksum(edges(s, n)))
+    val lvGot = killedRun("louvain")((s, arm) => { arm(); louvainChecksum(edges(s, n)) })
     if (lvGot != lvExp) {
       println(s"FAIL louvain: expected $lvExp got $lvGot"); failures += 1
     } else println("PASS louvain: identical output after executor SIGKILL")
+
+    // phase 4 (round-10 verdict item 5): kill an executor mid-MICRO-BATCH
+    // of a watermarked streaming query — state-store recovery, not just
+    // checkpoint restart
+    val stGot = killedRun("stream")((s, arm) =>
+      streamChecksum(s, nStream, "/tmp/graft_recovery_stream_kill", arm))
+    if (stGot != stExp) {
+      println(s"FAIL stream: expected $stExp got $stGot"); failures += 1
+    } else println("PASS stream: identical output after mid-micro-batch SIGKILL")
 
     if (failures > 0) sys.exit(1)
     println("[recovery] ALL PASS")

@@ -80,51 +80,69 @@ object AnnIndex {
     part.fold(df)(c => df.withColumn(c, col(c).cast("long")))
   }
 
-  /** Probe-many: top-k per query against a materialized SRP index.
-    * Query signatures are computed on the (tiny, broadcast) query side
-    * only; the equi-join on the PARTITION column `bucket` dynamic-
-    * partition-prunes the index scan to the probed buckets. */
-  def probeSrp(index: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, planes: Int, dim: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      Similarity.srpBucket(col(vecCol), planes, dim).as("bucket"))
-    val scored = index.join(broadcast(q), Seq("bucket"))
+  /** Query-side probe targets: one (q_id, q_vec, bucket) row per probed
+    * bucket. `hamming1 = true` additionally probes the `planes` buckets
+    * at Hamming distance 1 (flip each sign bit) — the sign-LSH recall
+    * knob. The frame is tiny (|queries| or (planes+1)·|queries| rows)
+    * and is what gets BROADCAST against the index; it is also the unit
+    * the recall-curve gates count probe cost over. */
+  def srpProbeTargets(queries: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, hamming1: Boolean): DataFrame = {
+    // bit-flip masks are built as 1L << j; an INT literal would wrap past
+    // j=31 (recommended planes tops out ~12, but the guard costs nothing)
+    require(planes >= 1 && planes <= 62,
+      s"srpProbeTargets: planes must be in [1, 62], got $planes")
+    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      Similarity.srpBucket(col(vecCol), planes, dim).as("b0"))
+    if (!hamming1)
+      q0.select(col("q_id"), col("q_vec"), col("b0").as("bucket"))
+    else q0
+      .withColumn("__j", explode(expr(s"sequence(-1, ${planes - 1})")))
+      .withColumn("bucket", when(col("__j") < 0, col("b0"))
+        .otherwise(expr("b0 ^ shiftleft(cast(1 as bigint), __j)")))
+      .select(col("q_id"), col("q_vec"), col("bucket"))
+  }
+
+  /** Scored candidate pairs for a probe-target frame: the equi-join on
+    * the PARTITION column `bucket` with the broadcast target side
+    * dynamic-partition-prunes the index scan to the probed buckets;
+    * self-pairs excluded. Buckets partition the corpus, so multi-probe
+    * target sets yield disjoint candidates — no dedup stage. */
+  def srpCandidates(index: DataFrame, targets: DataFrame): DataFrame =
+    index.join(broadcast(targets), Seq("bucket"))
       .where(col("q_id") =!= col("id"))
       .select(col("q_id"), col("bucket"), col("id").as("n_id"),
         Similarity.cosine(col("q_vec"), col("vec")).as("cos"))
+
+  /** Rank scored candidates to top-k per query (ties break on n_id). */
+  private def rankTopK(scored: DataFrame, coarseCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.select(col("q_id"), col("bucket"), col("n_id"), col("cos"),
+    scored.select(col("q_id"), col(coarseCol), col("n_id"), col("cos"),
         row_number().over(w).as("rnk"))
       .where(col("rnk") <= k)
   }
 
+  /** Probe-many: top-k per query against a materialized SRP index.
+    * Query signatures are computed on the (tiny, broadcast) query side
+    * only; the index scan is DPP-pruned to the probed buckets. */
+  def probeSrp(index: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, planes: Int, dim: Int): DataFrame =
+    rankTopK(srpCandidates(index,
+      srpProbeTargets(queries, idCol, vecCol, planes, dim, hamming1 = false)),
+      "bucket", k)
+
   /** Multi-probe SRP: probe the query's own bucket PLUS the `planes`
-    * buckets at Hamming distance 1 (flip each sign bit) — the standard
-    * recall knob for sign-LSH (a near neighbor that lands across one
-    * hyperplane is recovered at (planes+1)× probe cost instead of
-    * needing more tables). Buckets PARTITION the corpus, so the probed
-    * candidate sets are disjoint — no dedup stage. The index scan is
-    * still DPP-pruned: (planes+1)·|queries| bucket values reach the
-    * pruning subquery instead of |queries|. */
+    * buckets at Hamming distance 1 — the standard recall knob for
+    * sign-LSH (a near neighbor that lands across one hyperplane is
+    * recovered at (planes+1)× probe cost instead of needing more
+    * tables). The index scan is still DPP-pruned: (planes+1)·|queries|
+    * bucket values reach the pruning subquery instead of |queries|. */
   def probeSrpMultiProbe(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, planes: Int,
-      dim: Int): DataFrame = {
-    val q0 = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-      Similarity.srpBucket(col(vecCol), planes, dim).as("b0"))
-    val q = q0
-      .withColumn("__j", explode(expr(s"sequence(-1, ${planes - 1})")))
-      .withColumn("bucket", when(col("__j") < 0, col("b0"))
-        .otherwise(expr("b0 ^ cast(shiftleft(1, __j) as bigint)")))
-      .select(col("q_id"), col("q_vec"), col("bucket"))
-    val scored = index.join(broadcast(q), Seq("bucket"))
-      .where(col("q_id") =!= col("id"))
-      .select(col("q_id"), col("bucket"), col("id").as("n_id"),
-        Similarity.cosine(col("q_vec"), col("vec")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.select(col("q_id"), col("bucket"), col("n_id"), col("cos"),
-        row_number().over(w).as("rnk"))
-      .where(col("rnk") <= k)
-  }
+      dim: Int): DataFrame =
+    rankTopK(srpCandidates(index,
+      srpProbeTargets(queries, idCol, vecCol, planes, dim, hamming1 = true)),
+      "bucket", k)
 
   // ── IVF index ──────────────────────────────────────────────────────
 
@@ -157,32 +175,140 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
-  /** Probe-many: assign each query to its `nprobe` NEAREST cells via
-    * the materialized centroids, then top-k across the probed cells —
-    * the cells scan is DPP-pruned to the probed cells by the broadcast
-    * equi-join. `nprobe = 1` is classic IVF; raising it is THE IVF
-    * recall knob (probe cost grows as nprobe·corpus/cells). */
-  def probeIvf(spark: SparkSession, path: String, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+  /** Query-side probe targets for IVF: each query's `nprobe` nearest
+    * cells via the materialized centroids — (q_id, q_vec, cell), one
+    * row per probed cell. `nprobe = 1` is classic IVF; raising it is
+    * THE IVF recall knob (probe cost grows as nprobe·corpus/cells). */
+  def ivfProbeTargets(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val cent = spark.read.parquet(s"$path/centroids")
-    val cells = readIndex(spark, s"$path/cells")
     val qs = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(cent))
       .select(col("id"), col("v"), col("cid"),
         Similarity.dot(col("v"), col("cvec")).as("d"))
     val wq = Window.partitionBy(col("id")).orderBy(col("d").desc, col("cid"))
-    val q = qs.select(col("id"), col("v"), col("cid"),
+    qs.select(col("id"), col("v"), col("cid"),
         row_number().over(wq).as("__rn"))
       .where(col("__rn") <= nprobe)
       .select(col("id").as("q_id"), col("v").as("q_vec"),
         col("cid").as("cell"))
-    val scored = cells.join(broadcast(q), Seq("cell"))
+  }
+
+  /** Scored candidate pairs across the probed cells — the cells scan is
+    * DPP-pruned to the probed cells by the broadcast equi-join. */
+  def ivfCandidates(cells: DataFrame, targets: DataFrame): DataFrame =
+    cells.join(broadcast(targets), Seq("cell"))
       .where(col("q_id") =!= col("id"))
       .select(col("q_id"), col("cell"), col("id").as("n_id"),
         Similarity.cosine(col("q_vec"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.select(col("q_id"), col("cell"), col("n_id"), col("cos"),
-        row_number().over(w).as("rnk"))
-      .where(col("rnk") <= k)
+
+  /** Probe-many: assign each query to its `nprobe` nearest cells via
+    * the materialized centroids, then top-k across the probed cells. */
+  def probeIvf(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame =
+    rankTopK(ivfCandidates(readIndex(spark, s"$path/cells"),
+      ivfProbeTargets(spark, path, queries, idCol, vecCol, nprobe)),
+      "cell", k)
+
+  // ── trained centroids ──────────────────────────────────────────────
+
+  /** Deterministic fixed-point Lloyd k-means over the corpus (q114's
+    * arithmetic, factored here so `buildIvfTrained` can slot trained
+    * centroids into the index layout): coordinates quantize ONCE to
+    * BIGINT micro-units (floor(x·10⁶) — the only float touch), distances
+    * and argmin are integer (ties break on cid), centroid means are an
+    * IEEE-exact <2⁵³ double floor-div. A fixed `rounds` count is
+    * therefore bit-reproducible at any parallelism, and a SQL oracle
+    * can recompute the identical centroids. Seeds = the first `k` ids
+    * (the deterministic-init contract). Returns (cid, cvec
+    * array<double>) with cvec = quantized mean / 10⁶ — each element an
+    * exact double both engines reproduce. Per round: broadcast the k×dim
+    * centroid table, partial-agg distance sums on the vector key,
+    * window-argmin, one partial agg for new centroids — two exchanges
+    * per round, both on the vector key. Cells that capture no vectors
+    * disappear (classic Lloyd); downstream layouts simply have fewer
+    * cells. */
+  def trainCentroidsKMeans(vecs: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"trainCentroidsKMeans: rounds must be >= 1, got $rounds")
+    val ex = vecs
+      .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("dim", "xf")))
+      .select(col("vid"), col("dim").cast("long").as("dim"),
+        floor(col("xf").cast("double") * lit(1000000.0d)).cast("long").as("xq"))
+    var cent = ex.where(col("vid") < k)
+      .select(col("vid").as("cid"), col("dim"), col("xq").as("cq"))
+    for (_ <- 1 to rounds) {
+      val d2 = ex.join(broadcast(cent), Seq("dim"))
+        .groupBy(col("vid"), col("cid"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val w = Window.partitionBy(col("vid")).orderBy(col("d2"), col("cid"))
+      val asg = d2.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("vid"), col("cid"))
+      cent = ex.join(asg, Seq("vid"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(floor(sum(col("xq")).cast("double") / count(lit(1)))
+          .cast("long").as("cq"))
+    }
+    cent.groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("cq")))).as("pairs"))
+      .select(col("cid"),
+        expr("transform(pairs, p -> CAST(p.cq AS DOUBLE) / 1000000.0D)")
+          .as("cvec"))
+  }
+
+  /** Build-once with TRAINED centroids: same layout as [[buildIvf]] but
+    * the coarse quantizer is the fixed-point k-means above instead of
+    * the first-N fallback, so cell occupancy is geometry-balanced
+    * rather than data-order-dependent. Cell assignment stays max-dot
+    * against the (now trained) centroid table — the same rule
+    * [[probeIvf]] applies at probe time, which is the only consistency
+    * the layout needs. */
+  def buildIvfTrained(candidates: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, rounds: Int, path: String): Unit = {
+    trainCentroidsKMeans(candidates, idCol, vecCol, numCells, rounds)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val centBack = candidates.sparkSession.read.parquet(s"$path/centroids")
+    assign(candidates, centBack, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  // ── incremental maintenance ────────────────────────────────────────
+
+  /** Append a new corpus batch into a materialized SRP index WITHOUT a
+    * full rebuild: the batch is signed with the same (data-independent)
+    * hyperplanes and merged into the bucket-partitioned layout via
+    * [[IncrementalMerge.mergeIntoPartitionedTarget]] with the bucket as
+    * the partition key — only the buckets the batch lands in are read
+    * and rewritten (≤ 2^planes partitions, bounded by construction), so
+    * at 100 TB an append costs O(batch + touched buckets), not
+    * O(corpus).
+    *
+    * Update contract (inherited from the partitioned merge): the bucket
+    * is a pure function of the vector, so a re-appearing id with an
+    * UNCHANGED vector lands in its old bucket and upserts cleanly
+    * (keep-new, no duplicate). An id re-appearing with a CHANGED vector
+    * is a partition-moving update — its stale row survives in the old,
+    * untouched bucket, exactly the case the merge scaladoc excludes.
+    * Vector mutations therefore require a delete-first pass or a full
+    * rebuild; this path is for corpus GROWTH, the overwhelmingly common
+    * maintenance event. */
+  def appendSrp(spark: SparkSession, path: String, newVecs: DataFrame,
+      idCol: String, vecCol: String, planes: Int, dim: Int,
+      stagePath: String): Unit =
+    IncrementalMerge.mergeIntoPartitionedTarget(spark, path,
+      srpIndexFrame(newVecs, idCol, vecCol, planes, dim),
+      keys = Seq("id"), partitionCol = "bucket", stagePath = stagePath)
+
+  /** Append a new corpus batch into a materialized IVF index: the batch
+    * is assigned via the MATERIALIZED centroid table (centroids are
+    * frozen at build time — the standard IVF contract; retrain =
+    * rebuild), then merged into the cell-partitioned layout touching
+    * only the cells the batch lands in. */
+  def appendIvf(spark: SparkSession, path: String, newVecs: DataFrame,
+      idCol: String, vecCol: String, stagePath: String): Unit = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    IncrementalMerge.mergeIntoPartitionedTarget(spark, s"$path/cells",
+      assign(newVecs, cent, idCol, vecCol),
+      keys = Seq("id"), partitionCol = "cell", stagePath = stagePath)
   }
 }

@@ -31,14 +31,20 @@ object AnnIndexQueries {
                THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)"""
 
   /** Per-corpus scratch path: the sf dir is baked into the path so two
-    * corpora never share (or overwrite) one index in the same JVM. */
+    * corpora never share (or overwrite) one index in the same JVM, and the
+    * pid is baked in so two JVMs on the same host (sbt test alongside a
+    * bench run) never race an overwrite-build against another process's
+    * probe of the same directory — ensureBuilt's registry is per-JVM, so
+    * the path must be too. */
   private def indexPath(kind: String, dir: String): String =
     java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"),
-      s"graft_ann_${kind}_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
+      s"graft_ann_${kind}_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_p${ProcessHandle.current().pid()}").toString
 
   private val SrpPlanes = 6
   private val IvfCells = 12
+  private val KmRounds = 2
 
   private def ensureSrp(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
@@ -60,6 +66,108 @@ object AnnIndexQueries {
     path
   }
 
+  private def ensureIvfTrained(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = indexPath("ivftr", dir)
+    AnnIndex.ensureBuilt(path) {
+      AnnIndex.buildIvfTrained(Tables.embeddings(s, dir), "vec_id",
+        "embedding", numCells = IvfCells, rounds = KmRounds, path = path)
+    }
+    path
+  }
+
+  /** Incremental-maintenance twin of ensureSrp: the index is built from
+    * 80% of the corpus (vec_id % 10 < 8), then the remaining batch is
+    * APPENDED via the partitioned-merge path — the layout must end up
+    * byte-equivalent to a full-corpus build. */
+  private def ensureSrpInc(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = indexPath("srpinc", dir)
+    AnnIndex.ensureBuilt(path) {
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.buildSrp(emb.where(pmod(col("vec_id"), lit(10)) < 8),
+        "vec_id", "embedding", planes = SrpPlanes, dim = 64, path = path)
+      AnnIndex.appendSrp(s, path,
+        emb.where(pmod(col("vec_id"), lit(10)) >= 8),
+        "vec_id", "embedding", planes = SrpPlanes, dim = 64,
+        stagePath = path + "_stage")
+    }
+    path
+  }
+
+  /** Incremental-maintenance twin of ensureIvf. The base split keeps
+    * every centroid seed (vec_id < IvfCells) so the base build freezes
+    * the SAME centroid table a full-corpus build would — the append
+    * assigns the batch against those frozen centroids (the standard IVF
+    * contract; retrain = rebuild). */
+  private def ensureIvfInc(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = indexPath("ivfinc", dir)
+    AnnIndex.ensureBuilt(path) {
+      val emb = Tables.embeddings(s, dir)
+      val inBase = col("vec_id") < IvfCells ||
+        pmod(col("vec_id"), lit(10)) < 8
+      AnnIndex.buildIvf(emb.where(inBase),
+        "vec_id", "embedding", numCells = IvfCells, path = path)
+      AnnIndex.appendIvf(s, path, emb.where(!inBase),
+        "vec_id", "embedding", stagePath = path + "_stage")
+    }
+    path
+  }
+
+  /** Per-partition layout checksum: row count + id checksum + integral
+    * norm checksum over the ROUND-TRIPPED vectors (floor'd to
+    * milli-units so the cross-row sum is order-free) — a vector
+    * corrupted anywhere in the write path shifts the checksum. */
+  private def layoutSummary(df: org.apache.spark.sql.DataFrame,
+      part: String, vec: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(part))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("id")).as("id_checksum"),
+        sum(floor(graft.operators.Similarity.dot(col(vec), col(vec))
+          * 1000).cast("long")).as("sq_norm_milli_sum"))
+      .orderBy(col(part))
+
+  // DuckDB CTE block recomputing AnnIndex.trainCentroidsKMeans for
+  // k=IvfCells, rounds=2 (q114's fixed-point arithmetic), ending in
+  // `centv(cid, cvec)` (centroid vectors as exact doubles) and `tassign`
+  // (max-dot cell assignment of the full corpus against them).
+  private def kmeansCentroidsSql: String = s"""
+        ex AS (
+          SELECT vec_id, unnest(range(len(embedding))) AS dim,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                            * CAST(1000000 AS DOUBLE)) AS BIGINT) AS xq
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM ex WHERE vec_id < $IvfCells),
+        d1 AS (SELECT e.vec_id, c.cid,
+                      SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+               FROM ex e JOIN c0 c USING (dim) GROUP BY 1, 2),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        c1 AS (SELECT a.cid, e.dim,
+                      CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+               FROM ex e JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+        d2_ AS (SELECT e.vec_id, c.cid,
+                       SUM((e.xq - c.cq) * (e.xq - c.cq)) AS d2
+                FROM ex e JOIN c1 c USING (dim) GROUP BY 1, 2),
+        a2 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                 FROM d2_) WHERE rn = 1),
+        c2 AS (SELECT a.cid, e.dim,
+                      CAST(floor(CAST(SUM(e.xq) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cq
+               FROM ex e JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+        centv AS (SELECT cid, list(CAST(cq AS DOUBLE) / 1000000.0 ORDER BY dim) AS cvec
+                  FROM c2 GROUP BY cid),
+        tassign AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${dotSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+            FROM embeddings e, centv c) t WHERE rn = 1)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // SRP index BUILD gate: materialize the 6-plane bucket-partitioned
@@ -74,13 +182,7 @@ object AnnIndexQueries {
       "q380_srp_index_build",
       (s, dir) => {
         val path = ensureSrp(s, dir)
-        AnnIndex.readIndex(s, path)
-          .groupBy(col("bucket"))
-          .agg(count(lit(1)).as("n_vecs"),
-            sum(col("id")).as("id_checksum"),
-            sum(floor(graft.operators.Similarity.dot(col("vec"), col("vec"))
-              * 1000).cast("long")).as("sq_norm_milli_sum"))
-          .orderBy(col("bucket"))
+        layoutSummary(AnnIndex.readIndex(s, path), "bucket", "vec")
       },
       Some(s"""
         WITH b AS (
@@ -133,13 +235,7 @@ object AnnIndexQueries {
       "q382_ivf_index_build",
       (s, dir) => {
         val path = ensureIvf(s, dir)
-        AnnIndex.readIndex(s, s"$path/cells")
-          .groupBy(col("cell"))
-          .agg(count(lit(1)).as("n_vecs"),
-            sum(col("id")).as("id_checksum"),
-            sum(floor(graft.operators.Similarity.dot(col("v"), col("v"))
-              * 1000).cast("long")).as("sq_norm_milli_sum"))
-          .orderBy(col("cell"))
+        layoutSummary(AnnIndex.readIndex(s, s"$path/cells"), "cell", "v")
       },
       Some(s"""
         WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $IvfCells),
@@ -270,5 +366,264 @@ object AnnIndexQueries {
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
           FROM dots)
         SELECT q_id, CAST(cell AS BIGINT) AS cell, n_id, cos, rnk FROM ranked WHERE rnk <= 3
-        ORDER BY q_id, rnk""")))
+        ORDER BY q_id, rnk""")),
+
+    // SRP recall CURVE (round-10 verdict item 1): for 20 query vectors,
+    // recall@10 of the materialized-index probe against the EXACT
+    // cosine top-10 (q30's brute-force machinery), at both knob
+    // settings — own-bucket only vs + all Hamming-1 buckets — alongside
+    // the probe COST (scored candidate pairs). This is the table a user
+    // reads to SET the knob: recall_ppm buys probe_cost_rows. All
+    // integers (hits, costs, floor-ppm), so the curve is hash-stable;
+    // the oracle recomputes exact top-10, both candidate pools, and
+    // both recalls inline.
+    QueryDef(
+      "q386_srp_recall_curve",
+      (s, dir) => {
+        val path = ensureSrp(s, dir)
+        val index = AnnIndex.readIndex(s, path)
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.where(col("vec_id") < 20)
+        val exact = graft.operators.Similarity
+          .bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+          .select(col("q_id"), col("n_id"))
+        def leg(knob: String, hamming1: Boolean) = {
+          val cand = AnnIndex.srpCandidates(index,
+            AnnIndex.srpProbeTargets(q, "vec_id", "embedding",
+              SrpPlanes, 64, hamming1))
+          val probe =
+            if (hamming1) AnnIndex.probeSrpMultiProbe(index, q,
+              "vec_id", "embedding", k = 10, planes = SrpPlanes, dim = 64)
+            else AnnIndex.probeSrp(index, q,
+              "vec_id", "embedding", k = 10, planes = SrpPlanes, dim = 64)
+          val cost = cand.agg(count(lit(1)).as("probe_cost_rows"))
+          val hits = probe.select(col("q_id"), col("n_id"))
+            .join(exact, Seq("q_id", "n_id"))
+            .agg(count(lit(1)).as("hits"))
+          cost.crossJoin(hits)
+            .select(lit(knob).as("knob"), col("probe_cost_rows"), col("hits"))
+        }
+        leg("h0_single", hamming1 = false)
+          .unionByName(leg("h1_multiprobe", hamming1 = true))
+          .select(col("knob"), col("probe_cost_rows"), col("hits"),
+            expr("hits * 1000000 div 200").as("recall_ppm"))
+          .orderBy(col("knob"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, ${srpSql(SrpPlanes)} AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id q_id, embedding q_vec, bucket AS b0
+              FROM b WHERE vec_id < 20),
+        exact_dots AS (
+          SELECT q.q_id, c.vec_id n_id,
+                 ${dotSql("q_vec", "c.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+        exact AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+            FROM exact_dots) WHERE rnk <= 10),
+        probes AS (
+          SELECT 'h0_single' AS knob, q_id, q_vec, b0 AS bucket FROM q
+          UNION ALL
+          SELECT 'h1_multiprobe' AS knob, q_id, q_vec,
+                 CASE WHEN u.j < 0 THEN b0
+                      ELSE xor(b0, (1::BIGINT << CAST(u.j AS INT))) END AS bucket
+          FROM q, unnest(range(-1, $SrpPlanes)) AS u(j)),
+        cand AS (
+          SELECT p.knob, p.q_id, c.vec_id n_id,
+                 ${dotSql("p.q_vec", "c.embedding")}
+                   / (sqrt(${dotSql("p.q_vec", "p.q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM b c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.q_id),
+        knobs AS (SELECT 'h0_single' AS knob UNION ALL SELECT 'h1_multiprobe' AS knob),
+        cost AS (SELECT k.knob, COUNT(c.n_id) AS probe_cost_rows
+                 FROM knobs k LEFT JOIN cand c USING (knob) GROUP BY k.knob),
+        ann AS (SELECT knob, q_id, n_id FROM (
+            SELECT knob, q_id, n_id,
+                   row_number() OVER (PARTITION BY knob, q_id ORDER BY cos DESC, n_id) AS rnk
+            FROM cand) WHERE rnk <= 10),
+        hits AS (SELECT a.knob, COUNT(*) AS hits
+                 FROM ann a JOIN exact e USING (q_id, n_id) GROUP BY a.knob)
+        SELECT c.knob, CAST(c.probe_cost_rows AS BIGINT) AS probe_cost_rows,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               CAST(COALESCE(h.hits, 0) * 1000000 // 200 AS BIGINT) AS recall_ppm
+        FROM cost c LEFT JOIN hits h USING (knob)
+        ORDER BY knob""")),
+
+    // IVF recall CURVE: recall@10 + probe cost at nprobe ∈ {1,2,3}
+    // against the exact cosine top-10 — the companion table for the IVF
+    // knob. Shares the q382 build via ensureBuilt.
+    QueryDef(
+      "q387_ivf_recall_curve",
+      (s, dir) => {
+        val path = ensureIvf(s, dir)
+        val cells = AnnIndex.readIndex(s, s"$path/cells")
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.where(col("vec_id") < 20)
+        val exact = graft.operators.Similarity
+          .bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+          .select(col("q_id"), col("n_id"))
+        def leg(np: Int) = {
+          val cand = AnnIndex.ivfCandidates(cells,
+            AnnIndex.ivfProbeTargets(s, path, q, "vec_id", "embedding", np))
+          val probe = AnnIndex.probeIvf(s, path, q, "vec_id", "embedding",
+            k = 10, nprobe = np)
+          val cost = cand.agg(count(lit(1)).as("probe_cost_rows"))
+          val hits = probe.select(col("q_id"), col("n_id"))
+            .join(exact, Seq("q_id", "n_id"))
+            .agg(count(lit(1)).as("hits"))
+          cost.crossJoin(hits)
+            .select(lit(np.toLong).as("knob"), col("probe_cost_rows"), col("hits"))
+        }
+        Seq(1, 2, 3).map(leg).reduce(_ unionByName _)
+          .select(col("knob"), col("probe_cost_rows"), col("hits"),
+            expr("hits * 1000000 div 200").as("recall_ppm"))
+          .orderBy(col("knob"))
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $IvfCells),
+        assign AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${dotSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+            FROM embeddings e, cent c) t WHERE rn = 1),
+        q AS (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 20),
+        exact_dots AS (
+          SELECT q.q_id, c.vec_id n_id,
+                 ${dotSql("q_vec", "c.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+        exact AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+            FROM exact_dots) WHERE rnk <= 10),
+        qrank AS (
+          SELECT q.q_id, q.q_vec, c.cid AS cell,
+                 row_number() OVER (PARTITION BY q.q_id ORDER BY
+                   ${dotSql("q_vec", "c.cvec")} DESC, c.cid) AS rn
+          FROM q, cent c),
+        knobs AS (SELECT unnest(range(1, 4)) AS knob),
+        probes AS (SELECT k.knob, r.q_id, r.q_vec, r.cell
+                   FROM knobs k JOIN qrank r ON r.rn <= k.knob),
+        cand AS (
+          SELECT p.knob, p.q_id, a.vec_id n_id,
+                 ${dotSql("p.q_vec", "a.embedding")}
+                   / (sqrt(${dotSql("p.q_vec", "p.q_vec")}) * sqrt(${dotSql("a.embedding", "a.embedding")})) AS cos
+          FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+        cost AS (SELECT k.knob, COUNT(c.n_id) AS probe_cost_rows
+                 FROM knobs k LEFT JOIN cand c USING (knob) GROUP BY k.knob),
+        ann AS (SELECT knob, q_id, n_id FROM (
+            SELECT knob, q_id, n_id,
+                   row_number() OVER (PARTITION BY knob, q_id ORDER BY cos DESC, n_id) AS rnk
+            FROM cand) WHERE rnk <= 10),
+        hits AS (SELECT a.knob, COUNT(*) AS hits
+                 FROM ann a JOIN exact e USING (q_id, n_id) GROUP BY a.knob)
+        SELECT CAST(c.knob AS BIGINT) AS knob,
+               CAST(c.probe_cost_rows AS BIGINT) AS probe_cost_rows,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               CAST(COALESCE(h.hits, 0) * 1000000 // 200 AS BIGINT) AS recall_ppm
+        FROM cost c LEFT JOIN hits h USING (knob)
+        ORDER BY knob""")),
+
+    // TRAINED-centroid IVF build (round-10 verdict item 3): the coarse
+    // quantizer is the deterministic fixed-point k-means (q114's
+    // arithmetic, k=12, 2 Lloyd rounds) instead of the first-N
+    // fallback, so cell occupancy is geometry-balanced rather than
+    // data-order-dependent. The oracle recomputes the SAME training —
+    // quantized integer distances, floor-div means — then the same
+    // max-dot assignment, and the per-cell layout checksums must agree.
+    QueryDef(
+      "q388_ivf_trained_build",
+      (s, dir) => {
+        val path = ensureIvfTrained(s, dir)
+        layoutSummary(AnnIndex.readIndex(s, s"$path/cells"), "cell", "v")
+      },
+      Some(s"""
+        WITH $kmeansCentroidsSql
+        SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(CAST(FLOOR(${dotSql("embedding", "embedding")} * 1000)
+                 AS BIGINT)) AS BIGINT) AS sq_norm_milli_sum
+        FROM tassign GROUP BY cell
+        ORDER BY cell""")),
+
+    // TRAINED-centroid IVF probe: queries assign via the materialized
+    // TRAINED centroid table and probe only their cell — identical probe
+    // machinery to q383, different (trained) quantizer. Shares the q388
+    // build via ensureBuilt.
+    QueryDef(
+      "q389_ivf_trained_probe",
+      (s, dir) => {
+        val path = ensureIvfTrained(s, dir)
+        val q = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        AnnIndex.probeIvf(s, path, q, "vec_id", "embedding", k = 3)
+          .select(col("q_id"), col("cell"), col("n_id"), col("cos"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH $kmeansCentroidsSql,
+        q AS (SELECT vec_id q_id, embedding q_vec, cell FROM tassign WHERE vec_id < 10),
+        dots AS (
+          SELECT q_id, q.cell, a.vec_id n_id,
+                 ${dotSql("q_vec", "a.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("a.embedding", "a.embedding")})) AS cos
+          FROM tassign a JOIN q ON a.cell = q.cell AND a.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, cell, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM dots)
+        SELECT q_id, CAST(cell AS BIGINT) AS cell, n_id, cos, rnk FROM ranked WHERE rnk <= 3
+        ORDER BY q_id, rnk""")),
+
+    // Incremental SRP index maintenance (round-10 verdict item 4): build
+    // from 80% of the corpus, APPEND the rest via the partitioned-merge
+    // path (partition key = bucket; only touched buckets are read and
+    // rewritten), then checksum the full layout per bucket. The oracle
+    // recomputes the FULL-corpus assignment inline — the gate passes iff
+    // append-then-probe is indistinguishable from a from-scratch
+    // rebuild, row for row and vector for vector.
+    QueryDef(
+      "q390_srp_index_append",
+      (s, dir) => {
+        val path = ensureSrpInc(s, dir)
+        layoutSummary(AnnIndex.readIndex(s, path), "bucket", "vec")
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, ${srpSql(SrpPlanes)} AS bucket
+          FROM embeddings)
+        SELECT bucket, COUNT(*) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(CAST(FLOOR(${dotSql("embedding", "embedding")} * 1000)
+                 AS BIGINT)) AS BIGINT) AS sq_norm_milli_sum
+        FROM b GROUP BY bucket
+        ORDER BY bucket""")),
+
+    // Incremental IVF index maintenance: base build freezes the centroid
+    // table, the appended batch assigns against the FROZEN centroids and
+    // merges into only its touched cells; the post-append layout must
+    // equal a full-corpus build's (the oracle recomputes it inline).
+    QueryDef(
+      "q391_ivf_index_append",
+      (s, dir) => {
+        val path = ensureIvfInc(s, dir)
+        layoutSummary(AnnIndex.readIndex(s, s"$path/cells"), "cell", "v")
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $IvfCells),
+        assign AS (
+          SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${dotSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+            FROM embeddings e, cent c) t WHERE rn = 1)
+        SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(CAST(FLOOR(${dotSql("embedding", "embedding")} * 1000)
+                 AS BIGINT)) AS BIGINT) AS sq_norm_milli_sum
+        FROM assign GROUP BY cell
+        ORDER BY cell""")))
 }

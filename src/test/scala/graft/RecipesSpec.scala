@@ -65,6 +65,28 @@ class RecipesSpec extends SparkSpec {
     assert(nn2.count() > 0)
   }
 
+  test("recipe: train the quantizer / grow the index (trained IVF + appends)") {
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+    val ivf = java.nio.file.Files
+      .createTempDirectory("recipe_ivftr").toString + "/ivf"
+    annIndex.buildIvfTrained(corpus.where(col("vec_id") < 400),
+      "vec_id", "embedding", numCells = 8, rounds = 2, path = ivf)
+    annIndex.appendIvf(spark, ivf, corpus.where(col("vec_id") >= 400),
+      "vec_id", "embedding", stagePath = ivf + "_stage")
+    assert(annIndex.readIndex(spark, s"$ivf/cells").count() == corpus.count())
+    val nn = annIndex.probeIvf(spark, ivf, corpus.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, nprobe = 2)
+    assert(nn.count() > 0)
+
+    val srp = java.nio.file.Files
+      .createTempDirectory("recipe_srpinc").toString + "/srp"
+    annIndex.buildSrp(corpus.where(col("vec_id") < 400),
+      "vec_id", "embedding", planes = 8, dim = 64, path = srp)
+    annIndex.appendSrp(spark, srp, corpus.where(col("vec_id") >= 400),
+      "vec_id", "embedding", planes = 8, dim = 64, stagePath = srp + "_stage")
+    assert(annIndex.readIndex(spark, srp).count() == corpus.count())
+  }
+
   test("recipe: probe scan is dynamic-partition-prunable (layout check)") {
     // the build wrote one directory per bucket — the layout that makes
     // the probe's partition-column join prunable at all
