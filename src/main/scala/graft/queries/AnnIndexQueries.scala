@@ -625,5 +625,109 @@ object AnnIndexQueries {
                CAST(SUM(CAST(FLOOR(${dotSql("embedding", "embedding")} * 1000)
                  AS BIGINT)) AS BIGINT) AS sq_norm_milli_sum
         FROM assign GROUP BY cell
-        ORDER BY cell""")))
+        ORDER BY cell""")),
+
+    // Cell-BALANCE audit, first-N vs trained centroids — the reason to
+    // train at all: IVF probe cost per query is the occupancy of the
+    // probed cells, so the WORST-case probe is max_occ and the p50 probe
+    // is ~avg_occ; a quantizer whose max/avg ratio (imbalance_permille,
+    // 1000 = perfectly balanced) is high wastes the cells budget. The
+    // gate emits both variants' occupancy spread from the MATERIALIZED
+    // layouts; the oracle recomputes both assignments inline. Purely
+    // integer — hash-stable.
+    QueryDef(
+      "q392_ivf_balance_audit",
+      (s, dir) => {
+        val pu = ensureIvf(s, dir)
+        val pt = ensureIvfTrained(s, dir)
+        def occ(path: String, variant: String) =
+          AnnIndex.readIndex(s, s"$path/cells")
+            .groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+            .agg(count(lit(1)).as("n_cells"), min(col("occ")).as("min_occ"),
+              max(col("occ")).as("max_occ"), sum(col("occ")).as("n_vecs"))
+            .select(lit(variant).as("variant"), col("n_cells"),
+              col("min_occ"), col("max_occ"), col("n_vecs"),
+              expr("max_occ * n_cells * 1000 div n_vecs")
+                .as("imbalance_permille"))
+        occ(pu, "firstN").unionByName(occ(pt, "trained"))
+          .orderBy(col("variant"))
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < $IvfCells),
+        assign0 AS (
+          SELECT vec_id, cid AS cell FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                     ${dotSql("e.embedding", "c.cvec")} DESC, c.cid) AS rn
+            FROM embeddings e, cent c) t WHERE rn = 1),
+        $kmeansCentroidsSql,
+        occs AS (
+          SELECT 'firstN' AS variant, cell, COUNT(*) AS occ FROM assign0 GROUP BY 1, 2
+          UNION ALL
+          SELECT 'trained' AS variant, cell, COUNT(*) AS occ FROM tassign GROUP BY 1, 2)
+        SELECT variant, COUNT(*) AS n_cells,
+               CAST(MIN(occ) AS BIGINT) AS min_occ,
+               CAST(MAX(occ) AS BIGINT) AS max_occ,
+               CAST(SUM(occ) AS BIGINT) AS n_vecs,
+               CAST(MAX(occ) * COUNT(*) * 1000 // SUM(occ) AS BIGINT) AS imbalance_permille
+        FROM occs GROUP BY variant
+        ORDER BY variant""")),
+
+    // TRAINED-IVF recall point: recall@10 + probe cost at nprobe=1
+    // against the exact cosine top-10 — read next to q387's firstN row
+    // to see what training buys (or costs) at EQUAL nprobe. Same
+    // integer-ppm discipline as q386/q387.
+    QueryDef(
+      "q393_ivf_trained_recall",
+      (s, dir) => {
+        val path = ensureIvfTrained(s, dir)
+        val cells = AnnIndex.readIndex(s, s"$path/cells")
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.where(col("vec_id") < 20)
+        val exact = graft.operators.Similarity
+          .bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+          .select(col("q_id"), col("n_id"))
+        val cand = AnnIndex.ivfCandidates(cells,
+          AnnIndex.ivfProbeTargets(s, path, q, "vec_id", "embedding", 1))
+        val probe = AnnIndex.probeIvf(s, path, q, "vec_id", "embedding",
+          k = 10, nprobe = 1)
+        val cost = cand.agg(count(lit(1)).as("probe_cost_rows"))
+        val hits = probe.select(col("q_id"), col("n_id"))
+          .join(exact, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("hits"))
+        cost.crossJoin(hits)
+          .select(lit("trained_np1").as("knob"), col("probe_cost_rows"),
+            col("hits"), expr("hits * 1000000 div 200").as("recall_ppm"))
+      },
+      Some(s"""
+        WITH $kmeansCentroidsSql,
+        q AS (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 20),
+        exact_dots AS (
+          SELECT q.q_id, c.vec_id n_id,
+                 ${dotSql("q_vec", "c.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+        exact AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+            FROM exact_dots) WHERE rnk <= 10),
+        qcell AS (
+          SELECT q_id, q_vec, cid AS cell FROM (
+            SELECT q.q_id, q.q_vec, c.cid,
+                   row_number() OVER (PARTITION BY q.q_id ORDER BY
+                     ${dotSql("q_vec", "c.cvec")} DESC, c.cid) AS rn
+            FROM q, centv c) t WHERE rn = 1),
+        cand AS (
+          SELECT p.q_id, a.vec_id n_id,
+                 ${dotSql("p.q_vec", "a.embedding")}
+                   / (sqrt(${dotSql("p.q_vec", "p.q_vec")}) * sqrt(${dotSql("a.embedding", "a.embedding")})) AS cos
+          FROM tassign a JOIN qcell p ON a.cell = p.cell AND a.vec_id <> p.q_id),
+        ann AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+            FROM cand) WHERE rnk <= 10)
+        SELECT 'trained_np1' AS knob,
+               CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS probe_cost_rows,
+               CAST((SELECT COUNT(*) FROM ann a JOIN exact e USING (q_id, n_id)) AS BIGINT) AS hits,
+               CAST((SELECT COUNT(*) FROM ann a JOIN exact e USING (q_id, n_id)) * 1000000 // 200 AS BIGINT) AS recall_ppm""")))
 }
