@@ -57,6 +57,57 @@ object AnnIndex {
   /** Test hook: forget a path so the next ensureBuilt rebuilds. */
   def invalidate(path: String): Unit = built.remove(path)
 
+  // ── index manifest ─────────────────────────────────────────────────
+  // The build parameters ARE part of the index: probing an SRP layout
+  // with the wrong `planes`/`dim` computes signatures in a different
+  // space and silently returns near-empty junk. Builds therefore stamp
+  // a tiny manifest file into the index dir; knob-taking maintenance
+  // (appendSrp) validates against it, and the path-based probe overloads
+  // read their knobs FROM it so the mismatch class cannot exist.
+
+  private val ManifestFile = "_graft_index_manifest"
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeManifest(spark: SparkSession, path: String,
+      kv: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
+    val out = fs(spark, path).create(p, true)
+    try out.write(kv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read an index's build manifest (empty for pre-manifest indexes). */
+  def readManifest(spark: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(path, ManifestFile)
+    val f = fs(spark, path)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8").linesIterator
+        .map(_.trim).filter(_.nonEmpty)
+        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+      finally in.close()
+    }
+  }
+
+  private def requireManifest(spark: SparkSession, path: String,
+      expect: Map[String, String]): Unit = {
+    val m = readManifest(spark, path)
+    if (m.nonEmpty) expect.foreach { case (k, v) =>
+      val got = m.getOrElse(k, "<absent>")
+      if (got != v) throw new IllegalStateException(
+        s"index at $path was built with $k=$got but caller passed $k=$v — " +
+          "probing/appending with mismatched build parameters returns " +
+          "silently wrong results; use the manifest (readManifest) or the " +
+          "path-based probe overloads, which take knobs from the index")
+    }
+  }
+
   // ── SRP-LSH index ──────────────────────────────────────────────────
 
   /** The SRP index frame: (id, vec, bucket). */
@@ -65,11 +116,30 @@ object AnnIndex {
     vecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
       Similarity.srpBucket(col(vecCol), planes, dim).as("bucket"))
 
-  /** Build-once: materialize the SRP index partitioned by bucket. */
+  /** Build-once: materialize the SRP index partitioned by bucket, with
+    * the build knobs stamped into the manifest. */
   def buildSrp(vecs: DataFrame, idCol: String, vecCol: String,
-      planes: Int, dim: Int, path: String): Unit =
+      planes: Int, dim: Int, path: String): Unit = {
     srpIndexFrame(vecs, idCol, vecCol, planes, dim)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    writeManifest(vecs.sparkSession, path, Map(
+      "kind" -> "srp", "planes" -> planes.toString, "dim" -> dim.toString))
+  }
+
+  /** Path-based probe: knobs come FROM the index manifest, so a caller
+    * cannot probe with mismatched planes/dim. `multiProbe` selects the
+    * Hamming-1 recall knob. */
+  def probeSrpAt(spark: SparkSession, path: String, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      multiProbe: Boolean = false): DataFrame = {
+    val m = readManifest(spark, path)
+    require(m.get("kind").contains("srp"),
+      s"$path is not an SRP index (manifest kind=${m.getOrElse("kind", "<absent>")})")
+    val planes = m("planes").toInt; val dim = m("dim").toInt
+    val index = readIndex(spark, path)
+    if (multiProbe) probeSrpMultiProbe(index, queries, idCol, vecCol, k, planes, dim)
+    else probeSrp(index, queries, idCol, vecCol, k, planes, dim)
+  }
 
   /** Read a materialized index back. Partition-column values come back
     * via directory-name inference (int by default) — re-pin to long so
@@ -173,6 +243,8 @@ object AnnIndex {
     val centBack = candidates.sparkSession.read.parquet(s"$path/centroids")
     assign(candidates, centBack, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    writeManifest(candidates.sparkSession, path, Map(
+      "kind" -> "ivf", "cells" -> numCells.toString, "centroids" -> "firstN"))
   }
 
   /** Query-side probe targets for IVF: each query's `nprobe` nearest
@@ -270,6 +342,9 @@ object AnnIndex {
     val centBack = candidates.sparkSession.read.parquet(s"$path/centroids")
     assign(candidates, centBack, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    writeManifest(candidates.sparkSession, path, Map(
+      "kind" -> "ivf", "cells" -> numCells.toString,
+      "centroids" -> s"kmeans_r$rounds"))
   }
 
   // ── incremental maintenance ────────────────────────────────────────
@@ -294,10 +369,60 @@ object AnnIndex {
     * maintenance event. */
   def appendSrp(spark: SparkSession, path: String, newVecs: DataFrame,
       idCol: String, vecCol: String, planes: Int, dim: Int,
-      stagePath: String): Unit =
+      stagePath: String): Unit = {
+    // an append signed with the wrong planes/dim would scatter the batch
+    // into a foreign bucket space — fail loudly against the manifest
+    requireManifest(spark, path, Map(
+      "kind" -> "srp", "planes" -> planes.toString, "dim" -> dim.toString))
     IncrementalMerge.mergeIntoPartitionedTarget(spark, path,
       srpIndexFrame(newVecs, idCol, vecCol, planes, dim),
       keys = Seq("id"), partitionCol = "bucket", stagePath = stagePath)
+  }
+
+  /** Delete ids from a materialized index (SRP root or IVF `cells`
+    * dir): locate the victims' partitions with a column-pruned scan of
+    * (id, coarse key) — the coarse key is the PARTITION column, so the
+    * locate pass reads one slim column, not vectors — then rewrite ONLY
+    * the touched partitions without the victims (dynamic partition
+    * overwrite, staged like the merge). Deletes are small batches by
+    * contract (`ids` is broadcast); cost is O(touched partitions).
+    *
+    * This is the missing half of the mutation story: a CHANGED vector is
+    * `deleteIds(old id)` + `append*(new row)` — the delete clears the
+    * stale row from its OLD bucket that a bare append would strand. */
+  def deleteIds(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, stagePath: String): Unit = {
+    val victims = ids.select(col(idCol).cast("long").as("__del_id"))
+    val idx = readIndex(spark, path)
+    val part = idx.columns.intersect(Seq("bucket", "cell")).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path is not a graft ANN index (no bucket/cell partition column)"))
+    val touched = idx.join(broadcast(victims), col("id") === col("__del_id"))
+      .select(col(part)).distinct().collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val survivors = idx.where(col(part).isin(touched: _*))
+        .join(broadcast(victims), col("id") === col("__del_id"), "left_anti")
+      survivors.write.mode("overwrite").parquet(stagePath)
+      val staged = spark.read.parquet(stagePath)
+      // dynamic overwrite only replaces partitions PRESENT in the staged
+      // data — a partition emptied by the delete would keep its old
+      // files. Remove fully-emptied partition dirs explicitly.
+      val stillThere = staged.select(col(part)).distinct()
+        .collect().map(_.getLong(0)).toSet
+      touched.filterNot(stillThere).foreach { v =>
+        fs(spark, path).delete(
+          new org.apache.hadoop.fs.Path(path, s"$part=$v"), true)
+      }
+      if (stillThere.nonEmpty)
+        staged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(part)
+          .parquet(path)
+      fs(spark, stagePath).delete(
+        new org.apache.hadoop.fs.Path(stagePath), true)
+      ()
+    }
+  }
 
   /** Append a new corpus batch into a materialized IVF index: the batch
     * is assigned via the MATERIALIZED centroid table (centroids are

@@ -115,6 +115,43 @@ object AnnIndexQueries {
     path
   }
 
+  /** Delete twin: full build, then delete vec_id % 17 == 3 via the
+    * touched-partitions-only delete path. */
+  private def ensureSrpDel(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = indexPath("srpdel", dir)
+    AnnIndex.ensureBuilt(path) {
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.buildSrp(emb, "vec_id", "embedding",
+        planes = SrpPlanes, dim = 64, path = path)
+      AnnIndex.deleteIds(s, path,
+        emb.where(pmod(col("vec_id"), lit(17)) === 3).select(col("vec_id")),
+        "vec_id", stagePath = path + "_delstage")
+    }
+    path
+  }
+
+  /** Update twin: the changed-vector flow appendSrp alone excludes —
+    * delete the victims from their OLD buckets, then append them with
+    * the NEW (here: reversed) vectors into their new buckets. */
+  private def ensureSrpUpd(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = indexPath("srpupd", dir)
+    AnnIndex.ensureBuilt(path) {
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.buildSrp(emb, "vec_id", "embedding",
+        planes = SrpPlanes, dim = 64, path = path)
+      val victims = emb.where(pmod(col("vec_id"), lit(29)) === 5)
+      AnnIndex.deleteIds(s, path, victims.select(col("vec_id")),
+        "vec_id", stagePath = path + "_delstage")
+      AnnIndex.appendSrp(s, path,
+        victims.select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", planes = SrpPlanes, dim = 64,
+        stagePath = path + "_stage")
+    }
+    path
+  }
+
   /** Per-partition layout checksum: row count + id checksum + integral
     * norm checksum over the ROUND-TRIPPED vectors (floor'd to
     * milli-units so the cross-row sum is order-free) — a vector
@@ -729,5 +766,51 @@ object AnnIndexQueries {
         SELECT 'trained_np1' AS knob,
                CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS probe_cost_rows,
                CAST((SELECT COUNT(*) FROM ann a JOIN exact e USING (q_id, n_id)) AS BIGINT) AS hits,
-               CAST((SELECT COUNT(*) FROM ann a JOIN exact e USING (q_id, n_id)) * 1000000 // 200 AS BIGINT) AS recall_ppm""")))
+               CAST((SELECT COUNT(*) FROM ann a JOIN exact e USING (q_id, n_id)) * 1000000 // 200 AS BIGINT) AS recall_ppm""")),
+
+    // Index DELETE: locate victims' partitions with a column-pruned
+    // scan, rewrite ONLY those partitions without the victims (emptied
+    // partition dirs removed explicitly). The post-delete layout must
+    // equal a from-scratch build over the surviving corpus — the oracle
+    // computes exactly that inline.
+    QueryDef(
+      "q394_srp_index_delete",
+      (s, dir) => {
+        val path = ensureSrpDel(s, dir)
+        layoutSummary(AnnIndex.readIndex(s, path), "bucket", "vec")
+      },
+      Some(s"""
+        WITH src AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE NOT (vec_id % 17 = 3)),
+        b AS (SELECT vec_id, embedding, ${srpSql(SrpPlanes)} AS bucket FROM src)
+        SELECT bucket, COUNT(*) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(CAST(FLOOR(${dotSql("embedding", "embedding")} * 1000)
+                 AS BIGINT)) AS BIGINT) AS sq_norm_milli_sum
+        FROM b GROUP BY bucket
+        ORDER BY bucket""")),
+
+    // Index UPDATE = delete + append: victims' vectors change (here:
+    // reversed), so they MOVE buckets — the flow a bare append excludes.
+    // Post-update layout must equal a from-scratch build over the
+    // updated corpus, stale old-bucket rows gone, new-bucket rows
+    // present, vector payloads intact.
+    QueryDef(
+      "q395_srp_index_update",
+      (s, dir) => {
+        val path = ensureSrpUpd(s, dir)
+        layoutSummary(AnnIndex.readIndex(s, path), "bucket", "vec")
+      },
+      Some(s"""
+        WITH src AS (SELECT vec_id,
+                            CASE WHEN vec_id % 29 = 5 THEN list_reverse(embedding)
+                                 ELSE embedding END AS embedding
+                     FROM embeddings),
+        b AS (SELECT vec_id, embedding, ${srpSql(SrpPlanes)} AS bucket FROM src)
+        SELECT bucket, COUNT(*) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(CAST(FLOOR(${dotSql("embedding", "embedding")} * 1000)
+                 AS BIGINT)) AS BIGINT) AS sq_norm_milli_sum
+        FROM b GROUP BY bucket
+        ORDER BY bucket""")))
 }

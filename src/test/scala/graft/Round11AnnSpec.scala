@@ -91,6 +91,38 @@ class Round11AnnSpec extends SparkSpec {
       "changed-vector re-append is expected to strand the stale row")
   }
 
+  test("index manifest: path-probe takes knobs from the index; mismatched append fails loudly") {
+    val corpus = (0 until 50).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_r11_manifest").toString + "/idx"
+    AnnIndex.buildSrp(corpus, "vec_id", "embedding", 6, 64, path)
+    assert(AnnIndex.readManifest(spark, path) ==
+      Map("kind" -> "srp", "planes" -> "6", "dim" -> "64"))
+
+    // path-based probe reproduces the explicit-knob probe exactly
+    val q = corpus.where(col("vec_id") < 3)
+    val viaPath = AnnIndex.probeSrpAt(spark, path, q, "vec_id", "embedding", k = 3)
+      .select("q_id", "n_id", "rnk").collect().toSet
+    val viaKnobs = AnnIndex.probeSrp(AnnIndex.readIndex(spark, path), q,
+      "vec_id", "embedding", k = 3, planes = 6, dim = 64)
+      .select("q_id", "n_id", "rnk").collect().toSet
+    assert(viaPath == viaKnobs)
+
+    // an append signed with the wrong planes would scatter the batch
+    // into a foreign bucket space — must fail against the manifest
+    val batch = Seq((100L, vec(100))).toDF("vec_id", "embedding")
+    intercept[IllegalStateException] {
+      AnnIndex.appendSrp(spark, path, batch, "vec_id", "embedding",
+        planes = 8, dim = 64, stagePath = path + "_stage")
+    }
+    // and a non-SRP path is rejected by the probe
+    intercept[IllegalArgumentException] {
+      AnnIndex.probeSrpAt(spark, path + "_nonexistent", q,
+        "vec_id", "embedding", k = 3)
+    }
+  }
+
   test("trainCentroidsKMeans: dim-length double centroids, empty cells dropped") {
     // two far-apart 1-point clusters + k=3 seeds: one seed captures
     // nothing after the first reassignment round
