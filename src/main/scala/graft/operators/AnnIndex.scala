@@ -214,6 +214,48 @@ object AnnIndex {
       srpProbeTargets(queries, idCol, vecCol, planes, dim, hamming1 = true)),
       "bucket", k)
 
+  // ── bucketed-table SRP layout (the >4k-coarse-keys path) ──────────
+
+  /** The scaladoc's "past ~4k partition dirs, switch to a bucketed
+    * table" path, made concrete: the same (id, vec, bucket) frame saved
+    * as a parquet table CLUSTERED BY bucket — constant file count
+    * (numBuckets), same co-location, no per-key directories. Use when
+    * `planes` is large enough that 2^planes directories would drown the
+    * filesystem metadata. */
+  def buildSrpBucketed(vecs: DataFrame, idCol: String, vecCol: String,
+      planes: Int, dim: Int, path: String, tableName: String,
+      numBuckets: Int): Unit =
+    graft.sources.Materialize.bucketedTable(
+      srpIndexFrame(vecs, idCol, vecCol, planes, dim),
+      path, tableName, "bucket", numBuckets)
+
+  /** Probe cap: probed coarse-key values are collected to a literal IN
+    * filter (that is what Spark's bucket pruning prunes on), so the
+    * probe batch must stay driver-sized — the same loud-failure contract
+    * as the partitioned merge. */
+  val MaxProbedBuckets: Int = 100000
+
+  /** Probe the bucketed layout: the probed bucket VALUES become a
+    * literal IN filter, which Spark's bucket pruning turns into
+    * "SelectedBucketsCount: k out of numBuckets" on the scan — the
+    * bucketed twin of the partitioned layout's DPP. Results are
+    * identical to probeSrp/probeSrpMultiProbe over the same corpus
+    * (pinned in Round11AnnSpec). */
+  def probeSrpBucketed(spark: SparkSession, tableName: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      planes: Int, dim: Int, multiProbe: Boolean = false): DataFrame = {
+    val targets = srpProbeTargets(queries, idCol, vecCol, planes, dim,
+      hamming1 = multiProbe)
+    val probed = targets.select(col("bucket")).distinct()
+      .limit(MaxProbedBuckets + 1).collect().map(_.getLong(0))
+    if (probed.length > MaxProbedBuckets)
+      throw new IllegalStateException(
+        s"probeSrpBucketed: > $MaxProbedBuckets probed buckets — batch the " +
+          "query set or use the partitioned layout's DPP join")
+    val idx = spark.table(tableName).where(col("bucket").isin(probed: _*))
+    rankTopK(srpCandidates(idx, targets), "bucket", k)
+  }
+
   // ── IVF index ──────────────────────────────────────────────────────
 
   /** Max-dot cell assignment against a (broadcast) centroid table with

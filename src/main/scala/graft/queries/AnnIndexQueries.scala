@@ -152,6 +152,24 @@ object AnnIndexQueries {
     path
   }
 
+  /** Bucketed-table twin (the >4k-coarse-keys layout): CLUSTERED BY
+    * bucket instead of one directory per bucket. Registered under a
+    * per-corpus/pid table name so concurrent JVMs never share catalog
+    * entries or paths. */
+  private def ensureSrpBucketed(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = indexPath("srpbkt", dir)
+    val tbl = "graft_srp_bucketed_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      s"_p${ProcessHandle.current().pid()}"
+    AnnIndex.ensureBuilt(path) {
+      AnnIndex.buildSrpBucketed(Tables.embeddings(s, dir), "vec_id",
+        "embedding", planes = SrpPlanes, dim = 64, path = path,
+        tableName = tbl, numBuckets = 8)
+    }
+    tbl
+  }
+
   /** Per-partition layout checksum: row count + id checksum + integral
     * norm checksum over the ROUND-TRIPPED vectors (floor'd to
     * milli-units so the cross-row sum is order-free) — a vector
@@ -812,5 +830,40 @@ object AnnIndexQueries {
                CAST(SUM(CAST(FLOOR(${dotSql("embedding", "embedding")} * 1000)
                  AS BIGINT)) AS BIGINT) AS sq_norm_milli_sum
         FROM b GROUP BY bucket
-        ORDER BY bucket""")))
+        ORDER BY bucket""")),
+
+    // Bucketed-table SRP probe (the >4k-coarse-keys layout): same corpus,
+    // same SRP math, but CLUSTERED BY bucket into 8 files instead of one
+    // directory per bucket — the probed bucket values become a literal IN
+    // filter that Spark's bucket pruning turns into
+    // SelectedBucketsCount (Round11AnnSpec pins the plan shape). Answers
+    // must be byte-identical to the partitioned layout's (q381's oracle,
+    // reused verbatim).
+    QueryDef(
+      "q396_srp_bucketed_probe",
+      (s, dir) => {
+        val tbl = ensureSrpBucketed(s, dir)
+        val q = Tables.embeddings(s, dir).where(col("vec_id") < 10)
+        AnnIndex.probeSrpBucketed(s, tbl, q, "vec_id", "embedding",
+            k = 3, planes = SrpPlanes, dim = 64)
+          .select(col("q_id"), col("bucket"), col("n_id"), col("cos"),
+            col("rnk").cast("long").as("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, ${srpSql(SrpPlanes)} AS bucket
+          FROM embeddings),
+        q AS (SELECT vec_id q_id, embedding q_vec, bucket FROM b WHERE vec_id < 10),
+        dots AS (
+          SELECT q_id, q.bucket, c.vec_id n_id,
+                 ${dotSql("q_vec", "c.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, bucket, n_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+          FROM dots)
+        SELECT q_id, bucket, n_id, cos, rnk FROM ranked WHERE rnk <= 3
+        ORDER BY q_id, rnk""")))
 }

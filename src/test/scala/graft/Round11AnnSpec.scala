@@ -123,6 +123,33 @@ class Round11AnnSpec extends SparkSpec {
     }
   }
 
+  test("bucketed ANN layout: probe bucket-prunes the scan and matches the partitioned probe") {
+    val corpus = (0 until 200).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_r11_bucketed").toString
+    AnnIndex.buildSrpBucketed(corpus, "vec_id", "embedding",
+      planes = 6, dim = 64, path = s"$root/tbl",
+      tableName = "r11_srp_bucketed", numBuckets = 8)
+    val q = corpus.where(col("vec_id") < 3)
+    val bucketed = AnnIndex.probeSrpBucketed(spark, "r11_srp_bucketed", q,
+      "vec_id", "embedding", k = 3, planes = 6, dim = 64)
+
+    AnnIndex.buildSrp(corpus, "vec_id", "embedding", 6, 64, s"$root/part")
+    val partitioned = AnnIndex.probeSrp(
+      AnnIndex.readIndex(spark, s"$root/part"), q,
+      "vec_id", "embedding", k = 3, planes = 6, dim = 64)
+    assert(bucketed.select("q_id", "n_id", "rnk").collect().toSet ==
+      partitioned.select("q_id", "n_id", "rnk").collect().toSet)
+
+    // the probed-bucket IN filter must reach the scan as BUCKET PRUNING —
+    // the bucketed twin of the partitioned layout's DPP
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"),
+      s"expected bucket pruning on the probe scan, plan:\n$plan")
+    spark.sql("DROP TABLE IF EXISTS r11_srp_bucketed")
+  }
+
   test("trainCentroidsKMeans: dim-length double centroids, empty cells dropped") {
     // two far-apart 1-point clusters + k=3 seeds: one seed captures
     // nothing after the first reassignment round
