@@ -92,7 +92,14 @@ object api {
     * `buildSrp`/`buildIvf` write the index as bucket/cell-PARTITIONED
     * parquet (the directory layout IS the index), `probeSrp`/`probeIvf`
     * answer top-k with the index scan dynamic-partition-pruned to the
-    * probed buckets, `ensureBuilt` shares one build across many probes. */
+    * probed buckets, `ensureBuilt` shares one build across many probes.
+    * Full lifecycle (round 11): `buildIvfTrained` (fixed-point k-means
+    * quantizer), `appendSrp`/`appendIvf` (O(touched-buckets) growth),
+    * `deleteIds` (update = delete + append), `probeSrpAt` (knobs read
+    * from the stamped index manifest), `buildSrpBucketed`/
+    * `probeSrpBucketed` (bucket-pruned CLUSTERED BY layout for >4k
+    * coarse keys), multi-probe/nprobe recall knobs with measured
+    * recall-vs-cost curves (q386/q387/q393). */
   val annIndex: operators.AnnIndex.type = operators.AnnIndex
   /** Opaque-binary media columns: PPM decode, dHash near-dup, PCM
     * energy windows, resize, concatenated-PPM video frame-sampling +
