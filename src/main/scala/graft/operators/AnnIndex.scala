@@ -439,8 +439,18 @@ object AnnIndex {
     val part = idx.columns.intersect(Seq("bucket", "cell")).headOption
       .getOrElse(throw new IllegalArgumentException(
         s"$path is not a graft ANN index (no bucket/cell partition column)"))
+    // bounded like the partitioned merge: the locate fetch itself is
+    // capped, and blowing the cap fails loudly instead of hauling an
+    // unbounded partition list through the driver
+    val cap = IncrementalMerge.MaxTouchedPartitions
     val touched = idx.join(broadcast(victims), col("id") === col("__del_id"))
-      .select(col(part)).distinct().collect().map(_.getLong(0))
+      .select(col(part)).distinct()
+      .limit(cap + 1).collect().map(_.getLong(0))
+    if (touched.length > cap)
+      throw new IllegalStateException(
+        s"deleteIds: delete touches > $cap distinct '$part' partitions — " +
+          "that is a full-index rewrite wearing delete clothes; rebuild " +
+          "instead")
     if (touched.nonEmpty) {
       val survivors = idx.where(col(part).isin(touched: _*))
         .join(broadcast(victims), col("id") === col("__del_id"), "left_anti")
