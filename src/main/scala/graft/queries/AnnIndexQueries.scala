@@ -56,6 +56,19 @@ object AnnIndexQueries {
     path
   }
 
+  /** Planes-sweep twin indexes (q399): one materialized index per
+    * planes setting, kind-keyed so they never collide with the q380
+    * index or each other. */
+  private def ensureSrpPlanes(s: org.apache.spark.sql.SparkSession,
+      dir: String, planes: Int): String = {
+    val path = indexPath(s"srp$planes", dir)
+    AnnIndex.ensureBuilt(path) {
+      AnnIndex.buildSrp(Tables.embeddings(s, dir), "vec_id", "embedding",
+        planes = planes, dim = 64, path = path)
+    }
+    path
+  }
+
   private def ensureIvf(s: org.apache.spark.sql.SparkSession,
       dir: String): String = {
     val path = indexPath("ivf", dir)
@@ -865,5 +878,103 @@ object AnnIndexQueries {
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
           FROM dots)
         SELECT q_id, bucket, n_id, cos, rnk FROM ranked WHERE rnk <= 3
-        ORDER BY q_id, rnk""")))
+        ORDER BY q_id, rnk""")),
+
+    // SRP PLANES sweep: the OTHER axis of the recall grid. planes is
+    // the knob a user sets FIRST (bucket granularity: cost ~ corpus /
+    // 2^planes per probe) and multi-probe is the recovery lever on top;
+    // q386 fixes planes=6, this gate measures planes ∈ {4, 8} × both
+    // probe modes against the same exact top-10 — together they span
+    // the full (planes, multi-probe) grid a deployment tunes over. One
+    // materialized index per planes value, same integer-ppm discipline.
+    QueryDef(
+      "q399_srp_planes_sweep",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val q = emb.where(col("vec_id") < 20)
+        val exact = graft.operators.Similarity
+          .bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+          .select(col("q_id"), col("n_id"))
+        def leg(planes: Int, knob: String, hamming1: Boolean) = {
+          val index = AnnIndex.readIndex(s, ensureSrpPlanes(s, dir, planes))
+          val cand = AnnIndex.srpCandidates(index,
+            AnnIndex.srpProbeTargets(q, "vec_id", "embedding",
+              planes, 64, hamming1))
+          val probe =
+            if (hamming1) AnnIndex.probeSrpMultiProbe(index, q,
+              "vec_id", "embedding", k = 10, planes = planes, dim = 64)
+            else AnnIndex.probeSrp(index, q,
+              "vec_id", "embedding", k = 10, planes = planes, dim = 64)
+          val cost = cand.agg(count(lit(1)).as("probe_cost_rows"))
+          val hits = probe.select(col("q_id"), col("n_id"))
+            .join(exact, Seq("q_id", "n_id"))
+            .agg(count(lit(1)).as("hits"))
+          cost.crossJoin(hits)
+            .select(lit(planes.toLong).as("planes"), lit(knob).as("knob"),
+              col("probe_cost_rows"), col("hits"))
+        }
+        Seq(leg(4, "h0_single", hamming1 = false),
+            leg(4, "h1_multiprobe", hamming1 = true),
+            leg(8, "h0_single", hamming1 = false),
+            leg(8, "h1_multiprobe", hamming1 = true))
+          .reduce(_ unionByName _)
+          .select(col("planes"), col("knob"), col("probe_cost_rows"),
+            col("hits"), expr("hits * 1000000 div 200").as("recall_ppm"))
+          .orderBy(col("planes"), col("knob"))
+      },
+      Some {
+        def block(planes: Int) = s"""
+        b$planes AS (
+          SELECT vec_id, embedding, ${srpSql(planes)} AS bucket
+          FROM embeddings),
+        q$planes AS (SELECT vec_id q_id, embedding q_vec, bucket AS b0
+              FROM b$planes WHERE vec_id < 20),
+        probes$planes AS (
+          SELECT $planes AS planes, 'h0_single' AS knob, q_id, q_vec, b0 AS bucket FROM q$planes
+          UNION ALL
+          SELECT $planes, 'h1_multiprobe', q_id, q_vec,
+                 CASE WHEN u.j < 0 THEN b0
+                      ELSE xor(b0, (1::BIGINT << CAST(u.j AS INT))) END
+          FROM q$planes, unnest(range(-1, $planes)) AS u(j)),
+        cand$planes AS (
+          SELECT p.planes, p.knob, p.q_id, c.vec_id n_id,
+                 ${dotSql("p.q_vec", "c.embedding")}
+                   / (sqrt(${dotSql("p.q_vec", "p.q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM b$planes c JOIN probes$planes p ON c.bucket = p.bucket AND c.vec_id <> p.q_id)"""
+        s"""
+        WITH ${block(4)}, ${block(8)},
+        q AS (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 20),
+        exact_dots AS (
+          SELECT q.q_id, c.vec_id n_id,
+                 ${dotSql("q_vec", "c.embedding")}
+                   / (sqrt(${dotSql("q_vec", "q_vec")}) * sqrt(${dotSql("c.embedding", "c.embedding")})) AS cos
+          FROM embeddings c, q WHERE c.vec_id <> q.q_id),
+        exact AS (SELECT q_id, n_id FROM (
+            SELECT q_id, n_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rnk
+            FROM exact_dots) WHERE rnk <= 10),
+        cand AS (SELECT * FROM cand4 UNION ALL SELECT * FROM cand8),
+        knobs AS (
+          SELECT p AS planes, k AS knob
+          FROM (VALUES (4, 'h0_single'), (4, 'h1_multiprobe'),
+                       (8, 'h0_single'), (8, 'h1_multiprobe')) t(p, k)),
+        cost AS (SELECT kn.planes, kn.knob, COUNT(c.n_id) AS probe_cost_rows
+                 FROM knobs kn LEFT JOIN cand c
+                   ON c.planes = kn.planes AND c.knob = kn.knob
+                 GROUP BY kn.planes, kn.knob),
+        ann AS (SELECT planes, knob, q_id, n_id FROM (
+            SELECT planes, knob, q_id, n_id,
+                   row_number() OVER (PARTITION BY planes, knob, q_id ORDER BY cos DESC, n_id) AS rnk
+            FROM cand) WHERE rnk <= 10),
+        hits AS (SELECT a.planes, a.knob, COUNT(*) AS hits
+                 FROM ann a JOIN exact e USING (q_id, n_id)
+                 GROUP BY a.planes, a.knob)
+        SELECT CAST(c.planes AS BIGINT) AS planes, c.knob,
+               CAST(c.probe_cost_rows AS BIGINT) AS probe_cost_rows,
+               CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+               CAST(COALESCE(h.hits, 0) * 1000000 // 200 AS BIGINT) AS recall_ppm
+        FROM cost c LEFT JOIN hits h
+          ON h.planes = c.planes AND h.knob = c.knob
+        ORDER BY planes, c.knob"""
+      }))
 }
