@@ -83,6 +83,15 @@ object api {
   val textDedup: operators.TextDedup.type = operators.TextDedup
   /** Single-source rational-BM25 scoring (termScores / pivotedScore). */
   val bm25: operators.Bm25.type = operators.Bm25
+  /** PII scan + redaction: regex classes in the Java-regex ∩ RE2
+    * dialect, per-doc counts, placeholder rewrites (map-only scrub). */
+  val pii: operators.Pii.type = operators.Pii
+  /** URL canonicalization (scheme/www/query/fragment/default-port/
+    * trailing-slash normalization) + md5-rank per-host caps. */
+  val urls: operators.Urls.type = operators.Urls
+  /** Hashing-trick linear text scorer — classifier-based filtering as
+    * a broadcast (bucket, weight) table join; no UDF. */
+  val scoring: operators.Scoring.type = operators.Scoring
 
   // ── Vectors / multimodal ──────────────────────────────────────────
   /** Embedding search: codegen'd dot/cosine, brute-force exact top-k,
