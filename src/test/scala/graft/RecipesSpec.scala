@@ -87,6 +87,24 @@ class RecipesSpec extends SparkSpec {
     assert(annIndex.readIndex(spark, srp).count() == corpus.count())
   }
 
+  test("recipe: changed vectors are update = deleteIds + append") {
+    val corpus = graft.sources.Tables.embeddings(spark, dir)
+    val srp = java.nio.file.Files
+      .createTempDirectory("recipe_srpdel").toString + "/srp"
+    annIndex.buildSrp(corpus, "vec_id", "embedding",
+      planes = 8, dim = 64, path = srp)
+    val stale = corpus.where(col("vec_id") < 10)
+    annIndex.deleteIds(spark, srp, stale.select(col("vec_id")), "vec_id",
+      stagePath = srp + "_delstage")
+    assert(annIndex.readIndex(spark, srp).count() == corpus.count() - 10)
+    annIndex.appendSrp(spark, srp,
+      stale.select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      "vec_id", "embedding", planes = 8, dim = 64, stagePath = srp + "_stage")
+    val after = annIndex.readIndex(spark, srp)
+    assert(after.count() == corpus.count())
+    assert(after.groupBy(col("id")).count().where(col("count") > 1).count() == 0)
+  }
+
   test("recipe: probe scan is dynamic-partition-prunable (layout check)") {
     // the build wrote one directory per bucket — the layout that makes
     // the probe's partition-column join prunable at all
