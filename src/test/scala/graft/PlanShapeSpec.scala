@@ -22,6 +22,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "line side must not shuffle for the join")
   }
 
+  test("q402 applies the model as a broadcast join; the corpus never shuffles for it") {
+    val p = plan("q402_quality_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the token stream must not shuffle for the model join")
+  }
+
   test("distinct aggregates never plan through Expand") {
     Seq("q02_order_rollup", "q46_approx_sketches", "q47_fct_orders",
         "q76_agg_orders_daily", "q77_agg_items_daily").foreach { q =>
