@@ -47,7 +47,7 @@ object Quickstart {
     annIndex.buildIvfTrained(emb.where(col("vec_id") < 400),
       "vec_id", "embedding", numCells = 8, rounds = 2, path = idx)
     annIndex.appendIvf(spark, idx, emb.where(col("vec_id") >= 400),
-      "vec_id", "embedding", stagePath = idx + "_stage")
+      "vec_id", "embedding", dim = 64, stagePath = idx + "_stage")
     check("annIndex probe (trained + appended)",
       annIndex.probeIvf(spark, idx, emb.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 3, nprobe = 2).count())

@@ -81,6 +81,15 @@ object RecoveryProof {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Pin every file under `dir` to modification time `t` (ms) so the
+    * file stream source's mtime ordering of spool slices is
+    * deterministic across runs. */
+  private def stampMtime(s: SparkSession, dir: String, t: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.listStatus(p).foreach(st => if (st.isFile) f.setTimes(st.getPath, t, -1))
+  }
+
   /** Watermarked tumbling-window streaming aggregation (q116's exact
     * topology: file-source micro-batches → 6h windows × event type →
     * append-mode parquet sink), sized so the data phase spans several
@@ -99,11 +108,18 @@ object RecoveryProof {
     val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
 
     val slices = 6
+    // Event time is MONOTONE ACROSS SLICES (slice i owns its own
+    // 1/6th of the 10-day range): every micro-batch advances the
+    // watermark by one slice-width and carries LIVE window state into
+    // the next, so the mid-micro-batch SIGKILL lands on real
+    // aggregation state. (The earlier every-slice-spans-the-full-range
+    // layout let the first micro-batch jump the watermark to range-end
+    // and dropped micro-batches 2-6 as late data.)
+    val sliceSpan = 864000L / slices
     def evSlice(i: Int): DataFrame =
       s.range(i * n / slices, (i + 1) * n / slices).selectExpr(
         "id AS event_id",
-        // 10 days of event time starting 2024-01-01, deterministic spread
-        "timestamp_seconds(1704067200 + (id * 131 % 864000)) AS ts",
+        s"timestamp_seconds(1704067200 + ${i * sliceSpan} + (id * 131 % $sliceSpan)) AS ts",
         "concat('t', CAST(id % 5 AS STRING)) AS event_type",
         "CAST(id % 1000 AS DOUBLE) AS value")
     val sentinel = s.range(1).selectExpr(
@@ -130,13 +146,21 @@ object RecoveryProof {
     }
     // lifetime 1: the data micro-batches (this is where the kill lands —
     // the killer is armed only once the spool is written and the
-    // streaming query is about to start)
-    (0 until slices).foreach(i =>
-      evSlice(i).coalesce(1).write.mode("overwrite").parquet(s"$spool/batch_$i"))
+    // streaming query is about to start). Each slice's files get an
+    // explicit strictly-increasing modification time: the file source
+    // orders micro-batches by mtime, and a write-timestamp tie could
+    // otherwise make the baseline and kill runs consume slices in
+    // different orders (and with per-slice watermarks, drop different
+    // rows).
+    (0 until slices).foreach { i =>
+      evSlice(i).coalesce(1).write.mode("overwrite").parquet(s"$spool/batch_$i")
+      stampMtime(s, s"$spool/batch_$i", 1704067200000L + i * 60000L)
+    }
     arm()
     runOnce()
     // lifetime 2: the watermark-flush sentinel
     sentinel.coalesce(1).write.mode("overwrite").parquet(s"$spool/batch_z")
+    stampMtime(s, s"$spool/batch_z", 1704067200000L + slices * 60000L)
     runOnce()
 
     val res = s.read.parquet(out).where(col("event_type") =!= "flush")
@@ -144,6 +168,71 @@ object RecoveryProof {
       (sum(hash(col("window_start"), col("event_type"), col("n_events"),
         col("sum_value").cast("long")).cast("long"))
         + sum(col("n_events"))).as("cks")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** STATEFUL streaming under executor loss (round-11 verdict item 4):
+    * q134's flatMapGroupsWithState event-time-gap sessionization — the
+    * ARBITRARY-user-state store is a different recovery code path than
+    * the windowed aggregate's — over the same 6-slice monotone spool
+    * (`maxFilesPerTrigger=1`, one file per micro-batch), so the SIGKILL
+    * lands while open-session state for hundreds of users is live in
+    * the state store mid-micro-batch. A sentinel lifetime two days past
+    * the data advances the watermark past every last_seen + gap and
+    * flushes all open sessions via EventTimeTimeout. Values are integer
+    * micro-units; the checksum is order-free. */
+  private def sessionChecksum(s: SparkSession, n: Long, root: String,
+      arm: () => Unit = () => ()): (Long, Long) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(rp, true)
+    val spool = s"$root/spool"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+
+    val slices = 6
+    val sliceSpan = 864000L / slices
+    def evSlice(i: Int): DataFrame =
+      s.range(i * n / slices, (i + 1) * n / slices).selectExpr(
+        "id % 499 AS user_id",
+        s"timestamp_seconds(1704067200 + ${i * sliceSpan} + (id * 131 % $sliceSpan)) AS ts",
+        "id AS event_id",
+        "id % 1000 AS value_u")
+    val sentinel = s.range(1).selectExpr(
+      "-1 AS user_id",
+      "timestamp_seconds(1706832000) AS ts", // 2024-02-02: flushes all
+      "-1 AS event_id", "0 AS value_u")
+
+    def runOnce(): Unit = {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val src = s.readStream.schema(evSlice(0).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$spool/*")
+        .withWatermark("ts", "1 minute")
+        .as[graft.streaming.Streams.EvtU]
+      val q = graft.streaming.Streams
+        .eventTimeSessions(src, gapMs = 1800L * 1000L)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    (0 until slices).foreach { i =>
+      evSlice(i).coalesce(1).write.mode("overwrite").parquet(s"$spool/batch_$i")
+      stampMtime(s, s"$spool/batch_$i", 1704067200000L + i * 60000L)
+    }
+    arm()
+    runOnce()
+    sentinel.coalesce(1).write.mode("overwrite").parquet(s"$spool/batch_z")
+    stampMtime(s, s"$spool/batch_z", 1704067200000L + slices * 60000L)
+    runOnce()
+
+    val res = s.read.parquet(out).where(col("user_id") >= 0)
+    val r = res.agg(count(lit(1)).as("rows"),
+      (sum(hash(col("user_id"), col("session_start"), col("n_events"),
+        col("value_u")).cast("long")) + sum(col("n_events"))).as("cks")).head()
     (r.getLong(0), r.getLong(1))
   }
 
@@ -218,7 +307,9 @@ object RecoveryProof {
     val kcExp = kcoreChecksum(edges(s1, n))
     val lvExp = louvainChecksum(edges(s1, n))
     val stExp = streamChecksum(s1, nStream, "/tmp/graft_recovery_stream_base")
-    println(s"[recovery] baseline cc=$ccExp kcore=$kcExp louvain=$lvExp stream=$stExp")
+    val ssExp = sessionChecksum(s1, nStream, "/tmp/graft_recovery_sess_base")
+    println(s"[recovery] baseline cc=$ccExp kcore=$kcExp louvain=$lvExp " +
+      s"stream=$stExp sessions=$ssExp")
     s1.stop()
 
     // 2. local-cluster + reliable policy + mid-loop SIGKILL. The body
@@ -272,6 +363,16 @@ object RecoveryProof {
     if (stGot != stExp) {
       println(s"FAIL stream: expected $stExp got $stGot"); failures += 1
     } else println("PASS stream: identical output after mid-micro-batch SIGKILL")
+
+    // phase 5 (round-11 verdict item 4): kill an executor mid-micro-batch
+    // of a flatMapGroupsWithState sessionization — ARBITRARY user state
+    // in the state store, not the built-in window aggregate's
+    val ssGot = killedRun("sessions")((s, arm) =>
+      sessionChecksum(s, nStream, "/tmp/graft_recovery_sess_kill", arm))
+    if (ssGot != ssExp) {
+      println(s"FAIL sessions: expected $ssExp got $ssGot"); failures += 1
+    } else println("PASS sessions: identical flatMapGroupsWithState output " +
+      "after mid-micro-batch SIGKILL")
 
     if (failures > 0) sys.exit(1)
     println("[recovery] ALL PASS")

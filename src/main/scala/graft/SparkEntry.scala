@@ -24,7 +24,8 @@ object SparkEntry {
       RobustStatsQueries.defs ++ ConcentrationQueries.defs ++
       InstrumentationQueries.defs ++ ActivityQueries.defs ++ LmQueries.defs ++
       TokenizerQueries.defs ++ CorpusAuditQueries.defs ++ AnnIndexQueries.defs ++
-      PiiQueries.defs ++ UrlQueries.defs ++ ScoringQueries.defs
+      PiiQueries.defs ++ UrlQueries.defs ++ ScoringQueries.defs ++
+      HtmlQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * q47 is the full fct_orders composite — line math, rollup, joins,

@@ -90,7 +90,16 @@ object AnnIndex {
       val in = f.open(p)
       try new String(in.readAllBytes(), "UTF-8").linesIterator
         .map(_.trim).filter(_.nonEmpty)
-        .map { l => val Array(k, v) = l.split("=", 2); (k, v) }.toMap
+        .map { l =>
+          // explicit validation, not a pattern-bind: a truncated write or
+          // manual edit must fail with the path and offending line, not an
+          // opaque MatchError
+          val i = l.indexOf('=')
+          if (i <= 0) throw new IllegalStateException(
+            s"malformed index manifest line '$l' in $p — every line must " +
+              "be key=value; the manifest was truncated or hand-edited")
+          (l.substring(0, i), l.substring(i + 1))
+        }.toMap
       finally in.close()
     }
   }
@@ -224,10 +233,17 @@ object AnnIndex {
     * filesystem metadata. */
   def buildSrpBucketed(vecs: DataFrame, idCol: String, vecCol: String,
       planes: Int, dim: Int, path: String, tableName: String,
-      numBuckets: Int): Unit =
+      numBuckets: Int): Unit = {
     graft.sources.Materialize.bucketedTable(
       srpIndexFrame(vecs, idCol, vecCol, planes, dim),
       path, tableName, "bucket", numBuckets)
+    // same manifest contract as the partitioned layout: the build knobs
+    // are part of the index, so a probe with foreign planes/dim fails
+    // loudly instead of returning near-empty junk
+    writeManifest(vecs.sparkSession, path, Map(
+      "kind" -> "srp_bucketed", "planes" -> planes.toString,
+      "dim" -> dim.toString, "numBuckets" -> numBuckets.toString))
+  }
 
   /** Probe cap: probed coarse-key values are collected to a literal IN
     * filter (that is what Spark's bucket pruning prunes on), so the
@@ -244,6 +260,12 @@ object AnnIndex {
   def probeSrpBucketed(spark: SparkSession, tableName: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       planes: Int, dim: Int, multiProbe: Boolean = false): DataFrame = {
+    // validate the caller's knobs against the manifest stamped at the
+    // table's storage location (lenient for pre-manifest tables)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tableName)).location
+    requireManifest(spark, loc.toString, Map("kind" -> "srp_bucketed",
+      "planes" -> planes.toString, "dim" -> dim.toString))
     val targets = srpProbeTargets(queries, idCol, vecCol, planes, dim,
       hamming1 = multiProbe)
     val probed = targets.select(col("bucket")).distinct()
@@ -257,6 +279,14 @@ object AnnIndex {
   }
 
   // ── IVF index ──────────────────────────────────────────────────────
+
+  /** Vector width probed from one row (bounded: limit(1)) — stamped into
+    * IVF manifests so maintenance can validate batch geometry. */
+  private def vecDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(r.nonEmpty, "cannot build an ANN index over an empty corpus")
+    r(0).getInt(0)
+  }
 
   /** Max-dot cell assignment against a (broadcast) centroid table with
     * columns (cid, cvec). */
@@ -274,19 +304,25 @@ object AnnIndex {
   }
 
   /** Build-once: centroid table + the corpus assigned to cells,
-    * partitioned by cell. Centroids = the first `numCells` vectors by
-    * id (deterministic; swap in trained centroids without changing the
-    * layout). */
+    * partitioned by cell. Centroids = the `numCells` vectors with the
+    * SMALLEST ids — a rank, not the literal `id < numCells` predicate,
+    * so a corpus whose id space is not 0-based dense (ids starting at
+    * 1000, say) still seeds exactly `numCells` centroids instead of
+    * silently writing a degenerate index. (On a dense 0-based corpus the
+    * two are identical, which is what the inline oracles recompute.) */
   def buildIvf(candidates: DataFrame, idCol: String, vecCol: String,
       numCells: Int, path: String): Unit = {
-    val cent = candidates.where(col(idCol) < numCells)
+    val dim = vecDim(candidates, vecCol)
+    val cent = candidates
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(col("cid")).limit(numCells)
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     val centBack = candidates.sparkSession.read.parquet(s"$path/centroids")
     assign(candidates, centBack, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     writeManifest(candidates.sparkSession, path, Map(
-      "kind" -> "ivf", "cells" -> numCells.toString, "centroids" -> "firstN"))
+      "kind" -> "ivf", "cells" -> numCells.toString,
+      "dim" -> dim.toString, "centroids" -> "firstN"))
   }
 
   /** Query-side probe targets for IVF: each query's `nprobe` nearest
@@ -349,7 +385,13 @@ object AnnIndex {
       .select(col(idCol).as("vid"), posexplode(col(vecCol)).as(Seq("dim", "xf")))
       .select(col("vid"), col("dim").cast("long").as("dim"),
         floor(col("xf").cast("double") * lit(1000000.0d)).cast("long").as("xq"))
-    var cent = ex.where(col("vid") < k)
+    // seeds = the k SMALLEST vids (a rank, not `vid < k`): an id space
+    // that is not 0-based dense still yields exactly k seeds instead of
+    // silently training fewer/zero centroids. Identical to `vid < k` on
+    // a dense 0-based corpus (what the inline oracles recompute).
+    val seeds = vecs.select(col(idCol).cast("long").as("vid")).distinct()
+      .orderBy(col("vid")).limit(k)
+    var cent = ex.join(broadcast(seeds), Seq("vid"))
       .select(col("vid").as("cid"), col("dim"), col("xq").as("cq"))
     for (_ <- 1 to rounds) {
       val d2 = ex.join(broadcast(cent), Seq("dim"))
@@ -379,6 +421,7 @@ object AnnIndex {
     * the layout needs. */
   def buildIvfTrained(candidates: DataFrame, idCol: String, vecCol: String,
       numCells: Int, rounds: Int, path: String): Unit = {
+    val dim = vecDim(candidates, vecCol)
     trainCentroidsKMeans(candidates, idCol, vecCol, numCells, rounds)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val centBack = candidates.sparkSession.read.parquet(s"$path/centroids")
@@ -386,7 +429,7 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     writeManifest(candidates.sparkSession, path, Map(
       "kind" -> "ivf", "cells" -> numCells.toString,
-      "centroids" -> s"kmeans_r$rounds"))
+      "dim" -> dim.toString, "centroids" -> s"kmeans_r$rounds"))
   }
 
   // ── incremental maintenance ────────────────────────────────────────
@@ -480,9 +523,17 @@ object AnnIndex {
     * is assigned via the MATERIALIZED centroid table (centroids are
     * frozen at build time — the standard IVF contract; retrain =
     * rebuild), then merged into the cell-partitioned layout touching
-    * only the cells the batch lands in. */
+    * only the cells the batch lands in.
+    *
+    * Manifest parity with [[appendSrp]]: `dim` is the caller's claim of
+    * the batch's vector width — a batch whose geometry differs from the
+    * index's would max-dot against truncated/padded centroids and land
+    * in silently-wrong cells, so it is validated against the stamped
+    * manifest before any work happens. */
   def appendIvf(spark: SparkSession, path: String, newVecs: DataFrame,
-      idCol: String, vecCol: String, stagePath: String): Unit = {
+      idCol: String, vecCol: String, dim: Int, stagePath: String): Unit = {
+    requireManifest(spark, path, Map(
+      "kind" -> "ivf", "dim" -> dim.toString))
     val cent = spark.read.parquet(s"$path/centroids")
     IncrementalMerge.mergeIntoPartitionedTarget(spark, s"$path/cells",
       assign(newVecs, cent, idCol, vecCol),

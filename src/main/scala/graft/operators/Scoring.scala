@@ -20,19 +20,25 @@ import org.apache.spark.sql.functions._
 object Scoring {
 
   /** Score each document: sum of bucket weights of its hashed tokens
-    * plus `bias`. `weights` must carry (bkt, wgt); token hashing is
-    * salted so disjoint models never share feature spaces. Emits the
-    * id columns + `score`. */
+    * plus `bias`. `weights` carries (bkt, wgt) and may be SPARSE — a
+    * token whose bucket is absent from the model contributes 0 (the
+    * fasttext convention), via a LEFT join + coalesce, so a document
+    * none of whose tokens hit the model still scores as `bias` instead
+    * of silently vanishing from the output. Null text is treated as
+    * empty (one empty token), so every input document scores. Token
+    * hashing is salted so disjoint models never share feature spaces.
+    * Emits the id columns + `score`. */
   def hashedLinearScore(docs: DataFrame, idCols: Seq[String],
       textCol: String, weights: DataFrame, numBuckets: Int, bias: Long,
       salt: String): DataFrame = {
     val toks = docs.select(
-      (idCols.map(col) :+ explode(split(col(textCol), " ")).as("__w")): _*)
+      (idCols.map(col) :+ explode(split(coalesce(col(textCol), lit("")),
+        " ")).as("__w")): _*)
     val hashed = toks.withColumn("bkt",
       pmod(graft.functions.Kernels.md5Lower64Lo32(
         concat(lit(salt), col("__w"))), lit(numBuckets)))
-    hashed.join(broadcast(weights), Seq("bkt"))
+    hashed.join(broadcast(weights), Seq("bkt"), "left")
       .groupBy(idCols.map(col): _*)
-      .agg((sum(col("wgt")) + lit(bias)).as("score"))
+      .agg((sum(coalesce(col("wgt"), lit(0L))) + lit(bias)).as("score"))
   }
 }

@@ -123,7 +123,7 @@ object AnnIndexQueries {
       AnnIndex.buildIvf(emb.where(inBase),
         "vec_id", "embedding", numCells = IvfCells, path = path)
       AnnIndex.appendIvf(s, path, emb.where(!inBase),
-        "vec_id", "embedding", stagePath = path + "_stage")
+        "vec_id", "embedding", dim = 64, stagePath = path + "_stage")
     }
     path
   }

@@ -13,11 +13,16 @@ import graft.sources.Tables
 object ScoringQueries {
 
   val defs: Seq[QueryDef] = Seq(
+    // The model is deliberately SPARSE (roughly a third of the 1024
+    // buckets carry a weight): tokens that miss the model contribute 0
+    // via the scorer's left join, and n_docs per source must still
+    // equal the corpus — the every-document-scores contract.
     QueryDef(
       "q402_quality_classifier",
       (s, dir) => {
-        val w = s.range(1024).select(col("id").cast("long").as("bkt"),
-          ((col("id") * 37) % 21 - 10).cast("long").as("wgt"))
+        val w = s.range(1024).where(pmod(col("id"), lit(3)) === 0)
+          .select(col("id").cast("long").as("bkt"),
+            ((col("id") * 37) % 21 - 10).cast("long").as("wgt"))
         val scored = Scoring.hashedLinearScore(Tables.documents(s, dir),
           Seq("doc_id", "source"), "text", w, numBuckets = 1024,
           bias = 3L, salt = "qc:")
@@ -36,10 +41,10 @@ object ScoringQueries {
                  CAST(md5_number_lower('qc:' || w) % 1024 AS BIGINT) AS bkt
           FROM toks),
         wt AS (SELECT range AS bkt, (range * 37) % 21 - 10 AS wgt
-               FROM range(1024)),
+               FROM range(1024) WHERE range % 3 = 0),
         scored AS (
-          SELECT doc_id, source, SUM(wgt) + 3 AS score
-          FROM hashed JOIN wt USING (bkt) GROUP BY 1, 2)
+          SELECT doc_id, source, SUM(COALESCE(wgt, 0)) + 3 AS score
+          FROM hashed LEFT JOIN wt USING (bkt) GROUP BY 1, 2)
         SELECT source, COUNT(*) AS n_docs,
                CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
                CAST(SUM(score) AS BIGINT) AS score_sum

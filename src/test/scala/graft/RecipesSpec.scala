@@ -72,7 +72,7 @@ class RecipesSpec extends SparkSpec {
     annIndex.buildIvfTrained(corpus.where(col("vec_id") < 400),
       "vec_id", "embedding", numCells = 8, rounds = 2, path = ivf)
     annIndex.appendIvf(spark, ivf, corpus.where(col("vec_id") >= 400),
-      "vec_id", "embedding", stagePath = ivf + "_stage")
+      "vec_id", "embedding", dim = 64, stagePath = ivf + "_stage")
     assert(annIndex.readIndex(spark, s"$ivf/cells").count() == corpus.count())
     val nn = annIndex.probeIvf(spark, ivf, corpus.where(col("vec_id") < 5),
       "vec_id", "embedding", k = 3, nprobe = 2)
