@@ -165,6 +165,47 @@ object AnnIndexQueries {
     path
   }
 
+  /** IVF delete twin (q394's flow on the CELL layout): full firstN
+    * build, then delete vec_id % 17 == 3 from the cells dir via the
+    * layout-generic touched-partitions-only delete. The centroid table
+    * is FROZEN — victims that are also centroid seeds (vec_id 3 is)
+    * stay in the quantizer, exactly the standard IVF contract. */
+  private def ensureIvfDel(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = indexPath("ivfdel", dir)
+    AnnIndex.ensureBuilt(path) {
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.buildIvf(emb, "vec_id", "embedding",
+        numCells = IvfCells, path = path)
+      AnnIndex.deleteIds(s, s"$path/cells",
+        emb.where(pmod(col("vec_id"), lit(17)) === 3).select(col("vec_id")),
+        "vec_id", stagePath = path + "_delstage")
+    }
+    path
+  }
+
+  /** IVF update twin (q395's flow on the CELL layout): changed vectors
+    * move CELLS, so the flow is delete-then-append; assignment of the
+    * re-appended batch runs against the FROZEN original centroids
+    * (vec_id 5 is both a victim and a centroid seed — its centroid
+    * vector stays the ORIGINAL embedding; retrain = rebuild). */
+  private def ensureIvfUpd(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = indexPath("ivfupd", dir)
+    AnnIndex.ensureBuilt(path) {
+      val emb = Tables.embeddings(s, dir)
+      AnnIndex.buildIvf(emb, "vec_id", "embedding",
+        numCells = IvfCells, path = path)
+      val victims = emb.where(pmod(col("vec_id"), lit(29)) === 5)
+      AnnIndex.deleteIds(s, s"$path/cells", victims.select(col("vec_id")),
+        "vec_id", stagePath = path + "_delstage")
+      AnnIndex.appendIvf(s, path,
+        victims.select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", dim = 64, stagePath = path + "_stage")
+    }
+    path
+  }
+
   /** Bucketed-table twin (the >4k-coarse-keys layout): CLUSTERED BY
     * bucket instead of one directory per bucket. Registered under a
     * per-corpus/pid table name so concurrent JVMs never share catalog
@@ -976,5 +1017,66 @@ object AnnIndexQueries {
         FROM cost c LEFT JOIN hits h
           ON h.planes = c.planes AND h.knob = c.knob
         ORDER BY planes, c.knob"""
-      }))
+      }),
+
+    // IVF index DELETE (q394's gate for the CELL layout — the path the
+    // round-11 verdict flagged as ungated): deleteIds detects the cell
+    // partition column and rewrites only touched cells. Post-delete
+    // layout must equal assigning the SURVIVING corpus against the
+    // FROZEN full-corpus centroid table — which the oracle recomputes
+    // inline (vec_id 3 is both a victim and a centroid seed: its row
+    // leaves the cells, its centroid stays).
+    QueryDef(
+      "q404_ivf_index_delete",
+      (s, dir) => {
+        val path = ensureIvfDel(s, dir)
+        layoutSummary(AnnIndex.readIndex(s, s"$path/cells"), "cell", "v")
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                      FROM embeddings WHERE vec_id < $IvfCells),
+        src AS (SELECT vec_id, embedding FROM embeddings
+                WHERE NOT (vec_id % 17 = 3)),
+        asg AS (SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT s.vec_id, s.embedding, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                     ${dotSql("s.embedding", "c.cvec")} DESC, c.cid) AS rn
+            FROM src s, cent c) t WHERE rn = 1)
+        SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(CAST(FLOOR(${dotSql("embedding", "embedding")} * 1000)
+                 AS BIGINT)) AS BIGINT) AS sq_norm_milli_sum
+        FROM asg GROUP BY cell
+        ORDER BY cell""")),
+
+    // IVF index UPDATE = delete + append on the cell layout: victims'
+    // vectors are reversed so they MOVE cells; the re-appended batch is
+    // assigned against the FROZEN ORIGINAL centroids (vec_id 5 is both
+    // a victim and a centroid seed — the quantizer keeps its original
+    // vector; retrain = rebuild). Post-update layout must equal
+    // assigning the UPDATED corpus against the original centroid table.
+    QueryDef(
+      "q405_ivf_index_update",
+      (s, dir) => {
+        val path = ensureIvfUpd(s, dir)
+        layoutSummary(AnnIndex.readIndex(s, s"$path/cells"), "cell", "v")
+      },
+      Some(s"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cvec
+                      FROM embeddings WHERE vec_id < $IvfCells),
+        src AS (SELECT vec_id,
+                       CASE WHEN vec_id % 29 = 5 THEN list_reverse(embedding)
+                            ELSE embedding END AS embedding
+                FROM embeddings),
+        asg AS (SELECT vec_id, embedding, cid AS cell FROM (
+            SELECT s.vec_id, s.embedding, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                     ${dotSql("s.embedding", "c.cvec")} DESC, c.cid) AS rn
+            FROM src s, cent c) t WHERE rn = 1)
+        SELECT CAST(cell AS BIGINT) AS cell, COUNT(*) AS n_vecs,
+               CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+               CAST(SUM(CAST(FLOOR(${dotSql("embedding", "embedding")} * 1000)
+                 AS BIGINT)) AS BIGINT) AS sq_norm_milli_sum
+        FROM asg GROUP BY cell
+        ORDER BY cell""")))
 }
