@@ -39,6 +39,40 @@ object Urls {
         concat(col("url_host"), regexp_replace(col("__path"), "/+$", "")))
       .drop("__u1", "__u2", "__u3", "__u4", "__host0", "__path")
 
+  /** Longest-suffix host policy — the public-suffix-list matching shape
+    * that completes the domain-curation trio (canonicalize → cap →
+    * blocklist): each host explodes into its dot-suffix chain (one row
+    * per label, bounded by the label count), equi-joins the BROADCAST
+    * `rules` table — (suffix, action), action ∈ {"allow", "block"} —
+    * and the LONGEST matching suffix decides; unmatched hosts default
+    * to allow. No per-row regex over the rule list: the chain explode
+    * is map-side, the rules ride the closure like any small dim table,
+    * and the longest-match argmax + verdict join are one exchange each
+    * on the doc key. (When host cardinality ≪ docs, run this over
+    * `distinct` hosts and join the verdict back — same operator, one
+    * extra host-keyed exchange, |hosts|-sized intermediate.)
+    *
+    * Adds `policy_suffix` (matched rule suffix, or "none") and
+    * `policy_action` ("allow"/"block"). Input must carry `url_host`. */
+  def suffixPolicy(df: DataFrame, rules: DataFrame,
+      idCol: String): DataFrame = {
+    val labels = split(col("url_host"), "\\.")
+    val chain = transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels) - i), "."))
+    val ex = df.select(col(idCol), explode(chain).as("suffix"))
+    // longest suffix wins; a host's chain has strictly decreasing
+    // lengths, so the (length, suffix, action) struct max is total
+    val verdict = ex.join(broadcast(rules), Seq("suffix"))
+      .groupBy(col(idCol))
+      .agg(max(struct(length(col("suffix")).as("l"),
+        col("suffix").as("s"), col("action").as("a"))).as("m"))
+      .select(col(idCol), col("m.s").as("policy_suffix"),
+        col("m.a").as("policy_action"))
+    df.join(verdict, Seq(idCol), "left")
+      .withColumn("policy_suffix", coalesce(col("policy_suffix"), lit("none")))
+      .withColumn("policy_action", coalesce(col("policy_action"), lit("allow")))
+  }
+
   /** Keep at most `cap` rows per host, chosen DETERMINISTICALLY by
     * md5-rank on the id (ties on the id itself) — a stable uniform
     * sample, not first-N data order. Input must carry `url_host`. */

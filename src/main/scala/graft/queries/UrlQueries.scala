@@ -100,5 +100,66 @@ object UrlQueries {
                CAST(SUM(doc_id) AS BIGINT) AS kept_id_checksum
         FROM ranked WHERE rn <= 5
         GROUP BY url_host
-        ORDER BY url_host""")))
+        ORDER BY url_host""")),
+
+    // Host-suffix blocklist with LONGEST-match precedence — the trio's
+    // third stage. Multi-label hosts (sub{0..2}.site{0..19}.example.com)
+    // against a rule set where an allow rule on one subdomain OVERRIDES
+    // its parent's block (sub1.site5 allowed inside blocked site5) —
+    // provable only if the longest suffix wins. Per-(suffix, action)
+    // drop accounting with an id checksum pins that both engines route
+    // every document to the same rule.
+    QueryDef(
+      "q407_host_blocklist",
+      (s, dir) => {
+        val hosts = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("sub"), pmod(col("doc_id"), lit(3)).cast("string"),
+            lit(".site"), pmod(col("doc_id"), lit(20)).cast("string"),
+            lit(".example.com")).as("url_host"))
+        import s.implicits._
+        val rules = Seq(
+          ("site5.example.com", "block"),
+          ("sub1.site5.example.com", "allow"),
+          ("site17.example.com", "block"),
+          ("sub2.site17.example.com", "block"))
+          .toDF("suffix", "action")
+        Urls.suffixPolicy(hosts, rules, "doc_id")
+          .groupBy(col("policy_suffix"), col("policy_action"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_checksum"))
+          .orderBy(col("policy_suffix"), col("policy_action"))
+      },
+      Some("""
+        WITH u AS (
+          SELECT doc_id,
+                 'sub' || (doc_id % 3) || '.site' || (doc_id % 20)
+                 || '.example.com' AS url_host
+          FROM documents),
+        rules(suffix, action) AS (VALUES
+          ('site5.example.com', 'block'),
+          ('sub1.site5.example.com', 'allow'),
+          ('site17.example.com', 'block'),
+          ('sub2.site17.example.com', 'block')),
+        ex AS (
+          SELECT doc_id, url_host,
+                 unnest(list_transform(
+                   range(0, len(string_split(url_host, '.'))),
+                   i -> array_to_string(string_split(url_host, '.')[i+1:], '.')))
+                   AS suffix
+          FROM u),
+        m AS (
+          SELECT doc_id, suffix, action,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY length(suffix) DESC, suffix DESC, action DESC) AS rn
+          FROM ex JOIN rules USING (suffix)),
+        v AS (SELECT doc_id, suffix AS policy_suffix, action AS policy_action
+              FROM m WHERE rn = 1),
+        j AS (SELECT u.doc_id,
+                     COALESCE(v.policy_suffix, 'none') AS policy_suffix,
+                     COALESCE(v.policy_action, 'allow') AS policy_action
+              FROM u LEFT JOIN v USING (doc_id))
+        SELECT policy_suffix, policy_action, COUNT(*) AS n_docs,
+               CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+        FROM j GROUP BY policy_suffix, policy_action
+        ORDER BY policy_suffix, policy_action""")))
 }
