@@ -58,6 +58,23 @@ object Quickstart {
       checks.Check("doc_id_unique", "error", checks.unique(docs, "doc_id"))))
     check("checks battery", summary.count())
 
+    // 5. crawl front door end-to-end: HTML extract -> PII redact ->
+    //    trained quality scorer (all round-12 surface, via the facade)
+    val pages = docs.select(col("doc_id"), col("text"),
+      concat(lit("<html><body><div><a href=\"/\">Home</a></div><p>"),
+        col("text"), lit("</p></body></html>")).as("page"))
+    val extracted = html.extractText(pages, "page")
+    check("html.extractText", extracted.where(col("clean_text") =!= "").count())
+    val scrubbed = pii.redact(extracted, "clean_text")
+    check("pii.redact", scrubbed.count())
+    val labeled = scrubbed.select(col("doc_id"), col("clean_text"),
+      when(length(col("clean_text")) >= 250, 1).otherwise(0).as("y"))
+    val model = scoring.trainNbWeights(labeled, "clean_text", "y",
+      numBuckets = 128, salt = "qs:")
+    check("scoring train+apply",
+      scoring.hashedLinearScore(labeled, Seq("doc_id"), "clean_text",
+        model, numBuckets = 128, bias = 0L, salt = "qs:").count())
+
     spark.stop()
     if (failures > 0) sys.exit(1)
     println("[quickstart] ALL RECIPES OK")

@@ -83,14 +83,20 @@ object api {
   val textDedup: operators.TextDedup.type = operators.TextDedup
   /** Single-source rational-BM25 scoring (termScores / pivotedScore). */
   val bm25: operators.Bm25.type = operators.Bm25
+  /** HTML text extraction — the crawl front door: script/style/comment
+    * strip, entity decode, link-density boilerplate cut (map-only). */
+  val html: operators.Html.type = operators.Html
   /** PII scan + redaction: regex classes in the Java-regex ∩ RE2
-    * dialect, per-doc counts, placeholder rewrites (map-only scrub). */
+    * dialect, per-doc counts, placeholder rewrites (map-only scrub);
+    * checksum-validated classes (Luhn cards, mod-97 IBANs). */
   val pii: operators.Pii.type = operators.Pii
   /** URL canonicalization (scheme/www/query/fragment/default-port/
-    * trailing-slash normalization) + md5-rank per-host caps. */
+    * trailing-slash normalization) + md5-rank per-host caps +
+    * longest-suffix host blocklist (broadcast rule table). */
   val urls: operators.Urls.type = operators.Urls
   /** Hashing-trick linear text scorer — classifier-based filtering as
-    * a broadcast (bucket, weight) table join; no UDF. */
+    * a broadcast (bucket, weight) table join; no UDF — plus in-engine
+    * NB log-odds training (exact integer micro-log2 ladder). */
   val scoring: operators.Scoring.type = operators.Scoring
 
   // ── Vectors / multimodal ──────────────────────────────────────────
