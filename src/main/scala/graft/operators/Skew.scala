@@ -74,4 +74,28 @@ object Skew {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Input-parallelism skew fix (spark_optimization_guide §2.5 "input
+    * skew": a source whose split count is far below the cluster's core
+    * count serializes every downstream per-row computation — here a
+    * single smallish parquet file splits into ~3 tasks under the
+    * open-cost packing rule, so a CPU-heavy projection (decimal money
+    * chains, JSON parsing, regex normalization) runs on 3 of 32 cores,
+    * twice when a global sort's range-sampling pass re-executes the
+    * child).
+    *
+    * Round-robin repartition to the session's default parallelism, but
+    * ONLY when the scan actually under-splits: on a real deployment the
+    * same table arrives in hundreds of >=128 MB splits and this is a
+    * no-op — the shuffle is never paid where the scan already feeds
+    * every core. Deterministic under retry: round-robin repartition
+    * sorts its input first (spark.sql.execution.sortBeforeRepartition,
+    * on by default — SPARK-23207), so task retries reproduce the same
+    * row placement. Results are row-set-identical; every consumer in
+    * this repo either aggregates or ends in a total ORDER BY, so
+    * partitioning is invisible to the oracle. */
+  def fanOutRead(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -78,7 +78,11 @@ object ModelCatalog {
     // stg_order_items.sql:1-60 — typed line items with the three discount
     // sources and application types (gated end-to-end by q52).
     p.register("stg_order_items") { _ =>
-      val li = Tables.lineitem(spark, dir)
+      // Widest per-row money path in the catalog (feeds fct_order_items →
+      // fct_orders → the agg models); fan the under-split sf-file scan out
+      // so the decimal chain uses every core (Skew.fanOutRead — no-op on a
+      // well-split deployment).
+      val li = graft.operators.Skew.fanOutRead(Tables.lineitem(spark, dir))
       li.select(
         (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("order_item_id"),
         col("l_orderkey").as("order_id"), col("l_partkey").as("product_id"),

@@ -48,7 +48,12 @@ object FactQueries {
         val z    = lit(0).cast(D)
         val c100 = lit(100).cast(D)
 
-        val li = Tables.lineitem(s, dir)
+        // The money chain below is per-row decimal work over every line
+        // item; the single sf-file scan under-splits (3 tasks at
+        // local[32]), serializing it — and the final total-order sort's
+        // range-sampling pass executes the child twice. Fan the scan out
+        // to every core first (no-op on a well-split deployment).
+        val li = graft.operators.Skew.fanOutRead(Tables.lineitem(s, dir))
         val o  = Tables.orders(s, dir)
 
         // ---- items (:14-43): raw inputs + application types ----
@@ -219,7 +224,9 @@ object FactQueries {
     QueryDef(
       "q47_fct_orders",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
+        // q47 rides the same line-level decimal math as q52 — fan the
+        // under-split lineitem scan out to every core (no-op at scale)
+        val li = graft.operators.Skew.fanOutRead(Tables.lineitem(s, dir))
         val o  = Tables.orders(s, dir)
         val c  = Tables.customer(s, dir)
 

@@ -47,6 +47,10 @@ object MatQueries {
     QueryDef(
       "q19_money_math",
       (s, dir) => {
+        // NOTE: deliberately NOT fanned out (Skew.fanOutRead): q19's ORDER
+        // BY (l_orderkey, l_linenumber) is not a total order over the
+        // synthetic dup rows, and the oracle's within-tie order matches
+        // Spark's only under the original scan partitioning.
         val li = Tables.lineitem(s, dir)
         val gross    = dec6(col("l_extendedprice"))
         val discFrac = clamp(dec6(col("l_discount")), lit(0).cast(DecimalType(18, 6)), one)

@@ -176,7 +176,10 @@ object ParityQueries {
     QueryDef(
       "q33_json_struct_invoices",
       (s, dir) => {
-        val o  = Tables.orders(s, dir)
+        // per-row JSON build + from_json parse over every order: the 3 MB
+        // sf-file scan packs into ONE split, serializing the parse — fan
+        // out first (Skew.fanOutRead, no-op on a well-split deployment)
+        val o  = graft.operators.Skew.fanOutRead(Tables.orders(s, dir))
         val j  = from_json(invoiceJsonSpark, invoiceSchema)
         // explode(array(j)) is an optimizer BARRIER: predicate pushdown
         // cannot move a filter below a Generate whose output it references,
@@ -202,7 +205,9 @@ object ParityQueries {
     QueryDef(
       "q80_variant_invoices",
       (s, dir) => {
-        val o = Tables.orders(s, dir)
+        // same under-split scan as q33; parse_json + variant_get is the
+        // per-row hot path — fan out to every core first
+        val o = graft.operators.Skew.fanOutRead(Tables.orders(s, dir))
         val v = parse_json(invoiceJsonSpark)
         // ONE struct-typed variant_get extracts all nine fields in a
         // single binary traversal (vs nine per-field gets — and vs the
@@ -269,7 +274,8 @@ object ParityQueries {
     QueryDef(
       "q53_json_shipments",
       (s, dir) => {
-        val o = Tables.orders(s, dir)
+        // same under-split scan + from_json hot path as q33 — fan out
+        val o = graft.operators.Skew.fanOutRead(Tables.orders(s, dir))
         val j = from_json(shipmentJsonSpark, shipmentSchema)
         // same Generate barrier as q33: keeps exactly ONE from_json even
         // with the window + final sort referencing parsed fields
