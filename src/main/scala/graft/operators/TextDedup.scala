@@ -49,10 +49,35 @@ object TextDedup {
     val t = docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("_pos", "_w")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
     val parts = (1 until k).map(o => lead(col("_w"), o).over(w))
-    t.select(col(idCol), concat_ws(" ", col("_w") +: parts: _*).as("_sh"),
+    keyFanOut(t, idCol).select(col(idCol),
+        concat_ws(" ", col("_w") +: parts: _*).as("_sh"),
         parts.last.isNotNull.as("_full"))
       .where(col("_full"))
       .select(col(idCol), col("_sh"))
+  }
+
+  /** Pin the per-doc window exchange at the session's full parallelism.
+    *
+    * The token stream is small in BYTES but every downstream row pays a
+    * digest (native md5) plus permutation arithmetic, so AQE's byte-based
+    * coalescing (parallelism-first floor = minPartitionSize, 1 MB) packs
+    * the whole sketch pipeline onto ~3 tasks at local[32] — measured 2 s
+    * of single-digit-parallel CPU per consumer query. An explicit
+    * repartition(n, key) is exempt from AQE coalescing; n =
+    * max(defaultParallelism, spark.sql.shuffle.partitions) keeps the
+    * exchange count identical (the window and every groupBy(idCol)
+    * downstream reuse this hash partitioning) and is scale-adaptive: a
+    * cluster's configured shuffle width wins when it is higher than the
+    * core count, so a 100 TB token stream still spreads over the full
+    * configured width, never fewer. */
+  private def keyFanOut(df: DataFrame, idCol: String): DataFrame = {
+    val sess = df.sparkSession
+    val shuffleParts =
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(sess.sparkContext.defaultParallelism)
+    df.repartition(
+      math.max(sess.sparkContext.defaultParallelism, shuffleParts),
+      col(idCol))
   }
 
   /** Per-position k-gram hashes WITHOUT materializing k-gram strings —
@@ -76,7 +101,12 @@ object TextDedup {
     * of consecutive duplicated windows. Output: (idCol, pos, h62). */
   def ngramHash62Pos(docs: DataFrame, idCol: String, tokCol: String,
       k: Int): DataFrame = {
-    val t = docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("_pos", "_w")))
+    // repartition BEFORE the per-token digest so it runs at full width
+    // (same keyFanOut rationale as shingleRows; the window reuses the
+    // hash(idCol) partitioning, so the exchange count is unchanged)
+    val t = keyFanOut(
+        docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("_pos", "_w"))),
+        idCol)
       .select(col(idCol), col("_pos"),
         Kernels.md5BitsMod31(Kernels.md5Bits(col("_w"))).as("_h"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
@@ -104,7 +134,9 @@ object TextDedup {
   def ngramHash62SkipCenter(docs: DataFrame, idCol: String, tokCol: String,
       k: Int): DataFrame = {
     require(k >= 3 && k % 2 == 1, s"skip-center needs odd k >= 3, got $k")
-    val t = docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("_pos", "_w")))
+    val t = keyFanOut(
+        docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("_pos", "_w"))),
+        idCol)
       .select(col(idCol), col("_pos"),
         Kernels.md5BitsMod31(Kernels.md5Bits(col("_w"))).as("_h"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))

@@ -100,7 +100,9 @@ object ScaleQueries {
     QueryDef(
       "q46_approx_sketches",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
+        // both aggregate legs are CPU-heavy per row (HLL updates, the
+        // percentile partial collect) over an under-split scan — fan out
+        val li = graft.operators.Skew.fanOutRead(Tables.lineitem(s, dir))
         // distinct-count and percentile aggregates are SPLIT: mixing a
         // DISTINCT aggregate with sort-based percentile aggregates in one
         // agg() triggers an Expand-based plan that ran ~25× slower; two
