@@ -107,7 +107,16 @@ object Graphs {
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
     (1 to rounds).foreach { _ =>
-      val counts = e.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+      // ONE pinned hash(dst) exchange per round serves BOTH aggregates
+      // below (HashPartitioning(dst) satisfies the (dst,lbl) clustering —
+      // subset rule — and the (node) argmax reuses it), where the
+      // un-pinned form planned two exchanges that AQE's byte-based
+      // coalescing then packed onto ~3 tasks (the per-row struct/argmax
+      // work is CPU-dense, not byte-dense). Exchange count per round:
+      // 2 → 1, at full width (Skew.fanOutByKey).
+      val counts = Skew.fanOutByKey(
+          e.join(labels.withColumnRenamed("node", "src"), Seq("src")),
+          col("dst"))
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
       // argmax by (cnt desc, lbl asc) as a partial-aggregable max of
@@ -147,10 +156,14 @@ object Graphs {
     val commDeg = labels.join(degV, Seq("node"))
       .groupBy(col("lbl")).agg(sum(col("deg")).as("cdeg"))
     val m2 = e.agg(count(lit(1)).as("m2"))
-    // k_{v,C}: edges of v into each neighbor community C.
-    val kvc = e
-      .join(labels.select(col("node").as("dst"), col("lbl").as("cand")),
-        Seq("dst"))
+    // k_{v,C}: edges of v into each neighbor community C. Same pinned-
+    // width stance as labelPropagation's round aggregate: hash(src) at
+    // full width serves the (src, cand) clustering (subset rule) and
+    // keeps the CPU-dense count off AQE's byte-coalesced ~3 tasks.
+    val kvc = Skew.fanOutByKey(e
+        .join(labels.select(col("node").as("dst"), col("lbl").as("cand")),
+          Seq("dst")),
+        col("src"))
       .groupBy(col("src").as("node"), col("cand"))
       .agg(count(lit(1)).as("k"))
     // The community frame is |distinct labels|-sized. On a CONVERGED

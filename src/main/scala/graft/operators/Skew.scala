@@ -98,4 +98,29 @@ object Skew {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Hash-partition by `key` at the session's FULL width, pinned against
+    * AQE coalescing.
+    *
+    * For exchanges that are small in BYTES but expensive per ROW (a
+    * digest, permutation arithmetic, decimal chains), AQE's parallelism-
+    * first coalescing (floor = minPartitionSize, 1 MB) packs the
+    * downstream stage onto a handful of tasks — byte-optimal, CPU-wrong.
+    * An explicit repartition(n, key) is exempt from coalescing; n =
+    * max(defaultParallelism, spark.sql.shuffle.partitions) is
+    * scale-adaptive (a cluster's configured shuffle width wins when
+    * higher than the core count). Because HashPartitioning(key) satisfies
+    * every aggregate/window clustered on (key, …) — the
+    * ClusteredDistribution subset rule — consumers keyed on `key` reuse
+    * this exchange instead of adding their own: pinning often REMOVES an
+    * exchange while fixing the width. (Joins do NOT inherit it — they
+    * require all cluster keys — so pin only ahead of aggregates/windows.) */
+  def fanOutByKey(df: DataFrame, key: Column): DataFrame = {
+    val sess = df.sparkSession
+    val shuffleParts =
+      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toInt)
+        .getOrElse(sess.sparkContext.defaultParallelism)
+    df.repartition(
+      math.max(sess.sparkContext.defaultParallelism, shuffleParts), key)
+  }
 }

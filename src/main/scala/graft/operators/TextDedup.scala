@@ -70,15 +70,8 @@ object TextDedup {
     * cluster's configured shuffle width wins when it is higher than the
     * core count, so a 100 TB token stream still spreads over the full
     * configured width, never fewer. */
-  private def keyFanOut(df: DataFrame, idCol: String): DataFrame = {
-    val sess = df.sparkSession
-    val shuffleParts =
-      scala.util.Try(sess.conf.get("spark.sql.shuffle.partitions").toInt)
-        .getOrElse(sess.sparkContext.defaultParallelism)
-    df.repartition(
-      math.max(sess.sparkContext.defaultParallelism, shuffleParts),
-      col(idCol))
-  }
+  private def keyFanOut(df: DataFrame, idCol: String): DataFrame =
+    Skew.fanOutByKey(df, col(idCol))
 
   /** Per-position k-gram hashes WITHOUT materializing k-gram strings —
     * the scale path for large k (decontamination runs k=13): each token
