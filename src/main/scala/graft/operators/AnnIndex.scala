@@ -129,7 +129,14 @@ object AnnIndex {
     * the build knobs stamped into the manifest. */
   def buildSrp(vecs: DataFrame, idCol: String, vecCol: String,
       planes: Int, dim: Int, path: String): Unit = {
-    srpIndexFrame(vecs, idCol, vecCol, planes, dim)
+    // fanOutRead: the planes×dim dot products are per-row CPU; an
+    // under-split corpus scan serialized the whole build on one task
+    // (measured 4.2 s single-task at local[32]). The hash(bucket)
+    // repartition then lands each bucket in exactly one write task —
+    // same one-file-per-bucket layout as the single-task write, computed
+    // at full width.
+    srpIndexFrame(Skew.fanOutRead(vecs), idCol, vecCol, planes, dim)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeManifest(vecs.sparkSession, path, Map(
       "kind" -> "srp", "planes" -> planes.toString, "dim" -> dim.toString))
@@ -292,7 +299,9 @@ object AnnIndex {
     * columns (cid, cvec). */
   private def assign(df: DataFrame, cent: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val scored = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // fanOutRead: numCells dot products per row against the broadcast
+    // centroids — same under-split-scan serialization as buildSrp
+    val scored = Skew.fanOutRead(df.select(col(idCol).as("id"), col(vecCol).as("v")))
       .crossJoin(broadcast(cent))
       .select(col("id"), col("v"), col("cid"),
         Similarity.dot(col("v"), col("cvec")).as("d"))
@@ -319,6 +328,7 @@ object AnnIndex {
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     val centBack = candidates.sparkSession.read.parquet(s"$path/centroids")
     assign(candidates, centBack, idCol, vecCol)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     writeManifest(candidates.sparkSession, path, Map(
       "kind" -> "ivf", "cells" -> numCells.toString,
@@ -426,6 +436,7 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$path/centroids")
     val centBack = candidates.sparkSession.read.parquet(s"$path/centroids")
     assign(candidates, centBack, idCol, vecCol)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     writeManifest(candidates.sparkSession, path, Map(
       "kind" -> "ivf", "cells" -> numCells.toString,

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.operators.AnnIndex
+import graft.plans.CheckpointPolicy.DataFrameCutOps
 import graft.sources.Tables
 
 /** Materialized ANN index gates — the build-once / probe-many seam
@@ -933,9 +934,13 @@ object AnnIndexQueries {
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         val q = emb.where(col("vec_id") < 20)
+        // the exact top-10 feeds all FOUR sweep legs below — materialize
+        // it once (pin-neutral cut) instead of re-running the brute-force
+        // corpus pass per leg
         val exact = graft.operators.Similarity
           .bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
           .select(col("q_id"), col("n_id"))
+          .cutLineage()
         def leg(planes: Int, knob: String, hamming1: Boolean) = {
           val index = AnnIndex.readIndex(s, ensureSrpPlanes(s, dir, planes))
           val cand = AnnIndex.srpCandidates(index,
