@@ -222,8 +222,11 @@ object LmQueries {
         val en = d.where(col("lang") === "en")
         val train = en.where(col("source").isin(TrainSrc: _*))
         val held = en.where(!col("source").isin(TrainSrc: _*))
-        val tb = bigramRows(train)
-          .withColumn("w2", expr("substring(bg, length(w1) + 2)"))
+        // fan out before the cut: the bigram frame otherwise checkpoints
+        // at the scan's single split, serializing all four count
+        // aggregates below on one task (Skew.fanOutRead, no-op at scale)
+        val tb = graft.operators.Skew.fanOutRead(bigramRows(train)
+          .withColumn("w2", expr("substring(bg, length(w1) + 2)")))
           .cutLineage()
         val bigramC = tb.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
         val contextC = tb.groupBy(col("w1")).agg(count(lit(1)).as("cc"),

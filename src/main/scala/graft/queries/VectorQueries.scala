@@ -489,9 +489,11 @@ object VectorQueries {
       "q204_embedding_covariance",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val q = e.select(col("vec_id"),
+        // same fan-out rationale as q348: 2080 pair products per row on
+        // an under-split scan
+        val q = graft.operators.Skew.fanOutRead(e.select(col("vec_id"),
           transform(col("embedding"),
-            x => (x.cast("double").cast("decimal(18,6)") * 1000000).cast("long")).as("v"))
+            x => (x.cast("double").cast("decimal(18,6)") * 1000000).cast("long")).as("v")))
         val d = 64
         val pairRows = q.select(explode(flatten(
             transform(sequence(lit(1), lit(d)), i =>
@@ -1432,9 +1434,12 @@ object VectorQueries {
       "q348_power_iteration",
       (s, dir) => {
         import org.apache.spark.sql.DataFrame
-        val q = Tables.embeddings(s, dir).select(col("vec_id"),
-          transform(col("embedding"),
-            x => (x.cast("double").cast("decimal(18,6)") * 1000000).cast("long")).as("v"))
+        // the 2080-pair explode below is heavy per row and the corpus
+        // scan under-splits — fan out so both moment passes parallelize
+        val q = graft.operators.Skew.fanOutRead(
+          Tables.embeddings(s, dir).select(col("vec_id"),
+            transform(col("embedding"),
+              x => (x.cast("double").cast("decimal(18,6)") * 1000000).cast("long")).as("v")))
         val d = 64
         val pairRows = q.select(explode(flatten(
             transform(sequence(lit(1), lit(d)), i =>
