@@ -63,15 +63,23 @@ object LmQueries {
         val train = en.where(col("source").isin(TrainSrc: _*))
         val held  = en.where(!col("source").isin(TrainSrc: _*))
 
-        val tb = bigramRows(train)
-        val bigramC  = tb.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
-        val contextC = tb.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
+        // One aggregation pass over the exploded bigram stream: group by
+        // (w1, bg) — bg determines w1, so this is the per-bg count with
+        // w1 carried through — then roll c(w1·) up from the bigram-TYPE
+        // table (vocab-sized, ≪ corpus) instead of re-scanning the
+        // corpus. fanOutRead keeps the single pass at full width (no-op
+        // at scale); the type table is materialized once for its two
+        // consumers (context rollup + held-side join).
+        val bigramC = graft.operators.Skew.fanOutRead(bigramRows(train))
+          .groupBy(col("w1"), col("bg")).agg(count(lit(1)).as("bc"))
+          .cutLineage()
+        val contextC = bigramC.groupBy(col("w1")).agg(sum(col("bc")).as("cc"))
         val vocab = train
           .select(explode(tokens(col("text"))).as("tok"))
           .agg(count_distinct(col("tok")).as("v"))
 
         bigramRows(held)
-          .join(bigramC, Seq("bg"), "left")
+          .join(bigramC.select(col("bg"), col("bc")), Seq("bg"), "left")
           .join(contextC, Seq("w1"), "left")
           .crossJoin(broadcast(vocab))
           .select(col("doc_id"),
@@ -212,9 +220,10 @@ object LmQueries {
     // continuation probability. Per held-out doc: bigram count, unseen
     // bigram/context counts, and the summed ppm mass — the
     // perplexity-filter signal without a transcendental (the q172/q202
-    // stance). Scale: four vocab-sized count tables (the two fertility
-    // tables are DISTINCT-aggregated once), all joined on token keys
-    // with map-side partials; the corpus side streams linearly.
+    // stance). Scale: ONE aggregation pass builds the (w1,w2) bigram-type
+    // table; the context, continuation, and total-fertility tables are
+    // rollups of IT (vocab-sized, not corpus-sized), all joined on token
+    // keys with map-side partials; the corpus side streams linearly.
     QueryDef(
       "q345_kneser_ney",
       (s, dir) => {
@@ -222,22 +231,30 @@ object LmQueries {
         val en = d.where(col("lang") === "en")
         val train = en.where(col("source").isin(TrainSrc: _*))
         val held = en.where(!col("source").isin(TrainSrc: _*))
-        // fan out before the cut: the bigram frame otherwise checkpoints
-        // at the scan's single split, serializing all four count
-        // aggregates below on one task (Skew.fanOutRead, no-op at scale)
-        val tb = graft.operators.Skew.fanOutRead(bigramRows(train)
-          .withColumn("w2", expr("substring(bg, length(w1) + 2)")))
+        // ONE aggregation pass over the bigram stream: grouping by
+        // (w1, w2) — a bijection with bg, since tokens cannot contain
+        // the space separator — yields the bigram counts directly, and
+        // the other three model tables are pure rollups of that
+        // (much smaller) bigram-TYPE table: c(w1·) = Σ_w2 bc,
+        // N₁₊(w1·) = rows per w1, N₁₊(·w2) = rows per w2,
+        // N₁₊(··) = total rows. The exploded corpus stream is scanned
+        // once instead of four times (one full aggregate + a distinct);
+        // fanOutRead keeps that single pass at full width (no-op at
+        // scale), and the type table is the frame worth materializing —
+        // it feeds three rollups plus the held-side join.
+        val bigramC = graft.operators.Skew.fanOutRead(bigramRows(train)
+            .withColumn("w2", expr("substring(bg, length(w1) + 2)")))
+          .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
           .cutLineage()
-        val bigramC = tb.groupBy(col("bg")).agg(count(lit(1)).as("bc"))
-        val contextC = tb.groupBy(col("w1")).agg(count(lit(1)).as("cc"),
-          countDistinct(col("w2")).as("n1w"))
-        val contC = tb.groupBy(col("w2"))
-          .agg(countDistinct(col("w1")).as("ncw"))
-        val nbb = tb.select(col("bg")).distinct()
-          .agg(count(lit(1)).as("nbb"))
+        val contextC = bigramC.groupBy(col("w1"))
+          .agg(sum(col("bc")).as("cc"), count(lit(1)).as("n1w"))
+        val contC = bigramC.groupBy(col("w2"))
+          .agg(count(lit(1)).as("ncw"))
+        val nbb = bigramC.agg(count(lit(1)).as("nbb"))
         bigramRows(held)
           .withColumn("w2", expr("substring(bg, length(w1) + 2)"))
-          .join(bigramC, Seq("bg"), "left")
+          .join(bigramC.select(col("w1"), col("w2"), col("bc")),
+            Seq("w1", "w2"), "left")
           .join(contextC, Seq("w1"), "left")
           .join(contC, Seq("w2"), "left")
           .crossJoin(broadcast(nbb))
