@@ -412,7 +412,10 @@ object StatsQueries {
       "q171_cms_heavy_hitters",
       (s, dir) => {
         import graft.functions.Kernels.{md5Bits, md5BitsModK}
-        val li = Tables.lineitem(s, dir).select(col("l_partkey"))
+        // 4 md5s per input row: fan the pruned scan out so the sketch
+        // build uses every core (no-op on a well-split table).
+        val li = graft.operators.Skew.fanOutRead(
+          Tables.lineitem(s, dir).select(col("l_partkey")))
         def bucket(row: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column) =
           md5BitsModK(md5Bits(concat(lit("cms"), row, lit(":"), key)), 1024L)
         val sketch = li
@@ -1541,7 +1544,10 @@ object StatsQueries {
       "q312_cross_validation",
       (s, dir) => {
         import graft.functions.Kernels.md5Lower64Lo32
-        val base = Tables.lineitem(s, dir)
+        // same under-split-scan fan-out as nbStage (one md5 per row)
+        val base = graft.operators.Skew.fanOutRead(Tables.lineitem(s, dir)
+            .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+              col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
           .select(col("l_returnflag").as("flag"),
             expr("CAST(l_quantity AS BIGINT) div 10").as("qb"),
             (col("l_discount")
@@ -2263,7 +2269,11 @@ object StatsQueries {
       "q354_ams_f2",
       (s, dir) => {
         import graft.functions.Kernels.{md5Bits, md5BitsModK}
-        val v = Tables.lineitem(s, dir).select(col("l_partkey").as("v"))
+        // 16 md5s per input row on a ~3-split scan serializes the sketch
+        // build on 3 of 32 cores — fan the pruned scan out first
+        // (Skew.fanOutRead, no-op on a well-split production table).
+        val v = graft.operators.Skew.fanOutRead(
+          Tables.lineitem(s, dir).select(col("l_partkey").as("v")))
         val est = v.select(col("v"),
             explode(expr("sequence(0, 15)")).as("i"))
           .select(col("i").cast("long").as("i"),
@@ -2843,7 +2853,11 @@ object StatsQueries {
   private def nbStage(s: org.apache.spark.sql.SparkSession,
       dir: String): NbStage = {
     import graft.functions.Kernels.md5Lower64Lo32
-    val base = Tables.lineitem(s, dir)
+    // one md5 per row on a ~3-split scan: fan the pruned scan out so
+    // the split-hash projection runs at full width (no-op at scale)
+    val base = graft.operators.Skew.fanOutRead(Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_discount"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey")))
       .select(col("l_returnflag").as("flag"),
         expr("CAST(l_quantity AS BIGINT) div 10").as("qb"),
         (col("l_discount")
