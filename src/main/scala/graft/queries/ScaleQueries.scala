@@ -102,7 +102,9 @@ object ScaleQueries {
       (s, dir) => {
         // both aggregate legs are CPU-heavy per row (HLL updates, the
         // percentile partial collect) over an under-split scan — fan out
-        val li = graft.operators.Skew.fanOutRead(Tables.lineitem(s, dir))
+        val li = graft.operators.Skew.fanOutRead(Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_orderkey"),
+            col("l_extendedprice")))
         // distinct-count and percentile aggregates are SPLIT: mixing a
         // DISTINCT aggregate with sort-based percentile aggregates in one
         // agg() triggers an Expand-based plan that ran ~25× slower; two
@@ -110,9 +112,42 @@ object ScaleQueries {
         val counts = li.groupBy(col("l_returnflag")).agg(
           countDistinct(col("l_orderkey")).as("exact_orders"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
-        val pcts = li.groupBy(col("l_returnflag")).agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
-          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("exact_p50"))
+        // The EXACT median leg is rank SELECTION, not a holistic
+        // aggregate: percentile_cont(0.5) per group sorted each group's
+        // full value set on one reducer (3 reducers total at any scale —
+        // the anti-pattern q265 exists to avoid). Identical values via
+        // GlobalRank's two-level bucket lattice over the concatenated
+        // (flag, price) total order: the two middle ranks of each group
+        // ((n+1) div 2 and (n+2) div 2 — equal when n is odd, adjacent
+        // when even) are selected by global rank and averaged in DOUBLE.
+        // Cents-scale prices are exact in double, so (a + b) / 2 is
+        // bit-identical to the engines' lower + (upper-lower)*0.5
+        // interpolation; the frame feeds the approx leg, the group
+        // counts, and both lattice passes — materialize once.
+        val priced = li
+          .select(col("l_returnflag"), col("l_extendedprice").as("price"))
+          .cutLineage()
+        val apx = priced.groupBy(col("l_returnflag")).agg(
+          expr("approx_percentile(price, 0.5, 10000)").as("approx_p50"))
+        val wF = Window.orderBy(col("l_returnflag"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val targets = priced.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_g"))
+          .withColumn("off", coalesce(sum(col("n_g")).over(wF), lit(0L)))
+          .select(explode(array(
+            col("off") + expr("(n_g + 1) div 2"),
+            col("off") + expr("(n_g + 2) div 2"))).as("tr"))
+        val ranked = graft.operators.GlobalRank.withGlobalRank(
+          priced, "rn",
+          struct(col("l_returnflag"), expr(
+            "CAST(CAST(price AS DECIMAL(18,6)) * 100 AS BIGINT) div 65536")),
+          col("l_returnflag"), col("price"))
+        // n odd duplicates the single middle rank in targets, so every
+        // group matches exactly two rows; sum/2 is the interpolation.
+        val exact = ranked.join(broadcast(targets), col("rn") === col("tr"))
+          .groupBy(col("l_returnflag"))
+          .agg((sum(col("price").cast("double")) / lit(2.0)).as("exact_p50"))
+        val pcts = apx.join(exact, "l_returnflag")
         counts.join(pcts, "l_returnflag")
           .select(col("l_returnflag"), col("exact_orders"),
             (abs(col("approx_orders") - col("exact_orders")).cast("double") /
