@@ -135,8 +135,14 @@ object AnnIndex {
     // repartition then lands each bucket in exactly one write task —
     // same one-file-per-bucket layout as the single-task write, computed
     // at full width.
-    srpIndexFrame(Skew.fanOutRead(vecs), idCol, vecCol, planes, dim)
-      .repartition(col("bucket"))
+    // pinned-width repartition (fanOutByKey): a bare repartition(col) is
+    // AQE-coalescible, and a small index frame coalesced to ONE task made
+    // that task open/write every bucket directory serially (measured ~3 s
+    // single-task at sf0.1 for a 222-dir sweep layout). Hash(bucket) at
+    // explicit width keeps one file per bucket, written in parallel.
+    Skew.fanOutByKey(
+        srpIndexFrame(Skew.fanOutRead(vecs), idCol, vecCol, planes, dim),
+        col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     writeManifest(vecs.sparkSession, path, Map(
       "kind" -> "srp", "planes" -> planes.toString, "dim" -> dim.toString))
@@ -327,8 +333,8 @@ object AnnIndex {
       .orderBy(col("cid")).limit(numCells)
     cent.write.mode("overwrite").parquet(s"$path/centroids")
     val centBack = candidates.sparkSession.read.parquet(s"$path/centroids")
-    assign(candidates, centBack, idCol, vecCol)
-      .repartition(col("cell"))
+    // pinned width for the same serial-write reason as buildSrp
+    Skew.fanOutByKey(assign(candidates, centBack, idCol, vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     writeManifest(candidates.sparkSession, path, Map(
       "kind" -> "ivf", "cells" -> numCells.toString,
@@ -435,8 +441,8 @@ object AnnIndex {
     trainCentroidsKMeans(candidates, idCol, vecCol, numCells, rounds)
       .write.mode("overwrite").parquet(s"$path/centroids")
     val centBack = candidates.sparkSession.read.parquet(s"$path/centroids")
-    assign(candidates, centBack, idCol, vecCol)
-      .repartition(col("cell"))
+    // pinned width for the same serial-write reason as buildSrp
+    Skew.fanOutByKey(assign(candidates, centBack, idCol, vecCol), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     writeManifest(candidates.sparkSession, path, Map(
       "kind" -> "ivf", "cells" -> numCells.toString,

@@ -38,10 +38,15 @@ object CorpusAuditQueries {
       "q269_dup_span_coverage",
       (s, dir) => {
         val d = Tables.documents(s, dir)
+        // sh feeds THREE consumers (the dup-hash df filter, the per-doc
+        // totals, and the dup-position join) — materialize the window
+        // pipeline once (pin-neutral cutLineage) instead of re-running
+        // the posexplode + 13-lead window per consumer.
         val sh = TextDedup.ngramHash62Pos(
             d.select(col("doc_id"), tokens(col("text")).as("ws")),
             "doc_id", "ws", 13)
           .select(col("doc_id"), col("pos"), col("h62").as("h"))
+          .cutLineage()
         val dupH = sh.select(col("h"), col("doc_id")).distinct()
           .groupBy(col("h")).agg(count(lit(1)).as("df"))
           .where(col("df") >= 2).select(col("h"))
@@ -444,7 +449,10 @@ object CorpusAuditQueries {
             "doc_id", "ws", 13)
           .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
           .select(col("source"), col("doc_id"), col("h62").as("h"))
+        // perSrc feeds the same-source dup count AND both sides of the
+        // cross-source type join — materialize once (the q269 stance)
         val perSrc = sh.select(col("source"), col("doc_id"), col("h")).distinct()
+          .cutLineage()
         // same-source dup types: h present in >= 2 docs of that source
         val diag = perSrc.groupBy(col("source"), col("h"))
           .agg(count(lit(1)).as("nd"))

@@ -41,7 +41,19 @@ object ReconQueries {
         val net = (dec6(col("l_extendedprice")) *
           (lit(BigDecimal(1)).cast(DecimalType(18, 6)) - dec6(col("l_discount"))))
           .cast(DecimalType(18, 6))
-        val li = Tables.lineitem(s, dir)
+        // ONE pinned hash(k) exchange ahead of the per-row md5 + decimal
+        // projection: the raw aggregate, the dedup window (clustered on
+        // (k, linenumber) — subset rule), the per-k rollups, and the
+        // full-outer join ALL reuse it, and the digest/decimal math runs
+        // post-exchange at full width instead of twice on the ~3-split
+        // scan (measured: two serial 3-task stages, 2.0 + 1.4 s CPU,
+        // carrying the whole projection).
+        val li = graft.operators.Skew.fanOutByKey(
+            Tables.lineitem(s, dir)
+              .select(col("l_orderkey"), col("l_linenumber"),
+                col("l_shipdate"), col("l_quantity"),
+                col("l_extendedprice"), col("l_discount")),
+            col("l_orderkey"))
           .select(col("l_orderkey").as("k"), col("l_linenumber"),
             col("l_shipdate"), col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), net.as("net"))

@@ -101,52 +101,90 @@ object ScaleQueries {
       "q46_approx_sketches",
       (s, dir) => {
         // both aggregate legs are CPU-heavy per row (HLL updates, the
-        // percentile partial collect) over an under-split scan — fan out
+        // percentile partial collect) over an under-split scan — fan out;
+        // ONE scan + one pin-neutral materialization feeds every leg
         val li = graft.operators.Skew.fanOutRead(Tables.lineitem(s, dir)
           .select(col("l_returnflag"), col("l_orderkey"),
             col("l_extendedprice")))
-        // distinct-count and percentile aggregates are SPLIT: mixing a
-        // DISTINCT aggregate with sort-based percentile aggregates in one
-        // agg() triggers an Expand-based plan that ran ~25× slower; two
-        // hash aggregates + a 3-row join is the cheap shape
-        val counts = li.groupBy(col("l_returnflag")).agg(
-          countDistinct(col("l_orderkey")).as("exact_orders"),
+          .cutLineage()
+        // every aggregate leg runs SEPARATELY, joined on the 3-row key:
+        //  - mixing a DISTINCT aggregate with sort-based percentile
+        //    aggregates in one agg() triggers an Expand-based plan that
+        //    ran ~25× slower;
+        //  - mixing countDistinct with approx_count_distinct makes Spark
+        //    group by (flag, l_orderkey) FIRST and carry a partial HLL
+        //    buffer per PAIR — ~n_distinct 4 KB sketches shuffled and
+        //    merged per flag (measured 25 s CPU at sf0.1). Split, the
+        //    distinct leg is a plain two-phase codegen'd count and the
+        //    HLL leg keeps one sketch per (flag, partition).
+        val exactOrders = li.groupBy(col("l_returnflag")).agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+        val apxOrders = li.groupBy(col("l_returnflag")).agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        val counts = exactOrders.join(apxOrders, "l_returnflag")
         // The EXACT median leg is rank SELECTION, not a holistic
         // aggregate: percentile_cont(0.5) per group sorted each group's
         // full value set on one reducer (3 reducers total at any scale —
-        // the anti-pattern q265 exists to avoid). Identical values via
-        // GlobalRank's two-level bucket lattice over the concatenated
-        // (flag, price) total order: the two middle ranks of each group
-        // ((n+1) div 2 and (n+2) div 2 — equal when n is odd, adjacent
-        // when even) are selected by global rank and averaged in DOUBLE.
-        // Cents-scale prices are exact in double, so (a + b) / 2 is
-        // bit-identical to the engines' lower + (upper-lower)*0.5
-        // interpolation; the frame feeds the approx leg, the group
-        // counts, and both lattice passes — materialize once.
+        // the anti-pattern q265 exists to avoid). The two middle ranks
+        // of each group ((n+1) div 2 and (n+2) div 2 over the
+        // concatenated (flag, price) total order — equal when n is odd,
+        // adjacent when even) are selected with the two-level bucket
+        // lattice, PRUNED to the hit buckets: per-bucket counts locate
+        // which bucket holds each target rank (a tiny targets×buckets
+        // range join — both sides are bounded: 2 ranks per group, and
+        // the bucket table is |price range| / 655.36 per flag), and only
+        // rows in those few buckets are windowed. The full-rank form
+        // sorted the whole table inside the bucket windows to assign
+        // ranks that were immediately discarded; selection cost is now
+        // O(hit-bucket rows), a fixed fraction, at any scale. The frame
+        // feeds the approx leg, the group counts, the bucket counts, and
+        // the hit-bucket rank pass — all read li's one materialization.
+        // Bucket arithmetic is DECIMAL(28,6): (18,6) overflows (silently
+        // → NULL buckets, misordering the lattice) for |price| >= 1e12,
+        // which (28,6) defers past any aggregate-able money domain.
         val priced = li
           .select(col("l_returnflag"), col("l_extendedprice").as("price"))
-          .cutLineage()
         val apx = priced.groupBy(col("l_returnflag")).agg(
           expr("approx_percentile(price, 0.5, 10000)").as("approx_p50"))
         val wF = Window.orderBy(col("l_returnflag"))
           .rowsBetween(Window.unboundedPreceding, -1)
+        // targets is 2 rows per flag group and feeds BOTH the hit-bucket
+        // range join and the final rank-match join — cut it so the group
+        // counts and their (bounded, 3-row) offset window compute once
         val targets = priced.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n_g"))
           .withColumn("off", coalesce(sum(col("n_g")).over(wF), lit(0L)))
           .select(explode(array(
             col("off") + expr("(n_g + 1) div 2"),
             col("off") + expr("(n_g + 2) div 2"))).as("tr"))
-        val ranked = graft.operators.GlobalRank.withGlobalRank(
-          priced, "rn",
+          .cutLineage()
+        val bucketed = priced.withColumn("__bkt",
           struct(col("l_returnflag"), expr(
-            "CAST(CAST(price AS DECIMAL(18,6)) * 100 AS BIGINT) div 65536")),
-          col("l_returnflag"), col("price"))
+            "CAST(CAST(price AS DECIMAL(28,6)) * 100 AS BIGINT) div 65536")))
+        val wB = Window.orderBy(col("__bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val boff = bucketed.groupBy(col("__bkt"))
+          .agg(count(lit(1)).as("__cnt"))
+          .withColumn("__off", coalesce(sum(col("__cnt")).over(wB), lit(0L)))
+        // hit buckets: the (tiny) bucket intervals covering a target rank
+        val hit = broadcast(targets)
+          .join(boff, col("tr") > col("__off") &&
+            col("tr") <= col("__off") + col("__cnt"))
+          .select(col("__bkt"), col("__off")).distinct()
+        val wIn = Window.partitionBy(col("__bkt"))
+          .orderBy(col("l_returnflag"), col("price"))
+        val picked = bucketed.join(broadcast(hit), "__bkt")
+          .withColumn("rn", col("__off") + row_number().over(wIn))
+          .join(broadcast(targets), col("rn") === col("tr"))
         // n odd duplicates the single middle rank in targets, so every
-        // group matches exactly two rows; sum/2 is the interpolation.
-        val exact = ranked.join(broadcast(targets), col("rn") === col("tr"))
-          .groupBy(col("l_returnflag"))
-          .agg((sum(col("price").cast("double")) / lit(2.0)).as("exact_p50"))
+        // group matches exactly two rows. Interpolate exactly as the
+        // engines do — lower + (upper − lower) · ½ in double — never a
+        // reassociated (a+b)/2, whose equivalence would need a Sterbenz
+        // two-middle-values-within-2x precondition.
+        val exact = picked.groupBy(col("l_returnflag"))
+          .agg((min(col("price")).cast("double") +
+            (max(col("price")).cast("double") -
+              min(col("price")).cast("double")) * lit(0.5d)).as("exact_p50"))
         val pcts = apx.join(exact, "l_returnflag")
         counts.join(pcts, "l_returnflag")
           .select(col("l_returnflag"), col("exact_orders"),

@@ -767,8 +767,12 @@ object TextQueries {
       (s, dir) => {
         val d = Tables.documents(s, dir)
           .where(md5BitsModK(md5Bits(concat(lit("audit:"), col("doc_id"))), 100L) < 40)
+        // shRows feeds the signature pipeline AND the distinct-shingle
+        // audit side (which itself fans to sizes + both inverted-index
+        // join sides) — materialize the explode+window pipeline once
         val shRows = TextDedup.shingleRows(
           d.select(col("doc_id"), tokens(col("text")).as("ws")), "doc_id", "ws", 3)
+          .cutLineage()
         val distinctSh = shRows.distinct()
         val sig = TextDedup.minhashSignatures(shRows, "doc_id", "_sh", 16)
         val cands = TextDedup.lshCandidatePairs(sig, "doc_id", "sig", 4, 4)

@@ -17,6 +17,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Schema cache, keyed (sfDir, table): what a metastore gives a real
+    * deployment for free. Without it every `spark.read.parquet` call
+    * re-runs footer schema inference on the DRIVER (~80 ms per call
+    * measured at sf0.1 vs ~8 ms with the schema supplied) — across a
+    * ~400-query bench session that is pure per-query floor, paid again
+    * for every table reference. Caches METADATA only (a StructType);
+    * every query still scans the parquet for its data, so results are
+    * never memoized. Keyed by directory so mixed-SF sessions (Verify
+    * runs three SFs) cannot cross-contaminate, and the ts physical-type
+    * variants (nanos-long vs NTZ, below) stay per-directory. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String),
+      org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // ts normalization: the driver's generator has shipped events.ts as both
     // parquet TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
@@ -31,7 +45,10 @@ object Tables {
     // physical type the generator emitted.
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val schema = schemaCache.computeIfAbsent((sfDir, name), { _ =>
+      spark.read.parquet(s"$sfDir/$name.parquet").schema
+    })
+    val df = spark.read.schema(schema).parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) {
       case (acc, f) if f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType =>
         acc.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -40,7 +40,7 @@ class WindowLintSpec extends SparkSpec {
     * Everything else must have zero.
     */
   private val allow: Map[String, Int] = Map(
-    "q46_approx_sketches" -> 2, // GlobalRank bucket offsets + 3-row returnflag-group offset (round-12 exact-median lattice)
+    "q46_approx_sketches" -> 2, // bounded bucket-offset prefix sum + 3-row returnflag-group offset (pre-cut targets plan; round-13 hit-bucket lattice)
     "q95_training_shuffle" -> 1, // 256-row shard-bucket count prefix-sum
     "q109_pareto_frontier" -> 1, // price-band table (value-domain bins)
     "q119_length_histogram" -> 1, // fixed length-histogram bin table
