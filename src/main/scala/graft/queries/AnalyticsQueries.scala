@@ -250,8 +250,12 @@ object AnalyticsQueries {
     QueryDef(
       "q106_fuzzy_name_pairs",
       (s, dir) => {
-        val named = Tables.customer(s, dir)
-          .select(col("c_name"), substring(col("c_name"), 1, 16).as("blk"))
+        // fanOutRead: the one-split customer scan serialized the whole
+        // Σblock² levenshtein verify on ONE task (measured 2.5 s CPU);
+        // both join sides derive from the fanned frame and reuse the
+        // exchange, so the probe side runs at full width
+        val named = graft.operators.Skew.fanOutRead(Tables.customer(s, dir)
+          .select(col("c_name"), substring(col("c_name"), 1, 16).as("blk")))
         val a = named.select(col("blk"), col("c_name").as("name_a"))
         val b = named.select(col("blk"), col("c_name").as("name_b"))
         val pairs = a.join(b, Seq("blk")).where(col("name_a") < col("name_b"))
@@ -614,6 +618,7 @@ object AnalyticsQueries {
         val brands = Tables.lineitem(s, dir)
           .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("ok"), col("p_brand")).distinct()
+          .cutLineage()  // brands feeds FOUR consumers (N, supports, both pair sides)
         val nBaskets = brands.agg(count_distinct(col("ok")).as("n_baskets"))
         val supports = brands.groupBy(col("p_brand")).agg(count(lit(1)).as("sup"))
         val a = brands.select(col("ok"), col("p_brand").as("brand_a"))

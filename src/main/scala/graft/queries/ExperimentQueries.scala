@@ -475,10 +475,14 @@ object ExperimentQueries {
       "q235_poisson_bootstrap",
       (s, dir) => {
         import graft.functions.Kernels.exactAvg
-        val cents = Tables.orders(s, dir)
+        // fanOutRead: the 32× resample explode costs 32 md5s PER INPUT
+        // ROW downstream, and the 3-column orders projection packs into
+        // ONE split (measured: a single 2.7 s CPU-bound task carried the
+        // whole fan-out); both consumers reuse the one exchange
+        val cents = graft.operators.Skew.fanOutRead(Tables.orders(s, dir)
           .select(col("o_orderpriority").as("segment"), col("o_orderkey").as("k"),
             (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-              .cast("long").as("cents"))
+              .cast("long").as("cents")))
         val point = cents.groupBy(col("segment"))
           .agg(count(lit(1)).as("n_orders"),
             exactAvg(sum(col("cents")), count(lit(1))).as("mean_cents"))
